@@ -1,13 +1,343 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.XenaOps
+import graft.io.XenaTsv
+import graft.functions.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.streaming.EventStreams
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-pipeline extensions), each with an
+  * equivalent DuckDB oracle in `oracleSql`.
+  *
+  * Float discipline: any aggregated float compared against the oracle
+  * is computed via exact decimal sums cast to double (identical IEEE
+  * value in both engines regardless of row order), and explicitly
+  * `round(_, 6)` where a transcendental function is involved.
+  */
 object SparkEntry {
+
+  /** Exact, order-independent sum of a 2dp money column: decimal sum →
+    * double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact sum of quantity-like columns (integral-valued doubles). */
+  private def qtySum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact revenue term: extendedprice * (1 - discount) in decimal. */
+  private def revenueSum(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(18,2)") *
+      (lit(1).cast("decimal(12,6)") - discount.cast("decimal(12,6)")))
+      .cast("double")
+
+  /** Order-independent mean: exact decimal sum / count. */
+  private def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(c)
+
+  // ---------------------------------------------------------------
+  // Query implementations
+  // ---------------------------------------------------------------
+
+  /** §2.4 A3/A4 + §2.2 P9-adjacent: filtered group-aggregate with
+    * predicate pushdown to the parquet scan (TPC-H Q1 shape). */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        qtySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** §2.3 J1/J2: star join through broadcast dimensions. */
+  def q02JoinDims(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** §2.3 J6 keep-samples: left-semi join (EXISTS). */
+  def q03SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+    XenaOps.keepSamples(
+      Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+      bigOrders.select("o_custkey"), "o_custkey")
+      .select(col("o_custkey").as("c_custkey"), col("c_name"))
+  }
+
+  /** §2.3 J6 / §2.6 U3 drop-samples: left-anti join (NOT EXISTS). */
+  def q04AntiJoin(s: SparkSession, dir: String): DataFrame =
+    XenaOps.dropSamples(
+      Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+      Tables.orders(s, dir).filter(col("o_totalprice") > 350000.0).select("o_custkey"),
+      "o_custkey")
+      .select(col("o_custkey").as("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** §2.3 J4/J7: full-outer merge on a shared key (column-family
+    * rejoin). */
+  def q05FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val orderStats = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_f_orders"), moneySum(col("o_totalprice")).as("f_total"))
+    val richCust = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+    XenaOps.mergeHorizontal(Seq(orderStats, richCust), "custkey")
+  }
+
+  /** §2.5 V1: long→wide pivot with explicit values (single shuffle). */
+  def q06Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(qtySum(col("l_quantity")))
+
+  /** §2.5 V2: wide→long unpivot (melt). */
+  def q07Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.part(s, dir).select(
+      col("p_partkey"),
+      col("p_size").cast("double").as("size"),
+      col("p_retailprice").as("retailprice"))
+    XenaOps.melt(wide, "p_partkey", "attr", "val")
+  }
+
+  /** §2.6 U2: union with column-superset alignment. */
+  def q08UnionSuperset(s: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(s, dir).select(
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val supps = Tables.supplier(s, dir).select(
+      col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"),
+      col("s_nationkey").cast("int").as("nationkey"))
+    XenaOps.mergeVertical(Seq(custs, supps))
+      .select(col("name"), col("acctbal"), col("segment"), col("nationkey"))
+  }
+
+  /** §2.4 A5: distinct rows. */
+  def q09Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_orderpriority", "o_orderstatus").distinct()
+
+  /** §2.4 A1/A2/A8: group-collect with canonical (sorted, joined)
+    * rendering. */
+  def q10CollectSet(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        count(lit(1)).as("n_orders"))
+
+  /** Window top-k per group (deterministic tiebreak). */
+  def q11WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** §2.2 P9-P16 scalar functions: log2(x+1), string slice, concat,
+    * regexp extract, casts, least/greatest. */
+  def q12ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      round(XenaOps.log2p1(col("p_retailprice")), 6).as("log_price"),
+      substring(col("p_name"), 1, 4).as("name4"),
+      concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+      regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+      least(col("p_size"), lit(25)).as("size_capped"),
+      upper(col("p_name")).as("name_upper"),
+      (col("p_retailprice") / lit(365.0)).as("price_per_day"))
+
+  /** Flagship: the Xena genomicMatrix assembly path re-expressed —
+    * long (probe, sample, value) → replicate mean → log2(x+1) → wide
+    * pivot (reference `xena_dataset.py:165-243`). */
+  def q13XenaMatrix(s: SparkSession, dir: String): DataFrame = {
+    val long = Tables.lineitem(s, dir).select(
+      col("l_partkey").as("probe"),
+      col("l_returnflag").as("sample"),
+      col("l_quantity").as("value"))
+    // Replicate mean with order-independent exact arithmetic
+    // (semantics of XenaOps.replicateMean; decimal-sum form so the
+    // result is bit-identical to the oracle).
+    val averaged = long.groupBy(col("probe"), col("sample"))
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("value"))
+    val logged = averaged.withColumn("value", round(XenaOps.log2p1(col("value")), 6))
+    XenaOps.pivotMatrix(logged, "probe", "sample", "value", Seq("A", "N", "R"))
+  }
+
+  /** §2.1 S7: JSON path extraction from a raw JSON string column. */
+  def q14JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+
+  /** Event-time aggregation (batch analog of the streaming window). */
+  def q15EventTimeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+
+  /** §2.1 S1/S10: TSV sink + scan round-trip, then broadcast join. */
+  def q16TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tsv_nation"
+    XenaTsv.write(Tables.nation(s, dir), tmp, rowKey = Some("n_nationkey"))
+    val nation = XenaTsv.read(s, tmp,
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType)))))
+    nation
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+  }
+
+  // ---------------------------------------------------------------
+  // Contract surface
+  // ---------------------------------------------------------------
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q13XenaMatrix(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pushdown" -> (q01Agg _),
+    "q02_join_dims" -> (q02JoinDims _),
+    "q03_semi_join" -> (q03SemiJoin _),
+    "q04_anti_join" -> (q04AntiJoin _),
+    "q05_full_outer" -> (q05FullOuter _),
+    "q06_pivot" -> (q06Pivot _),
+    "q07_unpivot" -> (q07Unpivot _),
+    "q08_union_superset" -> (q08UnionSuperset _),
+    "q09_distinct" -> (q09Distinct _),
+    "q10_collect_set" -> (q10CollectSet _),
+    "q11_window_topk" -> (q11WindowTopK _),
+    "q12_scalar_funcs" -> (q12ScalarFuncs _),
+    "q13_xena_matrix" -> (q13XenaMatrix _),
+    "q14_json_extract" -> (q14JsonExtract _),
+    "q15_event_time_agg" -> (q15EventTimeAgg _),
+    "q16_tsv_roundtrip" -> (q16TsvRoundtrip _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_dims" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q03_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)""".stripMargin,
+    "q05_full_outer" ->
+      """WITH os AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_f_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS f_total
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |rc AS (
+        |  SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0)
+        |SELECT COALESCE(os.custkey, rc.custkey) AS custkey, n_f_orders, f_total, c_acctbal
+        |FROM os FULL OUTER JOIN rc ON os.custkey = rc.custkey""".stripMargin,
+    "q06_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q07_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+    "q08_union_superset" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment,
+        |  CAST(NULL AS INTEGER) AS nationkey FROM customer
+        |UNION ALL
+        |SELECT s_name, s_acctbal, CAST(NULL AS VARCHAR), s_nationkey FROM supplier""".stripMargin,
+    "q09_distinct" ->
+      "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+    "q10_collect_set" ->
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q11_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  round(log2(p_retailprice + 1), 6) AS log_price,
+        |  substr(p_name, 1, 4) AS name4,
+        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+        |  least(p_size, 25) AS size_capped,
+        |  upper(p_name) AS name_upper,
+        |  p_retailprice / 365.0 AS price_per_day
+        |FROM part""".stripMargin,
+    "q13_xena_matrix" ->
+      """WITH m AS (
+        |  SELECT l_partkey AS probe, l_returnflag AS sample,
+        |    round(log2(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1), 6) AS value
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT probe,
+        |  max(CASE WHEN sample = 'A' THEN value END) AS "A",
+        |  max(CASE WHEN sample = 'N' THEN value END) AS "N",
+        |  max(CASE WHEN sample = 'R' THEN value END) AS "R"
+        |FROM m GROUP BY probe""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT event_type,
+        |  sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q15_event_time_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_tsv_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+  )
 }

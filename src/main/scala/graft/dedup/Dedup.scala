@@ -1,0 +1,206 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the design target is ~100 TB of documents):
+  *  - exact dedup is one hash aggregate on a fingerprint — a single
+  *    shuffle on a short string key, partial aggregation map-side;
+  *  - near-dup pipelines NEVER cross-join the corpus. Candidate pairs
+  *    come from an inverted index (token/band → doc) self-join, so the
+  *    shuffle volume is bounded by posting-list sizes, and hot tokens
+  *    are dropped by a document-frequency cap (the classic LSH trick
+  *    for skew: a stopword-gram would otherwise produce a quadratic
+  *    bucket).
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-token fingerprint (hash-groupBy).
+    * Returns one row per distinct fingerprint with the smallest id as
+    * the keeper and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (id, gram) pairs: word n-grams per document. */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))).as("gram"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for every pair sharing at least
+    * one gram, via inverted-index self-join (no cross join):
+    * posting lists → co-occurrence counts → |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * `maxDocFreq` drops grams appearing in more than that many docs —
+    * skew control: a ubiquitous gram contributes O(df²) candidate pairs
+    * but ~no signal. Pairs kept when jaccard >= `threshold`.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val grams = docGrams(docs, idCol, textCol, n)
+
+    val filtered =
+      if (maxDocFreq == Long.MaxValue) grams
+      else {
+        val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("gram")
+        grams.join(df, Seq("gram"), "left_semi")
+      }
+
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+    val a = filtered.withColumnRenamed("doc_id", "doc_a")
+    val b = filtered.withColumnRenamed("doc_id", "doc_b")
+    val inter = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(broadcastIfSmall(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a")), Seq("doc_a"))
+      .join(broadcastIfSmall(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // The sizes table is one row per doc — small relative to postings;
+  // leave the broadcast decision to AQE but keep the hook explicit.
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+
+  /** Deterministic 64-bit hash of a string gram for MinHash: first 15
+    * hex digits of md5, as a non-negative long. Engine-portable (md5 is
+    * md5 everywhere) and uniform.
+    */
+  private def gramHash(gram: Column): Column =
+    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature + banded LSH near-dup detection.
+    *
+    * shingle → `numHashes` universal hashes (a_i * h + b_i mod p) →
+    * per-doc min per hash (one aggregate) → signatures sliced into
+    * `bands` bands → band-hash bucket self-join for candidates →
+    * exact n-gram Jaccard verification of candidates.
+    *
+    * Everything is deterministic: hash params derive from the index,
+    * not a RNG, so results are reproducible across runs and engines.
+    * Returns (doc_a, doc_b, jaccard) for verified pairs >= threshold.
+    */
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val p = 4294967311L // prime > 2^32
+
+    val grams = docGrams(docs, idCol, textCol, n)
+      .withColumn("h", pmod(gramHash(col("gram")), lit(1L << 32)))
+
+    // One aggregate computes all minhash components: min over grams of
+    // (a_i*h + b_i) mod p, i = 0..numHashes-1.
+    val minAggs = (0 until numHashes).map { i =>
+      val a = 2L * i + 1
+      val b = 1013904223L * (i + 1) % p
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    }
+    val sigs = grams.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+
+    // Band key: hash of the concatenated signature slice.
+    val bandRows = (0 until bands).map { bIdx =>
+      val comps = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      sigs.select(
+        col("doc_id"),
+        lit(bIdx).as("band"),
+        md5(concat_ws("_", comps: _*)).as("bucket"))
+    }
+    val bandTable = bandRows.reduce(_.unionByName(_))
+
+    val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
+    val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
+    val candidates = ca.join(cb, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // Verify candidates with exact Jaccard (semi-join prunes the
+    // inverted index to candidate docs only).
+    val exactPairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    exactPairs.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** 60-bit SimHash signatures: per-token md5-derived hash; signature
+    * bit j = sign of the sum over tokens of ±1 at bit j.
+    *
+    * Shaped as explode → one hash aggregate with 60 sum columns —
+    * partial (map-side) combine applies, so shuffle volume is one
+    * 60-long row per document regardless of document length.
+    */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitsN = 60
+    val tokenHashes = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", gramHash(col("tok")))
+    val voteAggs = (0 until bitsN).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val votes = tokenHashes.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until bitsN)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup: bucket by band (4 × 15-bit slices of the
+    * signature — Hamming-distance-1..3 pairs collide on at least one
+    * slice with high probability), verify with exact n-gram Jaccard.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sigs = simHashSignatures(docs, idCol, textCol)
+    val bandTable = (0 until 4).map { b =>
+      sigs.select(
+        col("doc_id"),
+        lit(b).as("band"),
+        shiftright(col("sig"), b * 15).bitwiseAND(lit((1L << 15) - 1)).as("bucket"))
+    }.reduce(_.unionByName(_))
+
+    val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
+    val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
+    val candidates = ca.join(cb, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    val exactPairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    exactPairs.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+  }
+}

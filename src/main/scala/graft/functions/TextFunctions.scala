@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * no UDFs, safe inside whole-stage codegen. Each is designed to be
+  * exactly reproducible in ANSI SQL for oracle checking.
+  */
+object TextFunctions {
+
+  /** Small English stopword list used by the ratio heuristics. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Lowercased whitespace tokens, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word count: splits on word/non-word boundaries so
+    * punctuation and digit runs count as separate tokens — a cheap,
+    * deterministic proxy for tokenizer cost estimation.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+
+  /** Word n-grams over the token array (array of space-joined grams).
+    * `transform` over an index `sequence` — distributed, per-row, no
+    * shuffle.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character k-shingles of a string (for MinHash). */
+  def charShingles(text: Column, k: Int): Column =
+    when(
+      length(text) >= k,
+      transform(
+        sequence(lit(0), length(text) - k),
+        i => text.substr(i + lit(1), lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(toks: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stops, t))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", "")))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score in [0,1]: rewards mid-length documents
+    * with a sane stopword ratio and low punctuation noise. Deterministic
+    * arithmetic only — reproducible in SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore =
+      least(size(toks).cast("double") / lit(20.0), lit(1.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio(toks) - lit(0.25)) * lit(2.0)
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore * lit(0.4) + greatest(stopScore, lit(0.0)) * lit(0.3) +
+      punctScore * lit(0.3)), 6)
+  }
+
+  /** Rule-based language-ID heuristic: scores marker-token hits per
+    * language and picks the best, defaulting to "en" when nothing
+    * matches. Stands in for an n-gram profile model; the scoring shape
+    * (per-language marker count, argmax) matches how a real char-n-gram
+    * profiler composes, and it is exactly expressible in SQL.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    def hits(markers: Seq[String]): Column = {
+      val m = array(markers.map(lit): _*)
+      size(filter(toks, t => array_contains(m, t)))
+    }
+    val es = hits(Seq("el", "la", "de", "que", "y", "los"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht"))
+    val fr = hits(Seq("le", "les", "des", "et", "est", "une"))
+    when(es > de && es > fr, lit("es"))
+      .when(de > es && de > fr, lit("de"))
+      .when(fr > es && fr > de, lit("fr"))
+      .otherwise(lit("en"))
+  }
+
+  /** Canonical-token document fingerprint: md5 of the normalized token
+    * stream. Two documents with the same token sequence (ignoring case
+    * and whitespace runs) collide — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+}

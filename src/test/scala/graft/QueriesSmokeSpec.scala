@@ -1,0 +1,28 @@
+package graft
+
+/** t1-style smoke: every declared query runs at sf0.001 and the
+  * flagship entry returns rows. Correctness vs DuckDB is the driver's
+  * gate (tools/check_correctness.py locally).
+  */
+class QueriesSmokeSpec extends SparkSpecBase {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Queries without oracles get a weaker rows-only driver check;
+    // keep the set deliberately small and explicit.
+    val allowed = Set.empty[String]
+    assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 with a non-empty schema") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      df.count() // forces full execution
+    }
+  }
+}

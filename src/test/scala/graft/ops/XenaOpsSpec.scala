@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.model.Tables
+
+class XenaOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def longForm = Seq(
+    ("g1", "s1", 1.0), ("g1", "s1", 3.0), // replicate pair → mean 2.0
+    ("g1", "s2", 4.0),
+    ("g2", "s1", 8.0)
+  ).toDF("probe", "sample", "value")
+
+  test("replicateMean averages same-(probe,sample) replicates") {
+    val m = XenaOps.replicateMean(longForm, "probe", "sample", "value")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("g1", "s1")) == 2.0)
+    assert(m(("g2", "s1")) == 8.0)
+    assert(m.size == 3)
+  }
+
+  test("pivotMatrix builds the wide matrix with nulls for absent cells") {
+    val wide = XenaOps.pivotMatrix(
+      XenaOps.replicateMean(longForm, "probe", "sample", "value"),
+      "probe", "sample", "value", Seq("s1", "s2"))
+    val rows = wide.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("g1").getDouble(1) == 2.0 && rows("g1").getDouble(2) == 4.0)
+    assert(rows("g2").getDouble(1) == 8.0 && rows("g2").isNullAt(2))
+  }
+
+  test("melt is the inverse of pivotMatrix (modulo null cells)") {
+    val averaged = XenaOps.replicateMean(longForm, "probe", "sample", "value")
+    val wide = XenaOps.pivotMatrix(averaged, "probe", "sample", "value", Seq("s1", "s2"))
+    val back = XenaOps.melt(wide, "probe", "sample", "value").na.drop()
+    assert(XenaOps.canonicalEqual(back, averaged))
+  }
+
+  test("mergeHorizontal is a full-outer join on the row key") {
+    val a = Seq(("g1", 1.0), ("g2", 2.0)).toDF("probe", "x")
+    val b = Seq(("g2", 20.0), ("g3", 30.0)).toDF("probe", "y")
+    val m = XenaOps.mergeHorizontal(Seq(a, b), "probe").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(m("g1") == (Some(1.0), None))
+    assert(m("g2") == (Some(2.0), Some(20.0)))
+    assert(m("g3") == (None, Some(30.0)))
+  }
+
+  test("mergeVertical aligns column supersets with nulls") {
+    val a = Seq(("r1", 1.0)).toDF("id", "x")
+    val b = Seq(("r2", 2.0)).toDF("id", "y")
+    val m = XenaOps.mergeVertical(Seq(a, b))
+    assert(m.columns.toSeq == Seq("id", "x", "y"))
+    val rows = m.collect().map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rows("r1") == ((false, true)) && rows("r2") == ((true, false)))
+  }
+
+  test("dropAllNullCols removes only fully-null columns") {
+    val df = Seq((1, Option.empty[String], Some("a")), (2, None, None))
+      .toDF("id", "allnull", "partial")
+    assert(XenaOps.dropAllNullCols(df).columns.toSeq == Seq("id", "partial"))
+  }
+
+  test("keepSamples/dropSamples partition the input") {
+    val df = Seq(("s1", 1), ("s2", 2), ("s3", 3)).toDF("sample", "v")
+    val keys = Seq("s1", "s3").toDF("sample")
+    assert(XenaOps.keepSamples(df, keys, "sample").count() == 2)
+    assert(XenaOps.dropSamples(df, keys, "sample").count() == 1)
+  }
+
+  test("reverseDottedRename reverses dotted column paths") {
+    val df = Seq((1, 2)).toDF("a.b.c", "plain")
+    assert(XenaOps.reverseDottedRename(df).columns.toSeq == Seq("c.b.a", "plain"))
+  }
+
+  test("canonicalEqual is order-insensitive in rows and columns") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq(("y", 2), ("x", 1)).toDF("v", "k").select("k", "v")
+    assert(XenaOps.canonicalEqual(a, b))
+    assert(!XenaOps.canonicalEqual(a, a.filter(col("k") === 1)))
+  }
+
+  test("fillFrom coalesces missing cells from the fallback frame") {
+    val primary = Seq(("s1", Option.empty[Double]), ("s2", Some(2.0))).toDF("id", "v")
+    val fallback = Seq(("s1", 10.0), ("s2", 20.0)).toDF("id", "v")
+    val m = XenaOps.fillFrom(primary, fallback, "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("s1" -> 10.0, "s2" -> 2.0))
+  }
+
+  test("pivot∘melt identity holds on real data (lineitem sample)") {
+    val wide = XenaOps.pivotMatrix(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_partkey").as("probe"),
+        col("l_returnflag").as("sample"),
+        col("l_quantity").as("value"))
+        .groupBy("probe", "sample").agg(avg("value").as("value")),
+      "probe", "sample", "value", Seq("A", "N", "R"))
+    val long = XenaOps.melt(wide, "probe", "sample", "value").na.drop()
+    val back = XenaOps.pivotMatrix(long, "probe", "sample", "value", Seq("A", "N", "R"))
+    assert(XenaOps.canonicalEqual(wide, back))
+  }
+}
