@@ -198,20 +198,96 @@ object SparkEntry {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
 
-  /** §2.1 S1/S10: TSV sink + scan round-trip, then broadcast join. */
+  /** §2.1 S1/S10: TSV sink + scan round-trip, then broadcast join.
+    * The sink path is a fresh per-run temp directory — parallel
+    * invocations (Bench + Verify, concurrent suites) must not race on a
+    * shared location.
+    */
   def q16TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tsv_nation"
-    XenaTsv.write(Tables.nation(s, dir), tmp, rowKey = Some("n_nationkey"))
-    val nation = XenaTsv.read(s, tmp,
-      Some(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType)))))
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, StringType}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tsv_nation").toString
+    val nationCols = Tables.nation(s, dir)
+    XenaTsv.write(nationCols, tmp, rowKey = Some("n_nationkey"))
+    val schema = StructType(
+      StructField("n_nationkey", IntegerType) +:
+        nationCols.schema.fields.toSeq.filter(_.name != "n_nationkey").map {
+          f => StructField(f.name, f.dataType)
+        })
+    val nation = XenaTsv.read(s, tmp, Some(schema))
     nation
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_nations"))
   }
+
+  // ---------------------------------------------------------------
+  // Training-data pipeline queries (dedup / similarity / text /
+  // sessionization) — the beyond-parity surface, each oracle-checked.
+  // ---------------------------------------------------------------
+
+  /** Exact dedup by normalized-token fingerprint (hash-groupBy — one
+    * shuffle on a 32-char key). */
+  def q17ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    * (no cross join; word 2-grams, threshold 0.8). */
+  def q18NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 2, threshold = 0.8)
+
+  /** MinHash + banded LSH near-dup (64 hashes × 16 bands), exact-Jaccard
+    * verification restricted to candidate docs. At the planted-dup
+    * similarity level (J >= 0.9) banded recall is ~1, so the verified
+    * output equals the exact-Jaccard pair set — which is the oracle. */
+  def q19MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 2, threshold = 0.8, numHashes = 64, bands = 16)
+
+  /** SimHash 60-bit signatures: one hash aggregate, map-side combine. */
+  def q20SimHashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Text-analysis battery: token/subword counts, quality score,
+    * language ID, punctuation/stopword ratios, fingerprint. All
+    * codegen'd built-in compositions — one narrow pass, no shuffle. */
+  def q21TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = TextFunctions.tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang_guess"),
+      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextFunctions.stopwordRatio(toks), 6).as("stop_ratio"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+  }
+
+  /** Brute-force cosine top-k: broadcast query set, corpus scanned once,
+    * never shuffled in full. */
+  def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 5)
+  }
+
+  /** All-pairs cosine above a threshold (exact variant — the LSH-
+    * bucketed scale path is property-tested in SimilaritySpec). */
+  def q23CosinePairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.45)
+
+  /** Sessionization (gaps-and-islands, 30-minute inactivity) + per-
+    * session stats. One shuffle on user_id shared by both windows. */
+  def q24SessionStats(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionStats(Tables.events(s, dir), "30 minutes")
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start"), col("session_end"))
 
   // ---------------------------------------------------------------
   // Contract surface

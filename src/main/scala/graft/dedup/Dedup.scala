@@ -61,7 +61,11 @@ object Dedup {
         grams.join(df, Seq("gram"), "left_semi")
       }
 
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Sizes from the SAME (post-cap) gram universe as the intersection
+    // counts — otherwise dropped high-df grams inflate the union but can
+    // never appear in the intersection, systematically underestimating
+    // Jaccard near the threshold.
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
     val a = filtered.withColumnRenamed("doc_id", "doc_a")
     val b = filtered.withColumnRenamed("doc_id", "doc_b")
@@ -85,6 +89,30 @@ object Dedup {
   // The sizes table is one row per doc — small relative to postings;
   // leave the broadcast decision to AQE but keep the hook explicit.
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
+
+  /** Exact-Jaccard verification restricted to LSH candidates.
+    *
+    * The 100-TB property that makes banded LSH worth running: the
+    * inverted-index self-join (O(df²) per gram) is built only over docs
+    * that appear in at least one candidate pair — typically a vanishing
+    * fraction of the corpus — NOT the full corpus. The final semi-join
+    * on (doc_a, doc_b) then removes same-bucket-but-different-pair
+    * combinations among those docs.
+    */
+  private def verifyCandidates(
+      docs: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val candidateIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val restricted = docs.join(candidateIds, Seq(idCol), "left_semi")
+    ngramJaccardPairs(restricted, idCol, textCol, n, threshold)
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+  }
 
   /** Deterministic 64-bit hash of a string gram for MinHash: first 15
     * hex digits of md5, as a non-negative long. Engine-portable (md5 is
@@ -146,10 +174,7 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
 
-    // Verify candidates with exact Jaccard (semi-join prunes the
-    // inverted index to candidate docs only).
-    val exactPairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    exactPairs.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    verifyCandidates(docs, candidates, idCol, textCol, n, threshold)
   }
 
   /** 60-bit SimHash signatures: per-token md5-derived hash; signature
@@ -200,7 +225,6 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
 
-    val exactPairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    exactPairs.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    verifyCandidates(docs, candidates, idCol, textCol, n, threshold)
   }
 }

@@ -48,9 +48,37 @@ object XenaTsv {
     df.select(picked.zip(names).map { case (c, n) => c.as(n) }: _*)
   }
 
-  /** Read a headered TSV skipping `skip` leading comment/banner lines
-    * (reference `skiprows=1` MAF handling, `xena_dataset.py:114-120`;
-    * comment lines are also handled natively via option("comment")).
+  /** Read a (possibly gzip) TSV whose banner/comment lines start with a
+    * marker character — the real MAF case (`# version ...` banners,
+    * reference `xena_dataset.py:114-120` `comment='#'`). Handled
+    * natively by the CSV reader, per file, inside the optimized scan
+    * path: works on directories of files, keeps column pruning, and
+    * adds no extra job.
+    */
+  def readCommented(
+      spark: SparkSession,
+      path: String,
+      comment: String = "#",
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("comment", comment)
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** Read a headered TSV skipping `skip` leading banner lines that have
+    * no comment marker (the reference's positional `skiprows`).
+    *
+    * RESTRICTED TO A SINGLE FILE by design: a distributed text scan has
+    * no per-file line index, so a global skip over a directory would
+    * strip lines from an arbitrary file-concatenation order (the
+    * round-1 bug). For marker-prefixed banners over many files use
+    * [[readCommented]] — that is the path that scales.
     */
   def readSkippingLines(
       spark: SparkSession,
@@ -58,10 +86,11 @@ object XenaTsv {
       skip: Int,
       schema: Option[StructType] = None): DataFrame = {
     import spark.implicits._
-    // Per-file line skip: pair each line with its in-file index via
-    // mapPartitions over wholeTextFiles would not scale; instead rely on
-    // the CSV reader's comment option when lines share a prefix, and
-    // fall back to a text pre-pass for genuine banner lines.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(p).isFile,
+      s"readSkippingLines requires a single file (got $path); " +
+        "use readCommented for directories of marker-prefixed files")
     val lines = spark.read.textFile(path)
       .rdd
       .zipWithIndex()

@@ -65,14 +65,28 @@ object Similarity {
     (h.toDouble / (1L << 59).toDouble) - 1.0
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i). */
+  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
+    *
+    * The whole `bits × dim` plane matrix is ONE literal (a single
+    * `array<array<double>>` node in the plan): at real embedding dims
+    * (768 × 16 bits) inlining per-component literals would blow the
+    * expression tree to ~12k nodes and stall codegen/analysis. All dots
+    * are computed by a single `transform` over the plane rows, then the
+    * signature is folded from the sign bits — three HOF nodes total,
+    * independent of dim and bits.
+    */
   def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val planes: Seq[Seq[Double]] =
+      (0 until bits).map(i => (0 until dim).map(j => planeComponent(i, j)))
+    val planesLit = typedlit(planes)
     val v = asDouble(vec)
-    (0 until bits).map { i =>
-      val planeArr = array((0 until dim).map(j => lit(planeComponent(i, j))): _*)
-      val dot = aggregate(zip_with(v, planeArr, (x, p) => x * p), lit(0.0), (acc, d) => acc + d)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val dots = transform(planesLit, p =>
+      aggregate(zip_with(v, p, (x, c) => x * c), lit(0.0), (acc, d) => acc + d))
+    aggregate(
+      zip_with(dots, sequence(lit(0), lit(bits - 1)), (d, i) =>
+        when(d >= 0, shiftleft(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
   }
 
   /** ANN top-k via hyperplane LSH: candidates = corpus vectors sharing
@@ -115,18 +129,44 @@ object Similarity {
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup detection).
-    * Exact O(n²/buckets) variant: pairs are generated within LSH
-    * buckets when `bits > 0`, or by full self-join when `bits == 0`
-    * (small corpora / oracle checking).
+    *
+    * `bits == 0`: exact full self-join — O(n²), for small corpora and
+    * oracle checking only.
+    *
+    * `bits > 0`: the scale path — pairs are generated only within
+    * hyperplane-LSH buckets (each probed at Hamming distance <= 1 for
+    * recall), so the join degenerates from one quadratic blow-up to
+    * many small per-bucket self-joins. At 100 TB the bucketed table
+    * would additionally be written partitioned by `sig` so the
+    * self-join is partition-local.
     */
   def cosinePairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      dim: Int = 0,
+      bits: Int = 0): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val paired =
+      if (bits == 0) {
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        require(dim > 0, "dim is required when bits > 0")
+        // Bucket each vector by its signature, plus Hamming-1 probe
+        // buckets on the id_a side only (probing one side suffices:
+        // a pair at signature distance 1 still collides).
+        val sigA = a.withColumn("sig0", lshSignature(col("va"), dim, bits))
+          .withColumn("bucket", explode(array(
+            (col("sig0") +: (0 until bits).map(i => col("sig0").bitwiseXOR(lit(1L << i)))): _*)))
+          .drop("sig0")
+        val sigB = b.withColumn("bucket", lshSignature(col("vb"), dim, bits))
+        sigA.join(sigB, sigA("bucket") === sigB("bucket") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("va"), col("id_b"), col("vb"))
+          .dropDuplicates("id_a", "id_b")
+      }
+    paired
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
