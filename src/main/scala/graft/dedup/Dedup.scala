@@ -90,14 +90,15 @@ object Dedup {
   // leave the broadcast decision to AQE but keep the hook explicit.
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
-  /** Exact-Jaccard verification restricted to LSH candidates.
+  /** Exact-Jaccard verification restricted to LSH candidate PAIRS.
     *
-    * The 100-TB property that makes banded LSH worth running: the
-    * inverted-index self-join (O(df²) per gram) is built only over docs
-    * that appear in at least one candidate pair — typically a vanishing
-    * fraction of the corpus — NOT the full corpus. The final semi-join
-    * on (doc_a, doc_b) then removes same-bucket-but-different-pair
-    * combinations among those docs.
+    * The 100-TB property that makes banded LSH worth running: work is
+    * proportional to the number of candidate pairs, never to corpus
+    * posting-list sizes. Each candidate pair is joined to the two docs'
+    * (distinct) gram arrays and verified per-row with
+    * `array_intersect` — O(|grams_a| + |grams_b|) per pair, no
+    * inverted-index self-join, no O(df²) blow-up even when the banding
+    * is noisy and candidates cover most of the corpus.
     */
   private def verifyCandidates(
       docs: DataFrame,
@@ -106,12 +107,19 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val candidateIds = candidates
-      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
-      .distinct()
-    val restricted = docs.join(candidateIds, Seq(idCol), "left_semi")
-    ngramJaccardPairs(restricted, idCol, textCol, n, threshold)
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    val grams = docs.select(
+      col(idCol).as("vid"),
+      array_distinct(
+        TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("vgrams"))
+    candidates
+      .join(grams.select(col("vid").as("doc_a"), col("vgrams").as("grams_a")), Seq("doc_a"))
+      .join(grams.select(col("vid").as("doc_b"), col("vgrams").as("grams_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Deterministic 64-bit hash of a string gram for MinHash: first 15
@@ -200,22 +208,29 @@ object Dedup {
     votes.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-dup: bucket by band (4 × 15-bit slices of the
-    * signature — Hamming-distance-1..3 pairs collide on at least one
-    * slice with high probability), verify with exact n-gram Jaccard.
+  /** SimHash near-dup: bucket by band (`bands` equal slices of the
+    * 60-bit signature). By pigeonhole, a pair at Hamming distance
+    * <= bands-1 collides in at least one band — so `bands` is an exact
+    * recall knob: pick it >= the max signature distance of a true
+    * near-dup (10 bands of 6 bits covers distance 9). Smaller bands
+    * mean more false candidates, which the per-pair exact-Jaccard
+    * verification removes at O(|grams|) each.
     */
   def simHashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      bands: Int = 10): DataFrame = {
+    require(60 % bands == 0, "bands must divide 60")
+    val bandBits = 60 / bands
     val sigs = simHashSignatures(docs, idCol, textCol)
-    val bandTable = (0 until 4).map { b =>
+    val bandTable = (0 until bands).map { b =>
       sigs.select(
         col("doc_id"),
         lit(b).as("band"),
-        shiftright(col("sig"), b * 15).bitwiseAND(lit((1L << 15) - 1)).as("bucket"))
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
     }.reduce(_.unionByName(_))
 
     val ca = bandTable.withColumnRenamed("doc_id", "doc_a")

@@ -84,7 +84,7 @@ object Similarity {
       aggregate(zip_with(v, p, (x, c) => x * c), lit(0.0), (acc, d) => acc + d))
     aggregate(
       zip_with(dots, sequence(lit(0), lit(bits - 1)), (d, i) =>
-        when(d >= 0, shiftleft(lit(1L), i.cast("int"))).otherwise(lit(0L))),
+        when(d >= 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L),
       (acc, b) => acc.bitwiseOR(b))
   }

@@ -14,7 +14,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Queries without oracles get a weaker rows-only driver check;
     // keep the set deliberately small and explicit.
-    val allowed = Set.empty[String]
+    // q25/q26 are approximate-by-construction LSH paths (recall < 1 on
+    // arbitrary data): no exact SQL oracle exists; the driver records a
+    // rows-only check, and the exact variants (q22/q23) are oracled.
+    val allowed = Set("q25_lsh_ann_topk", "q26_cosine_pairs_lsh")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
   }
 
