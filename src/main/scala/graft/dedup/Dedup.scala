@@ -164,16 +164,18 @@ object Dedup {
     }
     val sigs = grams.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
 
-    // Band key: hash of the concatenated signature slice.
-    val bandRows = (0 until bands).map { bIdx =>
+    // Band key: hash of the concatenated signature slice. One explode
+    // over an array of (band, bucket) structs — NOT a bands-way union,
+    // which would recompute the signature aggregate once per band per
+    // join side.
+    val bandStructs = (0 until bands).map { bIdx =>
       val comps = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
         .map(i => col(s"mh_$i"))
-      sigs.select(
-        col("doc_id"),
-        lit(bIdx).as("band"),
-        md5(concat_ws("_", comps: _*)).as("bucket"))
+      struct(lit(bIdx).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
     }
-    val bandTable = bandRows.reduce(_.unionByName(_))
+    val bandTable = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
     val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
@@ -192,16 +194,29 @@ object Dedup {
     * partial (map-side) combine applies, so shuffle volume is one
     * 60-long row per document regardless of document length.
     */
-  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitsN = 60
-    val tokenHashes = docs.select(
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashFromHashes(docs.select(
       col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", gramHash(col("tok")))
+      explode(TextFunctions.tokens(col(textCol))).as("u"))
+      .select(col("doc_id"), gramHash(col("u")).as("h")))
+
+  /** SimHash over DISTINCT word n-grams instead of token occurrences.
+    * On small-vocab corpora unigram-occurrence votes are heavily
+    * correlated across documents (every doc votes with the same few
+    * tokens), which collapses the signature space and makes banded
+    * candidate generation quadratic; n-grams (n >= 2) restore bit
+    * entropy. */
+  def simHashGramSignatures(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    simHashFromHashes(
+      docGrams(docs, idCol, textCol, n).select(col("doc_id"), gramHash(col("gram")).as("h")))
+
+  private def simHashFromHashes(hashes: DataFrame): DataFrame = {
+    val bitsN = 60
     val voteAggs = (0 until bitsN).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
     }
-    val votes = tokenHashes.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val votes = hashes.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
     val sig = (0 until bitsN)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
@@ -209,12 +224,16 @@ object Dedup {
   }
 
   /** SimHash near-dup: bucket by band (`bands` equal slices of the
-    * 60-bit signature). By pigeonhole, a pair at Hamming distance
-    * <= bands-1 collides in at least one band — so `bands` is an exact
-    * recall knob: pick it >= the max signature distance of a true
-    * near-dup (10 bands of 6 bits covers distance 9). Smaller bands
-    * mean more false candidates, which the per-pair exact-Jaccard
-    * verification removes at O(|grams|) each.
+    * 60-bit n-gram signature), probing each band's bucket AND its
+    * Hamming-1 flips on one join side.
+    *
+    * Recall guarantee (pigeonhole): a pair at signature Hamming
+    * distance <= 2*bands - 1 has some band where the slices differ by
+    * <= 1 bit, so the probe always collides — 6 bands of 10 bits
+    * covers distance 11 with ~8x fewer false candidates than 10 plain
+    * bands of 6 bits. Candidates are then verified pair-wise with
+    * exact n-gram Jaccard (O(|grams|) each, work proportional to the
+    * candidate count — never to corpus size squared).
     */
   def simHashPairs(
       docs: DataFrame,
@@ -222,20 +241,34 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      bands: Int = 10): DataFrame = {
+      bands: Int = 6): DataFrame = {
     require(60 % bands == 0, "bands must divide 60")
     val bandBits = 60 / bands
-    val sigs = simHashSignatures(docs, idCol, textCol)
-    val bandTable = (0 until bands).map { b =>
-      sigs.select(
-        col("doc_id"),
-        lit(b).as("band"),
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
-    }.reduce(_.unionByName(_))
+    val mask = (1L << bandBits) - 1
+    val sigs = simHashGramSignatures(docs, idCol, textCol, n)
+    def bucketCol(b: Int): Column =
+      shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
 
-    val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
-    val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
-    val candidates = ca.join(cb, Seq("band", "bucket"))
+    // Exact side: one (band, bucket) row per band. Probe side: the
+    // bucket plus each 1-bit flip. Both are a single explode over the
+    // signature row — the signature aggregate runs once per side.
+    val exact = sigs
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bucketCol(b).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val probeStructs = for {
+      b <- 0 until bands
+      flip <- -1 until bandBits
+    } yield {
+      val bucket = if (flip < 0) bucketCol(b) else bucketCol(b).bitwiseXOR(lit(1L << flip))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val probes = sigs
+      .select(col("doc_id"), explode(array(probeStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val candidates = probes.withColumnRenamed("doc_id", "doc_a")
+      .join(exact.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()

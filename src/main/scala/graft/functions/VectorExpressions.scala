@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product of two `array<double>` columns.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`) allocates an
+  * intermediate array per row and evaluates the lambda interpreted —
+  * at 10M+ pairs (all-pairs cosine) that dominates the query. This
+  * expression participates in whole-stage codegen and compiles to a
+  * tight fused multiply-add loop with zero allocation.
+  *
+  * Semantics match the sequential HOF fold exactly (left-to-right
+  * IEEE summation), so oracle SQL computing a sequential dot product
+  * (e.g. DuckDB `list_dot_product` on DOUBLE[]) agrees bitwise.
+  * Array elements are assumed non-null (embedding vectors).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must already be array<double> — callers cast explicitly
+  // (graft.similarity.Similarity.asDouble); no implicit coercion here.
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_s = 0.0;
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |  ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |}
+         |${ev.value} = ${ev.value}_s;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** `dot(a, b)` — codegen'd dot product over `array<double>`. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
