@@ -334,12 +334,72 @@ object SparkEntry {
       n = 2, threshold = 0.8, bands = 6)
 
   // ---------------------------------------------------------------
+  // GDC dtype transforms over committed raw-file fixtures (the
+  // reference's signature E1/E2/E3 dataflows; SURVEY §2.1/§2.8).
+  // Fixture inputs live in-repo so the gate is hermetic; oracles read
+  // the same files with DuckDB read_csv/read_json.
+  // ---------------------------------------------------------------
+
+  private val FixtureDir = "/root/repo/fixtures"
+
+  /** DuckDB expression mirroring GdcTransforms.sampleIdFromFile (S3):
+    * basename prefix before `.<uuid>`. */
+  private val SampleFromFilename: String =
+    "regexp_extract(regexp_extract(filename, '[^/]+$', 0), " +
+      "'^(.+?)\\.[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', 1)"
+
+  /** E1/M1 flagship: STAR-counts genomicMatrix assembly — multi-file
+    * TSV scan, sample id from filename (S3), sentinel-row drop,
+    * replicate mean (A3), log2(x+1) (P9), wide pivot (V1) — all
+    * registry-dispatched (X1/X4). */
+  def q28StarCounts(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "star_counts", s"$FixtureDir/star_counts")
+
+  /** Same raw files through the star_tpm registry entry — positional
+    * usecols re-projection (P1) selects the TPM column instead. */
+  def q29StarTpm(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "star_tpm", s"$FixtureDir/star_counts")
+
+  /** genomicSegment: per-sample CNV segment files -> long table (U1 +
+    * P2 renames). */
+  def q30SegmentCnv(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "segment_cnv_DNAcopy", s"$FixtureDir/segment_cnv_DNAcopy")
+
+  /** Headerless methylation beta matrix (S1 header=None variant), no
+    * log2. */
+  def q31Methylation(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "methylation450", s"$FixtureDir/methylation450")
+
+  /** RPPA protein matrix (usecols 4,5; no log2). */
+  def q32Protein(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "protein", s"$FixtureDir/protein")
+
+  /** mutationVector: gzip MAF scan with comments (S2), dna_vaf ratio
+    * (P10), renames (P2), no-mutation sentinel row for empty files. */
+  def q33MafVector(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "somaticmutation_wxs", s"$FixtureDir/somaticmutation_wxs")
+
+  /** Survival matrix: bool->int negation (P12), case->sample fan-out
+    * join (J2). */
+  def q34Survival(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.survivalMatrix(
+      s, s"$FixtureDir/survival/survival.tsv", s"$FixtureDir/survival/case_samples.json")
+
+  /** The nested-JSON clinical pipeline (E3): explode chains (V4),
+    * collect-list formatting (A1/A2/P18), lenient min-age (P13), 4
+    * broadcast left joins (J1), sample fan-out (J2), field drop (P4),
+    * reverse-dotted rename (P3). */
+  def q35Clinical(s: SparkSession, dir: String): DataFrame =
+    graft.transform.Clinical.clinicalMatrix(s, s"$FixtureDir/clinical/cases.json")
+
+  // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the real E1 matrix-assembly path over the committed
+    * STAR-counts fixtures (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    q13XenaMatrix(spark, "/root/testdata/sf0.001")
+    q28StarCounts(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pushdown" -> (q01Agg _),
@@ -369,6 +429,14 @@ object SparkEntry {
     "q25_lsh_ann_topk" -> (q25LshAnnTopK _),
     "q26_cosine_pairs_lsh" -> (q26CosinePairsLsh _),
     "q27_simhash_pairs" -> (q27SimHashPairs _),
+    "q28_star_counts" -> (q28StarCounts _),
+    "q29_star_tpm" -> (q29StarTpm _),
+    "q30_segment_cnv" -> (q30SegmentCnv _),
+    "q31_methylation" -> (q31Methylation _),
+    "q32_protein" -> (q32Protein _),
+    "q33_maf_vector" -> (q33MafVector _),
+    "q34_survival" -> (q34Survival _),
+    "q35_clinical" -> (q35Clinical _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -585,6 +653,155 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM s2 GROUP BY user_id, session_seq""".stripMargin,
+    "q28_star_counts" ->
+      s"""WITH raw AS (
+        |  SELECT gene_id AS id, CAST(unstranded AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/star_counts/*.tsv', delim='\t', header=true, skip=1, filename=true, all_varchar=true)
+        |  WHERE gene_id NOT IN ('N_unmapped', 'N_multimapping', 'N_noFeature', 'N_ambiguous')),
+        |m AS (
+        |  SELECT id, smp,
+        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) + 1), 6) AS lv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "Ensembl_ID",
+        |  max(CASE WHEN smp = 'SAMP-01A' THEN lv END) AS "SAMP-01A",
+        |  max(CASE WHEN smp = 'SAMP-02A' THEN lv END) AS "SAMP-02A",
+        |  max(CASE WHEN smp = 'SAMP-11A' THEN lv END) AS "SAMP-11A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q29_star_tpm" ->
+      s"""WITH raw AS (
+        |  SELECT gene_id AS id, CAST(tpm_unstranded AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/star_counts/*.tsv', delim='\t', header=true, skip=1, filename=true, all_varchar=true)
+        |  WHERE gene_id NOT IN ('N_unmapped', 'N_multimapping', 'N_noFeature', 'N_ambiguous')),
+        |m AS (
+        |  SELECT id, smp,
+        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) + 1), 6) AS lv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "Ensembl_ID",
+        |  max(CASE WHEN smp = 'SAMP-01A' THEN lv END) AS "SAMP-01A",
+        |  max(CASE WHEN smp = 'SAMP-02A' THEN lv END) AS "SAMP-02A",
+        |  max(CASE WHEN smp = 'SAMP-11A' THEN lv END) AS "SAMP-11A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q30_segment_cnv" ->
+      s"""SELECT $SampleFromFilename AS sample,
+        |  Chromosome AS "Chrom",
+        |  CAST("Start" AS BIGINT) AS "Start",
+        |  CAST("End" AS BIGINT) AS "End",
+        |  CAST(Segment_Mean AS DOUBLE) AS value
+        |FROM read_csv('$FixtureDir/segment_cnv_DNAcopy/*.txt', delim='\t', header=true, filename=true, all_varchar=true)""".stripMargin,
+    "q31_methylation" ->
+      s"""WITH raw AS (
+        |  SELECT column0 AS id, CAST(column1 AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/methylation450/*.txt', delim='\t', header=false, filename=true, all_varchar=true)),
+        |m AS (
+        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "Composite Element REF",
+        |  max(CASE WHEN smp = 'SAMP-01A' THEN mv END) AS "SAMP-01A",
+        |  max(CASE WHEN smp = 'SAMP-02A' THEN mv END) AS "SAMP-02A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q32_protein" ->
+      s"""WITH raw AS (
+        |  SELECT peptide_target AS id, CAST(protein_expression AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/protein/*.tsv', delim='\t', header=true, filename=true, all_varchar=true)),
+        |m AS (
+        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "peptide_target",
+        |  max(CASE WHEN smp = 'SAMP-01A' THEN mv END) AS "SAMP-01A",
+        |  max(CASE WHEN smp = 'SAMP-02A' THEN mv END) AS "SAMP-02A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q33_maf_vector" ->
+      s"""WITH raw AS (
+        |  SELECT *, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/somaticmutation_wxs/*.maf.gz', delim='\t', header=true, skip=1, filename=true, all_varchar=true, compression='gzip'))
+        |SELECT smp AS sample, Hugo_Symbol AS gene, Chromosome AS chrom,
+        |  CAST(Start_Position AS BIGINT) AS "start", CAST(End_Position AS BIGINT) AS "end",
+        |  Reference_Allele AS ref, Tumor_Seq_Allele2 AS alt,
+        |  Tumor_Sample_Barcode, HGVSp_Short AS "Amino_Acid_Change", Consequence AS effect,
+        |  callers, CAST(t_alt_count AS DOUBLE) / CAST(t_depth AS DOUBLE) AS dna_vaf
+        |FROM raw
+        |UNION ALL
+        |SELECT 'SAMP-02A', '', '', -1, -1, '', '', NULL, '', '', NULL, NULL""".stripMargin,
+    "q34_survival" ->
+      s"""WITH s AS (
+        |  SELECT * FROM read_csv('$FixtureDir/survival/survival.tsv', delim='\t', header=true)),
+        |cs AS (
+        |  SELECT id, s2.submitter_id AS sample FROM (
+        |    SELECT id, unnest(samples) AS s2
+        |    FROM read_json_auto('$FixtureDir/survival/case_samples.json', format='newline_delimited')
+        |    WHERE samples IS NOT NULL) t)
+        |SELECT sample, CASE WHEN censored THEN 0 ELSE 1 END AS "OS",
+        |  CAST(time AS BIGINT) AS "OS.time", submitter_id AS "_PATIENT"
+        |FROM s JOIN cs USING (id)""".stripMargin,
+    "q35_clinical" ->
+      s"""WITH cases AS (
+        |  SELECT * FROM read_json_auto('$FixtureDir/clinical/cases.json', format='newline_delimited')),
+        |base AS (
+        |  SELECT id, submitter_id, disease_type,
+        |    project.project_id AS "project_id.project",
+        |    demographic.gender AS "gender.demographic",
+        |    demographic.vital_status AS "vital_status.demographic",
+        |    demographic.year_of_birth AS "year_of_birth.demographic"
+        |  FROM cases),
+        |ann0 AS (
+        |  SELECT id,
+        |    list_sort(list(coalesce(a.category, ''))) AS lc,
+        |    list_sort(list(coalesce(a.classification, ''))) AS lk
+        |  FROM (SELECT id, unnest(annotations) AS a FROM cases) t GROUP BY id),
+        |annf AS (
+        |  SELECT id,
+        |    CASE WHEN len(list_filter(lc, x -> x <> '')) = 0 THEN '' ELSE array_to_string(lc, '; ') END AS "category.annotations",
+        |    CASE WHEN len(list_filter(lk, x -> x <> '')) = 0 THEN '' ELSE array_to_string(lk, '; ') END AS "classification.annotations"
+        |  FROM ann0),
+        |dr AS (SELECT id, unnest(diagnoses) AS d FROM cases),
+        |diag0 AS (
+        |  SELECT id,
+        |    list_sort(list(coalesce(d.age_at_diagnosis, ''))) AS la,
+        |    list_sort(list(coalesce(d.tumor_grade, ''))) AS lg,
+        |    min(try_cast(d.age_at_diagnosis AS DOUBLE)) AS agemin
+        |  FROM dr GROUP BY id),
+        |diagf AS (
+        |  SELECT id,
+        |    CASE WHEN len(list_filter(la, x -> x <> '')) = 0 THEN '' ELSE array_to_string(la, '; ') END AS "age_at_diagnosis.diagnoses",
+        |    CASE WHEN len(list_filter(lg, x -> x <> '')) = 0 THEN '' ELSE array_to_string(lg, '; ') END AS "tumor_grade.diagnoses",
+        |    round(agemin, 6) AS "age_at_earliest_diagnosis.diagnoses.xena_derived",
+        |    round(agemin / 365.0, 6) AS "age_at_earliest_diagnosis_in_years.diagnoses.xena_derived"
+        |  FROM diag0),
+        |path0 AS (
+        |  SELECT id, list_sort(list(coalesce(p.lymph_nodes_tested, ''))) AS lp
+        |  FROM (SELECT id, unnest(d.pathology_details) AS p FROM dr) t GROUP BY id),
+        |pathf AS (
+        |  SELECT id,
+        |    CASE WHEN len(list_filter(lp, x -> x <> '')) = 0 THEN '' ELSE array_to_string(lp, '; ') END AS "lymph_nodes_tested.pathology_details.diagnoses"
+        |  FROM path0),
+        |tr0 AS (
+        |  SELECT id,
+        |    list_sort(list(coalesce(t.therapeutic_agents, ''))) AS lt,
+        |    list_sort(list(coalesce(t.treatment_type, ''))) AS ltt
+        |  FROM (SELECT id, unnest(d.treatments) AS t FROM dr) t2 GROUP BY id),
+        |trf AS (
+        |  SELECT id,
+        |    CASE WHEN len(list_filter(lt, x -> x <> '')) = 0 THEN '' ELSE array_to_string(lt, '; ') END AS "therapeutic_agents.treatments.diagnoses",
+        |    CASE WHEN len(list_filter(ltt, x -> x <> '')) = 0 THEN '' ELSE array_to_string(ltt, '; ') END AS "treatment_type.treatments.diagnoses"
+        |  FROM tr0),
+        |smp AS (
+        |  SELECT id, s.submitter_id AS sample,
+        |    s.sample_type AS "sample_type.samples",
+        |    s.tissue_type AS "tissue_type.samples"
+        |  FROM (SELECT id, unnest(samples) AS s FROM cases) t)
+        |SELECT base.*, annf."category.annotations", annf."classification.annotations",
+        |  diagf."age_at_diagnosis.diagnoses", diagf."tumor_grade.diagnoses",
+        |  diagf."age_at_earliest_diagnosis.diagnoses.xena_derived",
+        |  diagf."age_at_earliest_diagnosis_in_years.diagnoses.xena_derived",
+        |  pathf."lymph_nodes_tested.pathology_details.diagnoses",
+        |  trf."therapeutic_agents.treatments.diagnoses", trf."treatment_type.treatments.diagnoses",
+        |  smp.sample, smp."sample_type.samples", smp."tissue_type.samples"
+        |FROM base
+        |LEFT JOIN annf USING (id)
+        |LEFT JOIN diagf USING (id)
+        |LEFT JOIN pathf USING (id)
+        |LEFT JOIN trf USING (id)
+        |JOIN smp USING (id)""".stripMargin,
     "q27_simhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk

@@ -1,0 +1,232 @@
+#!/usr/bin/env python3
+"""Deterministic fixture generator for the GDC-shaped dtype transforms.
+
+Shapes mirror the reference raw-file formats (xena_dataset.py:928-1011):
+  - star_counts/tpm/fpkm: 9-column STAR gene counts TSV, one '#' comment
+    line, then header, then N_* summary rows, then genes
+  - segment_cnv_DNAcopy: GDC_Aliquot/Chromosome/Start/End/Num_Probes/
+    Segment_Mean with header
+  - methylation: headerless (cpg, beta)
+  - protein: AGID/lab_id/catalog_number/set_id/peptide_target/
+    protein_expression with header
+  - somaticmutation (MAF): 140 tab columns, gzip, '#version' comment
+    line; one file intentionally has zero data rows (sentinel-row path)
+  - survival.tsv + case_samples.json (GDCSurvivalset.transform inputs)
+  - cases.json: nested clinical JSON (diagnoses/treatments/
+    pathology_details/annotations/samples)
+  - images: ASCII PPM files (binary-column / multimodal fixtures)
+
+No RNG: every value is a closed-form function of indices. Output is
+committed; re-running must be byte-identical.
+"""
+import gzip
+import json
+import os
+
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+UUIDS = [
+    "1a2b3c4d-0001-4001-8001-aaaaaaaa0001",
+    "1a2b3c4d-0002-4002-8002-aaaaaaaa0002",
+    "1a2b3c4d-0003-4003-8003-aaaaaaaa0003",
+    "1a2b3c4d-0004-4004-8004-aaaaaaaa0004",
+]
+
+GENES = ["ENSG00000000%03d.%d" % (i, i % 10) for i in range(1, 9)]
+
+
+def w(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        f.write(text)
+
+
+def star_counts():
+    header = ["gene_id", "gene_name", "gene_type", "unstranded",
+              "stranded_first", "stranded_second", "tpm_unstranded",
+              "fpkm_unstranded", "fpkm_uq_unstranded"]
+    samples = [("SAMP-01A", 0), ("SAMP-01A", 1), ("SAMP-02A", 2), ("SAMP-11A", 3)]
+    for fi, (sid, uidx) in enumerate(samples):
+        lines = ["# gene-model: GENCODE v36", "\t".join(header)]
+        for srow in ["N_unmapped", "N_multimapping", "N_noFeature", "N_ambiguous"]:
+            lines.append("\t".join([srow, "", ""] + [str(90000 + fi)] * 6))
+        for gi, g in enumerate(GENES):
+            count = (gi * 7 + fi * 13) % 100
+            tpm = round(count / 3.0, 4)
+            fpkm = round(count / 7.0, 4)
+            fpkmuq = round(count / 11.0, 4)
+            lines.append("\t".join([
+                g, "GENE%d" % gi, "protein_coding", str(count),
+                str(count + 1), str(count + 2), str(tpm), str(fpkm), str(fpkmuq)]))
+        name = "%s.%s.rna_seq.augmented_star_gene_counts.tsv" % (sid, UUIDS[uidx])
+        w(os.path.join(ROOT, "star_counts", name), "\n".join(lines) + "\n")
+
+
+def segment_cnv():
+    header = ["GDC_Aliquot", "Chromosome", "Start", "End", "Num_Probes", "Segment_Mean"]
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = ["\t".join(header)]
+        for si in range(5):
+            start = 1000 * (si + 1) + fi
+            lines.append("\t".join([
+                "aliquot-%d" % fi, "chr%d" % (si + 1), str(start),
+                str(start + 5000), str(40 + si), str(round((si - 2) * 0.31 + fi * 0.05, 4))]))
+        name = "%s.%s.grch38.seg.v2.txt" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "segment_cnv_DNAcopy", name), "\n".join(lines) + "\n")
+
+
+def methylation():
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = []
+        for ci in range(6):
+            beta = round(0.05 + 0.13 * ci + 0.01 * fi, 4)
+            lines.append("cg%08d\t%s" % (ci, beta))
+        name = "%s.%s.methylation_array.sesame.level3betas.txt" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "methylation450", name), "\n".join(lines) + "\n")
+
+
+def protein():
+    header = ["AGID", "lab_id", "catalog_number", "set_id", "peptide_target", "protein_expression"]
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = ["\t".join(header)]
+        for pi in range(5):
+            expr = round(-1.5 + 0.71 * pi + 0.1 * fi, 4)
+            lines.append("\t".join([
+                "AGID%03d" % pi, "lab%d" % pi, "cat%d" % pi, "set%d" % pi,
+                "PEP_%d" % pi, str(expr)]))
+        name = "%s.%s.protein_expression.tsv" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "protein", name), "\n".join(lines) + "\n")
+
+
+MAF_USED = {0: "Hugo_Symbol", 4: "Chromosome", 5: "Start_Position",
+            6: "End_Position", 10: "Reference_Allele", 12: "Tumor_Seq_Allele2",
+            15: "Tumor_Sample_Barcode", 36: "HGVSp_Short", 39: "Consequence",
+            41: "t_depth", 51: "t_alt_count", 139: "callers"}
+
+
+def maf():
+    ncols = 140
+    header = [MAF_USED.get(i, "f%03d" % i) for i in range(ncols)]
+    muts = [
+        ("TP53", "chr17", 7675000, 7675001, "C", "T", "p.R175H", "missense_variant", 120, 30),
+        ("KRAS", "chr12", 25245350, 25245351, "G", "A", "p.G12D", "missense_variant", 90, 45),
+        ("EGFR", "chr7", 55191822, 55191823, "T", "G", "p.L858R", "missense_variant", 200, 50),
+        ("BRAF", "chr7", 140753336, 140753337, "A", "T", "p.V600E", "missense_variant", 150, 75),
+        ("PTEN", "chr10", 87933147, 87933148, "G", "", "p.K128fs", "frameshift_variant", 80, 20),
+    ]
+    for fi, (sid, nmut) in enumerate([("SAMP-01A", 5), ("SAMP-02A", 0)]):
+        lines = ["#version gdc-1.0.0", "\t".join(header)]
+        for mi in range(nmut):
+            gene, chrom, s, e, ref, alt, hgvsp, cons, depth, altc = muts[mi]
+            row = ["" for _ in range(ncols)]
+            row[0], row[4], row[5], row[6] = gene, chrom, str(s), str(e)
+            row[10], row[12], row[15] = ref, alt, "%s-TUMOR-BARCODE" % sid
+            row[36], row[39] = hgvsp, cons
+            row[41], row[51] = str(depth), str(altc)
+            row[139] = "muse;mutect2"
+            lines.append("\t".join(row))
+        name = "%s.%s.wxs.aliquot_ensemble_masked.maf.gz" % (sid, UUIDS[fi])
+        path = os.path.join(ROOT, "somaticmutation_wxs", name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # mtime=0 for reproducible gzip bytes
+        with gzip.GzipFile(path, "wb", mtime=0) as f:
+            f.write(("\n".join(lines) + "\n").encode())
+
+
+def survival():
+    rows = [
+        ("case1", "TCGA-XX", 0.9, "false", 450, "PAT-01"),
+        ("case2", "TCGA-XX", 0.8, "true", 1200, "PAT-02"),
+        ("case3", "TCGA-XX", 0.7, "false", 300, "PAT-03"),
+    ]
+    lines = ["\t".join(["id", "project_id", "survivalEstimate", "censored", "time", "submitter_id"])]
+    for r in rows:
+        lines.append("\t".join(str(x) for x in r))
+    w(os.path.join(ROOT, "survival", "survival.tsv"), "\n".join(lines) + "\n")
+    case_samples = [
+        {"id": "case1", "samples": [
+            {"submitter_id": "SAMP-01A", "sample_type": "Primary Tumor"},
+            {"submitter_id": "SAMP-01B", "sample_type": "Blood Derived Normal"}]},
+        {"id": "case2", "samples": [
+            {"submitter_id": "SAMP-02A", "sample_type": "Primary Tumor"}]},
+        {"id": "case3", "samples": [
+            {"submitter_id": "SAMP-11A", "sample_type": "Primary Tumor"}]},
+        {"id": "case4"},  # no samples key: dropped by the pipeline
+    ]
+    w(os.path.join(ROOT, "survival", "case_samples.json"),
+      "\n".join(json.dumps(c, sort_keys=True) for c in case_samples) + "\n")
+
+
+def clinical():
+    cases = [
+        {
+            "id": "case1", "submitter_id": "PAT-01", "disease_type": "Adenomas",
+            "project": {"project_id": "TCGA-XX"},
+            "demographic": {"gender": "female", "vital_status": "Alive", "year_of_birth": 1960},
+            "state": "released", "created_datetime": "2020-01-01",
+            "annotations": [{"category": "Item flagged", "classification": "Notification"}],
+            "diagnoses": [
+                {"age_at_diagnosis": "20100", "tumor_grade": "G2",
+                 "treatments": [
+                     {"therapeutic_agents": "Tamoxifen", "treatment_type": "Chemo"},
+                     {"therapeutic_agents": "Cisplatin", "treatment_type": "Chemo"}],
+                 "pathology_details": [{"lymph_nodes_tested": "12"}]},
+                {"age_at_diagnosis": "not reported", "tumor_grade": "G3",
+                 "treatments": [], "pathology_details": []},
+            ],
+            "samples": [
+                {"submitter_id": "SAMP-01A", "sample_type": "Primary Tumor", "tissue_type": "Tumor"},
+                {"submitter_id": "SAMP-01B", "sample_type": "Blood Derived Normal", "tissue_type": "Normal"}],
+        },
+        {
+            "id": "case2", "submitter_id": "PAT-02", "disease_type": "Gliomas",
+            "project": {"project_id": "TCGA-XX"},
+            "demographic": {"gender": "male", "vital_status": "Dead", "year_of_birth": 1955},
+            "state": "released", "created_datetime": "2020-02-01",
+            "annotations": [],
+            "diagnoses": [
+                {"age_at_diagnosis": "15000", "tumor_grade": "G1",
+                 "treatments": [{"therapeutic_agents": "Temozolomide", "treatment_type": "Chemo"}],
+                 "pathology_details": []}],
+            "samples": [
+                {"submitter_id": "SAMP-02A", "sample_type": "Primary Tumor", "tissue_type": "Tumor"}],
+        },
+        {
+            "id": "case3", "submitter_id": "PAT-03", "disease_type": "Sarcomas",
+            "project": {"project_id": "TCGA-XX"},
+            "demographic": {"gender": "female", "vital_status": "Alive", "year_of_birth": 1971},
+            "state": "released", "created_datetime": "2020-03-01",
+            "annotations": [],
+            "diagnoses": [],
+            "samples": [
+                {"submitter_id": "SAMP-11A", "sample_type": "Primary Tumor", "tissue_type": "Tumor"}],
+        },
+    ]
+    w(os.path.join(ROOT, "clinical", "cases.json"),
+      "\n".join(json.dumps(c, sort_keys=True) for c in cases) + "\n")
+
+
+def images():
+    # ASCII PPM (P3): a real image format whose bytes are ASCII — the
+    # oracle can md5 the content as text.
+    for i in range(3):
+        wpx, hpx = 4 + i, 3 + i
+        pix = []
+        for y in range(hpx):
+            for x in range(wpx):
+                pix.append("%d %d %d" % ((x * 37) % 256, (y * 53) % 256, ((x + y) * 11) % 256))
+        body = "P3\n%d %d\n255\n%s\n" % (wpx, hpx, "\n".join(pix))
+        w(os.path.join(ROOT, "images", "img_%d.ppm" % i), body)
+
+
+if __name__ == "__main__":
+    star_counts()
+    segment_cnv()
+    methylation()
+    protein()
+    maf()
+    survival()
+    clinical()
+    images()
+    n = sum(len(fs) for _, _, fs in os.walk(ROOT))
+    print("wrote %d fixture files under %s" % (n, ROOT))
