@@ -392,6 +392,64 @@ object SparkEntry {
   def q35Clinical(s: SparkSession, dir: String): DataFrame =
     graft.transform.Clinical.clinicalMatrix(s, s"$FixtureDir/clinical/cases.json")
 
+  /** J8/A6/A5 postprocess: remap segment-table sample ids to case ids
+    * via the clinical sample→case mapping (broadcast join + coalesce),
+    * then drop duplicate rows (reference `postprocessing.py:41-102`). */
+  def q36PostprocessRemap(s: SparkSession, dir: String): DataFrame = {
+    val seg = q30SegmentCnv(s, dir)
+    val mapping = s.read.schema(graft.transform.Clinical.casesSchema)
+      .json(s"$FixtureDir/clinical/cases.json")
+      .select(col("submitter_id").as("case_id"), explode(col("samples")).as("smp"))
+      .select(col("smp.submitter_id").as("sample"), col("case_id"))
+    XenaOps.remapSamples(seg, mapping, "sample", "case_id")
+  }
+
+  /** P17 `get_ext` over the fixture file listings (driver-side listing
+    * → distributed expression; reference `gdc.py:337-357`). */
+  def q37FileExts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Seq("star_counts", "somaticmutation_wxs").flatMap { d =>
+      Option(new java.io.File(s"$FixtureDir/$d").listFiles()).toSeq.flatten.map(_.getName)
+    }.sorted
+    names.toDF("file_name")
+      .select(col("file_name"), XenaOps.getExt(col("file_name")).as("ext"))
+  }
+
+  /** A4 per-group conditional value counts: cases with >= 1 Tumor and
+    * >= 1 Normal sample keep their Tumor samples (the duplicated-dtype
+    * download pairing). */
+  def q38TumorNormal(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.tumorNormalPairedSamples(
+      s.read.schema(graft.transform.Clinical.casesSchema)
+        .json(s"$FixtureDir/clinical/cases.json")
+        .select(col("id"), explode(col("samples")).as("smp"))
+        .select(col("id"), col("smp.submitter_id").as("sample"),
+          col("smp.tissue_type").as("tissue_type")),
+      "id", "sample", "tissue_type")
+
+  /** Multimodal: binaryFile scan of image fixtures — opaque binary
+    * column + typed metadata (name, byte length, content md5, parsed
+    * PPM dimensions). */
+  def q39BinaryImages(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/images/*.ppm")
+      .select(
+        regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+        col("length"),
+        md5(col("content")).as("content_md5"),
+        regexp_extract(col("content").cast("string"), "P3\\s+(\\d+)\\s+(\\d+)", 1)
+          .cast("int").as("width"),
+        regexp_extract(col("content").cast("string"), "P3\\s+(\\d+)\\s+(\\d+)", 2)
+          .cast("int").as("height"))
+
+  /** Multimodal decode: per-partition PPM parse (imperative decode,
+    * the mapPartitions last-resort justified for binary payloads) then
+    * declarative per-channel mean brightness over the pixel arrays. */
+  def q40ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageOps
+    ImageOps.channelMeans(
+      ImageOps.decodePpm(s, ImageOps.readBinary(s, s"$FixtureDir/images/*.ppm")))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -437,6 +495,11 @@ object SparkEntry {
     "q33_maf_vector" -> (q33MafVector _),
     "q34_survival" -> (q34Survival _),
     "q35_clinical" -> (q35Clinical _),
+    "q36_postprocess_remap" -> (q36PostprocessRemap _),
+    "q37_file_exts" -> (q37FileExts _),
+    "q38_tumor_normal" -> (q38TumorNormal _),
+    "q39_binary_images" -> (q39BinaryImages _),
+    "q40_image_decode" -> (q40ImageDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -802,6 +865,79 @@ object SparkEntry {
         |LEFT JOIN pathf USING (id)
         |LEFT JOIN trf USING (id)
         |JOIN smp USING (id)""".stripMargin,
+    "q36_postprocess_remap" ->
+      s"""WITH seg AS (
+        |  SELECT $SampleFromFilename AS sample,
+        |    Chromosome AS "Chrom",
+        |    CAST("Start" AS BIGINT) AS "Start",
+        |    CAST("End" AS BIGINT) AS "End",
+        |    CAST(Segment_Mean AS DOUBLE) AS value
+        |  FROM read_csv('$FixtureDir/segment_cnv_DNAcopy/*.txt', delim='\t', header=true, filename=true, all_varchar=true)),
+        |m AS (
+        |  SELECT s.submitter_id AS sample, submitter_id2 AS case_id FROM (
+        |    SELECT submitter_id AS submitter_id2, unnest(samples) AS s
+        |    FROM read_json_auto('$FixtureDir/clinical/cases.json', format='newline_delimited')) t)
+        |SELECT DISTINCT coalesce(case_id, sample) AS sample, "Chrom", "Start", "End", value
+        |FROM seg LEFT JOIN m USING (sample)""".stripMargin,
+    "q37_file_exts" ->
+      s"""WITH f AS (
+        |  SELECT regexp_extract(file, '[^/]+$$', 0) AS file_name
+        |  FROM glob('$FixtureDir/star_counts/*')
+        |  UNION ALL
+        |  SELECT regexp_extract(file, '[^/]+$$', 0)
+        |  FROM glob('$FixtureDir/somaticmutation_wxs/*')),
+        |p AS (SELECT file_name, string_split(file_name, '.') AS parts FROM f),
+        |x AS (
+        |  SELECT file_name, parts,
+        |    coalesce(
+        |      list_min(list_filter(
+        |        list_transform(parts, (e, i) -> CASE WHEN list_contains(
+        |          ['txt','vcf','bam','tsv','xml','maf','xlsx','tar','gz','md5','xls'], e) THEN i END),
+        |        v -> v IS NOT NULL)),
+        |      len(parts)) AS pos
+        |  FROM p)
+        |SELECT file_name, array_to_string(list_slice(parts, pos, len(parts)), '.') AS ext
+        |FROM x""".stripMargin,
+    "q38_tumor_normal" ->
+      s"""WITH fs AS (
+        |  SELECT id, s.submitter_id AS sample, s.tissue_type AS tissue_type FROM (
+        |    SELECT id, unnest(samples) AS s
+        |    FROM read_json_auto('$FixtureDir/clinical/cases.json', format='newline_delimited')) t),
+        |paired AS (
+        |  SELECT id FROM fs GROUP BY id
+        |  HAVING sum(CASE WHEN tissue_type = 'Tumor' THEN 1 ELSE 0 END) >= 1
+        |    AND sum(CASE WHEN tissue_type = 'Normal' THEN 1 ELSE 0 END) >= 1)
+        |SELECT id, sample FROM fs
+        |WHERE id IN (SELECT id FROM paired) AND tissue_type = 'Tumor'""".stripMargin,
+    "q39_binary_images" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS name,
+        |  CAST(size AS BIGINT) AS length,
+        |  md5(decode(content)) AS content_md5,
+        |  CAST(regexp_extract(decode(content), 'P3\\s+(\\d+)\\s+(\\d+)', 1) AS INTEGER) AS width,
+        |  CAST(regexp_extract(decode(content), 'P3\\s+(\\d+)\\s+(\\d+)', 2) AS INTEGER) AS height
+        |FROM read_blob('$FixtureDir/images/*.ppm')""".stripMargin,
+    "q40_image_decode" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, decode(content) AS t
+        |  FROM read_blob('$FixtureDir/images/*.ppm')),
+        |tok AS (
+        |  SELECT name, list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS l FROM b),
+        |px AS (
+        |  SELECT name,
+        |    CAST(l[2] AS INTEGER) AS width, CAST(l[3] AS INTEGER) AS height,
+        |    list_transform(list_slice(l, 5, len(l)), x -> CAST(x AS BIGINT)) AS p
+        |  FROM tok),
+        |ch AS (
+        |  SELECT name, width, height,
+        |    list_filter(list_transform(p, (e, i) -> CASE WHEN (i - 1) % 3 = 0 THEN e END), v -> v IS NOT NULL) AS r,
+        |    list_filter(list_transform(p, (e, i) -> CASE WHEN (i - 1) % 3 = 1 THEN e END), v -> v IS NOT NULL) AS g,
+        |    list_filter(list_transform(p, (e, i) -> CASE WHEN (i - 1) % 3 = 2 THEN e END), v -> v IS NOT NULL) AS bl
+        |  FROM px)
+        |SELECT name, width, height,
+        |  round(CAST(list_aggregate(r, 'sum') AS DOUBLE) / len(r), 6) AS mean_r,
+        |  round(CAST(list_aggregate(g, 'sum') AS DOUBLE) / len(g), 6) AS mean_g,
+        |  round(CAST(list_aggregate(bl, 'sum') AS DOUBLE) / len(bl), 6) AS mean_b
+        |FROM ch""".stripMargin,
     "q27_simhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk

@@ -159,4 +159,56 @@ object XenaOps {
     }
     joined.select(col(keyCol) +: filled.toIndexedSeq: _*)
   }
+
+  /** Supported download extensions (reference `gdc.py:27-39`
+    * `_SUPPORTED_FILE_TYPES`). */
+  val SupportedFileTypes: Seq[String] =
+    Seq("txt", "vcf", "bam", "tsv", "xml", "maf", "xlsx", "tar", "gz", "md5", "xls")
+
+  /** P17 `get_ext` (reference `gdc.py:337-357`): split the filename on
+    * '.', keep everything from the FIRST segment that is a supported
+    * extension; if none matches, the last segment alone (the
+    * reference's loop leaves `i` at the final index). Pure builtin
+    * composition — array lambdas, no UDF.
+    */
+  def getExt(fileName: Column): Column = {
+    val supported = array(SupportedFileTypes.map(lit): _*)
+    val parts = split(fileName, "\\.")
+    val firstMatch = array_min(filter(
+      zip_with(parts, sequence(lit(1), size(parts)), (p, i) =>
+        when(array_contains(supported, p), i)),
+      v => v.isNotNull))
+    val pos = coalesce(firstMatch, size(parts))
+    array_join(slice(parts, pos, size(parts) - pos + 1), ".")
+  }
+
+  /** J8 sample→case remap (reference `postprocessing.py:41-99`): map a
+    * long-shape table's sample ids to case ids via a mapping table,
+    * keeping the original id when unmapped, then drop duplicate rows
+    * (A5) introduced by the collapse.
+    */
+  def remapSamples(
+      df: DataFrame,
+      mapping: DataFrame, // (sampleCol, caseCol)
+      sampleCol: String,
+      caseCol: String): DataFrame = {
+    val remapped = df
+      .join(broadcast(mapping), Seq(sampleCol), "left")
+      .withColumn(sampleCol, coalesce(col(caseCol), col(sampleCol)))
+      .drop(caseCol)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    remapped.dropDuplicates()
+  }
+
+  /** A6 duplicate-column elimination, keep-first (reference
+    * `postprocessing.py:86-88` `df.columns.duplicated()`): a
+    * driver-side projection decision on the (schema-sized) column
+    * list. */
+  def dedupColumns(df: DataFrame): DataFrame = {
+    // Positional rename to disambiguate, select keep-first, restore.
+    val tmp = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keep = df.columns.zipWithIndex.collect { case (c, i) if seen.add(c) => (c, i) }
+    tmp.select(keep.map { case (c, i) => col(s"__c$i").as(c) }.toIndexedSeq: _*)
+  }
 }

@@ -178,6 +178,31 @@ object GdcTransforms {
     data.unionByName(sentinel)
   }
 
+  /** A4 per-group conditional value counts (reference
+    * `xena_dataset.py:1099-1115`, the duplicated-dtype download
+    * pairing): keep groups having >= 1 Tumor AND >= 1 Normal sample,
+    * return their Tumor samples. One aggregate + semi-join — the
+    * reference's per-file `value_counts` loop collapses into a single
+    * conditional-sum groupBy.
+    */
+  def tumorNormalPairedSamples(
+      fileSamples: DataFrame,
+      groupCol: String,
+      sampleCol: String,
+      tissueCol: String): DataFrame = {
+    val paired = fileSamples
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col(tissueCol) === "Tumor", 1).otherwise(0)).as("n_tumor"),
+        sum(when(col(tissueCol) === "Normal", 1).otherwise(0)).as("n_normal"))
+      .filter(col("n_tumor") >= 1 && col("n_normal") >= 1)
+      .select(col(groupCol))
+    fileSamples
+      .join(paired, Seq(groupCol), "left_semi")
+      .filter(col(tissueCol) === "Tumor")
+      .select(col(groupCol), col(sampleCol))
+  }
+
   /** Driver-side listing of sample ids from a raw-file directory —
     * metadata-sized, the same class of operation as Spark's file
     * index. */

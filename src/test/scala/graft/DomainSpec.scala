@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.XenaMetadata
+import graft.model.DTypes
+import graft.ops.XenaOps
+import graft.transform.GdcTransforms
+
+/** Unit specs for the domain layer: registry completeness, scalar ops,
+  * metadata renders, CLI. Fixture-level correctness vs DuckDB is the
+  * gate's job (tools/check_correctness.py); these cover behavior the
+  * gate can't (driver-side ops, sink contracts, exit codes).
+  */
+class DomainSpec extends SparkSpecBase {
+
+  test("registry covers all 22 omic dtypes + clinical + survival") {
+    assert(DTypes.registry.size == 24)
+    assert(DTypes.duplicatedDtypes.subsetOf(DTypes.registry.keySet))
+    // every raw-file dtype dispatches without throwing strategy errors
+    val rawBacked = DTypes.registry.values.count {
+      case c => c.strategy match {
+        case _: DTypes.SampleColumnsMatrix | _: DTypes.SegmentMatrix | DTypes.MafVector => true
+        case _ => false
+      }
+    }
+    assert(rawBacked == 22)
+  }
+
+  test("getExt matches the reference's first-supported-extension rule") {
+    import spark.implicits._
+    val rows = Seq(
+      "a.uuid.rna_seq.augmented_star_gene_counts.tsv" -> "tsv",
+      "b.uuid.wxs.aliquot_ensemble_masked.maf.gz" -> "maf.gz",
+      "archive.tar.gz" -> "tar.gz",
+      "weird_name_no_ext" -> "weird_name_no_ext",
+      "x.unknownext" -> "unknownext")
+    val out = rows.map(_._1).toDF("f")
+      .select(XenaOps.getExt(col("f"))).as[String].collect()
+    assert(out.toSeq == rows.map(_._2))
+  }
+
+  test("dedupColumns keeps first occurrence") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("a", "b", "a")
+    val out = XenaOps.dedupColumns(df)
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.head.getInt(0) == 1)
+  }
+
+  test("remapSamples maps known ids, keeps unknown, dedups") {
+    import spark.implicits._
+    val df = Seq(("s1", 1.0), ("s2", 1.0), ("s9", 2.0)).toDF("sample", "v")
+    val mapping = Seq(("s1", "c1"), ("s2", "c1")).toDF("sample", "case_id")
+    val out = XenaOps.remapSamples(df, mapping, "sample", "case_id")
+      .orderBy("sample").collect()
+    // s1 and s2 both map to c1 with equal rows -> deduped to one
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("c1", 1.0), ("s9", 2.0)))
+  }
+
+  test("metadata renders valid JSON with template-matching keys") {
+    val vars0 = XenaMetadata.Vars(xenaCohort = "GDC TCGA-XX", date = "08-12-2026",
+      gdcRelease = Some("Data Release 39.0"), notes = Some("test"))
+    for ((dtype, cfg) <- DTypes.registry) {
+      val vars = XenaMetadata.dtypeVariables.get(dtype).map(_(vars0)).getOrElse(vars0)
+      val json = XenaMetadata.render(cfg.metadataKind, vars)
+      // parse with Spark's JSON reader — structural validity check
+      import spark.implicits._
+      val parsed = spark.read.json(Seq(json).toDS())
+      assert(!parsed.columns.contains("_corrupt_record"), s"$dtype renders invalid JSON: $json")
+      assert(parsed.columns.contains("cohort") && parsed.columns.contains("type") ||
+        cfg.metadataKind == "clinical" || cfg.metadataKind == "survival")
+      assert(json.contains("\"version\":\"08-12-2026\""))
+      assert(json.contains("Data Release 39.0"))
+    }
+  }
+
+  test("tumorNormalPairedSamples keeps only paired groups' tumors") {
+    import spark.implicits._
+    val fs = Seq(
+      ("f1", "s1", "Tumor"), ("f1", "s2", "Normal"),
+      ("f2", "s3", "Tumor"), ("f2", "s4", "Tumor")).toDF("id", "sample", "tissue_type")
+    val out = GdcTransforms.tumorNormalPairedSamples(fs, "id", "sample", "tissue_type")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("f1", "s1")))
+  }
+
+  test("CLI xena-eql: equal and unequal matrices, exit codes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    import spark.implicits._
+    val m1 = Seq(("p1", 1.0, 2.0), ("p2", 3.0, 4.0)).toDF("id", "s1", "s2")
+    graft.io.XenaTsv.write(m1, s"$tmp/a", rowKey = Some("id"))
+    graft.io.XenaTsv.write(m1.orderBy(desc("id")), s"$tmp/b", rowKey = Some("id"))
+    val m2 = Seq(("p1", 9.0, 2.0)).toDF("id", "s1", "s2")
+    graft.io.XenaTsv.write(m2, s"$tmp/c", rowKey = Some("id"))
+    assert(Cli.run(Array("xena-eql", s"$tmp/a", s"$tmp/b")) == 0)
+    assert(Cli.run(Array("xena-eql", s"$tmp/a", s"$tmp/c")) == 1)
+    assert(Cli.run(Array("nonsense")) == 2)
+  }
+
+  test("CLI etl: star_counts fixture to TSV matrix + metadata JSON") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_etl").toString
+    val out = s"$tmp/star.tsv"
+    assert(Cli.run(Array("etl", "-t", "star_counts",
+      "-r", "/root/repo/fixtures/star_counts", "-o", out)) == 0)
+    val back = graft.io.XenaTsv.read(spark, out, None)
+    assert(back.columns.head == "Ensembl_ID")
+    assert(back.count() == 8)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".json")))
+  }
+}
