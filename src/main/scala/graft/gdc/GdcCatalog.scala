@@ -1,0 +1,104 @@
+package graft.gdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** GDC REST catalog layer (SURVEY §2 S4/O3/O4), network-free by
+  * construction: the HTTP transport is an injected function, so the
+  * query/filter DSL, pagination-probe protocol and JSON→DataFrame
+  * normalization are all testable against fixtures and swappable for a
+  * real client in deployment.
+  *
+  * Re-expresses `gdc.py:175-334`: `simple_and_filter` (the filter
+  * DSL), `search` (size-1 probe → exact-size fetch → hits table) and
+  * the 20k-uuid chunking (`gdc.py:622-625`).
+  */
+object GdcFilter {
+
+  /** One filter condition: field `in` values, or field `exclude`
+    * values. */
+  sealed trait Cond { def field: String; def values: Seq[String] }
+  final case class In(field: String, values: Seq[String]) extends Cond
+  final case class Exclude(field: String, values: Seq[String]) extends Cond
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The GDC `{"op":"and","content":[...]}` filter JSON
+    * (`gdc.py:175-218`). Empty condition list renders as `{}` — the
+    * reference returns the empty dict. Condition order is preserved:
+    * all `in` conditions first, then all `exclude` (reference
+    * iteration order).
+    */
+  def simpleAndFilter(conds: Seq[Cond]): String = {
+    if (conds.isEmpty) return "{}"
+    val (ins, exs) = conds.partition(_.isInstanceOf[In])
+    val body = (ins ++ exs).map { c =>
+      val op = c match { case _: In => "in"; case _: Exclude => "exclude" }
+      val vs = c.values.map(v => s""""${esc(v)}"""").mkString("[", ",", "]")
+      s"""{"op":"$op","content":{"field":"${esc(c.field)}","value":$vs}}"""
+    }.mkString("[", ",", "]")
+    s"""{"op":"and","content":$body}"""
+  }
+
+  /** Registry filter map → DSL conditions. */
+  def fromMap(in: Map[String, String]): Seq[Cond] =
+    in.toSeq.sortBy(_._1).map { case (f, v) => In(f, Seq(v)) }
+}
+
+/** A search request's wire parameters (`gdc.py:280-301`). */
+final case class GdcRequest(
+    endpoint: String,
+    params: Map[String, String])
+
+class GdcCatalog(
+    spark: SparkSession,
+    /** Transport: (endpoint, params) → response body JSON. Injected —
+      * a real deployment passes an HTTP client; tests pass fixtures. */
+    fetch: (String, Map[String, String]) => String) {
+
+  import GdcFilter._
+
+  private def basePayload(
+      conds: Seq[Cond], fields: Seq[String], expand: Seq[String]): Map[String, String] = {
+    val withFilter =
+      if (conds.isEmpty) Map.empty[String, String]
+      else Map("filters" -> simpleAndFilter(conds))
+    withFilter ++
+      (if (fields.nonEmpty) Map("fields" -> fields.mkString(",")) else Map.empty) ++
+      (if (expand.nonEmpty) Map("expand" -> expand.mkString(",")) else Map.empty)
+  }
+
+  private def jsonDf(body: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(body).toDS())
+  }
+
+  /** The pagination-probe search protocol (O3, `gdc.py:280-301`):
+    * request `size=1`, read `data.pagination.total`, then fetch
+    * exactly `total` hits. Returns the hits as a DataFrame (the
+    * JSON-normalize step is Spark's own nested-schema reader).
+    */
+  def search(
+      endpoint: String,
+      inFilter: Seq[Cond] = Seq.empty,
+      fields: Seq[String] = Seq.empty,
+      expand: Seq[String] = Seq.empty): DataFrame = {
+    val payload = basePayload(inFilter, fields, expand)
+    val probe = jsonDf(fetch(endpoint, payload + ("size" -> "1")))
+    val total = probe.select("data.pagination.total").head().getLong(0)
+    val body = fetch(endpoint, payload + ("size" -> total.toString))
+    import org.apache.spark.sql.functions._
+    jsonDf(body)
+      .select(explode(col("data.hits")).as("h"))
+      .select(col("h.*"))
+  }
+
+  /** O4: uuid batching for bulk endpoints (`gdc.py:622-625` processes
+    * 20,000 uuids per request). */
+  def chunked[T](uuids: Seq[T], chunkSize: Int = 20000): Seq[Seq[T]] =
+    uuids.grouped(chunkSize).map(_.toSeq).toSeq
+}

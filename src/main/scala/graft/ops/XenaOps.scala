@@ -211,4 +211,47 @@ object XenaOps {
     val keep = df.columns.zipWithIndex.collect { case (c, i) if seen.add(c) => (c, i) }
     tmp.select(keep.map { case (c, i) => col(s"__c$i").as(c) }.toIndexedSeq: _*)
   }
+
+  /** S8 list-typed leaf detection (reference `utils.py:235-272`
+    * `get_to_drops`): dotted paths of every array-typed leaf in a
+    * schema. Pure schema introspection — driver-side, no job. The
+    * reference walks raw JSON values; with declared schemas the
+    * equivalent walk is over `StructType`.
+    */
+  def arrayLeafPaths(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(prefix: String, dt: DataType): Seq[String] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f =>
+          walk(if (prefix.isEmpty) f.name else s"$prefix.${f.name}", f.dataType))
+      case ArrayType(el: StructType, _) =>
+        // array of struct: recurse (its leaves are reachable via explode)
+        walk(prefix, el)
+      case _: ArrayType => Seq(prefix)
+      case _ => Seq.empty
+    }
+    walk("", schema)
+  }
+
+  /** V3 small transpose (reference `xena_dataset.py:1122`
+    * `set_index('name').T`): schema-sized by contract — collects to
+    * the driver and rebuilds with former rows as columns. NEVER for
+    * data-sized frames; the distributed transpose is melt + pivot.
+    */
+  def transposeSmall(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val otherCols = df.columns.filterNot(_ == keyCol).toIndexedSeq
+    val rows = df.collect()
+    val keys = rows.map(_.getAs[Any](keyCol).toString).toIndexedSeq
+    val out = otherCols.map { c =>
+      org.apache.spark.sql.Row.fromSeq(
+        c +: rows.toIndexedSeq.map(_.getAs[Any](c).asInstanceOf[Object].toString))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType) +:
+        keys.map(k => org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
+  }
 }

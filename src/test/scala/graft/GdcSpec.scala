@@ -1,0 +1,81 @@
+package graft
+
+import graft.gdc.{GdcCatalog, GdcFilter}
+import graft.ops.XenaOps
+
+/** Specs for the network-free GDC catalog layer (S4/O3/O4) and the
+  * schema utilities (S8/V3). The filter DSL expectations mirror the
+  * reference's own unit tests (`tests/test_gdc.py:13-28`).
+  */
+class GdcSpec extends SparkSpecBase {
+
+  test("simple_and_filter: empty -> empty dict") {
+    assert(GdcFilter.simpleAndFilter(Seq.empty) == "{}")
+  }
+
+  test("simple_and_filter: in + exclude joined by and") {
+    val json = GdcFilter.simpleAndFilter(Seq(
+      GdcFilter.In("a", Seq("b")),
+      GdcFilter.Exclude("c", Seq("d"))))
+    assert(json ==
+      """{"op":"and","content":[""" +
+        """{"op":"in","content":{"field":"a","value":["b"]}},""" +
+        """{"op":"exclude","content":{"field":"c","value":["d"]}}]}""")
+  }
+
+  test("search: size-1 probe then exact-size fetch, hits as DataFrame") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    val fetch: (String, Map[String, String]) => String = { (endpoint, params) =>
+      calls += ((endpoint, params))
+      if (params("size") == "1")
+        """{"data":{"pagination":{"total":3},"hits":[{"id":"x"}]}}"""
+      else
+        """{"data":{"pagination":{"total":3},"hits":[
+          |{"id":"f1","file_name":"a.tsv"},
+          |{"id":"f2","file_name":"b.tsv"},
+          |{"id":"f3","file_name":"c.tsv"}]}}""".stripMargin.replace("\n", "")
+    }
+    val catalog = new GdcCatalog(spark, fetch)
+    val df = catalog.search(
+      "files",
+      inFilter = GdcFilter.fromMap(Map("analysis.workflow_type" -> "STAR - Counts")),
+      fields = Seq("file_id", "file_name"))
+    assert(df.count() == 3)
+    assert(df.columns.sorted.toSeq == Seq("file_name", "id"))
+    assert(calls.size == 2)
+    assert(calls(0)._2("size") == "1")
+    assert(calls(1)._2("size") == "3")
+    assert(calls(0)._2("filters").contains("\"field\":\"analysis.workflow_type\""))
+    assert(calls(0)._2("fields") == "file_id,file_name")
+  }
+
+  test("chunked uuid batching") {
+    val catalog = new GdcCatalog(spark, (_, _) => "{}")
+    val chunks = catalog.chunked((1 to 45).toSeq, chunkSize = 20)
+    assert(chunks.map(_.size) == Seq(20, 20, 5))
+  }
+
+  test("arrayLeafPaths finds scalar-array leaves through struct nesting") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("vals", ArrayType(LongType)),
+        StructField("name", StringType)))),
+      StructField("records", ArrayType(StructType(Seq(
+        StructField("inner_list", ArrayType(StringType)),
+        StructField("scalar", StringType)))))))
+    assert(XenaOps.arrayLeafPaths(schema).sorted ==
+      Seq("nested.vals", "records.inner_list", "tags"))
+  }
+
+  test("transposeSmall flips a schema-sized frame") {
+    import spark.implicits._
+    val df = Seq(("r1", "a", "b"), ("r2", "c", "d")).toDF("name", "x", "y")
+    val t = XenaOps.transposeSmall(df, "name")
+    assert(t.columns.toSeq == Seq("name", "r1", "r2"))
+    val rows = t.orderBy("name").collect()
+    assert(rows.map(_.toSeq.mkString(",")).toSeq == Seq("x,a,c", "y,b,d"))
+  }
+}
