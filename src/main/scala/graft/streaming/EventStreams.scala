@@ -88,4 +88,83 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
+
+  /** Typed event row for the stateful-streaming path — event time in
+    * epoch MICROSECONDS (`java.sql.Timestamp.getTime` would truncate
+    * to millis and silently shift session bounds). */
+  case class Event(user_id: Long, ts_us: Long)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(sessionSeq: Long, lastTs: Long, nEvents: Long, startTs: Long)
+
+  /** Emitted closed/updated session row (micros; rendered back to
+    * timestamps in the surrounding select). */
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Streaming sessionization with custom state
+    * (`flatMapGroupsWithState`): the per-user inactivity-gap logic of
+    * [[sessionize]] carried across micro-batches in typed state.
+    *
+    * ORDERING CONTRACT: events must arrive in event-time order ACROSS
+    * micro-batches per user (within a batch they are sorted here).
+    * That is the natural property of time-partitioned file drops and
+    * of any upstream with a watermark; under it, the output equals
+    * the batch gaps-and-islands result (asserted by the streaming
+    * spec, including a two-micro-batch time-split run). A late event
+    * inside the gap window merges into the open session without
+    * regressing its end; a late event older than that is counted into
+    * the open session conservatively rather than corrupting closed
+    * ones — full disorder tolerance would require watermark-delayed
+    * emission (buffer-until-watermark), which this operator trades
+    * away for immediate emission.
+    */
+  def sessionizeStateful(
+      spark: SparkSession, events: DataFrame, gapMinutes: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60000000L
+
+    def flush(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      // Sort within the group: micro-batch delivery order is not
+      // event-time order. At scale the sort is per-user-per-batch.
+      val sorted = rows.toSeq.sortBy(_.ts_us)
+      var out = List.empty[SessionOut]
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        val t = e.ts_us
+        if (st.lastTs == Long.MinValue || t > st.lastTs + gapUs) {
+          if (st.nEvents > 0)
+            out ::= SessionOut(userId, st.sessionSeq, st.nEvents, st.startTs, st.lastTs)
+          st = SessionState(st.sessionSeq + 1, t, 1L, t)
+        } else {
+          // In-gap (or late) event joins the open session; end never
+          // regresses, start absorbs a late-but-in-gap predecessor.
+          st = st.copy(
+            lastTs = math.max(st.lastTs, t),
+            startTs = math.min(st.startTs, t),
+            nEvents = st.nEvents + 1)
+        }
+      }
+      // Emit the still-open session too (complete-on-drain semantics
+      // for the bounded verification path; a production stream would
+      // hold it in state and use a timeout instead).
+      if (st.nEvents > 0)
+        out ::= SessionOut(userId, st.sessionSeq, st.nEvents, st.startTs, st.lastTs)
+      state.update(st)
+      out.reverseIterator
+    }
+
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+      .toDF()
+      .select(
+        col("user_id"), col("session_seq"), col("n_events"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+/** Physical-plan shape assertions — the 100-TB contract encoded as
+  * tests. A query that silently regresses to a cartesian product, an
+  * un-broadcast dimension join or an unpruned scan should fail CI,
+  * not a cluster.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = plan("q01_agg_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    // pruned read schema: no l_comment in the scan
+    assert(!p.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q02: dimension joins broadcast") {
+    val p = plan("q02_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("q03/q04: semi and anti joins stay joins, not subquery scans") {
+    assert(plan("q03_semi_join").contains("LeftSemi"))
+    assert(plan("q04_anti_join").contains("LeftAnti"))
+  }
+
+  test("LSH paths never produce a cartesian or nested-loop join") {
+    for (q <- Seq("q18_ngram_jaccard", "q19_minhash_lsh", "q26_cosine_pairs_lsh",
+      "q27_simhash_pairs", "q25_lsh_ann_topk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // q25's broadcast of the probe table is a BroadcastHashJoin on
+      // sig=probe, not a nested loop over the corpus.
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("q22/q23: brute-force paths broadcast the small side only") {
+    // exact all-pairs is a BNLJ by design — but the build side must be
+    // the broadcast (small) relation, never a shuffled cartesian.
+    for (q <- Seq("q22_cosine_topk", "q23_cosine_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("q28: matrix assembly is scan -> agg -> pivot with no extra shuffles") {
+    val p = plan("q28_star_counts")
+    assert(!p.contains("CartesianProduct"))
+    // one aggregate pair for the replicate mean + one for the pivot:
+    // partial/final hash aggregates; anything more means a lost
+    // map-side combine.
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("custom dot_product participates in codegen (q23 projection)") {
+    val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dot_product"), p.take(1500))
+    // '*(n)' prefixes mark whole-stage-codegen stages in plan toString;
+    // the dot_product projection must sit inside one.
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"),
+      "dot_product projection is outside whole-stage codegen:\n" + p.take(1500))
+  }
+}

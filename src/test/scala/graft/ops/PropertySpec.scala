@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Property-style invariants over the kernel ops (SURVEY §5), with
+  * seeded deterministic generators: melt∘pivot identity, vertical
+  * union column-superset stability, log2p1 round-trip, canonical
+  * equality under permutation.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randomLong(n: Int, probes: Int, samples: Int) = {
+    import spark.implicits._
+    // distinct (probe, sample) pairs so pivot(first/avg) is lossless
+    val pairs = rnd.shuffle(
+      (for (p <- 0 until probes; s <- 0 until samples) yield (p, s)).toList).take(n)
+    pairs.map { case (p, s) =>
+      (s"probe_$p", s"S$s", math.round(rnd.nextDouble() * 1e6) / 1e6)
+    }.toDF("probe", "sample", "value")
+  }
+
+  test("property: melt(pivot(long)) == long (10 seeded trials)") {
+    for (_ <- 1 to 10) {
+      val long = randomLong(40, 8, 4)
+      val samples = (0 until 4).map(s => s"S$s")
+      val wide = XenaOps.pivotMatrix(long, "probe", "sample", "value", samples)
+      val back = XenaOps.melt(wide, "probe", "sample", "value")
+        .filter(col("value").isNotNull)
+      assert(XenaOps.canonicalEqual(back, long),
+        "melt∘pivot is not the identity on distinct-keyed long data")
+    }
+  }
+
+  test("property: mergeVertical keeps every row and the column superset") {
+    import spark.implicits._
+    for (trial <- 1 to 10) {
+      val a = (1 to 5).map(i => (s"a$trial$i", i)).toDF("id", "x")
+      val b = (1 to 7).map(i => (s"b$trial$i", i.toDouble)).toDF("id", "y")
+      val u = XenaOps.mergeVertical(Seq(a, b))
+      assert(u.columns.sorted.toSeq == Seq("id", "x", "y"))
+      assert(u.count() == 12)
+      assert(u.filter(col("x").isNull).count() == 7)
+      assert(u.filter(col("y").isNull).count() == 5)
+    }
+  }
+
+  test("property: log2p1 inverts within 1e-9 for non-negative values") {
+    import spark.implicits._
+    val xs = Seq.fill(200)(rnd.nextDouble() * 1e5).toDF("x")
+    val bad = xs.select(
+      abs(pow(lit(2.0), XenaOps.log2p1(col("x"))) - lit(1.0) - col("x")).as("err"))
+      .filter(col("err") > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("property: canonicalEqual invariant under row and column permutation") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
+    val permuted = df.orderBy(rand(7)).select(col("b"), col("k"), col("a"))
+    assert(XenaOps.canonicalEqual(df, permuted))
+    val mutated = permuted.withColumn("b", col("b") + lit(1.0))
+    assert(!XenaOps.canonicalEqual(df, mutated))
+  }
+}
