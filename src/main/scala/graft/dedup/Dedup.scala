@@ -53,13 +53,19 @@ object Dedup {
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val grams = docGrams(docs, idCol, textCol, n)
 
-    val filtered =
+    val filtered0 =
       if (maxDocFreq == Long.MaxValue) grams
       else {
         val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq).select("gram")
         grams.join(df, Seq("gram"), "left_semi")
       }
+    // The posting list feeds FOUR consumers (sizes + both self-join
+    // sides + the df cap already consumed it); exchange reuse doesn't
+    // cover the differing projections, so without materialization the
+    // tokenize+shingle+distinct subplan recomputes per consumer.
+    // localCheckpoint truncates the lineage once, executor-local.
+    val filtered = filtered0.localCheckpoint(false)
 
     // Sizes from the SAME (post-cap) gram universe as the intersection
     // counts — otherwise dropped high-df grams inflate the union but can
