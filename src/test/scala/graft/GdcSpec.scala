@@ -70,6 +70,26 @@ class GdcSpec extends SparkSpecBase {
       Seq("nested.vals", "records.inner_list", "tags"))
   }
 
+  test("download cache reconciliation: download/delete/skip sets") {
+    import spark.implicits._
+    import graft.io.DownloadCache
+    val local = DownloadCache.localCatalog(spark, "/root/repo/fixtures/images/*.ppm")
+    assert(local.count() == 3)
+    // remote: img_0 unchanged, img_1 content changed (different md5),
+    // img_2 gone, img_9 new
+    val img0Md5 = local.filter($"name" === "img_0.ppm").head.getString(1)
+    val remote = Seq(
+      ("img_0.ppm", img0Md5),
+      ("img_1.ppm", "feedfacefeedfacefeedfacefeedface"),
+      ("img_9.ppm", "0123456789abcdef0123456789abcdef")).toDF("name", "md5sum")
+    assert(DownloadCache.toDownload(remote, local).select("name").as[String].collect().sorted
+      .toSeq == Seq("img_1.ppm", "img_9.ppm"))
+    assert(DownloadCache.toDelete(local, remote).select("name").as[String].collect()
+      .toSeq == Seq("img_2.ppm"))
+    assert(DownloadCache.upToDate(remote, local).select("name").as[String].collect()
+      .toSeq == Seq("img_0.ppm"))
+  }
+
   test("transposeSmall flips a schema-sized frame") {
     import spark.implicits._
     val df = Seq(("r1", "a", "b"), ("r2", "c", "d")).toDF("name", "x", "y")
