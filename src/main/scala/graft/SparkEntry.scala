@@ -450,6 +450,28 @@ object SparkEntry {
       ImageOps.decodePpm(s, ImageOps.readBinary(s, s"$FixtureDir/images/*.ppm")))
   }
 
+  /** miRNA expression matrix (usecols 0,2; log2; no comment/sentinel
+    * handling — the plain reader branch). */
+  def q41Mirna(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "mirna", s"$FixtureDir/mirna")
+
+  /** miRNA isoform matrix — the row key is NOT column 0 (usecols 1,3:
+    * isoform_coords + rpm), exercising non-leading positional
+    * projection. */
+  def q42MirnaIsoform(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "mirna_isoform", s"$FixtureDir/mirna_isoform")
+
+  /** Gene-level CNV matrix: fillna('NA') + no log2 — null cells render
+    * as the literal 'NA' string (the one dtype with that contract,
+    * `xena_dataset.py:238-239`). */
+  def q43GeneCnv(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "gene-level_ascat-ngs", s"$FixtureDir/gene-level_ascat-ngs")
+
+  /** AscatNGS segment table — usecols (1,2,3,4): the Copy_Number value
+    * branch of merge_cnv. */
+  def q44SegmentAscat(s: SparkSession, dir: String): DataFrame =
+    graft.transform.GdcTransforms.transform(s, "segment_cnv_ascat-ngs", s"$FixtureDir/segment_cnv_ascat-ngs")
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -500,6 +522,10 @@ object SparkEntry {
     "q38_tumor_normal" -> (q38TumorNormal _),
     "q39_binary_images" -> (q39BinaryImages _),
     "q40_image_decode" -> (q40ImageDecode _),
+    "q41_mirna" -> (q41Mirna _),
+    "q42_mirna_isoform" -> (q42MirnaIsoform _),
+    "q43_gene_cnv" -> (q43GeneCnv _),
+    "q44_segment_ascat" -> (q44SegmentAscat _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -723,7 +749,7 @@ object SparkEntry {
         |  WHERE gene_id NOT IN ('N_unmapped', 'N_multimapping', 'N_noFeature', 'N_ambiguous')),
         |m AS (
         |  SELECT id, smp,
-        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) + 1), 6) AS lv
+        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) + 1), 6) AS lv
         |  FROM raw GROUP BY 1, 2)
         |SELECT id AS "Ensembl_ID",
         |  max(CASE WHEN smp = 'SAMP-01A' THEN lv END) AS "SAMP-01A",
@@ -737,7 +763,7 @@ object SparkEntry {
         |  WHERE gene_id NOT IN ('N_unmapped', 'N_multimapping', 'N_noFeature', 'N_ambiguous')),
         |m AS (
         |  SELECT id, smp,
-        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) + 1), 6) AS lv
+        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) + 1), 6) AS lv
         |  FROM raw GROUP BY 1, 2)
         |SELECT id AS "Ensembl_ID",
         |  max(CASE WHEN smp = 'SAMP-01A' THEN lv END) AS "SAMP-01A",
@@ -756,7 +782,7 @@ object SparkEntry {
         |  SELECT column0 AS id, CAST(column1 AS DOUBLE) AS v, $SampleFromFilename AS smp
         |  FROM read_csv('$FixtureDir/methylation450/*.txt', delim='\t', header=false, filename=true, all_varchar=true)),
         |m AS (
-        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mv
+        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS mv
         |  FROM raw GROUP BY 1, 2)
         |SELECT id AS "Composite Element REF",
         |  max(CASE WHEN smp = 'SAMP-01A' THEN mv END) AS "SAMP-01A",
@@ -767,7 +793,7 @@ object SparkEntry {
         |  SELECT peptide_target AS id, CAST(protein_expression AS DOUBLE) AS v, $SampleFromFilename AS smp
         |  FROM read_csv('$FixtureDir/protein/*.tsv', delim='\t', header=true, filename=true, all_varchar=true)),
         |m AS (
-        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mv
+        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS mv
         |  FROM raw GROUP BY 1, 2)
         |SELECT id AS "peptide_target",
         |  max(CASE WHEN smp = 'SAMP-01A' THEN mv END) AS "SAMP-01A",
@@ -938,6 +964,48 @@ object SparkEntry {
         |  round(CAST(list_aggregate(g, 'sum') AS DOUBLE) / len(g), 6) AS mean_g,
         |  round(CAST(list_aggregate(bl, 'sum') AS DOUBLE) / len(bl), 6) AS mean_b
         |FROM ch""".stripMargin,
+    "q41_mirna" ->
+      s"""WITH raw AS (
+        |  SELECT "miRNA_ID" AS id, CAST(reads_per_million_miRNA_mapped AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/mirna/*.txt', delim='\t', header=true, filename=true, all_varchar=true)),
+        |m AS (
+        |  SELECT id, smp,
+        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) + 1), 6) AS lv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "miRNA_ID",
+        |  max(CASE WHEN smp = 'SAMP-01A' THEN lv END) AS "SAMP-01A",
+        |  max(CASE WHEN smp = 'SAMP-02A' THEN lv END) AS "SAMP-02A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q42_mirna_isoform" ->
+      s"""WITH raw AS (
+        |  SELECT isoform_coords AS id, CAST(reads_per_million_miRNA_mapped AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/mirna_isoform/*.txt', delim='\t', header=true, filename=true, all_varchar=true)),
+        |m AS (
+        |  SELECT id, smp,
+        |    round(log2(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) + 1), 6) AS lv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "isoform_coords",
+        |  max(CASE WHEN smp = 'SAMP-01A' THEN lv END) AS "SAMP-01A",
+        |  max(CASE WHEN smp = 'SAMP-02A' THEN lv END) AS "SAMP-02A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q43_gene_cnv" ->
+      s"""WITH raw AS (
+        |  SELECT gene_id AS id, CAST(copy_number AS DOUBLE) AS v, $SampleFromFilename AS smp
+        |  FROM read_csv('$FixtureDir/gene-level_ascat-ngs/*.tsv', delim='\t', header=true, filename=true, all_varchar=true)),
+        |m AS (
+        |  SELECT id, smp, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS mv
+        |  FROM raw GROUP BY 1, 2)
+        |SELECT id AS "Ensembl_ID",
+        |  coalesce(CAST(max(CASE WHEN smp = 'SAMP-01A' THEN mv END) AS VARCHAR), 'NA') AS "SAMP-01A",
+        |  coalesce(CAST(max(CASE WHEN smp = 'SAMP-02A' THEN mv END) AS VARCHAR), 'NA') AS "SAMP-02A"
+        |FROM m GROUP BY 1""".stripMargin,
+    "q44_segment_ascat" ->
+      s"""SELECT $SampleFromFilename AS sample,
+        |  Chromosome AS "Chrom",
+        |  CAST("Start" AS BIGINT) AS "Start",
+        |  CAST("End" AS BIGINT) AS "End",
+        |  CAST(Copy_Number AS DOUBLE) AS value
+        |FROM read_csv('$FixtureDir/segment_cnv_ascat-ngs/*.txt', delim='\t', header=true, filename=true, all_varchar=true)""".stripMargin,
     "q27_simhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk

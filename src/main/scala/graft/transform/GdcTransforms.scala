@@ -100,8 +100,10 @@ object GdcTransforms {
       else long.filter(!col(cfg.idName).isin(strategy.removeSentinels: _*))
     val averaged = filtered
       .groupBy(col(cfg.idName), col("__sample"))
+      // count(__value), not count(*): the replicate mean skips null
+      // cells (pandas `mean` semantics); an all-null group stays null.
       .agg((sum(col("__value").cast("decimal(28,10)")).cast("double") /
-        count(lit(1))).as("__value"))
+        count(col("__value"))).as("__value"))
     val valued =
       if (strategy.log2)
         averaged.withColumn("__value", round(XenaOps.log2p1(col("__value")), 6))

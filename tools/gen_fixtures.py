@@ -133,6 +133,64 @@ def maf():
             f.write(("\n".join(lines) + "\n").encode())
 
 
+def mirna():
+    header = ["miRNA_ID", "read_count", "reads_per_million_miRNA_mapped", "cross-mapped"]
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = ["\t".join(header)]
+        for mi in range(6):
+            rc = (mi * 11 + fi * 3) % 50
+            rpm = rc * 4 + 0.25 * mi  # exact binary fractions
+            lines.append("\t".join(["hsa-mir-%03d" % mi, str(rc), str(rpm), "N"]))
+        name = "%s.%s.mirbase21.mirnas.quantification.txt" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "mirna", name), "\n".join(lines) + "\n")
+
+
+def mirna_isoform():
+    header = ["miRNA_ID", "isoform_coords", "read_count",
+              "reads_per_million_miRNA_mapped", "cross-mapped", "miRNA_region"]
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = ["\t".join(header)]
+        for mi in range(5):
+            rpm = mi * 7 + 0.5 * fi
+            lines.append("\t".join([
+                "hsa-mir-%03d" % mi,
+                "hg38:chr%d:%d-%d:+" % (mi + 1, 1000 * mi + 10, 1000 * mi + 31),
+                str(mi * 9 + fi), str(rpm), "N", "mature"]))
+        name = "%s.%s.mirbase21.isoforms.quantification.txt" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "mirna_isoform", name), "\n".join(lines) + "\n")
+
+
+def gene_level_cnv():
+    # exercises the fillna('NA') + log2TF=False branch: some empty
+    # copy_number cells
+    header = ["gene_id", "gene_name", "chromosome", "start", "end",
+              "copy_number", "min_copy_number", "max_copy_number"]
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = ["\t".join(header)]
+        for gi, g in enumerate(GENES):
+            cn = "" if (gi + fi) % 4 == 3 else str((gi * 3 + fi) % 6 * 0.5)
+            lines.append("\t".join([
+                g, "GENE%d" % gi, "chr%d" % (gi + 1), str(10000 * gi + 1),
+                str(10000 * gi + 9999), cn, "0", "8"]))
+        name = "%s.%s.gene_level_copy_number.v36.tsv" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "gene-level_ascat-ngs", name), "\n".join(lines) + "\n")
+
+
+def segment_ascat():
+    # AscatNGS/allele shape: value column is Copy_Number at position 4
+    header = ["GDC_Aliquot", "Chromosome", "Start", "End", "Copy_Number",
+              "Major_Copy_Number", "Minor_Copy_Number"]
+    for fi, sid in enumerate(["SAMP-01A", "SAMP-02A"]):
+        lines = ["\t".join(header)]
+        for si in range(4):
+            start = 500 * (si + 1) + fi
+            lines.append("\t".join([
+                "aliquot-%d" % fi, "chr%d" % (si + 1), str(start),
+                str(start + 2500), str((si + fi) % 5), str(si % 3), str(fi % 2)]))
+        name = "%s.%s.ascat_ngs.copy_number_variation.seg.txt" % (sid, UUIDS[fi])
+        w(os.path.join(ROOT, "segment_cnv_ascat-ngs", name), "\n".join(lines) + "\n")
+
+
 def survival():
     rows = [
         ("case1", "TCGA-XX", 0.9, "false", 450, "PAT-01"),
@@ -225,6 +283,10 @@ if __name__ == "__main__":
     methylation()
     protein()
     maf()
+    mirna()
+    mirna_isoform()
+    gene_level_cnv()
+    segment_ascat()
     survival()
     clinical()
     images()
