@@ -167,4 +167,88 @@ object EventStreams {
         expr("timestamp_micros(start_us)").as("session_start"),
         expr("timestamp_micros(end_us)").as("session_end"))
   }
+
+  /** Buffered-session state: event times not yet part of a finalized
+    * session, plus the next session number. */
+  case class BufState(pending: Array[Long], sessionSeq: Long)
+
+  /** Typed row keeping the watermark-tagged timestamp column. */
+  case class TsEvent(user_id: Long, ts: java.time.Instant)
+
+  /** Disorder-tolerant streaming sessionization: events are buffered
+    * in per-user state and a session is emitted only once the event-
+    * time WATERMARK has passed its end by more than the gap — no
+    * earlier event can still join it, so arbitrary arrival disorder
+    * within the watermark delay is handled exactly (unlike
+    * [[sessionizeStateful]], which trades that for immediate
+    * emission). Late events beyond the watermark are dropped by Spark
+    * before reaching the state function — the standard contract.
+    *
+    * State is bounded: per user it holds only events newer than
+    * (watermark - gap). An event-time timeout fires when the
+    * watermark passes a buffered session's close point, so sessions
+    * finalize even for users with no further traffic.
+    */
+  def sessionizeWatermarked(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Long,
+      watermarkDelay: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60000000L
+
+    def flush(userId: Long, rows: Iterator[TsEvent],
+        state: GroupState[BufState]): Iterator[SessionOut] = {
+      val st = state.getOption.getOrElse(BufState(Array.empty, 0L))
+      val incoming = rows.map(e => e.ts.getEpochSecond * 1000000L + e.ts.getNano / 1000L)
+      val all = (st.pending ++ incoming).sorted
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var out = List.empty[SessionOut]
+      var seq = st.sessionSeq
+      var i = 0
+      var pendingFrom = 0
+      var open = false
+      while (i < all.length && !open) {
+        // find the end of the session starting at index i
+        var j = i
+        while (j + 1 < all.length && all(j + 1) <= all(j) + gapUs) j += 1
+        if (all(j) + gapUs < wmUs) {
+          // finalized: no event >= wm can join, and everything earlier
+          // than wm has arrived
+          seq += 1
+          out ::= SessionOut(userId, seq, j - i + 1, all(i), all(j))
+          pendingFrom = j + 1
+          i = j + 1
+        } else {
+          // still open — keep this and everything after buffered
+          open = true
+        }
+      }
+      val pending = all.drop(pendingFrom)
+      if (pending.isEmpty && state.exists) state.remove()
+      else {
+        state.update(BufState(pending, seq))
+        if (pending.nonEmpty)
+          // wake when the watermark passes the open session's close
+          state.setTimeoutTimestamp((pending.last + gapUs) / 1000L + 1L)
+      }
+      out.reverseIterator
+    }
+
+    // The watermark-carrying ts column must survive into the grouped
+    // Dataset (event-time timeout requires it); java.time.Instant
+    // keeps microsecond precision through the encoder.
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(flush)
+      .toDF()
+      .select(
+        col("user_id"), col("session_seq"), col("n_events"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"))
+  }
 }

@@ -25,6 +25,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(canon(batch).nonEmpty)
   }
 
+  test("watermarked sessionization is exact under cross-batch disorder") {
+    import org.apache.spark.sql.functions.expr
+    val ev = Tables.events(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    // Adversarial staging: batch 1 holds events up to mid PLUS a
+    // slice of events up to 30 min past mid; batch 2 holds the rest —
+    // so batch 2 delivers events OLDER than batch 1's max (disorder
+    // bounded by 30 min, inside the 2h watermark delay). This exact
+    // shape breaks the immediate-emission sessionizer.
+    val mid = ev.select(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val early = ev.filter(expr(
+      s"unix_micros(ts) <= $mid or (unix_micros(ts) <= $mid + 1800000000 and user_id % 3 = 0)"))
+    val late = ev.exceptAll(early)
+    early.coalesce(1).write.parquet(s"$tmp/in")
+    late.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val q = EventStreams.sessionizeWatermarked(spark, stream, 30L, "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("wm_sess").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val emitted = canon(spark.table("wm_sess"))
+    val batch = canon(EventStreams.sessionStats(ev, "30 minutes"))
+    // Emitted sessions are final: every one must match the batch
+    // result exactly. Only sessions near the end of the stream (not
+    // yet past watermark+gap) may be missing.
+    assert(emitted.subsetOf(batch),
+      s"${(emitted -- batch).take(3)} emitted but not in batch result")
+    assert(emitted.size > batch.size / 2, s"only ${emitted.size}/${batch.size} finalized")
+  }
+
   test("streaming windowed agg == batch windowed agg over the same files") {
     // Stage the parquet as a streaming source dir.
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
