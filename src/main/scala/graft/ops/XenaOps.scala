@@ -212,6 +212,30 @@ object XenaOps {
     tmp.select(keep.map { case (c, i) => col(s"__c$i").as(c) }.toIndexedSeq: _*)
   }
 
+  /** Bucketed persistence for repeat-merge workloads. Pan-cancer
+    * assembly full-outer-joins many matrices on the same row key
+    * (J4/J5); written bucketed+sorted by that key, every subsequent
+    * merge is a sort-merge join with NO exchange and NO sort — the
+    * shuffle is paid once at write time instead of per merge. This is
+    * the 100-TB answer to the reference's repeated
+    * `join_xena.sh` sort|join passes.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, rowKey: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, rowKey)
+      .sortBy(rowKey)
+      .saveAsTable(table)
+
+  /** Merge previously bucketed matrices (see [[writeBucketed]]) —
+    * exchange-free full-outer sort-merge joins. */
+  def mergeHorizontalBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String],
+      rowKey: String): DataFrame =
+    tables.map(spark.table).reduce((a, b) => a.join(b, Seq(rowKey), "full_outer"))
+
   /** S8 list-typed leaf detection (reference `utils.py:235-272`
     * `get_to_drops`): dotted paths of every array-typed leaf in a
     * schema. Pure schema introspection — driver-side, no job. The

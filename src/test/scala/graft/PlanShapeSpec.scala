@@ -57,6 +57,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"))
   }
 
+  test("bucketed matrix merge runs with zero exchanges and zero sorts") {
+    import spark.implicits._
+    import graft.ops.XenaOps
+    try {
+      val m1 = (1 to 50).map(i => (s"p$i", i * 1.0)).toDF("probe", "s1")
+      val m2 = (20 to 70).map(i => (s"p$i", i * 2.0)).toDF("probe", "s2")
+      XenaOps.writeBucketed(m1, "bm1", "probe", 4)
+      XenaOps.writeBucketed(m2, "bm2", "probe", 4)
+      val merged = XenaOps.mergeHorizontalBucketed(spark, Seq("bm1", "bm2"), "probe")
+      assert(merged.count() == 70)
+      val p = merged.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(!p.contains("Exchange"), "bucketed merge still shuffles:\n" + p.take(1200))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm1")
+      spark.sql("DROP TABLE IF EXISTS bm2")
+    }
+  }
+
   test("custom dot_product participates in codegen (q23 projection)") {
     val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
     df.collect() // finalize the adaptive plan
