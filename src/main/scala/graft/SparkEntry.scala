@@ -266,7 +266,7 @@ object SparkEntry {
     * language ID, punctuation/stopword ratios, fingerprint. All
     * codegen'd built-in compositions — one narrow pass, no shuffle. */
   def q21TextStats(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = graft.ops.Parallelism.ensure(Tables.documents(s, dir))
     val toks = TextFunctions.tokens(col("text"))
     d.select(
       col("doc_id"),

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.ops.Parallelism
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -23,14 +24,14 @@ object Dedup {
     * the keeper and the duplicate count.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    Parallelism.ensure(docs)
       .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Distinct (id, gram) pairs: word n-grams per document. */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
+    Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))).as("gram"))
@@ -113,7 +114,7 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val grams = docs.select(
+    val grams = Parallelism.ensure(docs).select(
       col(idCol).as("vid"),
       array_distinct(
         TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("vgrams"))
@@ -201,7 +202,7 @@ object Dedup {
     * 60-long row per document regardless of document length.
     */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simHashFromHashes(docs.select(
+    simHashFromHashes(Parallelism.ensure(docs).select(
       col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("u"))
       .select(col("doc_id"), gramHash(col("u")).as("h")))

@@ -47,7 +47,7 @@ object Similarity {
       queryIdCol: String,
       queryVecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus
+    val scored = graft.ops.Parallelism.ensure(corpus)
       .join(broadcast(queries), col(idCol) =!= col(queryIdCol))
       .select(
         col(queryIdCol).as("query_id"),
@@ -112,7 +112,8 @@ object Similarity {
       dim: Int,
       bits: Int,
       k: Int): DataFrame = {
-    val sigCorpus = corpus.withColumn("sig", lshSignature(col(vecCol), dim, bits))
+    val sigCorpus = graft.ops.Parallelism.ensure(corpus)
+      .withColumn("sig", lshSignature(col(vecCol), dim, bits))
     // Probe buckets: the query's own signature and all Hamming-1 flips.
     val probeSigs = queries
       .withColumn("sig0", lshSignature(col(queryVecCol), dim, bits))
@@ -152,8 +153,9 @@ object Similarity {
       threshold: Double,
       dim: Int = 0,
       bits: Int = 0): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    val wide = graft.ops.Parallelism.ensure(corpus)
+    val a = wide.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = wide.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     val paired =
       if (bits == 0) {
         a.join(b, col("id_a") < col("id_b"))

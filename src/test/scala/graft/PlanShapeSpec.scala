@@ -82,8 +82,9 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dot_product"), p.take(1500))
     // '*(n)' prefixes mark whole-stage-codegen stages in plan toString;
-    // the dot_product projection must sit inside one.
-    assert(p.contains("*(2) Project") || p.contains("*(1) Project"),
+    // the dot_product projection must sit inside one (any stage id —
+    // upstream exchanges may shift the numbering).
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
       "dot_product projection is outside whole-stage codegen:\n" + p.take(1500))
   }
 }
