@@ -29,13 +29,19 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (id, gram) pairs: word n-grams per document. */
+  /** Distinct (id, gram) pairs: word n-grams per document.
+    *
+    * `array_distinct` already dedups grams within a document, so the
+    * exploded rows are (doc_id, gram)-unique by construction (doc ids
+    * are unique — the corpus key) and no post-explode `distinct()`
+    * shuffle is needed: the posting list is born deduplicated, one
+    * narrow stage from the scan.
+    */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))).as("gram"))
-      .distinct()
 
   /** Exact n-gram Jaccard similarity for every pair sharing at least
     * one gram, via inverted-index self-join (no cross join):
@@ -114,10 +120,21 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
+    // Tokenize ONLY documents that appear in some candidate pair: a
+    // semi-join against the (small) candidate id set runs before the
+    // gram computation, so verification work scales with the candidate
+    // count, not the corpus. The per-candidate gram table then feeds
+    // both pair sides; localCheckpoint stops the tokenize+join subplan
+    // from running twice.
+    val candIds = candidates.select(col("doc_a").as("vid"))
+      .union(candidates.select(col("doc_b").as("vid")))
+      .distinct()
     val grams = Parallelism.ensure(docs).select(
       col(idCol).as("vid"),
       array_distinct(
         TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("vgrams"))
+      .join(candIds, Seq("vid"), "left_semi")
+      .localCheckpoint(false)
     candidates
       .join(grams.select(col("vid").as("doc_a"), col("vgrams").as("grams_a")), Seq("doc_a"))
       .join(grams.select(col("vid").as("doc_b"), col("vgrams").as("grams_b")), Seq("doc_b"))
@@ -180,9 +197,12 @@ object Dedup {
         .map(i => col(s"mh_$i"))
       struct(lit(bIdx).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
     }
+    // One row per doc × numHashes longs — small; materialized once so
+    // the shingle+min-agg subplan doesn't run once per self-join side.
     val bandTable = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(false)
 
     val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
     val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
@@ -252,17 +272,22 @@ object Dedup {
     require(60 % bands == 0, "bands must divide 60")
     val bandBits = 60 / bands
     val mask = (1L << bandBits) - 1
-    val sigs = simHashGramSignatures(docs, idCol, textCol, n)
+    // One (doc_id, sig) row per document — materialized once; both the
+    // exact and probe sides explode from it, which would otherwise run
+    // the 60-column vote aggregate twice.
+    val sigs = simHashGramSignatures(docs, idCol, textCol, n).localCheckpoint(false)
     def bucketCol(b: Int): Column =
       shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
 
     // Exact side: one (band, bucket) row per band. Probe side: the
     // bucket plus each 1-bit flip. Both are a single explode over the
-    // signature row — the signature aggregate runs once per side.
+    // signature row — the signature aggregate runs once per side. The
+    // full signature rides along so collisions can be Hamming-filtered
+    // before the expensive gram verification.
     val exact = sigs
-      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+      .select(col("doc_id"), col("sig"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bucketCol(b).as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val probeStructs = for {
       b <- 0 until bands
       flip <- -1 until bandBits
@@ -271,12 +296,25 @@ object Dedup {
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val probes = sigs
-      .select(col("doc_id"), explode(array(probeStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("sig"), explode(array(probeStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val candidates = probes.withColumnRenamed("doc_id", "doc_a")
-      .join(exact.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Bucket collision is only a COARSE candidate signal: on a
+    // small-vocab corpus signatures cluster and hot buckets go
+    // quadratic (measured: 5k docs -> 1M band collisions, 256 true
+    // pairs). The pigeonhole guarantee only ever promised pairs within
+    // signature Hamming distance 2*bands-1, so an exact `bit_count`
+    // check on the collision row keeps recall identical while cutting
+    // the verification input by orders of magnitude — one xor+popcount
+    // per collision vs a gram-array intersection per pair.
+    val maxDist = 2 * bands - 1
+    val candidates = probes
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("bucket"))
+      .join(exact.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
       .select("doc_a", "doc_b")
       .distinct()
 
