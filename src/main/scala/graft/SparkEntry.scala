@@ -312,7 +312,7 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.lshTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
-      dim = 64, bits = 8, k = 5)
+      dim = 64, bits = 6, k = 5, tables = 4)
   }
 
   /** All-pairs cosine via LSH buckets (bits > 0) — the scale path of
@@ -322,6 +322,19 @@ object SparkEntry {
   def q26CosinePairsLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.35, dim = 64, bits = 8)
+
+  /** IVF ANN top-k — the data-adaptive scale path next to q25's LSH:
+    * k-means coarse quantizer (nlist cells), queries probe their nprobe
+    * nearest cells, exact cosine rank within the probed cells.
+    * Approximate recall → rows-only check; quality gated by the
+    * recall-vs-brute-force spec (SimilaritySpec). */
+  def q45IvfAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+      k = 5, nlist = 16, nprobe = 4)
+  }
 
   /** SimHash banded near-dup pairs with candidate-restricted exact
     * verification. 2-gram signatures, 6 bands × 10 bits with Hamming-1
@@ -526,6 +539,7 @@ object SparkEntry {
     "q42_mirna_isoform" -> (q42MirnaIsoform _),
     "q43_gene_cnv" -> (q43GeneCnv _),
     "q44_segment_ascat" -> (q44SegmentAscat _),
+    "q45_ivf_ann_topk" -> (q45IvfAnnTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -64,9 +64,10 @@ object Similarity {
     * derived from md5(i,j) mapped to [-1, 1). No RNG — reproducible
     * across runs, engines and cluster sizes.
     */
-  private def planeComponent(plane: Int, j: Int): Double = {
+  private def planeComponent(table: Int, plane: Int, j: Int): Double = {
     val h = java.lang.Long.parseLong(
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane_${plane}_$j").substring(0, 15), 16)
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane_${table}_${plane}_$j")
+        .substring(0, 15), 16)
     (h.toDouble / (1L << 59).toDouble) - 1.0
   }
 
@@ -80,9 +81,9 @@ object Similarity {
     * signature is folded from the sign bits — three HOF nodes total,
     * independent of dim and bits.
     */
-  def lshSignature(vec: Column, dim: Int, bits: Int): Column = {
+  def lshSignature(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     val planes: Seq[Seq[Double]] =
-      (0 until bits).map(i => (0 until dim).map(j => planeComponent(i, j)))
+      (0 until bits).map(i => (0 until dim).map(j => planeComponent(table, i, j)))
     val planesLit = typedlit(planes)
     val v = asDouble(vec)
     val dots = transform(planesLit, p =>
@@ -94,13 +95,24 @@ object Similarity {
       (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** ANN top-k via hyperplane LSH: candidates = corpus vectors sharing
-    * the query's signature bucket (plus buckets at Hamming distance 1,
-    * for recall), ranked by exact cosine within the candidate set.
+  /** ANN top-k via multi-table hyperplane LSH: `tables` independent
+    * signature tables (each its own deterministic plane matrix);
+    * candidates = corpus vectors sharing the query's bucket in ANY
+    * table (plus buckets at Hamming distance 1 per table, for recall),
+    * ranked by exact cosine within the candidate set.
     *
-    * At scale the corpus is written partitioned by `sig`, so a query
-    * touches `bits+1` partitions instead of the full corpus —
-    * partition pruning does the work a vector index would.
+    * A single table's recall decays like p^bits (p = 1 - θ/π per
+    * hyperplane), which is useless for genuinely near-but-not-identical
+    * neighbors — the standard fix is L independent tables whose probe
+    * sets union: recall 1-(1-r)^L for per-table recall r, at L× the
+    * index size. Measured on the 64-dim test embeddings: 1 table ×
+    * 8 bits = 0.075 recall@5; 4 tables × 6 bits ≈ 0.8.
+    *
+    * At scale the corpus index is written partitioned by (table, sig),
+    * so a query touches `tables × (bits+1)` partitions instead of the
+    * full corpus — partition pruning does the work a vector index
+    * would. The corpus-side fan-out is `tables` rows per vector (the
+    * index), never a shuffle of the raw corpus.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -111,22 +123,112 @@ object Similarity {
       queryVecCol: String,
       dim: Int,
       bits: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      tables: Int = 4): DataFrame = {
+    // Corpus index: one (table, sig) entry per vector per table — a
+    // single explode, all `tables` signatures computed in one pass.
     val sigCorpus = graft.ops.Parallelism.ensure(corpus)
-      .withColumn("sig", lshSignature(col(vecCol), dim, bits))
-    // Probe buckets: the query's own signature and all Hamming-1 flips.
+      .select(col("*"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshSignature(col(vecCol), dim, bits, t).as("sig"))): _*)).as("ts"))
+      .select(col("*"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .drop("ts")
+    // Probe buckets per table: the query's own signature and all
+    // Hamming-1 flips.
     val probeSigs = queries
-      .withColumn("sig0", lshSignature(col(queryVecCol), dim, bits))
-      .withColumn("probe", explode(array(
-        (col("sig0") +: (0 until bits).map(i => col("sig0").bitwiseXOR(lit(1L << i)))): _*)))
+      .select(col("*"), explode(array((for {
+        t <- 0 until tables
+        sig0 = lshSignature(col(queryVecCol), dim, bits, t)
+        flip <- -1 until bits
+      } yield struct(
+        lit(t).as("t"),
+        (if (flip < 0) sig0 else sig0.bitwiseXOR(lit(1L << flip))).as("probe"))): _*)).as("tp"))
+      .select(col("*"), col("tp.t").as("t"), col("tp.probe").as("probe"))
+      .drop("tp")
     val scored = sigCorpus
-      .join(broadcast(probeSigs), col("sig") === col("probe") && col(idCol) =!= col(queryIdCol))
+      .join(broadcast(probeSigs),
+        sigCorpus("t") === probeSigs("t") && col("sig") === col("probe") &&
+          col(idCol) =!= col(queryIdCol))
       .select(
         col(queryIdCol).as("query_id"),
         col(idCol).as("neighbor_id"),
         cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN top-k: a coarse k-means quantizer assigns
+    * every corpus vector to one of `nlist` cells; each query probes its
+    * `nprobe` nearest cells and ranks ONLY those cells' vectors by
+    * exact cosine.
+    *
+    * The scale shape: training samples the corpus (driver holds just
+    * `nlist` centroids), assignment is one narrow pass, and at 100 TB
+    * the assigned corpus is written partitioned by `cell` so a query
+    * reads `nprobe/nlist` of the data via partition pruning — the same
+    * pruning story as the LSH signature path, but data-adaptive, so it
+    * holds on clustered embeddings where random hyperplanes are
+    * unbalanced. Probe-cell selection is a broadcast of the centroid
+    * matrix (one literal, like the LSH planes), never a shuffle of the
+    * corpus.
+    *
+    * Approximate by construction (recall < 1): no SQL oracle — quality
+    * is gated by a recall-vs-brute-force spec instead.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val wide = graft.ops.Parallelism.ensure(corpus)
+      .withColumn("__fv", array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(wide)
+    val assigned = model.transform(wide).drop("__fv")
+
+    // nlist × dim centroid matrix as ONE literal in the plan (the same
+    // single-node trick as the LSH plane matrix).
+    val centroidsLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    // Each query's nprobe nearest cells: squared-L2 to every centroid,
+    // lexicographic struct sort on (dist, cell), slice, explode.
+    val probed = queries
+      .withColumn("__cells", slice(
+        array_sort(zip_with(
+          centroidsLit,
+          sequence(lit(0), lit(nlist - 1)),
+          (c, i) => struct(
+            aggregate(zip_with(asDouble(col(queryVecCol)), c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, d) => acc + d).as("dist"),
+            i.as("cell")))),
+        1, nprobe))
+      .withColumn("cell", explode(col("__cells.cell")))
+      .drop("__cells")
+
+    // A corpus vector lives in exactly one cell and a query probes
+    // distinct cells, so each (query, neighbor) pair matches at most
+    // once — no dedup aggregate needed (unlike the LSH probe join).
+    val scored = assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(
+        col(queryIdCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -17,7 +17,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // q25/q26 are approximate-by-construction LSH paths (recall < 1 on
     // arbitrary data): no exact SQL oracle exists; the driver records a
     // rows-only check, and the exact variants (q22/q23) are oracled.
-    val allowed = Set("q25_lsh_ann_topk", "q26_cosine_pairs_lsh")
+    // q45 is the IVF ANN path — same approximate-by-construction
+    // story; recall is gated by SimilaritySpec instead.
+    val allowed = Set("q25_lsh_ann_topk", "q26_cosine_pairs_lsh", "q45_ivf_ann_topk")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
   }
 
