@@ -71,4 +71,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming exact dedup drops cross-batch re-arrivals within the watermark") {
+    import graft.streaming.StreamDedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    // Two micro-batches: batch 2 re-delivers half of batch 1's docs
+    // (same text, later ts within the watermark) plus genuinely new
+    // ones. Reuse the events table shape: props as the "text".
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("props").as("text"))
+    val b1 = ev.filter(col("event_id") % 4 === 0)
+    val redelivered = b1.filter(col("event_id") % 8 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+    val b2 = ev.filter(col("event_id") % 4 === 1).unionByName(redelivered)
+    b1.coalesce(1).write.parquet(s"$tmp/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val q = StreamDedup.exactDedupStream(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val emitted = spark.table("dedup_stream")
+    // Batch-mode same codepath over the union = ground truth.
+    val truth = StreamDedup.exactDedupStream(
+      b1.unionByName(b2), "text", "ts", "1 hour")
+    assert(emitted.count() == truth.count(),
+      s"streaming emitted ${emitted.count()} rows, batch dedup ${truth.count()}")
+    // Every distinct fingerprint appears exactly once.
+    assert(emitted.groupBy("fp").count().filter(col("count") > 1).isEmpty)
+    assert(emitted.count() > 0)
+  }
 }
