@@ -195,8 +195,13 @@ object Similarity {
 
     val wide = graft.ops.Parallelism.ensure(corpus)
       .withColumn("__fv", array_to_vector(asDouble(col(vecCol))))
+    // kmeans|| init matters here (random init measured recall 0.75 ->
+    // 0.55: bad seeds leave unbalanced cells), but a handful of Lloyd
+    // iterations is plenty for a COARSE quantizer — cell boundaries
+    // only gate candidate generation; the exact cosine re-rank inside
+    // probed cells does the precision work.
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(wide)
     val assigned = model.transform(wide).drop("__fv")
