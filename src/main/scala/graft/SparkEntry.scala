@@ -756,6 +756,66 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM s2 GROUP BY user_id, session_seq""".stripMargin,
+    // q25/q26 oracles replicate the deterministic hyperplane LSH in
+    // SQL: plane component (t,i,j) = md5("plane_t_i_j") first 15 hex
+    // digits scaled to [-1,1) — identical doubles in both engines, and
+    // both compute sequential IEEE dot products, so the signature BITS
+    // agree exactly (validated component-by-component at sf0.001/0.01).
+    "q25_lsh_ann_topk" ->
+      """WITH planes AS (
+        |  SELECT t.t, b.i, j.j,
+        |    (CAST(concat('0x', substr(md5('plane_' || t.t || '_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
+        |      / power(2, 59)) - 1.0 AS c
+        |  FROM range(4) t(t), range(6) b(i), range(64) j(j)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, p.t, p.i, sum(p.c * e.v[p.j + 1] ORDER BY p.j) AS d
+        |  FROM e JOIN planes p ON true GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT s.vec_id AS q_id, s.t,
+        |    CASE WHEN f.f < 0 THEN s.sig ELSE xor(s.sig, CAST(power(2, f.f) AS BIGINT)) END AS probe
+        |  FROM sigs s, range(-1, 6) f(f) WHERE s.vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, s.vec_id AS neighbor_id
+        |  FROM probes p JOIN sigs s ON p.t = s.t AND p.probe = s.sig
+        |  WHERE s.vec_id <> p.q_id),
+        |scored AS (
+        |  SELECT c.q_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+        |  FROM cand c JOIN e a ON a.vec_id = c.neighbor_id JOIN e b ON b.vec_id = c.q_id)
+        |SELECT q_id AS query_id, neighbor_id, round(cs, 6) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+    "q26_cosine_pairs_lsh" ->
+      """WITH planes AS (
+        |  SELECT b.i, j.j,
+        |    (CAST(concat('0x', substr(md5('plane_0_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
+        |      / power(2, 59)) - 1.0 AS c
+        |  FROM range(8) b(i), range(64) j(j)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, p.i, sum(p.c * e.v[p.j + 1] ORDER BY p.j) AS d
+        |  FROM e JOIN planes p ON true GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1),
+        |probes AS (
+        |  SELECT s.vec_id,
+        |    CASE WHEN f.f < 0 THEN s.sig ELSE xor(s.sig, CAST(power(2, f.f) AS BIGINT)) END AS bucket
+        |  FROM sigs s, range(-1, 8) f(f)),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS id_a, s.vec_id AS id_b
+        |  FROM probes p JOIN sigs s ON p.bucket = s.sig WHERE p.vec_id < s.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+        |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+        |SELECT id_a, id_b, round(cs, 6) AS cos FROM scored WHERE cs >= 0.35""".stripMargin,
     "q28_star_counts" ->
       s"""WITH raw AS (
         |  SELECT gene_id AS id, CAST(unstranded AS DOUBLE) AS v, $SampleFromFilename AS smp

@@ -14,12 +14,11 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Queries without oracles get a weaker rows-only driver check;
     // keep the set deliberately small and explicit.
-    // q25/q26 are approximate-by-construction LSH paths (recall < 1 on
-    // arbitrary data): no exact SQL oracle exists; the driver records a
-    // rows-only check, and the exact variants (q22/q23) are oracled.
-    // q45 is the IVF ANN path — same approximate-by-construction
-    // story; recall is gated by SimilaritySpec instead.
-    val allowed = Set("q25_lsh_ann_topk", "q26_cosine_pairs_lsh", "q45_ivf_ann_topk")
+    // q45 is the IVF ANN path: its k-means quantizer is not
+    // reproducible in SQL (the LSH paths q25/q26 ARE — deterministic
+    // md5 planes — and carry full oracles); recall is gated by
+    // SimilaritySpec instead.
+    val allowed = Set("q45_ivf_ann_topk")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
   }
 
