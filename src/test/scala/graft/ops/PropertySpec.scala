@@ -57,6 +57,20 @@ class PropertySpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("property: charShingles count/content and degenerate cases") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val texts = Seq.fill(100)(rnd.alphanumeric.take(rnd.nextInt(12)).mkString).toDF("t")
+    val k = 4
+    val rows = texts.select(
+      col("t"), TextFunctions.charShingles(col("t"), k).as("sh")).as[(String, Seq[String])]
+      .collect()
+    rows.foreach { case (t, sh) =>
+      val expected = if (t.length >= k) t.sliding(k).toSeq else Seq.empty
+      assert(sh == expected, s"shingles of '$t'")
+    }
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
