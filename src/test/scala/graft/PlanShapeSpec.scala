@@ -76,6 +76,28 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q45: IVF probe join broadcasts the probe table, no cartesian") {
+    val p = plan("q45_ivf_ann_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "IVF cell join is not a broadcast hash join:\n" + p.take(2000))
+  }
+
+  test("dedup scale paths never self-join the raw corpus on true") {
+    // The near-dup pipelines must join on band/bucket/gram keys —
+    // an equi-join — so the physical plan is hash/SMJ keyed joins.
+    // A plan where documents meet documents without a key would show
+    // up as a cartesian/BNLJ (asserted above) or as a join whose keys
+    // are only the id inequality; spot-check the join conditions
+    // carry the bucket keys.
+    val p27 = plan("q27_simhash_pairs")
+    assert(p27.contains("band") && p27.contains("bucket"),
+      "q27 candidate join lost its band/bucket keys:\n" + p27.take(1500))
+    val p18 = plan("q18_ngram_jaccard")
+    assert(p18.contains("gram"), "q18 join lost the gram key")
+  }
+
   test("custom dot_product participates in codegen (q23 projection)") {
     val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
     df.collect() // finalize the adaptive plan
