@@ -485,6 +485,21 @@ object SparkEntry {
   def q44SegmentAscat(s: SparkSession, dir: String): DataFrame =
     graft.transform.GdcTransforms.transform(s, "segment_cnv_ascat-ngs", s"$FixtureDir/segment_cnv_ascat-ngs")
 
+  /** Winnowing document fingerprints (rolling k-shingle hashes, minima
+    * of w-windows): each document reduces to a small hash set; shared
+    * substrings of length >= k+w-1 guarantee a common fingerprint, so
+    * overlap detection is a keyed join at scale.
+    *
+    * Two-step projection on purpose: the hash array must be a real
+    * attribute before the window lambda slices it (see
+    * [[TextFunctions.winnowFromHashes]] — an inline subtree would be
+    * re-evaluated per window, O(len²) per document). */
+  def q46Winnow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Parallelism.ensure(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFunctions.rollingHashes(col("text"), 8).as("hs"))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("fp"))
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -540,6 +555,7 @@ object SparkEntry {
     "q43_gene_cnv" -> (q43GeneCnv _),
     "q44_segment_ascat" -> (q44SegmentAscat _),
     "q45_ivf_ann_topk" -> (q45IvfAnnTopK _),
+    "q46_winnow_fingerprint" -> (q46Winnow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -816,6 +832,23 @@ object SparkEntry {
         |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
         |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
         |SELECT id_a, id_b, round(cs, 6) AS cos FROM scored WHERE cs >= 0.35""".stripMargin,
+    "q46_winnow_fingerprint" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(text) >= 8
+        |      THEN list_transform(generate_series(1, len(text) - 7),
+        |        i -> CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT))
+        |      ELSE CAST([] AS BIGINT[]) END AS h
+        |  FROM documents),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) >= 4
+        |      THEN list_distinct(list_transform(generate_series(1, len(h) - 3),
+        |        i -> list_aggregate(h[i:i+3], 'min')))
+        |    WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+        |    ELSE CAST([] AS BIGINT[]) END AS f
+        |  FROM hs)
+        |SELECT doc_id, unnest(f) AS fp FROM fps""".stripMargin,
     "q28_star_counts" ->
       s"""WITH raw AS (
         |  SELECT gene_id AS id, CAST(unstranded AS DOUBLE) AS v, $SampleFromFilename AS smp

@@ -114,4 +114,39 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))
+
+  /** Per-shingle rolling hashes: 64-bit md5-derived hash of each char
+    * k-shingle (first 15 hex digits as a long — engine-portable, the
+    * same identity the dedup oracles validate). */
+  def rollingHashes(text: Column, k: Int): Column =
+    transform(charShingles(text, k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
+  /** Winnowing fingerprint (the MOSS scheme) over an ALREADY
+    * MATERIALIZED rolling-hash array column: the distinct minima of
+    * every `w`-window over the hashes. Guarantees any shared substring
+    * of length >= k + w - 1 contributes at least one common fingerprint
+    * between two documents, while keeping the fingerprint density
+    * ~2/(w+1) — the standard local document fingerprint for
+    * plagiarism/near-dup detection at corpus scale (each doc reduces to
+    * a small hash set; overlap is a keyed join, never a text
+    * comparison).
+    *
+    * `hashes` MUST be a plain column reference (project
+    * `rollingHashes(...)` in a separate `select` first), never an
+    * inline expression: Catalyst evaluates a lambda body per array
+    * element, so an inline hash-array subtree captured by the window
+    * lambda would be recomputed for EVERY window — O(len²) hash calls
+    * per document (measured 60s → 1s at sf0.1 for this one change).
+    *
+    * Degenerate inputs: fewer than `w` windows → the global minimum;
+    * no hashes at all → empty array.
+    */
+  def winnowFromHashes(hashes: Column, w: Int): Column =
+    when(size(hashes) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<long>"))
 }

@@ -71,6 +71,40 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: winnowing fingerprints are window minima and detect shared substrings") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val k = 8; val w = 4
+    // A reference winnow in plain Scala over the same md5-derived hashes.
+    def scalaHashes(t: String): Seq[Long] =
+      if (t.length < k) Seq.empty
+      else t.sliding(k).map { s =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }.toSeq
+    def scalaWinnow(t: String): Set[Long] = {
+      val hs = scalaHashes(t)
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val texts = Seq(
+      "short", "", "exactly8", s"prefix $shared", s"$shared and a suffix",
+      rnd.alphanumeric.take(50).mkString)
+    val got = texts.toDF("t")
+      .select(col("t"), TextFunctions.rollingHashes(col("t"), k).as("hs"))
+      .select(col("t"), TextFunctions.winnowFromHashes(col("hs"), w).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    texts.foreach { t =>
+      assert(got(t).toSet == scalaWinnow(t), s"winnow of '$t'")
+    }
+    // Shared substring of length >= k+w-1 ⇒ at least one common fingerprint.
+    assert(got(s"prefix $shared").toSet.intersect(
+      got(s"$shared and a suffix").toSet).nonEmpty)
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
