@@ -500,6 +500,56 @@ object SparkEntry {
       .select(col("doc_id"),
         explode(TextFunctions.winnowFromHashes(col("hs"), 4)).as("fp"))
 
+  /** Duplicate clusters: near-dup pairs (capped-inverted-index n-gram
+    * Jaccard, q18's edge set) → connected components by min-label
+    * propagation with pointer jumping → (doc_id, cluster_id). The
+    * missing last step of a dedup pipeline: survivors are the rows
+    * where doc_id == cluster_id. */
+  def q47DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.8, maxDocFreq = 100L)
+    Dedup.dupClusters(docs, edges, "doc_id")
+  }
+
+  /** Corpus vocabulary top-k by frequency (BPE-vocab precursor):
+    * explode tokens → partial-agg counts → TakeOrdered top 100 with a
+    * deterministic (count desc, token) tiebreak. The top-k never
+    * shuffles the full vocabulary to one node: per-partition heaps
+    * merge on the driver. */
+  def q48VocabTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Parallelism.ensure(Tables.documents(s, dir))
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** Training-corpus curation: per-document quality/language/length
+    * signals + exact-dedup survivor semi-join → per-language corpus
+    * stats. One narrow scoring pass, one fingerprint aggregate, one
+    * final skinny aggregate — the canonical "filter then count what
+    * survived" curation report. */
+  def q49Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.Parallelism.ensure(Tables.documents(s, dir))
+    val scored = docs.select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langIdHeuristic(col("text")).as("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      col("text"))
+    val keepers = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    scored
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_quality"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -556,7 +606,31 @@ object SparkEntry {
     "q44_segment_ascat" -> (q44SegmentAscat _),
     "q45_ivf_ann_topk" -> (q45IvfAnnTopK _),
     "q46_winnow_fingerprint" -> (q46Winnow _),
+    "q47_dup_clusters" -> (q47DupClusters _),
+    "q48_vocab_topk" -> (q48VocabTopK _),
+    "q49_curation" -> (q49Curation _),
   )
+
+  /** Shared CTE body of the capped n-gram Jaccard edge set — used
+    * verbatim by both q18 (the pair list) and q47 (the recursive
+    * transitive closure over the same edges) so the two oracles can
+    * never diverge. */
+  private val NgramPairsCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+      |    CASE WHEN len(tk) >= 2
+      |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+      |    ELSE [] END) AS t(g)),
+      |kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100),
+      |fg AS (SELECT doc_id, g FROM grams JOIN kept USING (g)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM fg GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -664,21 +738,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM f GROUP BY fp""".stripMargin,
     "q18_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
-        |    CASE WHEN len(tk) >= 2
-        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
-        |    ELSE [] END) AS t(g)),
-        |kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100),
-        |fg AS (SELECT doc_id, g FROM grams JOIN kept USING (g)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM fg GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $NgramPairsCtes
         |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
@@ -849,6 +909,62 @@ object SparkEntry {
         |    ELSE CAST([] AS BIGINT[]) END AS f
         |  FROM hs)
         |SELECT doc_id, unnest(f) AS fp FROM fps""".stripMargin,
+    "q47_dup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairsCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q48_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n FROM toks
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q49_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(text) > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1.0 / len(text)
+        |      ELSE 0.0 END AS praw,
+        |    CASE WHEN len(toks) > 0
+        |      THEN len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(toks)
+        |      ELSE 0.0 END AS sraw,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une'], t))) AS h_fr,
+        |    md5(array_to_string(toks, ' ')) AS fp
+        |  FROM base),
+        |m2 AS (
+        |  SELECT doc_id, fp, n_tokens,
+        |    round(least(n_tokens / 20.0, 1.0) * 0.4
+        |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
+        |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality,
+        |    CASE WHEN h_es > h_de AND h_es > h_fr THEN 'es'
+        |         WHEN h_de > h_es AND h_de > h_fr THEN 'de'
+        |         WHEN h_fr > h_es AND h_fr > h_de THEN 'fr'
+        |         ELSE 'en' END AS lang
+        |  FROM m),
+        |keep AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS kid FROM m2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM keep
+        |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
+        |GROUP BY lang""".stripMargin,
     "q28_star_counts" ->
       s"""WITH raw AS (
         |  SELECT gene_id AS id, CAST(unstranded AS DOUBLE) AS v, $SampleFromFilename AS smp

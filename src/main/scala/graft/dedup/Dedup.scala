@@ -320,4 +320,66 @@ object Dedup {
 
     verifyCandidates(docs, candidates, idCol, textCol, n, threshold)
   }
+
+  /** Connected components over an undirected edge set — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS so one survivor per
+    * cluster can be kept (the end of every dedup pipeline).
+    *
+    * Min-label propagation with path compression: each iteration a
+    * node takes the minimum of its own label, its neighbors' labels,
+    * and its label's label (pointer jumping). The extra label-of-label
+    * join makes chains converge in O(log n) iterations instead of
+    * O(diameter) — near-dup graphs are near-cliques (diameter 2-3) in
+    * practice, but the bound shouldn't depend on that.
+    *
+    * Scale shape: every iteration is two equi-join shuffles on the
+    * label key plus one aggregate; intermediate labels are
+    * `localCheckpoint`ed so lineage stays O(1) across iterations
+    * (iterative plans otherwise grow unboundedly and re-execute from
+    * the scan). Convergence is detected with a per-iteration count on
+    * the materialized frame — one cheap action over data already in
+    * block storage.
+    *
+    * Returns (`idCol`, cluster_id) for every node; singletons get
+    * their own id.
+    */
+  def dupClusters(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = nodes
+      .select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val jump = labels
+        .select(col("label").as("jsrc"), col("id").as("jid"))
+        .join(labels.select(col("id").as("jsrc2"), col("label").as("jump_min")),
+          col("jsrc") === col("jsrc2"))
+        .select(col("jid"), col("jump_min"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .join(jump, labels("id") === jump("jid"), "left")
+        .select(labels("id"),
+          least(col("label"),
+            coalesce(col("nbr_min"), col("label")),
+            coalesce(col("jump_min"), col("label"))).as("new_label"),
+          (least(coalesce(col("nbr_min"), col("label")),
+            coalesce(col("jump_min"), col("label"))) < col("label")).as("chg"))
+        .localCheckpoint(false)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("new_label").as("label"))
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
 }

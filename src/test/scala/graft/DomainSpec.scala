@@ -86,6 +86,23 @@ class DomainSpec extends SparkSpecBase {
     assert(out == Set(("f1", "s1")))
   }
 
+  test("dupClusters: chain, clique and singletons all get component-min labels") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // chain 1-2-3-4-5-6-7-8 (stresses pointer jumping: diameter 7),
+    // clique {10,11,12}, singletons 20, 21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val nodes = ((1L to 8L) ++ Seq(10L, 11L, 12L, 20L, 21L)).toDF("doc_id")
+    val got = Dedup.dupClusters(nodes, edges, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    (1L to 8L).foreach(i => assert(got(i) == 1L, s"chain node $i"))
+    Seq(10L, 11L, 12L).foreach(i => assert(got(i) == 10L, s"clique node $i"))
+    assert(got(20L) == 20L && got(21L) == 21L)
+    assert(got.size == 13)
+  }
+
   test("CLI xena-eql: equal and unequal matrices, exit codes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
     import spark.implicits._
