@@ -550,6 +550,26 @@ object SparkEntry {
         sum(col("n_tokens")).cast("long").as("total_tokens"))
   }
 
+  /** Multimodal audio: canonical RIFF/PCM WAV header parse
+    * per-partition (real, no codec) + declarative duration math. */
+  def q50AudioMeta(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.AudioOps.decodeWavMeta(
+      s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/audio/*.wav"))
+      .toDF()
+      .withColumn("duration_sec",
+        round(col("data_bytes").cast("double") /
+          (col("sample_rate") * col("channels") * col("bits") / lit(8)), 6))
+
+  /** Multimodal frame sampling (the video shape): evenly-spaced byte
+    * windows over each file's payload, fingerprinted where a codec
+    * decode would run. Work is per-blob where the binaryFile scan put
+    * it — no shuffle. */
+  def q51AudioFrames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.AudioOps.frameSample(
+      s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/audio/*.wav"),
+      nFrames = 4, frameBytes = 1024)
+      .toDF()
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -609,6 +629,8 @@ object SparkEntry {
     "q47_dup_clusters" -> (q47DupClusters _),
     "q48_vocab_topk" -> (q48VocabTopK _),
     "q49_curation" -> (q49Curation _),
+    "q50_audio_meta" -> (q50AudioMeta _),
+    "q51_audio_frames" -> (q51AudioFrames _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -965,6 +987,41 @@ object SparkEntry {
         |FROM keep
         |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
         |GROUP BY lang""".stripMargin,
+    // q50/q51 oracles parse the same WAV bytes via read_blob + hex():
+    // byte n (1-based) occupies hex chars 2n-1..2n, so a little-endian
+    // field is the byte-reversed concat of its hex pairs. Frame
+    // fingerprints md5 the hex substring (DuckDB can't md5 blobs);
+    // Spark hashes the identical uppercase hex rendering.
+    "q50_audio_meta" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, hex(content) AS h
+        |  FROM read_blob('$FixtureDir/audio/*.wav')),
+        |m AS (
+        |  SELECT name,
+        |    CAST(CAST(concat('0x', substr(h,55,2), substr(h,53,2), substr(h,51,2), substr(h,49,2)) AS BIGINT) AS INTEGER) AS sample_rate,
+        |    CAST(CAST(concat('0x', substr(h,47,2), substr(h,45,2)) AS BIGINT) AS INTEGER) AS channels,
+        |    CAST(CAST(concat('0x', substr(h,71,2), substr(h,69,2)) AS BIGINT) AS INTEGER) AS bits,
+        |    CAST(concat('0x', substr(h,87,2), substr(h,85,2), substr(h,83,2), substr(h,81,2)) AS BIGINT) AS data_bytes
+        |  FROM b)
+        |SELECT name, sample_rate, channels, bits, data_bytes,
+        |  CAST(data_bytes // (channels * bits // 8) AS BIGINT) AS n_samples,
+        |  round(data_bytes / (sample_rate * channels * bits / 8), 6) AS duration_sec
+        |FROM m""".stripMargin,
+    "q51_audio_frames" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, hex(content) AS h
+        |  FROM read_blob('$FixtureDir/audio/*.wav')),
+        |d AS (
+        |  SELECT name, h,
+        |    CAST(concat('0x', substr(h,87,2), substr(h,85,2), substr(h,83,2), substr(h,81,2)) AS BIGINT) AS data_bytes
+        |  FROM b),
+        |fr AS (
+        |  SELECT name, h, CAST(i AS INTEGER) AS frame_idx,
+        |    44 + i * (data_bytes // 4) AS off
+        |  FROM d, (SELECT unnest(generate_series(0, 3)) AS i) t)
+        |SELECT name, frame_idx, CAST(off AS BIGINT) AS frame_off,
+        |  md5(substr(h, CAST(2 * off + 1 AS BIGINT), 2048)) AS frame_md5
+        |FROM fr""".stripMargin,
     "q28_star_counts" ->
       s"""WITH raw AS (
         |  SELECT gene_id AS id, CAST(unstranded AS DOUBLE) AS v, $SampleFromFilename AS smp

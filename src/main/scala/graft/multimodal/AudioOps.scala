@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio/video (binary) column handling for training-data pipelines.
+  *
+  * Same design as [[ImageOps]]: media travels as opaque `binary`
+  * columns; container parsing runs per-partition (per-blob CPU work),
+  * everything around it stays declarative. The WAV/RIFF PCM header
+  * parse is real — it needs no codec library. Frame sampling is the
+  * video shape too: a video container parse yields (offset, length)
+  * per frame the same way; here the per-frame "decode" is stubbed as a
+  * deterministic content fingerprint (md5 of the frame bytes' hex),
+  * exactly where a codec call would slot in.
+  *
+  * Engine-portable identities: frame fingerprints hash the UPPERCASE
+  * hex rendering of the bytes, because the DuckDB oracle can only md5
+  * strings (`md5(substr(hex(content), 2*off+1, 2*len))`); Spark's
+  * `hex()` produces the identical rendering.
+  */
+object AudioOps {
+
+  /** Parsed canonical-WAV metadata (44-byte RIFF/PCM header). */
+  final case class WavMeta(
+      name: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      data_bytes: Long,
+      n_samples: Long)
+
+  /** One sampled frame: evenly-spaced byte window over the PCM data. */
+  final case class AudioFrame(
+      name: String,
+      frame_idx: Int,
+      frame_off: Long,
+      frame_md5: String)
+
+  private def leU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def hexUpper(b: Array[Byte], off: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len * 2)
+    var i = 0
+    while (i < len) { sb.append(f"${b(off + i) & 0xff}%02X"); i += 1 }
+    sb.toString
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** Decode canonical RIFF/PCM WAV headers per-partition: sample rate,
+    * channel count, bit depth, data size. One row per file, no
+    * shuffle — each blob parses where the binaryFile scan put it. */
+  def decodeWavMeta(spark: SparkSession, binaries: DataFrame): Dataset[WavMeta] = {
+    import spark.implicits._
+    binaries
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, b) =>
+          require(b.length >= 44 &&
+            new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(b, 8, 4, "US-ASCII") == "WAVE", s"$name: not RIFF/WAVE")
+          val ch = leU16(b, 22)
+          val rate = leU32(b, 24).toInt
+          val bits = leU16(b, 34)
+          val dataLen = math.min(leU32(b, 40), (b.length - 44).toLong)
+          val block = ch * bits / 8
+          WavMeta(name, rate, ch, bits, dataLen, dataLen / block)
+        }
+      }
+  }
+
+  /** Sample `nFrames` evenly-spaced `frameBytes`-byte windows from each
+    * file's PCM payload: (name, frame_idx, frame_off, frame_md5).
+    * Offsets stride `data_bytes / nFrames` from the 44-byte header
+    * end; the final window clamps to the file length. This is where a
+    * codec would decode the window — the fingerprint stands in for the
+    * decoded tensor while keeping schema, partitioning and batch shape
+    * real. */
+  def frameSample(
+      spark: SparkSession,
+      binaries: DataFrame,
+      nFrames: Int,
+      frameBytes: Int): Dataset[AudioFrame] = {
+    import spark.implicits._
+    binaries
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (name, b) =>
+          val dataLen = math.min(leU32(b, 40), (b.length - 44).toLong)
+          val stride = dataLen / nFrames
+          (0 until nFrames).iterator.map { i =>
+            val off = 44L + i * stride
+            val len = math.min(frameBytes.toLong, b.length - off).toInt
+            AudioFrame(name, i, off, md5Hex(hexUpper(b, off.toInt, len)))
+          }
+        }
+      }
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.ImageOps
+import graft.multimodal.{AudioOps, ImageOps}
 
 /** Multimodal binary-column pipeline: decode correctness against a
   * hand-computed fixture and the resize contract (shape, determinism,
@@ -57,5 +57,44 @@ class MultimodalSpec extends SparkSpecBase {
     val again = ImageOps.resizeNearest(spark, decoded, 2, 2).collect()
     assert(small.map(i => (i.name, i.pixels.toSeq)).toSet ==
       again.map(i => (i.name, i.pixels.toSeq)).toSet)
+  }
+
+  private val wavGlob = "/root/repo/fixtures/audio/*.wav"
+
+  test("WAV header decode matches the generator's specs") {
+    val metas = AudioOps.decodeWavMeta(
+      spark, ImageOps.readBinary(spark, wavGlob)).collect()
+      .map(m => m.name -> m).toMap
+    // tools/gen_fixtures.py audio(): (rate, channels, bits, n_samples)
+    val expect = Map(
+      "clip_0.wav" -> ((8000, 1, 16, 9000L)),
+      "clip_1.wav" -> ((16000, 2, 16, 12000L)),
+      "clip_2.wav" -> ((22050, 1, 16, 16384L)))
+    assert(metas.keySet == expect.keySet)
+    expect.foreach { case (n, (rate, ch, bits, ns)) =>
+      val m = metas(n)
+      assert((m.sample_rate, m.channels, m.bits, m.n_samples) == ((rate, ch, bits, ns)), n)
+      assert(m.data_bytes == ns * ch * bits / 8, n)
+    }
+  }
+
+  test("frame sampling: evenly-strided offsets, deterministic fingerprints") {
+    val frames = AudioOps.frameSample(
+      spark, ImageOps.readBinary(spark, wavGlob), nFrames = 4, frameBytes = 1024)
+      .collect()
+    assert(frames.length == 12)
+    val meta = AudioOps.decodeWavMeta(
+      spark, ImageOps.readBinary(spark, wavGlob)).collect()
+      .map(m => m.name -> m.data_bytes).toMap
+    frames.groupBy(_.name).foreach { case (n, fs) =>
+      val stride = meta(n) / 4
+      assert(fs.sortBy(_.frame_idx).map(_.frame_off).toSeq ==
+        (0 until 4).map(i => 44L + i * stride), n)
+      fs.foreach(f => assert(f.frame_md5.matches("[0-9a-f]{32}")))
+    }
+    val again = AudioOps.frameSample(
+      spark, ImageOps.readBinary(spark, wavGlob), 4, 1024).collect()
+    assert(frames.map(f => (f.name, f.frame_idx, f.frame_md5)).toSet ==
+      again.map(f => (f.name, f.frame_idx, f.frame_md5)).toSet)
   }
 }

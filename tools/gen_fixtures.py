@@ -277,6 +277,31 @@ def images():
         w(os.path.join(ROOT, "images", "img_%d.ppm" % i), body)
 
 
+def audio():
+    # Canonical 44-byte PCM WAV (RIFF): a real binary format parseable
+    # without codec libraries. Payload is a closed-form LCG byte stream
+    # (no RNG module — deterministic, committed). The oracle reads the
+    # same bytes via DuckDB read_blob + hex().
+    import struct
+    specs = [(8000, 1, 16, 9000), (16000, 2, 16, 12000), (22050, 1, 16, 16384)]
+    for i, (rate, ch, bits, nsamp) in enumerate(specs):
+        block = ch * bits // 8
+        data_len = nsamp * block
+        x = 1234567 + i
+        buf = bytearray()
+        for _ in range(data_len):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            buf.append(x & 0xFF)
+        hdr = (b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                       rate * block, block, bits)
+               + b"data" + struct.pack("<I", data_len))
+        path = os.path.join(ROOT, "audio", "clip_%d.wav" % i)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(hdr + bytes(buf))
+
+
 if __name__ == "__main__":
     star_counts()
     segment_cnv()
@@ -290,5 +315,6 @@ if __name__ == "__main__":
     survival()
     clinical()
     images()
+    audio()
     n = sum(len(fs) for _, _, fs in os.walk(ROOT))
     print("wrote %d fixture files under %s" % (n, ROOT))
