@@ -550,6 +550,19 @@ object SparkEntry {
         sum(col("n_tokens")).cast("long").as("total_tokens"))
   }
 
+  /** Embedding-space duplicate clusters: LSH-bucketed cosine near-dup
+    * pairs (q26's edge set) → connected components → (vec_id,
+    * cluster_id). The vector-modality twin of q47: near-dup detection
+    * and survivor selection over embeddings instead of text. */
+  def q52EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = Similarity.cosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.35, dim = 64, bits = 8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.dupClusters(emb.select(col("vec_id")), edges, "vec_id")
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
   /** Multimodal audio: canonical RIFF/PCM WAV header parse
     * per-partition (real, no codec) + declarative duration math. */
   def q50AudioMeta(s: SparkSession, dir: String): DataFrame =
@@ -631,6 +644,7 @@ object SparkEntry {
     "q49_curation" -> (q49Curation _),
     "q50_audio_meta" -> (q50AudioMeta _),
     "q51_audio_frames" -> (q51AudioFrames _),
+    "q52_embedding_clusters" -> (q52EmbeddingClusters _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -653,6 +667,36 @@ object SparkEntry {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE body of the deterministic hyperplane-LSH cosine pair
+    * set (8-bit signatures, Hamming-1 probing, exact cosine scoring) —
+    * used verbatim by q26 (the pair list) and q52 (the recursive
+    * closure over the same edges). */
+  private val LshCosinePairsCtes: String =
+    """planes AS (
+      |  SELECT b.i, j.j,
+      |    (CAST(concat('0x', substr(md5('plane_0_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
+      |      / power(2, 59)) - 1.0 AS c
+      |  FROM range(8) b(i), range(64) j(j)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dots AS (
+      |  SELECT e.vec_id, p.i, sum(p.c * e.v[p.j + 1] ORDER BY p.j) AS d
+      |  FROM e JOIN planes p ON true GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM dots GROUP BY 1),
+      |probes AS (
+      |  SELECT s.vec_id,
+      |    CASE WHEN f.f < 0 THEN s.sig ELSE xor(s.sig, CAST(power(2, f.f) AS BIGINT)) END AS bucket
+      |  FROM sigs s, range(-1, 8) f(f)),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS id_a, s.vec_id AS id_b
+      |  FROM probes p JOIN sigs s ON p.bucket = s.sig WHERE p.vec_id < s.vec_id),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+      |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -889,31 +933,19 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank FROM scored) t
         |WHERE rank <= 5""".stripMargin,
     "q26_cosine_pairs_lsh" ->
-      """WITH planes AS (
-        |  SELECT b.i, j.j,
-        |    (CAST(concat('0x', substr(md5('plane_0_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
-        |      / power(2, 59)) - 1.0 AS c
-        |  FROM range(8) b(i), range(64) j(j)),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |dots AS (
-        |  SELECT e.vec_id, p.i, sum(p.c * e.v[p.j + 1] ORDER BY p.j) AS d
-        |  FROM e JOIN planes p ON true GROUP BY 1, 2),
-        |sigs AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM dots GROUP BY 1),
-        |probes AS (
-        |  SELECT s.vec_id,
-        |    CASE WHEN f.f < 0 THEN s.sig ELSE xor(s.sig, CAST(power(2, f.f) AS BIGINT)) END AS bucket
-        |  FROM sigs s, range(-1, 8) f(f)),
-        |cand AS (
-        |  SELECT DISTINCT p.vec_id AS id_a, s.vec_id AS id_b
-        |  FROM probes p JOIN sigs s ON p.bucket = s.sig WHERE p.vec_id < s.vec_id),
-        |scored AS (
-        |  SELECT id_a, id_b,
-        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
-        |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+      s"""WITH $LshCosinePairsCtes
         |SELECT id_a, id_b, round(cs, 6) AS cos FROM scored WHERE cs >= 0.35""".stripMargin,
+    "q52_embedding_clusters" ->
+      s"""WITH RECURSIVE $LshCosinePairsCtes,
+        |pairs AS (SELECT id_a, id_b FROM scored WHERE cs >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT eg.s, reach.r FROM edges eg JOIN reach ON reach.id = eg.d)
+        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "q46_winnow_fingerprint" ->
       """WITH hs AS (
         |  SELECT doc_id,

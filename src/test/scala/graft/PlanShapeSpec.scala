@@ -98,6 +98,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p18.contains("gram"), "q18 join lost the gram key")
   }
 
+  test("q48: vocab top-k is TakeOrdered, never a global sort") {
+    val p = plan("q48_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k fell back to a full sort:\n" + p.take(1500))
+  }
+
+  test("q46/q49: narrow text pipelines have no cartesian; q49 keeps the semi join") {
+    val p46 = plan("q46_winnow_fingerprint")
+    // Per-row fingerprints: the only exchange allowed is the
+    // round-robin Parallelism.ensure guard — never a hash shuffle.
+    assert(!p46.contains("Exchange hashpartitioning"),
+      "winnowing (per-row fingerprints) hash-shuffles:\n" + p46.take(1500))
+    // The rolling-hash array must be a materialized attribute (its own
+    // Project) before the window lambda slices it — the O(len) vs
+    // O(len^2) contract documented on winnowFromHashes.
+    assert(p46.contains(" AS hs#"),
+      "rolling-hash array was inlined into the window lambda:\n" + p46.take(1500))
+    val p49 = plan("q49_curation")
+    assert(p49.contains("LeftSemi"), "curation lost the survivor semi join")
+    assert(!p49.contains("CartesianProduct"))
+  }
+
   test("custom dot_product participates in codegen (q23 projection)") {
     val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
     df.collect() // finalize the adaptive plan
