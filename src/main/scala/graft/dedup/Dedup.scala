@@ -174,19 +174,18 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val p = 4294967311L // prime > 2^32
 
     val grams = docGrams(docs, idCol, textCol, n)
       .withColumn("h", pmod(gramHash(col("gram")), lit(1L << 32)))
 
-    // One aggregate computes all minhash components: min over grams of
-    // (a_i*h + b_i) mod p, i = 0..numHashes-1.
-    val minAggs = (0 until numHashes).map { i =>
-      val a = 2L * i + 1
-      val b = 1013904223L * (i + 1) % p
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
-    }
-    val sigs = grams.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // ONE custom TypedImperativeAggregate computes the whole signature:
+    // the buffer is the k-long minima array updated in place per input
+    // hash, with map-side partial aggregation (merge = elementwise
+    // min). Signatures are bit-equal to the declarative k-column
+    // `min()` form (property-tested in DedupSketchSpec).
+    val sigs = grams.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSketchAgg
+        .minhashSketch(col("h"), numHashes).as("sig"))
 
     // Band key: hash of the concatenated signature slice. One explode
     // over an array of (band, bucket) structs — NOT a bands-way union,
@@ -194,7 +193,7 @@ object Dedup {
     // join side.
     val bandStructs = (0 until bands).map { bIdx =>
       val comps = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
-        .map(i => col(s"mh_$i"))
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(bIdx).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
     }
     // One row per doc × numHashes longs — small; materialized once so

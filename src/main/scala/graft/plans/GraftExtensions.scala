@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{DotProduct, MinHashSketchAgg}
 
 /** Catalyst extension point: registers graft's native expressions in
   * the SQL function registry, so pure-SQL users (spark.sql, JDBC,
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSketchDescriptor)
   }
 }
 
@@ -34,5 +35,20 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
       DotProduct(args.head, args(1))
+    })
+
+  /** `minhash_sketch(hash_long, k) -> array<long>` — the one-pass
+    * MinHash signature aggregate (k must be a literal int). */
+  val minhashSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sketch"),
+    new ExpressionInfo(classOf[MinHashSketchAgg].getCanonicalName, null, "minhash_sketch"),
+    { args =>
+      require(args.length == 2, s"minhash_sketch expects 2 arguments, got ${args.length}")
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sketch: k must be an int literal, got $other")
+      }
+      MinHashSketchAgg(args.head, k).toAggregateExpression()
     })
 }

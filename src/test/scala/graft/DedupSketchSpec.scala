@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashSketchAgg
+
+/** The custom TypedImperativeAggregate MinHash sketch must be
+  * bit-equal to the declarative k-column `min()` formulation it
+  * replaced inside `Dedup.minHashLshPairs` — same universal-hash
+  * parametrization, same minima, any input distribution. Also checks
+  * the partial-aggregation path (merge) by forcing multiple input
+  * partitions per group.
+  */
+class DedupSketchSpec extends SparkSpecBase {
+
+  private val p = MinHashSketchAgg.Prime
+
+  test("sketch signatures equal the declarative k-column min() signatures") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 16
+    val rnd = new scala.util.Random(7)
+    // 40 groups x ~50 hashes, deliberately spread over 8 partitions so
+    // every group spans several partial buffers (exercises merge()).
+    val rows = for {
+      g <- 0 until 40
+      _ <- 0 until (10 + rnd.nextInt(80))
+    } yield (g.toLong, rnd.nextLong().abs % (1L << 32))
+    val df = rows.toDF("doc_id", "h").repartition(8)
+
+    val sketch = df.groupBy(col("doc_id"))
+      .agg(MinHashSketchAgg.minhashSketch(col("h"), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+    val minAggs = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 1013904223L * (i + 1) % p
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    }
+    val declarative = df.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+
+    assert(sketch.keySet == declarative.keySet)
+    sketch.foreach { case (g, sig) =>
+      assert(sig == declarative(g), s"group $g signature mismatch")
+    }
+  }
+
+  test("null inputs are ignored; empty-input group keeps Long.MaxValue minima") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Some(5L)), (1L, None), (2L, None))
+      .toDF("doc_id", "h")
+    val got = df.groupBy(col("doc_id"))
+      .agg(MinHashSketchAgg.minhashSketch(col("h"), 4).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // group 2 saw only nulls: buffer stays at the identity
+    assert(got(2L) == Seq.fill(4)(Long.MaxValue))
+    // group 1: minima of the single hash h=5
+    val expect = (0 until 4).map { i =>
+      val a = 2L * i + 1
+      val b = 1013904223L * (i + 1) % MinHashSketchAgg.Prime
+      (a * 5L + b) % MinHashSketchAgg.Prime
+    }
+    assert(got(1L) == expect)
+  }
+}

@@ -30,4 +30,23 @@ class ExtensionsSpec extends SparkSpecBase {
       .head().getDouble(0)
     assert(math.abs(sqlSum - dfSum) < 1e-12)
   }
+
+  test("minhash_sketch aggregate is callable from SQL via GraftExtensions") {
+    val (id, info, builder) = graft.plans.GraftExtensions.minhashSketchDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    Seq((1L, 5L), (1L, 9L), (2L, 7L)).toDF("g", "h")
+      .createOrReplaceTempView("ext_mh")
+    val sqlSig = spark.sql(
+      "SELECT g, minhash_sketch(h, 4) AS sig FROM ext_mh GROUP BY g")
+      .as[(Long, Seq[Long])].collect().toMap
+    val dfSig = Seq((1L, 5L), (1L, 9L), (2L, 7L)).toDF("g", "h")
+      .groupBy(col("g"))
+      .agg(graft.functions.MinHashSketchAgg.minhashSketch(col("h"), 4).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sqlSig == dfSig)
+  }
 }
