@@ -237,17 +237,13 @@ object Dedup {
     simHashFromHashes(
       docGrams(docs, idCol, textCol, n).select(col("doc_id"), gramHash(col("gram")).as("h")))
 
-  private def simHashFromHashes(hashes: DataFrame): DataFrame = {
-    val bitsN = 60
-    val voteAggs = (0 until bitsN).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
-    }
-    val votes = hashes.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val sig = (0 until bitsN)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("doc_id"), sig.as("sig"))
-  }
+  private def simHashFromHashes(hashes: DataFrame): DataFrame =
+    // One custom vote-buffer aggregate (in-place int-array update,
+    // map-side combine, eval folds votes to the signature long) —
+    // bit-equal to the declarative 60-column sum(CASE) form
+    // (property-tested in DedupSketchSpec).
+    hashes.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashSketchAgg.simhashSig(col("h"), 60).as("sig"))
 
   /** SimHash near-dup: bucket by band (`bands` equal slices of the
     * 60-bit n-gram signature), probing each band's bucket AND its

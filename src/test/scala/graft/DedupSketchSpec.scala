@@ -46,6 +46,34 @@ class DedupSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash sketch equals the declarative 60-column vote signatures") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bitsN = 60
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- 0 until 30
+      _ <- 0 until (5 + rnd.nextInt(60))
+    } yield (g.toLong, rnd.nextLong().abs % (1L << 60))
+    val df = rows.toDF("doc_id", "h").repartition(8)
+
+    val sketch = df.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashSketchAgg.simhashSig(col("h"), bitsN).as("sig"))
+      .as[(Long, Long)].collect().toMap
+
+    val voteAggs = (0 until bitsN).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val votes = df.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val sigExpr = (0 until bitsN)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val declarative = votes.select(col("doc_id"), sigExpr.as("sig"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(sketch == declarative)
+  }
+
   test("null inputs are ignored; empty-input group keeps Long.MaxValue minima") {
     val spark2 = spark
     import spark2.implicits._
