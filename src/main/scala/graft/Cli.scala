@@ -103,6 +103,80 @@ object Cli {
       println(if (equal) "Equal matrices." else "Matrices differ.")
       if (equal) 0 else 1
 
+    // ---- training-data pipeline subcommands (beyond-parity surface) --
+
+    case "dedup" :: rest =>
+      // Exact or near (minhash-LSH verified) dedup of a documents
+      // parquet: writes (doc_id, cluster_id); survivors are the rows
+      // where doc_id == cluster_id.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val mode = m.get("--mode").flatMap(_.headOption).getOrElse("exact")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      val docs = spark.read.parquet(in)
+      val clusters = mode match {
+        case "exact" =>
+          import org.apache.spark.sql.functions.{col, min => fmin}
+          docs.select(col(idCol),
+            graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+            .withColumn("cluster_id",
+              fmin(col(idCol)).over(
+                org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+            .select(col(idCol), col("cluster_id"))
+        case "near" =>
+          val pairs = graft.dedup.Dedup.minHashLshPairs(
+            docs, idCol, textCol, n = 2, threshold = 0.8)
+          graft.dedup.Dedup.dupClusters(
+            docs.selectExpr(idCol), pairs, idCol)
+        case other => sys.error(s"dedup --mode must be exact|near, got $other")
+      }
+      clusters.write.mode("overwrite").parquet(out)
+      println(s"dedup ($mode) clusters written to $out")
+      0
+
+    case "curate" :: rest =>
+      // Quality/language/length filter + exact-dedup survivors: writes
+      // the curated corpus (all source columns preserved).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val minQuality = m.get("--min-quality").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(0.5)
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in)
+      val keepers = graft.dedup.Dedup.exact(docs, idCol, textCol)
+        .select(col("keep_id").as(idCol))
+      val curated = docs
+        .join(keepers, Seq(idCol), "left_semi")
+        .filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      curated.write.mode("overwrite").parquet(out)
+      println(s"curated corpus written to $out")
+      0
+
+    case "vocab" :: rest =>
+      // Corpus vocabulary: token frequencies, top-k as TSV.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(1000)
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val top = spark.read.parquet(in)
+        .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(k)
+      XenaTsv.write(top, out, rowKey = Some("token"))
+      println(s"top-$k vocabulary written to $out")
+      0
+
     case other =>
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
@@ -110,6 +184,9 @@ object Cli {
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]
            |  xena-eql   <matrix-a> <matrix-b>
+           |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--id doc_id] [--text text]
+           |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
+           |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

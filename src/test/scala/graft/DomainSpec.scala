@@ -103,6 +103,40 @@ class DomainSpec extends SparkSpecBase {
     assert(got.size == 13)
   }
 
+  test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
+
+    assert(graft.Cli.run(Array("dedup", "-i", docs, "-o", s"$tmp/clusters")) == 0)
+    val clusters = spark.read.parquet(s"$tmp/clusters")
+    assert(clusters.columns.toSeq == Seq("doc_id", "cluster_id"))
+    val total = clusters.count()
+    assert(total == 500)
+    val survivors = clusters.filter(col("doc_id") === col("cluster_id")).count()
+    assert(survivors > 0 && survivors <= total)
+
+    assert(graft.Cli.run(Array(
+      "dedup", "-i", docs, "-o", s"$tmp/near", "--mode", "near")) == 0)
+    val near = spark.read.parquet(s"$tmp/near")
+    assert(near.count() == 500)
+    // near-dup clustering can only merge MORE than exact dedup
+    val nearSurvivors = near.filter(col("doc_id") === col("cluster_id")).count()
+    assert(nearSurvivors <= survivors)
+
+    assert(graft.Cli.run(Array(
+      "curate", "-i", docs, "-o", s"$tmp/curated", "--min-quality", "0.4")) == 0)
+    val curated = spark.read.parquet(s"$tmp/curated")
+    assert(curated.count() > 0 && curated.count() <= 500)
+    assert(curated.columns.contains("text"))
+
+    assert(graft.Cli.run(Array(
+      "vocab", "-i", docs, "-o", s"$tmp/vocab.tsv", "-k", "10")) == 0)
+    val vocab = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$tmp/vocab.tsv")
+    assert(vocab.count() == 10)
+    assert(vocab.columns.toSeq == Seq("token", "n"))
+  }
+
   test("CLI xena-eql: equal and unequal matrices, exit codes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
     import spark.implicits._
