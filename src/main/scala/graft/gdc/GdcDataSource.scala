@@ -1,0 +1,251 @@
+package graft.gdc
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, Not}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the GDC REST catalog (SURVEY §2 S4, §4
+  * "custom work needed: yes if we build a real GDC connector").
+  *
+  * The reference hand-rolls three optimizations the connector surfaces
+  * as Catalyst pushdowns instead:
+  *
+  *  - server-side filters (`gdc.py:175-218` filter DSL) →
+  *    `SupportsPushDownFilters`: `EqualTo`/`In` become `"op":"in"`,
+  *    `Not(In)` becomes `"op":"exclude"`; anything else stays a
+  *    residual for Spark to evaluate.
+  *  - field-list projection (`gdc.py:283-284` `fields=` param) →
+  *    `SupportsPushDownRequiredColumns`: the scan requests exactly the
+  *    pruned columns.
+  *  - size-probe pagination (`gdc.py:280-301`) + 20k batching
+  *    (`gdc.py:622-625`) → `SupportsPushDownLimit` and one
+  *    `InputPartition` per result page: the driver probes `size=1`
+  *    for the total, then plans `ceil(total/pageSize)` partitions,
+  *    each fetching its own page on an executor.
+  *
+  * Wire format: `{"data":{"hits":[...],"pagination":{"total":N}}}`
+  * (the GDC envelope). Hit fields are dotted paths over nested JSON;
+  * values are rendered as strings, arrays flattened and comma-joined
+  * (the reference's `get_json_objects` walk, `utils.py:207-232`).
+  *
+  * The transport is injected by CLASS NAME (`transport` option) and
+  * instantiated per partition — network-free tests plug a
+  * deterministic in-memory server; deployment plugs an HTTP client.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("gdc")
+  *     .option("endpoint", "files")
+  *     .option("fields", "file_id,cases.project.project_id,md5sum")
+  *     .option("transport", "com.example.HttpGdcTransport")
+  *     .load()
+  *     .filter($"`cases.project.project_id`" === "TCGA-BRCA")  // pushed
+  * }}}
+  */
+class GdcTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "gdc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GdcDataSource.schemaFor(options)
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GdcTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+/** Transport contract: (endpoint, params) → GDC envelope JSON.
+  * Implementations need a zero-arg constructor (instantiated
+  * reflectively on driver and executors). */
+trait GdcTransport {
+  def fetch(endpoint: String, params: Map[String, String]): String
+}
+
+object GdcDataSource {
+  private val mapper = new ObjectMapper()
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    StructType(fieldList(options).map(f => StructField(f, StringType)))
+
+  def fieldList(options: CaseInsensitiveStringMap): Seq[String] = {
+    val fs = options.get("fields")
+    require(fs != null && fs.nonEmpty, "gdc source requires a 'fields' option")
+    fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  def newTransport(className: String): GdcTransport =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[GdcTransport]
+
+  /** Dotted-path walk over a hit: arrays flatten (every element's
+    * sub-values collected in document order), leaves render as text,
+    * multiple values comma-join, absent path → null — the
+    * `get_json_objects` semantics (`utils.py:207-232`). */
+  def extractPath(node: JsonNode, path: String): String = {
+    def walk(n: JsonNode, parts: List[String]): Seq[JsonNode] = parts match {
+      case Nil => if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+      case p :: rest =>
+        if (n.isArray) n.elements().asScala.toSeq.flatMap(walk(_, parts))
+        else if (n.has(p)) walk(n.get(p), rest)
+        else Seq.empty
+    }
+    val leaves = walk(node, path.split("\\.").toList)
+      .filterNot(l => l.isNull || l.isMissingNode)
+      .map(l => if (l.isValueNode) l.asText() else l.toString)
+    if (leaves.isEmpty) null else leaves.mkString(",")
+  }
+
+  def parseHits(body: String): Seq[JsonNode] =
+    mapper.readTree(body).path("data").path("hits").elements().asScala.toSeq
+
+  def parseTotal(body: String): Long =
+    mapper.readTree(body).path("data").path("pagination").path("total").asLong()
+}
+
+class GdcTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"gdc:${options.get("endpoint")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new GdcScanBuilder(schema, options)
+}
+
+class GdcScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
+
+  /** Filter attributes for dotted column names arrive backtick-quoted
+    * (`` `cases.project.project_id` ``); the GDC wire field is the raw
+    * dotted path. */
+  private def unquote(attr: String): String =
+    if (attr.length >= 2 && attr.head == '`' && attr.last == '`')
+      attr.substring(1, attr.length - 1).replace("``", "`")
+    else attr
+
+  private def translate(f: Filter): Option[GdcFilter.Cond] = f match {
+    case EqualTo(attr, v: String) => Some(GdcFilter.In(unquote(attr), Seq(v)))
+    case In(attr, vs) if vs.forall(_.isInstanceOf[String]) =>
+      Some(GdcFilter.In(unquote(attr), vs.map(_.asInstanceOf[String]).toSeq))
+    case Not(In(attr, vs)) if vs.forall(_.isInstanceOf[String]) =>
+      Some(GdcFilter.Exclude(unquote(attr), vs.map(_.asInstanceOf[String]).toSeq))
+    case Not(EqualTo(attr, v: String)) => Some(GdcFilter.Exclude(unquote(attr), Seq(v)))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(translate(_).isDefined)
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // An empty projection (e.g. count(*)) still needs a probe column.
+    required =
+      if (requiredSchema.isEmpty) StructType(fullSchema.take(1)) else requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan =
+    new GdcScan(required, options, pushed.flatMap(translate), limit)
+}
+
+class GdcScan(
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    conds: Array[GdcFilter.Cond],
+    limit: Option[Int])
+    extends Scan with Batch {
+
+  private val endpoint = options.get("endpoint")
+  private val transportClass = options.get("transport")
+  private val pageSize = Option(options.get("pageSize")).map(_.toInt).getOrElse(20000)
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GdcScan(endpoint=$endpoint, pushed=${conds.mkString(",")}, limit=$limit)"
+
+  private def baseParams: Map[String, String] = {
+    val filterParam =
+      if (conds.isEmpty) Map.empty[String, String]
+      else Map("filters" -> GdcFilter.simpleAndFilter(conds.toSeq))
+    filterParam + ("fields" -> schema.fieldNames.mkString(","))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // O3: the size-1 probe establishes the result count server-side.
+    val transport = GdcDataSource.newTransport(transportClass)
+    val total = GdcDataSource.parseTotal(
+      transport.fetch(endpoint, baseParams + ("size" -> "1")))
+    val effective = limit.fold(total)(l => math.min(total, l.toLong))
+    // O4: one partition per result page.
+    (0L until effective by pageSize.toLong).map { from =>
+      val size = math.min(pageSize.toLong, effective - from)
+      GdcInputPartition(from, size): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GdcReaderFactory(endpoint, transportClass, baseParams, schema.fieldNames)
+}
+
+case class GdcInputPartition(from: Long, size: Long) extends InputPartition
+
+class GdcReaderFactory(
+    endpoint: String,
+    transportClass: String,
+    baseParams: Map[String, String],
+    fields: Array[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GdcInputPartition]
+    new PartitionReader[InternalRow] {
+      private lazy val hits = {
+        val transport = GdcDataSource.newTransport(transportClass)
+        GdcDataSource.parseHits(transport.fetch(endpoint,
+          baseParams ++ Map("from" -> p.from.toString, "size" -> p.size.toString)))
+      }.iterator
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (hits.hasNext) {
+          val hit = hits.next()
+          current = new GenericInternalRow(
+            fields.map { f =>
+              val v = GdcDataSource.extractPath(hit, f)
+              if (v == null) null else UTF8String.fromString(v)
+            }.toArray[Any])
+          true
+        } else false
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.gdc.{GdcDataSource, GdcTransport}
+
+/** A deterministic in-memory GDC server: 57 file records over two
+  * projects, honoring filters / fields / from / size like the real
+  * API, and recording every request so pushdown can be asserted at
+  * the wire level — not just on results. */
+class FakeGdcServer extends GdcTransport {
+  import FakeGdcServer._
+
+  override def fetch(endpoint: String, params: Map[String, String]): String = {
+    record(endpoint, params)
+    val all = records.filter(matches(_, params.get("filters")))
+    val from = params.get("from").map(_.toInt).getOrElse(0)
+    val size = params.get("size").map(_.toInt).getOrElse(10)
+    val page = all.slice(from, from + size)
+    val hits = page.map(toJson).mkString("[", ",", "]")
+    s"""{"data":{"hits":$hits,"pagination":{"total":${all.size}}}}"""
+  }
+}
+
+object FakeGdcServer {
+  final case class Rec(fileId: String, project: String, dtype: String, md5: String)
+
+  // 57 records, 2 projects, 3 dtypes — closed-form, no RNG.
+  val records: Seq[Rec] = (0 until 57).map { i =>
+    Rec(f"file-$i%04d",
+      if (i % 3 == 0) "TCGA-BRCA" else "TCGA-LUAD",
+      Seq("star_counts", "mirna", "maf")(i % 3),
+      f"$i%032x")
+  }
+
+  val requests: mutable.Buffer[(String, Map[String, String])] =
+    mutable.Buffer.empty
+
+  def record(endpoint: String, params: Map[String, String]): Unit =
+    synchronized { requests += ((endpoint, params)) }
+
+  /** Minimal evaluator for the `{"op":"and"}` filter DSL the scan
+    * pushes (string match on the rendered JSON keeps the fake free of
+    * a JSON parser — conditions are rendered deterministically). */
+  def matches(r: Rec, filterJson: Option[String]): Boolean = filterJson match {
+    case None => true
+    case Some(f) =>
+      def field(name: String): String = name match {
+        case "cases.project.project_id" => r.project
+        case "data_type" => r.dtype
+        case "file_id" => r.fileId
+        case other => sys.error(s"fake server: unknown field $other")
+      }
+      // every {"op":...} condition block must hold
+      val cond = """\{"op":"(in|exclude)","content":\{"field":"([^"]+)","value":\[([^\]]*)\]\}\}""".r
+      cond.findAllMatchIn(f).forall { m =>
+        val vals = m.group(3).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+        val hit = vals.contains(field(m.group(2)))
+        if (m.group(1) == "in") hit else !hit
+      }
+  }
+
+  def toJson(r: Rec): String =
+    s"""{"file_id":"${r.fileId}","data_type":"${r.dtype}","md5sum":"${r.md5}",
+       |"cases":[{"project":{"project_id":"${r.project}"}}]}""".stripMargin.replace("\n", "")
+}
+
+/** DataSourceV2 connector: filter / column / limit pushdown reach the
+  * wire, pages become partitions, dotted paths flatten arrays. */
+class GdcConnectorSpec extends SparkSpecBase {
+
+  private def gdc(pageSize: Int = 20) = spark.read.format("gdc")
+    .option("endpoint", "files")
+    .option("fields", "file_id,data_type,md5sum,cases.project.project_id")
+    .option("transport", classOf[FakeGdcServer].getName)
+    .option("pageSize", pageSize.toString)
+    .load()
+
+  test("full scan returns every record with dotted paths flattened") {
+    val rows = gdc().collect()
+    assert(rows.length == 57)
+    val first = gdc().filter(col("file_id") === "file-0000").head()
+    assert(first.getAs[String]("cases.project.project_id") == "TCGA-BRCA")
+  }
+
+  test("equality and IN filters are pushed to the wire as the GDC DSL") {
+    FakeGdcServer.requests.clear()
+    val brca = gdc().filter(col("`cases.project.project_id`") === "TCGA-BRCA")
+    assert(brca.count() == 19)
+    val filters = FakeGdcServer.requests.flatMap(_._2.get("filters")).distinct
+    assert(filters.nonEmpty, "no filters reached the transport")
+    assert(filters.forall(_.contains(
+      """{"op":"in","content":{"field":"cases.project.project_id","value":["TCGA-BRCA"]}}""")),
+      filters.mkString("\n"))
+    // and the plan reports it as pushed
+    val plan = brca.queryExecution.executedPlan.toString
+    assert(plan.contains("GdcScan"), plan.take(800))
+  }
+
+  test("NOT IN pushes as exclude; residual filters stay in Spark") {
+    FakeGdcServer.requests.clear()
+    val notMaf = gdc().filter(!col("data_type").isin("maf"))
+    assert(notMaf.count() == 38)
+    val filters = FakeGdcServer.requests.flatMap(_._2.get("filters")).distinct
+    assert(filters.forall(_.contains("\"op\":\"exclude\"")), filters.mkString("\n"))
+    // contains() is not translatable → residual, evaluated by Spark
+    val resid = gdc().filter(col("file_id").contains("003"))
+    assert(resid.count() == 11) // file-0003 and file-0030..0039
+  }
+
+  test("column pruning reaches the fields= param") {
+    FakeGdcServer.requests.clear()
+    val ids = gdc().select("file_id")
+    assert(ids.count() == 57)
+    val fieldParams = FakeGdcServer.requests.map(_._2("fields")).distinct
+    assert(fieldParams.contains("file_id"), fieldParams.mkString("\n"))
+    assert(!fieldParams.exists(_.contains("md5sum")) ||
+      fieldParams.forall(f => f == "file_id" || !f.contains("file_id")),
+      "pruned scan still requests all fields: " + fieldParams.mkString("\n"))
+  }
+
+  test("limit pushes into the probe protocol; pages become partitions") {
+    val limited = gdc(pageSize = 20).limit(5)
+    assert(limited.count() == 5)
+    // pageSize 20 over 57 records → 3 partitions on the full scan
+    assert(gdc(pageSize = 20).rdd.getNumPartitions == 3)
+    assert(gdc(pageSize = 100).rdd.getNumPartitions == 1)
+  }
+}
