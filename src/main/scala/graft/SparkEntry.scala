@@ -563,6 +563,21 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster_id"))
   }
 
+  /** Deterministic train/valid/test assignment: a hash-based split is
+    * stable across runs, engines and cluster sizes (no RNG, no
+    * sampling order dependence) — the reproducible way to split a
+    * training corpus. 80/10/10 on md5(doc_id) mod 100. */
+  def q53Split(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Multimodal audio: canonical RIFF/PCM WAV header parse
     * per-partition (real, no codec) + declarative duration math. */
   def q50AudioMeta(s: SparkSession, dir: String): DataFrame =
@@ -645,6 +660,7 @@ object SparkEntry {
     "q50_audio_meta" -> (q50AudioMeta _),
     "q51_audio_frames" -> (q51AudioFrames _),
     "q52_embedding_clusters" -> (q52EmbeddingClusters _),
+    "q53_split" -> (q53Split _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1019,6 +1035,16 @@ object SparkEntry {
         |FROM keep
         |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
         |GROUP BY lang""".stripMargin,
+    "q53_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     // q50/q51 oracles parse the same WAV bytes via read_blob + hex():
     // byte n (1-based) occupies hex chars 2n-1..2n, so a little-endian
     // field is the byte-reversed concat of its hex pairs. Frame

@@ -108,4 +108,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(emitted.groupBy("fp").count().filter(col("count") > 1).isEmpty)
     assert(emitted.count() > 0)
   }
+
+  test("text-analysis battery runs unchanged under readStream (one codepath)") {
+    import graft.functions.TextFunctions
+    // The scoring battery is a stateless projection, so the SAME
+    // column expressions must run identically per micro-batch.
+    def score(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langIdHeuristic(col("text")).as("lang"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text_stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    // two file drops → two micro-batches
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/in")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = score(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("text_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("text_stream").collect().map(_.toSeq).toSet
+    val batch = score(docs.select("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size == docs.count())
+  }
 }
