@@ -105,6 +105,31 @@ class PropertySpec extends SparkSpecBase {
       got(s"$shared and a suffix").toSet).nonEmpty)
   }
 
+  test("property: dupClusters equals union-find on seeded random graphs") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    for (trial <- 1 to 5) {
+      val r = new scala.util.Random(100 + trial)
+      val n = 60 + r.nextInt(60)
+      val edges = Seq.fill(n / 2)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var i = x; while (parent(i) != i) i = parent(i); i }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val got = Dedup.dupClusters(
+        (0L until n.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
