@@ -567,16 +567,43 @@ object SparkEntry {
     * stable across runs, engines and cluster sizes (no RNG, no
     * sampling order dependence) — the reproducible way to split a
     * training corpus. 80/10/10 on md5(doc_id) mod 100. */
-  def q53Split(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic 80/10/10 hash-bucket split label for `doc_id` —
+    * shared by q53 (the split itself) and q54 (decontamination across
+    * the same split boundaries) so the two can never disagree. */
+  private def splitLabel: Column = {
     val bucket = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
       lit(100L))
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      when(bucket < 80, lit("train"))
-        .when(bucket < 90, lit("valid"))
-        .otherwise(lit("test")).as("split"))
+    when(bucket < 80, lit("train"))
+      .when(bucket < 90, lit("valid"))
+      .otherwise(lit("test"))
   }
+
+  def q53Split(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), splitLabel.as("split"))
+
+  /** Benchmark decontamination: train-split documents ranked by how
+    * many distinct word 5-grams they share with the held-out valid
+    * split (the GPT-3/PaLM n-gram-overlap contamination check). The
+    * benchmark gram set is broadcast — the corpus side never shuffles
+    * before its per-doc count. */
+  def q54Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("split", splitLabel)
+    graft.dedup.Dedup.crossNgramOverlap(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "valid"),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Gopher-style repetition filter: per-document duplicated-3-gram
+    * fraction. Tokens are materialized as a column before the n-gram
+    * lambda so the tokenizer runs once per row. */
+  def q55Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        round(graft.functions.TextFunctions.dupNgramFrac(col("toks"), 3), 6)
+          .as("dup3_frac"))
 
   /** Multimodal audio: canonical RIFF/PCM WAV header parse
     * per-partition (real, no codec) + declarative duration math. */
@@ -661,6 +688,8 @@ object SparkEntry {
     "q51_audio_frames" -> (q51AudioFrames _),
     "q52_embedding_clusters" -> (q52EmbeddingClusters _),
     "q53_split" -> (q53Split _),
+    "q54_decontaminate" -> (q54Decontaminate _),
+    "q55_repetition" -> (q55Repetition _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1045,6 +1074,42 @@ object SparkEntry {
         |       WHEN bucket < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q54_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM b),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, bucket, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 5
+        |    THEN list_transform(generate_series(1, len(tk) - 4),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+        |    ELSE [] END) AS t(g)),
+        |bg AS (SELECT DISTINCT g FROM grams WHERE bucket >= 80 AND bucket < 90)
+        |SELECT gr.doc_id, count(*) AS shared_grams
+        |FROM grams gr JOIN bg USING (g) WHERE gr.bucket < 80
+        |GROUP BY 1""".stripMargin,
+    "q55_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |    THEN list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END AS grams
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(grams) > 0
+        |    THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |    ELSE 0.0 END, 6) AS dup3_frac
+        |FROM g""".stripMargin,
     // q50/q51 oracles parse the same WAV bytes via read_blob + hex():
     // byte n (1-based) occupies hex chars 2n-1..2n, so a little-endian
     // field is the byte-reversed concat of its hex pairs. Frame

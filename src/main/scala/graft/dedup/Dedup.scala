@@ -377,4 +377,32 @@ object Dedup {
     }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Benchmark decontamination: for every corpus document, the number
+    * of distinct word `n`-grams it shares with a held-out/benchmark
+    * set (the GPT-3/PaLM-style n-gram-overlap contamination check —
+    * corpus docs with `shared_grams > 0` leak benchmark content and
+    * get dropped or flagged upstream of training).
+    *
+    * Scale shape: benchmark sets are small by construction (10³–10⁵
+    * docs vs a 100 TB corpus), so the distinct benchmark gram set is
+    * BROADCAST and the corpus side never shuffles before its final
+    * per-doc count (partial aggregation map-side, short doc-id key).
+    * The corpus gram lists are born deduplicated (see [[docGrams]]),
+    * so the join output is (doc, gram)-unique and `count` equals the
+    * distinct overlap.
+    */
+  def crossNgramOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = docGrams(benchmark, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    docGrams(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
 }

@@ -87,6 +87,21 @@ object TextFunctions {
       punctScore * lit(0.3)), 6)
   }
 
+  /** Fraction of word n-grams that are repeats within the document
+    * (a Gopher-style repetition quality filter: high duplicated-n-gram
+    * fraction marks boilerplate/spam). 0.0 for documents shorter than
+    * `n` tokens. Narrow per-row arithmetic — pass a MATERIALIZED token
+    * array column (not an inline `tokens(...)` expression): the three
+    * `grams` references would otherwise re-tokenize per use.
+    */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val grams = wordNgrams(toks, n)
+    when(size(grams) > lit(0),
+      (size(grams) - size(array_distinct(grams))).cast("double")
+        / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Rule-based language-ID heuristic: scores marker-token hits per
     * language and picks the best, defaulting to "en" when nothing
     * matches. Stands in for an n-gram profile model; the scoring shape

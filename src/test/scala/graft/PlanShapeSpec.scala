@@ -120,6 +120,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p49.contains("CartesianProduct"))
   }
 
+  test("q54: benchmark gram set broadcasts; corpus side joins without a shuffle") {
+    val p = plan("q54_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "decontamination gram join is not broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus grams were shuffle-joined against the benchmark set:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q55: repetition filter is a single narrow stage (no shuffle at all)") {
+    val p = plan("q55_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-row repetition ratio hash-shuffles:\n" + p.take(1500))
+    // tokens materialized once: a Project emits the token array
+    // attribute consumed by the n-gram lambda.
+    assert(p.contains(" AS toks#"),
+      "token array was inlined into the n-gram lambda:\n" + p.take(1500))
+  }
+
   test("custom dot_product participates in codegen (q23 projection)") {
     val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
     df.collect() // finalize the adaptive plan
