@@ -59,7 +59,10 @@ object GdcTransforms {
     * comment filtering (correct across files, unlike row-skipping).
     * All columns come back as strings — callers cast (P8).
     */
-  def readRaw(spark: SparkSession, dir: String, cfg: RawReadConfig): DataFrame = {
+  /** The unprojected scan of a dtype directory (all columns, string
+    * typed) — shared by [[readRaw]] and the streaming source's schema
+    * derivation ([[graft.streaming.MatrixStream.rawSchema]]). */
+  private[graft] def readRawFull(spark: SparkSession, dir: String, cfg: RawReadConfig): DataFrame = {
     val reader = spark.read
       .option("sep", "\t")
       .option("header", cfg.header.toString)
@@ -68,7 +71,11 @@ object GdcTransforms {
       case Some(c) => reader.option("comment", c)
       case None    => reader
     }
-    val raw = withComment.csv(dir)
+    withComment.csv(dir)
+  }
+
+  def readRaw(spark: SparkSession, dir: String, cfg: RawReadConfig): DataFrame = {
+    val raw = readRawFull(spark, dir, cfg)
     val cols = cfg.usecols.map(i => col(raw.columns(i)))
     raw.select(cols :+ sampleIdFromFile.as("__sample"): _*)
   }
@@ -85,13 +92,16 @@ object GdcTransforms {
     *   sample list is known from the download map, so the pivot needs
     *   no extra distinct-collect job (SURVEY §7 risk 1).
     */
-  def sampleColumnsMatrix(
-      spark: SparkSession,
-      dir: String,
-      strategy: SampleColumnsMatrix,
-      sampleValues: Seq[String]): DataFrame = {
+  /** The long-form value stage shared by the batch matrix assembly and
+    * the incremental streaming path ([[graft.streaming.MatrixStream]]):
+    * projected raw rows → (id, __sample, __value) → sentinel filter →
+    * replicate mean (exact decimal sums) → optional log2(x+1) rounded
+    * 6dp. Works unchanged on a batch OR streaming `raw` frame — the
+    * groupBy becomes a stateful streaming aggregation under
+    * `readStream` (one codepath, two execution modes).
+    */
+  def longMeanValues(raw: DataFrame, strategy: SampleColumnsMatrix): DataFrame = {
     val cfg = strategy.read
-    val raw = readRaw(spark, dir, cfg)
     val idC = col(raw.columns(0)).as(cfg.idName)
     val valC = col(raw.columns(1)).cast("double").as("__value")
     val long = raw.select(idC, col("__sample"), valC)
@@ -104,10 +114,18 @@ object GdcTransforms {
       // cells (pandas `mean` semantics); an all-null group stays null.
       .agg((sum(col("__value").cast("decimal(28,10)")).cast("double") /
         count(col("__value"))).as("__value"))
-    val valued =
-      if (strategy.log2)
-        averaged.withColumn("__value", round(XenaOps.log2p1(col("__value")), 6))
-      else averaged
+    if (strategy.log2)
+      averaged.withColumn("__value", round(XenaOps.log2p1(col("__value")), 6))
+    else averaged
+  }
+
+  def sampleColumnsMatrix(
+      spark: SparkSession,
+      dir: String,
+      strategy: SampleColumnsMatrix,
+      sampleValues: Seq[String]): DataFrame = {
+    val cfg = strategy.read
+    val valued = longMeanValues(readRaw(spark, dir, cfg), strategy)
     val wide = XenaOps.pivotMatrix(valued, cfg.idName, "__sample", "__value", sampleValues)
     strategy.fillNa match {
       // 'NA' fill renders at the TSV sink; in the relational result it

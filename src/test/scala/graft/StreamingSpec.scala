@@ -144,4 +144,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
     assert(batch.size == docs.count())
   }
+
+  test("incremental matrix stream == batch rebuild, before and after new files land") {
+    import graft.model.DTypes
+    import graft.streaming.MatrixStream
+    import graft.transform.GdcTransforms
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    val strategy = DTypes.registry("star_counts")
+      .strategy.asInstanceOf[DTypes.SampleColumnsMatrix]
+    val srcDir = Paths.get("/root/repo/fixtures/star_counts")
+    val all = Files.list(srcDir).toArray.map(_.toString).sorted
+    assert(all.length >= 4, "spec needs >= 4 star fixtures")
+    val landing = Files.createTempDirectory("graft_matrix_stream").toString
+    def land(paths: Seq[String]): Unit = paths.foreach { p =>
+      Files.copy(Paths.get(p),
+        Paths.get(landing, Paths.get(p).getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def batchNow() = GdcTransforms.longMeanValues(
+      GdcTransforms.readRaw(spark, landing, strategy.read), strategy)
+      .collect().map(_.toSeq).toSet
+
+    land(all.take(2))
+    val schema = MatrixStream.rawSchema(spark, landing, strategy.read)
+    val q = MatrixStream.incrementalLongMatrix(spark, landing, strategy, schema)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("matrix_stream").start()
+    try {
+      q.processAllAvailable()
+      val after2 = spark.table("matrix_stream").collect().map(_.toSeq).toSet
+      assert(after2 == batchNow(), "2-file stream state != batch rebuild")
+      assert(after2.nonEmpty)
+
+      land(all.drop(2)) // new samples arrive: fold into running state
+      q.processAllAvailable()
+      val after4 = spark.table("matrix_stream").collect().map(_.toSeq).toSet
+      assert(after4 == batchNow(), "4-file stream state != batch rebuild")
+      assert(after4.size > after2.size, "new files added no (probe,sample) cells")
+    } finally q.stop()
+  }
 }
