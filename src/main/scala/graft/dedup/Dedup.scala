@@ -150,8 +150,41 @@ object Dedup {
     * hex digits of md5, as a non-negative long. Engine-portable (md5 is
     * md5 everywhere) and uniform.
     */
-  private def gramHash(gram: Column): Column =
+  private[graft] def gramHash(gram: Column): Column =
     conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+
+  /** Per-ROW MinHash signature over a MATERIALIZED array of pmod'ed
+    * gram hashes — for sources where one row carries the whole
+    * document (e.g. the streaming near-dup path,
+    * [[graft.streaming.StreamNearDup]]). Hash parametrization is
+    * identical to [[graft.functions.MinHashSketchAgg]], so the two
+    * forms produce bit-equal signatures (asserted in
+    * DedupSketchSpec). Pass an ATTRIBUTE column, not an inline
+    * expression: each of the `numHashes` slots references it once.
+    */
+  def minHashSignature(hashes: Column, numHashes: Int): Column = {
+    val p = graft.functions.MinHashSketchAgg.Prime
+    array((0 until numHashes).map { i =>
+      val a = 2L * i + 1
+      val b = 1013904223L * (i + 1) % p
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(p)))
+    }: _*)
+  }
+
+  /** The (band, bucket) struct array for a signature column: bucket =
+    * md5 of the band's signature slice. Shared by the batch LSH
+    * self-join and the streaming keyed-state path so both sides bucket
+    * identically. Pass a materialized signature attribute.
+    */
+  def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { bIdx =>
+      val comps = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+        .map(i => element_at(sig, i + 1))
+      struct(lit(bIdx).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
+    }: _*)
+  }
 
   /** MinHash signature + banded LSH near-dup detection.
     *
@@ -164,17 +197,18 @@ object Dedup {
     * not a RNG, so results are reproducible across runs and engines.
     * Returns (doc_a, doc_b, jaccard) for verified pairs >= threshold.
     */
-  def minHashLshPairs(
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from the banded
+    * bucket self-join — the pre-verification stage of
+    * [[minHashLshPairs]], exposed so the streaming keyed-state path
+    * can be checked equal to it.
+    */
+  def minHashCandidates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
     val grams = docGrams(docs, idCol, textCol, n)
       .withColumn("h", pmod(gramHash(col("gram")), lit(1L << 32)))
 
@@ -190,28 +224,33 @@ object Dedup {
     // Band key: hash of the concatenated signature slice. One explode
     // over an array of (band, bucket) structs — NOT a bands-way union,
     // which would recompute the signature aggregate once per band per
-    // join side.
-    val bandStructs = (0 until bands).map { bIdx =>
-      val comps = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
-        .map(i => element_at(col("sig"), i + 1))
-      struct(lit(bIdx).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
-    }
-    // One row per doc × numHashes longs — small; materialized once so
-    // the shingle+min-agg subplan doesn't run once per self-join side.
+    // join side. One row per doc × numHashes longs — small;
+    // materialized once so the shingle+min-agg subplan doesn't run
+    // once per self-join side.
     val bandTable = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), explode(bandBuckets(col("sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint(false)
 
     val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
     val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
-    val candidates = ca.join(cb, Seq("band", "bucket"))
+    ca.join(cb, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-
-    verifyCandidates(docs, candidates, idCol, textCol, n, threshold)
   }
+
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    verifyCandidates(docs,
+      minHashCandidates(docs, idCol, textCol, n, numHashes, bands),
+      idCol, textCol, n, threshold)
 
   /** 60-bit SimHash signatures: per-token md5-derived hash; signature
     * bit j = sign of the sum over tokens of ±1 at bit j.

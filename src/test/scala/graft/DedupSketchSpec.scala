@@ -46,6 +46,31 @@ class DedupSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("per-row minHashSignature is bit-equal to the aggregate sketch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 16
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- 0 until 25
+      _ <- 0 until (5 + rnd.nextInt(40))
+    } yield (g.toLong, rnd.nextLong().abs % (1L << 32))
+    val df = rows.toDF("doc_id", "h").repartition(4)
+
+    val agg = df.groupBy(col("doc_id"))
+      .agg(MinHashSketchAgg.minhashSketch(col("h"), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+    // Per-row form: one row per doc carrying the hash array.
+    val perRow = df.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        graft.dedup.Dedup.minHashSignature(col("hs"), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+    assert(perRow == agg)
+  }
+
   test("simhash sketch equals the declarative 60-column vote signatures") {
     val spark2 = spark
     import spark2.implicits._

@@ -145,6 +145,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.size == docs.count())
   }
 
+  test("streaming near-dup candidates == batch LSH candidates (and batch-mode fMGWS too)") {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamNearDup
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batchCands = pairSet(
+      Dedup.minHashCandidates(docs, "doc_id", "text", n = 2))
+    assert(batchCands.nonEmpty, "fixture corpus yields no LSH candidates")
+
+    // Same code on a batch frame: every same-bucket pair in one pass.
+    val batchMode = pairSet(
+      StreamNearDup.candidatePairs(docs, "doc_id", "text", n = 2))
+    assert(batchMode == batchCands)
+
+    // Streaming: two file drops, candidate pairs accumulate across
+    // micro-batch boundaries via the bucket state.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/in")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = StreamNearDup.candidatePairs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+      "doc_id", "text", n = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(pairSet(spark.table("neardup_stream")) == batchCands)
+  }
+
   test("incremental matrix stream == batch rebuild, before and after new files land") {
     import graft.model.DTypes
     import graft.streaming.MatrixStream
