@@ -177,6 +177,44 @@ object Cli {
       println(s"top-$k vocabulary written to $out")
       0
 
+    case "split" :: rest =>
+      // Deterministic hash-bucket train/valid/test assignment.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val trainPct = m.get("--train").flatMap(_.headOption).map(_.toInt).getOrElse(80)
+      val validPct = m.get("--valid").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(in)
+        .select(col(idCol),
+          graft.functions.TextFunctions.hashSplit(col(idCol), trainPct, validPct).as("split"))
+        .write.mode("overwrite").parquet(out)
+      println(s"split assignment written to $out")
+      0
+
+    case "decontaminate" :: rest =>
+      // Drop corpus docs sharing any word n-gram with the benchmark
+      // set (GPT-3-style decontamination); writes the clean corpus.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val benchPath = one(m, "-b", "--benchmark")
+      val out = one(m, "-o", "--output")
+      val n = m.get("-n").flatMap(_.headOption).map(_.toInt).getOrElse(5)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in)
+      val contaminated = graft.dedup.Dedup.crossNgramOverlap(
+        docs, spark.read.parquet(benchPath), idCol, textCol, n)
+        .select(col("doc_id").as(idCol))
+      val clean = docs.join(contaminated, Seq(idCol), "left_anti")
+      clean.write.mode("overwrite").parquet(out)
+      println(s"decontaminated corpus written to $out")
+      0
+
     case other =>
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
@@ -187,6 +225,8 @@ object Cli {
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
+           |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
+           |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

@@ -570,14 +570,8 @@ object SparkEntry {
   /** Deterministic 80/10/10 hash-bucket split label for `doc_id` —
     * shared by q53 (the split itself) and q54 (decontamination across
     * the same split boundaries) so the two can never disagree. */
-  private def splitLabel: Column = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(100L))
-    when(bucket < 80, lit("train"))
-      .when(bucket < 90, lit("valid"))
-      .otherwise(lit("test"))
-  }
+  private def splitLabel: Column =
+    graft.functions.TextFunctions.hashSplit(col("doc_id"))
 
   def q53Split(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), splitLabel.as("split"))

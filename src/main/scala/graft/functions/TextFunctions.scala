@@ -87,6 +87,21 @@ object TextFunctions {
       punctScore * lit(0.3)), 6)
   }
 
+  /** Deterministic hash-bucket corpus split label ("train"/"valid"/
+    * "test") from a document id: md5 of the id → bucket 0..99 →
+    * percentile thresholds. Reproducible across runs, engines and
+    * corpus growth (a doc's split never changes as others arrive) —
+    * the property a training pipeline needs from its split.
+    */
+  def hashSplit(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    val bucket = pmod(
+      conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + validPct, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
   /** Fraction of word n-grams that are repeats within the document
     * (a Gopher-style repetition quality filter: high duplicated-n-gram
     * fraction marks boilerplate/spam). 0.0 for documents shorter than

@@ -137,6 +137,31 @@ class DomainSpec extends SparkSpecBase {
     assert(vocab.columns.toSeq == Seq("token", "n"))
   }
 
+  test("CLI split/decontaminate: deterministic split, anti-joined clean corpus") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_split").toString
+
+    assert(graft.Cli.run(Array("split", "-i", docs, "-o", s"$tmp/split")) == 0)
+    val split = spark.read.parquet(s"$tmp/split")
+    assert(split.count() == 500)
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "valid", "test"))
+    assert(byLabel("train") > byLabel("valid") && byLabel("train") > byLabel("test"))
+
+    // benchmark = the valid split's documents
+    spark.read.parquet(docs)
+      .join(split.filter(col("split") === "valid").select("doc_id"), Seq("doc_id"))
+      .write.parquet(s"$tmp/bench")
+    assert(graft.Cli.run(Array(
+      "decontaminate", "-i", docs, "-b", s"$tmp/bench", "-o", s"$tmp/clean")) == 0)
+    val clean = spark.read.parquet(s"$tmp/clean")
+    // every benchmark doc shares all its grams with itself → dropped
+    assert(clean.count() < 500)
+    assert(clean.join(spark.read.parquet(s"$tmp/bench"), Seq("doc_id"), "left_semi").count() == 0,
+      "a benchmark doc survived decontamination")
+  }
+
   test("CLI xena-eql: equal and unequal matrices, exit codes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
     import spark.implicits._
@@ -159,5 +184,38 @@ class DomainSpec extends SparkSpecBase {
     assert(back.columns.head == "Ensembl_ID")
     assert(back.count() == 8)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".json")))
+  }
+
+  test("writeSharded: globally-ordered shards cat-merge to the single-file matrix") {
+    import spark.implicits._
+    val df = (1 to 97)
+      .map(i => (f"probe_$i%03d", i * 1.5, s"s$i"))
+      .toDF("id", "v", "s")
+      .orderBy(rand(42)) // deliberately unsorted input
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    graft.io.XenaTsv.write(df, s"$tmp/single", rowKey = Some("id"))
+    val header = graft.io.XenaTsv.writeSharded(df, s"$tmp/shards", "id", shards = 4)
+
+    def partLines(dir: String): Seq[String] = {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+      parts.flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
+      }
+    }
+    val singleLines = partLines(s"$tmp/single")
+    assert(singleLines.head == header, "sharded header != single-file header")
+
+    val shardFiles = new java.io.File(s"$tmp/shards").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(shardFiles.length > 1, "range partitioner produced a single shard")
+
+    // cat in filename order reproduces the single-file body, globally
+    // sorted by row key (key is the line prefix, so line order == key
+    // order for this fixture).
+    val catted = partLines(s"$tmp/shards")
+    assert(catted == singleLines.tail.sorted,
+      "concatenated shards != sorted single-file body")
   }
 }

@@ -130,6 +130,40 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: crossNgramOverlap equals brute-force gram-set intersection") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val vocab = ('a' to 'j').map(_.toString)
+    for (trial <- 1 to 3) {
+      val r = new scala.util.Random(40 + trial)
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(r.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 30L).map(i => (i, doc(8 + r.nextInt(12))))
+      // benchmark docs: half substrings of corpus docs (guaranteed
+      // overlap), half fresh
+      val bench = (100L until 108L).map { i =>
+        if (i % 2 == 0) {
+          val src = corpus(r.nextInt(corpus.size))._2.split(" ")
+          (i, src.slice(0, 4 + r.nextInt(math.max(1, src.length - 4))).mkString(" "))
+        } else (i, doc(6 + r.nextInt(8)))
+      }
+      val n = 3
+      def grams(text: String): Set[String] =
+        text.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet
+      val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+      val expect = corpus
+        .map { case (id, t) => id -> (grams(t) & benchGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+
+      val got = Dedup.crossNgramOverlap(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
