@@ -9,9 +9,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, Not}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, Not}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -131,11 +132,13 @@ class GdcScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var countStar = false
 
   /** Filter attributes for dotted column names arrive backtick-quoted
     * (`` `cases.project.project_id` ``); the GDC wire field is the raw
@@ -156,9 +159,20 @@ class GdcScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, residual) = filters.partition(translate(_).isDefined)
-    pushed = supported
-    residual
+    val supported = filters.filter(translate(_).isDefined)
+    // Catalyst pairs every EqualTo/In with an IsNotNull on the same
+    // attribute. A GDC `in` condition already implies non-null
+    // server-side, so the IsNotNull is fully handled by the pushed
+    // condition — keeping it as a residual would (correctly but
+    // uselessly) block complete count(*) pushdown.
+    val inAttrs = supported.flatMap(translate).collect {
+      case GdcFilter.In(f, _) => f
+    }.toSet
+    val implied = filters.collect {
+      case f @ IsNotNull(a) if inAttrs.contains(unquote(a)) => f
+    }
+    pushed = supported ++ implied
+    filters.filterNot(pushed.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -170,8 +184,65 @@ class GdcScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** A9/O3: a global `count(*)` is EXACTLY the reference's pagination
+    * probe (`gdc.py:297-301` — `size=1`, read `pagination.total`).
+    * Complete pushdown: the scan answers with one row from one wire
+    * request; no hit pages are ever fetched. */
+  private def isCountStar(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    isCountStar(agg) && limit.isEmpty
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (isCountStar(agg) && limit.isEmpty) { countStar = true; true }
+    else false
+
   override def build(): Scan =
-    new GdcScan(required, options, pushed.flatMap(translate), limit)
+    if (countStar) new GdcCountScan(options, pushed.flatMap(translate))
+    else new GdcScan(required, options, pushed.flatMap(translate), limit)
+}
+
+/** The count(*) scan: one partition, one `size=1` probe request,
+  * one output row holding `pagination.total`. */
+class GdcCountScan(options: CaseInsensitiveStringMap, conds: Array[GdcFilter.Cond])
+    extends Scan with Batch {
+
+  private val endpoint = options.get("endpoint")
+  private val transportClass = options.get("transport")
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GdcCountScan(endpoint=$endpoint, pushed=${conds.mkString(",")})"
+
+  private def probeParams: Map[String, String] = {
+    val filterParam =
+      if (conds.isEmpty) Map.empty[String, String]
+      else Map("filters" -> GdcFilter.simpleAndFilter(conds.toSeq))
+    filterParam + ("size" -> "1")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GdcInputPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ep = endpoint; val tc = transportClass; val params = probeParams
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        val total = GdcDataSource.parseTotal(
+          GdcDataSource.newTransport(tc).fetch(ep, params))
+        new GenericInternalRow(Array[Any](total))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GdcScan(

@@ -113,12 +113,31 @@ class GdcConnectorSpec extends SparkSpecBase {
   test("column pruning reaches the fields= param") {
     FakeGdcServer.requests.clear()
     val ids = gdc().select("file_id")
-    assert(ids.count() == 57)
-    val fieldParams = FakeGdcServer.requests.map(_._2("fields")).distinct
+    // collect, not count: count(*) is now answered by the probe alone
+    // and would never send a fields= request at all
+    assert(ids.collect().length == 57)
+    val fieldParams = FakeGdcServer.requests.flatMap(_._2.get("fields")).distinct
     assert(fieldParams.contains("file_id"), fieldParams.mkString("\n"))
     assert(!fieldParams.exists(_.contains("md5sum")) ||
       fieldParams.forall(f => f == "file_id" || !f.contains("file_id")),
       "pruned scan still requests all fields: " + fieldParams.mkString("\n"))
+  }
+
+  test("count(*) answers from the size-probe alone (aggregate pushdown)") {
+    FakeGdcServer.requests.clear()
+    assert(gdc().count() == 57)
+    assert(FakeGdcServer.requests.nonEmpty)
+    assert(FakeGdcServer.requests.forall(_._2.get("size").contains("1")),
+      "count(*) fetched hit pages: " + FakeGdcServer.requests.mkString("\n"))
+
+    // filters still reach the probe's wire request
+    FakeGdcServer.requests.clear()
+    val brca = gdc()
+      .filter(col("`cases.project.project_id`") === "TCGA-BRCA").count()
+    assert(brca == 19)
+    assert(FakeGdcServer.requests.forall { r =>
+      r._2.get("size").contains("1") && r._2.contains("filters")
+    }, "filtered count(*) probe lost the filter or fetched pages")
   }
 
   test("limit pushes into the probe protocol; pages become partitions") {
