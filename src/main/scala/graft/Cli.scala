@@ -35,6 +35,28 @@ object Cli {
     keys.flatMap(k => m.getOrElse(k, Nil)).headOption.getOrElse(
       sys.error(s"missing required option ${keys.mkString("/")}"))
 
+  /** One dtype's ETL: raw dir → matrix TSV + Loader metadata JSON. */
+  private def etlOne(
+      spark: SparkSession,
+      dtype: String,
+      rawDir: String,
+      out: String,
+      cohort: String): Unit = {
+    val matrix: DataFrame = dtype match {
+      case "clinical" => Clinical.clinicalMatrix(spark, rawDir)
+      case "survival" =>
+        GdcTransforms.survivalMatrix(spark, s"$rawDir/survival.tsv", s"$rawDir/case_samples.json")
+      case d => GdcTransforms.transform(spark, d, rawDir)
+    }
+    XenaTsv.write(matrix, out, rowKey = Some(matrix.columns.head))
+    val vars0 = XenaMetadata.Vars(
+      xenaCohort = cohort,
+      date = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("MM-dd-yyyy")))
+    val vars = XenaMetadata.dtypeVariables.get(dtype).map(_(vars0)).getOrElse(vars0)
+    XenaMetadata.write(out, DTypes.registry(dtype).metadataKind, vars)
+  }
+
   /** Long-shape dtypes merge vertically; matrix dtypes horizontally
     * (reference `utils.py:92-112`). */
   private def isLongShape(dtype: String): Boolean =
@@ -48,22 +70,36 @@ object Cli {
       val rawDir = one(m, "-r", "--root")
       val out = one(m, "-o", "--output")
       val cohort = m.get("-c").flatMap(_.headOption).getOrElse("GDC " + dtype)
-      val spark = session()
-      val matrix: DataFrame = dtype match {
-        case "clinical" => Clinical.clinicalMatrix(spark, rawDir)
-        case "survival" =>
-          GdcTransforms.survivalMatrix(spark, s"$rawDir/survival.tsv", s"$rawDir/case_samples.json")
-        case d => GdcTransforms.transform(spark, d, rawDir)
-      }
-      XenaTsv.write(matrix, out, rowKey = Some(matrix.columns.head))
-      val vars0 = XenaMetadata.Vars(
-        xenaCohort = cohort,
-        date = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
-          .format(java.time.format.DateTimeFormatter.ofPattern("MM-dd-yyyy")))
-      val vars = XenaMetadata.dtypeVariables.get(dtype).map(_(vars0)).getOrElse(vars0)
-      XenaMetadata.write(out, DTypes.registry(dtype).metadataKind, vars)
+      etlOne(session(), dtype, rawDir, out, cohort)
       println(s"matrix + metadata written to $out")
       0
+
+    case "etl-batch" :: rest =>
+      // The gdc2xena.py driver loop (E1): every requested dtype is
+      // attempted; failures are QUARANTINED (recorded, loop continues)
+      // and summarized at the end instead of aborting the run.
+      val m = opts(rest)
+      val root = one(m, "-r", "--root")
+      val outDir = one(m, "-o", "--output")
+      val dtypes = m.getOrElse("-t", m.getOrElse("--datatypes", Nil))
+      require(dtypes.nonEmpty, "etl-batch needs -t <dtypes...>")
+      val cohort = m.get("-c").flatMap(_.headOption)
+      val spark = session()
+      val quarantined = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      dtypes.foreach { d =>
+        try {
+          etlOne(spark, d, s"$root/$d", s"$outDir/$d.tsv",
+            cohort.getOrElse("GDC " + d))
+          println(s"[etl-batch] $d: ok")
+        } catch {
+          case e: Throwable =>
+            quarantined += d -> String.valueOf(e.getMessage).takeWhile(_ != '\n')
+            println(s"[etl-batch] $d: QUARANTINED (${e.getMessage})")
+        }
+      }
+      println(s"[etl-batch] ${dtypes.size - quarantined.size}/${dtypes.size} succeeded")
+      quarantined.foreach { case (d, why) => println(s"[etl-batch] failed: $d — $why") }
+      if (quarantined.isEmpty) 0 else 1
 
     case "merge-xena" :: rest =>
       val m = opts(rest)
@@ -217,6 +253,7 @@ object Cli {
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
            |  etl        -t <dtype> -r <raw-dir> -o <out-matrix> [-c <cohort>]
+           |  etl-batch  -t <dtypes...> -r <root> -o <out-dir> [-c <cohort>]  (quarantines failures)
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]
            |  xena-eql   <matrix-a> <matrix-b>

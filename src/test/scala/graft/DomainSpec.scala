@@ -186,6 +186,26 @@ class DomainSpec extends SparkSpecBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".json")))
   }
 
+  test("CLI etl-batch: quarantines the failing dtype, finishes the rest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_batch").toString
+    // star_counts has fixtures under /root/repo/fixtures/star_counts;
+    // 'mirna' will fail (no /root/repo/fixtures-bad/mirna dir exists
+    // under this root) — the batch must still produce star_counts.
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/raw"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$tmp/raw/star_counts"),
+      java.nio.file.Paths.get("/root/repo/fixtures/star_counts"))
+    val rc = graft.Cli.run(Array("etl-batch",
+      "-t", "star_counts", "mirna", "-r", s"$tmp/raw", "-o", s"$tmp/out"))
+    assert(rc == 1, "a quarantined dtype must surface as a nonzero exit")
+    val star = graft.io.XenaTsv.read(spark, s"$tmp/out/star_counts.tsv", None)
+    assert(star.count() == 8, "healthy dtype did not complete")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/out/star_counts.tsv.json")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/out/mirna.tsv")))
+  }
+
   test("writeSharded: globally-ordered shards cat-merge to the single-file matrix") {
     import spark.implicits._
     val df = (1 to 97)
