@@ -101,4 +101,31 @@ class GdcCatalog(
     * 20,000 uuids per request). */
   def chunked[T](uuids: Seq[T], chunkSize: Int = 20000): Seq[Seq[T]] =
     uuids.grouped(chunkSize).map(_.toSeq).toSeq
+
+  /** Runtime schema probe (`gdc.py:486-493`): `<endpoint>/_mapping`
+    * returns the catalog's full dotted field list. Schema-sized,
+    * collected driver-side — query plans stay per-run static (SURVEY
+    * §7 risk 4).
+    */
+  def mapping(endpoint: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    jsonDf(fetch(s"$endpoint/_mapping", Map.empty))
+      .select(explode(col("fields")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** All-fields fetch via vertical partition + rejoin (J7,
+    * `gdc.py:495-514`): the `_mapping` field list is too wide for one
+    * request, so it splits into two half-field requests whose results
+    * full-outer join back on `id` — a column-family rejoin.
+    */
+  def searchAllFields(
+      endpoint: String,
+      inFilter: Seq[Cond] = Seq.empty): DataFrame = {
+    val fields = mapping(endpoint).filterNot(_ == "id")
+    val (half1, half2) = fields.splitAt((fields.length + 1) / 2)
+    val d1 = search(endpoint, inFilter, "id" +: half1)
+    val d2 = search(endpoint, inFilter, "id" +: half2)
+    d1.join(d2, Seq("id"), "full_outer")
+  }
 }

@@ -49,6 +49,42 @@ class GdcSpec extends SparkSpecBase {
     assert(calls(0)._2("fields") == "file_id,file_name")
   }
 
+  test("_mapping probe + half-field vertical partition rejoin on id") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    val fetch: (String, Map[String, String]) => String = { (endpoint, params) =>
+      calls += ((endpoint, params))
+      if (endpoint == "cases/_mapping")
+        """{"fields":["id","diag.age","diag.stage","demo.gender","demo.race"]}"""
+      else {
+        val fields = params("fields").split(",").toSet
+        def hit(id: String, vals: Map[String, String]) =
+          (Map("id" -> id) ++ vals.view.filterKeys(fields.contains))
+            .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+        val hits = Seq(
+          hit("c1", Map("diag.age" -> "61", "diag.stage" -> "ii",
+            "demo.gender" -> "female", "demo.race" -> "asian")),
+          hit("c2", Map("diag.age" -> "47", "diag.stage" -> "i",
+            "demo.gender" -> "male", "demo.race" -> "white")))
+        s"""{"data":{"pagination":{"total":2},"hits":[${hits.mkString(",")}]}}"""
+      }
+    }
+    val catalog = new GdcCatalog(spark, fetch)
+    assert(catalog.mapping("cases") ==
+      Seq("id", "diag.age", "diag.stage", "demo.gender", "demo.race"))
+
+    val all = catalog.searchAllFields("cases")
+    assert(all.count() == 2)
+    assert(all.columns.toSet ==
+      Set("id", "diag.age", "diag.stage", "demo.gender", "demo.race"))
+    // two half-field searches: each endpoint request carries id + half
+    val fieldParams = calls.filter(_._1 == "cases").map(_._2("fields")).distinct
+    assert(fieldParams.size == 2, fieldParams.mkString("\n"))
+    assert(fieldParams.forall(_.startsWith("id,")))
+    val row = all.filter(all("id") === "c1").collect().head
+    assert(row.getAs[String]("diag.age") == "61")
+    assert(row.getAs[String]("demo.race") == "asian")
+  }
+
   test("chunked uuid batching") {
     val catalog = new GdcCatalog(spark, (_, _) => "{}")
     val chunks = catalog.chunked((1 to 45).toSeq, chunkSize = 20)
