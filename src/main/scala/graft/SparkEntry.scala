@@ -563,6 +563,24 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster_id"))
   }
 
+  /** k-NN self-join over the LSH candidate graph: every embedding's
+    * top-3 nearest neighbors among its bucketed cosine pairs — the
+    * neighbor-list input of semantic dedup / retrieval prep. Ranking
+    * uses the 6dp-ROUNDED cosine with neighbor-id tie-break so the
+    * order is engine-stable (raw float ordering can differ in the last
+    * ulp between engines). */
+  def q56KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.2, dim = 64, bits = 8)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("cos"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cos")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("src"), col("nbr"), col("cos"), col("rk"))
+  }
+
   /** Deterministic train/valid/test assignment: a hash-based split is
     * stable across runs, engines and cluster sizes (no RNG, no
     * sampling order dependence) — the reproducible way to split a
@@ -684,6 +702,7 @@ object SparkEntry {
     "q53_split" -> (q53Split _),
     "q54_decontaminate" -> (q54Decontaminate _),
     "q55_repetition" -> (q55Repetition _),
+    "q56_knn_join" -> (q56KnnJoin _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1087,6 +1106,17 @@ object SparkEntry {
         |SELECT gr.doc_id, count(*) AS shared_grams
         |FROM grams gr JOIN bg USING (g) WHERE gr.bucket < 80
         |GROUP BY 1""".stripMargin,
+    "q56_knn_join" ->
+      s"""WITH $LshCosinePairsCtes,
+        |pairs AS (SELECT id_a, id_b, round(cs, 6) AS cos FROM scored WHERE cs >= 0.2),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS nbr, cos FROM pairs
+        |  UNION ALL SELECT id_b AS src, id_a AS nbr, cos FROM pairs),
+        |ranked AS (
+        |  SELECT src, nbr, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rk
+        |  FROM sym)
+        |SELECT src, nbr, cos, rk FROM ranked WHERE rk <= 3""".stripMargin,
     "q55_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
