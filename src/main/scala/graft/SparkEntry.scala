@@ -571,8 +571,12 @@ object SparkEntry {
     * ulp between engines). */
   def q56KnnJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the union references the pair subplan twice
+    // (forward + swapped); without materialization the LSH join would
+    // execute once per branch.
     val pairs = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.2, dim = 64, bits = 8)
+      .localCheckpoint(false)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"), col("cos"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cos")))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
