@@ -125,9 +125,14 @@ object Dedup {
     // gram computation, so verification work scales with the candidate
     // count, not the corpus. The per-candidate gram table then feeds
     // both pair sides; localCheckpoint stops the tokenize+join subplan
-    // from running twice.
-    val candIds = candidates.select(col("doc_a").as("vid"))
-      .union(candidates.select(col("doc_b").as("vid")))
+    // from running twice. The candidate frame itself is materialized
+    // first: it feeds the id set AND the final pair join, and its
+    // producing join (band-bucket self-join upstream) must not
+    // re-execute per consumer. Ids come from one explode pass, not a
+    // two-branch self-union.
+    val cands = candidates.localCheckpoint(false)
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("vid"))
       .distinct()
     val grams = Parallelism.ensure(docs).select(
       col(idCol).as("vid"),
@@ -135,7 +140,7 @@ object Dedup {
         TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("vgrams"))
       .join(candIds, Seq("vid"), "left_semi")
       .localCheckpoint(false)
-    candidates
+    cands
       .join(grams.select(col("vid").as("doc_a"), col("vgrams").as("grams_a")), Seq("doc_a"))
       .join(grams.select(col("vid").as("doc_b"), col("vgrams").as("grams_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
@@ -389,9 +394,14 @@ object Dedup {
       edges: DataFrame,
       idCol: String,
       maxIter: Int = 30): DataFrame = {
+    // Symmetrize in ONE pass over the edge subplan (explode of both
+    // orientations) — a two-branch self-union would execute the edge
+    // detection (often an expensive LSH pipeline) once per branch.
     val sym = edges
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
     val edgeNodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes

@@ -87,13 +87,20 @@ class PlanShapeSpec extends SparkSpecBase {
   test("dedup scale paths never self-join the raw corpus on true") {
     // The near-dup pipelines must join on band/bucket/gram keys —
     // an equi-join — so the physical plan is hash/SMJ keyed joins.
-    // A plan where documents meet documents without a key would show
-    // up as a cartesian/BNLJ (asserted above) or as a join whose keys
-    // are only the id inequality; spot-check the join conditions
-    // carry the bucket keys.
-    val p27 = plan("q27_simhash_pairs")
-    assert(p27.contains("band") && p27.contains("bucket"),
-      "q27 candidate join lost its band/bucket keys:\n" + p27.take(1500))
+    // The verification stage materializes its candidate input
+    // (Scan ExistingRDD in the final plan), so the keyed-join shape
+    // is asserted on the candidate GENERATOR's own plan, and the
+    // final plans are asserted join-safe.
+    val cand = graft.dedup.Dedup.minHashCandidates(
+      graft.model.Tables.documents(spark, sfDir), "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(cand.contains("band") && cand.contains("bucket"),
+      "LSH candidate join lost its band/bucket keys:\n" + cand.take(1500))
+    for (q <- Seq("q27_simhash_pairs", "q19_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q verify stage degraded to an unkeyed join")
+    }
     val p18 = plan("q18_ngram_jaccard")
     assert(p18.contains("gram"), "q18 join lost the gram key")
   }
