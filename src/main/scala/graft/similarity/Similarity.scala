@@ -261,21 +261,31 @@ object Similarity {
       dim: Int = 0,
       bits: Int = 0): DataFrame = {
     val wide = graft.ops.Parallelism.ensure(corpus)
-    val a = wide.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = wide.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     val paired =
       if (bits == 0) {
+        val a = wide.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+        val b = wide.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
         require(dim > 0, "dim is required when bits > 0")
+        // Signatures are computed ONCE and materialized; both
+        // self-join sides derive from the checkpoint — a per-side
+        // computation would re-run the corpus scan and the
+        // dim×bits-dot-product signature twice.
+        val sigs = wide
+          .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .withColumn("sig0", lshSignature(col("v"), dim, bits))
+          .localCheckpoint(false)
         // Bucket each vector by its signature, plus Hamming-1 probe
         // buckets on the id_a side only (probing one side suffices:
         // a pair at signature distance 1 still collides).
-        val sigA = a.withColumn("sig0", lshSignature(col("va"), dim, bits))
-          .withColumn("bucket", explode(array(
-            (col("sig0") +: (0 until bits).map(i => col("sig0").bitwiseXOR(lit(1L << i)))): _*)))
-          .drop("sig0")
-        val sigB = b.withColumn("bucket", lshSignature(col("vb"), dim, bits))
+        val sigA = sigs
+          .select(col("id").as("id_a"), col("v").as("va"),
+            explode(array(
+              (col("sig0") +: (0 until bits).map(i => col("sig0").bitwiseXOR(lit(1L << i)))): _*))
+              .as("bucket"))
+        val sigB = sigs
+          .select(col("id").as("id_b"), col("v").as("vb"), col("sig0").as("bucket"))
         sigA.join(sigB, sigA("bucket") === sigB("bucket") && col("id_a") < col("id_b"))
           .select(col("id_a"), col("va"), col("id_b"), col("vb"))
           .dropDuplicates("id_a", "id_b")
