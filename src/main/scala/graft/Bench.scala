@@ -17,12 +17,17 @@ object Bench {
     // decimal aggregate over lineitem — the dominant measured shape —
     // so JIT/codegen warmup isn't charged to the alphabetically-first
     // query either.
-    locally {
+    // A warmup failure (missing/unreadable table) must degrade to a
+    // noisier first measurement, not kill the whole run with zero
+    // metrics — same tolerance as the measured loop below.
+    try {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"), count(lit(1)).as("n"))
         .write.mode("overwrite").format("noop").save()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

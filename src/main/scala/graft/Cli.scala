@@ -219,6 +219,12 @@ object Cli {
       val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
       val trainPct = m.get("--train").flatMap(_.headOption).map(_.toInt).getOrElse(80)
       val validPct = m.get("--valid").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+      if (trainPct < 0 || validPct < 0 || trainPct + validPct > 100) {
+        System.err.println(
+          s"split: --train ($trainPct) and --valid ($validPct) must be >= 0 and sum to <= 100" +
+            " (the remainder is the test split)")
+        return 2
+      }
       val spark = session()
       import org.apache.spark.sql.functions.col
       spark.read.parquet(in)

@@ -94,6 +94,8 @@ object TextFunctions {
     * the property a training pipeline needs from its split.
     */
   def hashSplit(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"train ($trainPct) and valid ($validPct) percentages must be >= 0 and sum to <= 100")
     val bucket = pmod(
       conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(100L))

@@ -232,14 +232,22 @@ class GdcCountScan(options: CaseInsensitiveStringMap, conds: Array[GdcFilter.Con
   override def createReaderFactory(): PartitionReaderFactory = {
     val ep = endpoint; val tc = transportClass; val params = probeParams
     (_: InputPartition) => new PartitionReader[InternalRow] {
+      // PartitionReader contract: next() advances (and may do I/O),
+      // get() returns the current row and must be idempotent — a
+      // second get() must NOT re-issue the wire probe.
       private var emitted = false
-      override def next(): Boolean = !emitted
-      override def get(): InternalRow = {
-        emitted = true
-        val total = GdcDataSource.parseTotal(
-          GdcDataSource.newTransport(tc).fetch(ep, params))
-        new GenericInternalRow(Array[Any](total))
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (emitted) false
+        else {
+          val total = GdcDataSource.parseTotal(
+            GdcDataSource.newTransport(tc).fetch(ep, params))
+          row = new GenericInternalRow(Array[Any](total))
+          emitted = true
+          true
+        }
       }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

@@ -20,8 +20,18 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
 
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans (lazily) but runs no job.
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count from optimizer statistics instead
+    // of materializing df.rdd: rdd forces physical planning of the
+    // subtree (thrown away whenever we wrap in repartition) and
+    // observes the pre-AQE count anyway. Byte-based stats mirror how
+    // FilePartition splits scans; unknown-size relations report the
+    // conservative default (huge), so the guard structurally no-ops on
+    // anything that isn't provably small — exactly the intent.
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(math.max(1L, maxPartitionBytes)) + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 }

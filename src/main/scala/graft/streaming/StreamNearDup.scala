@@ -48,7 +48,8 @@ object StreamNearDup {
       n: Int,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      stateTtl: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -67,27 +68,48 @@ object StreamNearDup {
       .select(concat_ws("|", col("bb.band"), col("bb.bucket")).as("key"), col("doc_id"))
       .as[BandBucketRow]
 
+    // Per-bucket size is capped by maxBucketSize, but bucket COUNT
+    // grows with the corpus — pass `stateTtl` on long-running streams
+    // to evict buckets not touched within the TTL, bounding total
+    // state (the trade: a pair whose halves arrive further apart than
+    // the TTL is missed; a periodic batch compaction via
+    // Dedup.minHashLshPairs catches those). The TTL is OPT-IN because
+    // ProcessingTimeTimeout makes the micro-batch engine schedule
+    // timeout-check batches continuously (shouldRunAnotherBatch ==
+    // true), which busy-loops an untriggered query and never
+    // quiesces processAllAvailable — acceptable under a real trigger
+    // interval, wrong as a default. Batch execution is unchanged
+    // either way (hasTimedOut is always false there).
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val paired: Dataset[(Long, Long)] = bucketed
       .groupByKey(_.key)
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[BandBucketRow], state: GroupState[Array[Long]]) =>
-          val buf = scala.collection.mutable.ArrayBuffer[Long](
-            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          rows.foreach { r =>
-            if (!buf.contains(r.doc_id)) {
-              if (buf.length < maxBucketSize) {
-                buf.foreach { o =>
-                  out += ((math.min(o, r.doc_id), math.max(o, r.doc_id)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer[Long](
+              state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+            rows.foreach { r =>
+              if (!buf.contains(r.doc_id)) {
+                if (buf.length < maxBucketSize) {
+                  buf.foreach { o =>
+                    out += ((math.min(o, r.doc_id), math.max(o, r.doc_id)))
+                  }
+                  buf += r.doc_id
                 }
-                buf += r.doc_id
+                // else: hot-bucket cap hit — stop admitting (skew guard)
               }
-              // else: hot-bucket cap hit — stop admitting (skew guard)
             }
+            state.update(buf.toArray)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(buf.toArray)
-          out.iterator
       }
     paired.toDF("doc_a", "doc_b")
   }

@@ -163,6 +163,12 @@ class StreamingSpec extends SparkSpecBase {
       StreamNearDup.candidatePairs(docs, "doc_id", "text", n = 2))
     assert(batchMode == batchCands)
 
+    // A configured state TTL must not change batch semantics (batch
+    // execution never times out; setTimeoutDuration is tolerated).
+    val batchTtl = pairSet(StreamNearDup.candidatePairs(
+      docs, "doc_id", "text", n = 2, stateTtl = Some("1 hour")))
+    assert(batchTtl == batchCands)
+
     // Streaming: two file drops, candidate pairs accumulate across
     // micro-batch boundaries via the bucket state.
     val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
