@@ -12,14 +12,11 @@ class QueriesSmokeSpec extends SparkSpecBase {
 
   test("every query has an oracle or documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Queries without oracles get a weaker rows-only driver check;
-    // keep the set deliberately small and explicit.
-    // q45 is the IVF ANN path: its k-means quantizer is not
-    // reproducible in SQL (the LSH paths q25/q26 ARE — deterministic
-    // md5 planes — and carry full oracles); recall is gated by
-    // SimilaritySpec instead.
-    val allowed = Set("q45_ivf_ann_topk")
-    assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
+    // Queries without oracles would get a weaker rows-only driver
+    // check; since the IVF quantizer moved to deterministic integer
+    // Lloyd (reproducible in SQL, like the md5-derived LSH planes of
+    // q25/q26), every declared query carries a full value oracle.
+    assert(noOracle.isEmpty, s"queries missing oracle: $noOracle")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -27,10 +27,11 @@ class SimilaritySpec extends SparkSpecBase {
   test("IVF ANN recall@5 vs brute force") {
     val ivf = Similarity.ivfTopK(
       emb, queries, "vec_id", "embedding", "q_id", "q_vec",
-      k = 5, nlist = 16, nprobe = 4)
-    // Probing 4/16 cells scans ~25% of the corpus; measured recall
-    // 0.75 on the sf0.001 embeddings — gate a little below to absorb
-    // k-means tie noise across Spark versions.
+      dim = 64, k = 5, nlist = 24, nprobe = 6)
+    // Probing 6/24 cells scans ~25% of the corpus; measured recall
+    // 0.775 on the sf0.001 embeddings with the deterministic
+    // orthant-init Lloyd — gate a little below for headroom on other
+    // scale factors.
     val r = recallVsBruteForce(ivf, 5)
     assert(r >= 0.7, s"IVF recall@5 = $r < 0.7")
   }
@@ -59,7 +60,7 @@ class SimilaritySpec extends SparkSpecBase {
     // The partition-pruning story depends on a total, single assignment.
     val ivf = Similarity.ivfTopK(
       emb, queries, "vec_id", "embedding", "q_id", "q_vec",
-      k = 3, nlist = 8, nprobe = 8)
+      dim = 64, k = 3, nlist = 8, nprobe = 8)
     // nprobe == nlist probes everything -> IVF must equal brute force.
     val bf = Similarity.bruteForceTopK(
       emb, queries, "vec_id", "embedding", "q_id", "q_vec", 3)
