@@ -371,13 +371,20 @@ object Dedup {
     * O(diameter) — near-dup graphs are near-cliques (diameter 2-3) in
     * practice, but the bound shouldn't depend on that.
     *
-    * Scale shape: every iteration is two equi-join shuffles on the
-    * label key plus one aggregate; intermediate labels are
-    * `localCheckpoint`ed so lineage stays O(1) across iterations
-    * (iterative plans otherwise grow unboundedly and re-execute from
-    * the scan). Convergence is detected with a per-iteration count on
-    * the materialized frame — one cheap action over data already in
-    * block storage.
+    * Scale shape: per iteration, the three label proposals (own label,
+    * neighbors' min, label-of-label) are UNIONED and folded by ONE min
+    * aggregate keyed on the node id — not joined pairwise — so an
+    * iteration costs one label-size shuffle for the pointer-jump join,
+    * one for the fold, and nothing for the edge join: the symmetric
+    * edge list is pre-partitioned by `dst` once before the loop, and
+    * the label frame comes out of each iteration's aggregate already
+    * hash-partitioned on the id key, so the edge join is co-partitioned
+    * on both sides. Intermediate labels are `localCheckpoint`ed so
+    * lineage stays O(1) across iterations (iterative plans otherwise
+    * grow unboundedly and re-execute from the scan); the checkpoint
+    * preserves the aggregate's partitioning. Convergence is detected
+    * with a per-iteration count on the materialized frame — one cheap
+    * action over data already in block storage.
     *
     * The iteration runs over EDGE-TOUCHED nodes only: a node in no
     * edge can never change its label, and at realistic dup rates
@@ -402,32 +409,45 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // Partitioned by the join key ONCE; every iteration's edge join
+      // then reuses this layout instead of reshuffling the edge list.
+      .repartition(col("dst"))
       .localCheckpoint(false)
     val edgeNodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes
       .select(col(idCol).as("id"), col(idCol).as("label"))
       .join(edgeNodes, Seq("id"), "left_semi")
+      // Same layout as each iteration's aggregate output, so the first
+      // iteration's joins are co-partitioned too.
+      .repartition(col("id"))
       .localCheckpoint(false)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = sym
+      // Neighbor proposals: labels flow across edges. labels is
+      // hash-partitioned on id and sym on dst — co-partitioned join.
+      val nbrProps = sym
         .join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val jump = labels
-        .select(col("label").as("jsrc"), col("id").as("jid"))
-        .join(labels.select(col("id").as("jsrc2"), col("label").as("jump_min")),
-          col("jsrc") === col("jsrc2"))
-        .select(col("jid"), col("jump_min"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .join(jump, labels("id") === jump("jid"), "left")
-        .select(labels("id"),
-          least(col("label"),
-            coalesce(col("nbr_min"), col("label")),
-            coalesce(col("jump_min"), col("label"))).as("new_label"),
-          (least(coalesce(col("nbr_min"), col("label")),
-            coalesce(col("jump_min"), col("label"))) < col("label")).as("chg"))
+        .select(col("src").as("pid"), col("label").as("cand"), lit(false).as("own"))
+      // Pointer-jump proposals: each node proposes its label's label.
+      // The probe side (id keyed by jsrc) shuffles by label; the build
+      // side reuses labels' id partitioning.
+      val jumpProps = labels
+        .select(col("label").as("jsrc"), col("id").as("pid"))
+        .join(labels.select(col("id").as("jsrc"), col("label").as("cand")), Seq("jsrc"))
+        .select(col("pid"), col("cand"), lit(false).as("own"))
+      // One min-fold over all proposals replaces the pairwise left
+      // joins; `own` rides along to recover the previous label for
+      // convergence detection.
+      val next = nbrProps
+        .union(jumpProps)
+        .union(labels.select(col("id").as("pid"), col("label").as("cand"),
+          lit(true).as("own")))
+        .groupBy(col("pid"))
+        .agg(min(col("cand")).as("new_label"),
+          min(when(col("own"), col("cand"))).as("old_label"))
+        .select(col("pid").as("id"), col("new_label"),
+          (col("new_label") < col("old_label")).as("chg"))
         .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
