@@ -396,6 +396,41 @@ object Dedup {
     * Returns (`idCol`, cluster_id) for every node; singletons get
     * their own id.
     */
+  /** One label-propagation round: (id, new_label, chg) from the
+    * current (id, label) frame and the dst-partitioned symmetric edge
+    * list. Package-visible so PlanShapeSpec can pin the iteration's
+    * shuffle budget: ONE hash-partitioning exchange (the proposal
+    * fold) when the label side broadcasts, two when it doesn't —
+    * never a per-proposal pairwise join chain.
+    */
+  private[graft] def propagateOnce(sym: DataFrame, labels: DataFrame): DataFrame = {
+    // Neighbor proposals: labels flow across edges. labels is
+    // hash-partitioned on id and sym on dst — co-partitioned join
+    // (or an AQE broadcast when the active subgraph is small).
+    val nbrProps = sym
+      .join(labels, sym("dst") === labels("id"))
+      .select(col("src").as("pid"), col("label").as("cand"), lit(false).as("own"))
+    // Pointer-jump proposals: each node proposes its label's label.
+    // The probe side (id keyed by jsrc) shuffles by label; the build
+    // side reuses labels' id partitioning.
+    val jumpProps = labels
+      .select(col("label").as("jsrc"), col("id").as("pid"))
+      .join(labels.select(col("id").as("jsrc"), col("label").as("cand")), Seq("jsrc"))
+      .select(col("pid"), col("cand"), lit(false).as("own"))
+    // One min-fold over all proposals replaces the pairwise left
+    // joins; `own` rides along to recover the previous label for
+    // convergence detection.
+    nbrProps
+      .union(jumpProps)
+      .union(labels.select(col("id").as("pid"), col("label").as("cand"),
+        lit(true).as("own")))
+      .groupBy(col("pid"))
+      .agg(min(col("cand")).as("new_label"),
+        min(when(col("own"), col("cand"))).as("old_label"))
+      .select(col("pid").as("id"), col("new_label"),
+        (col("new_label") < col("old_label")).as("chg"))
+  }
+
   def dupClusters(
       nodes: DataFrame,
       edges: DataFrame,
@@ -424,31 +459,7 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // Neighbor proposals: labels flow across edges. labels is
-      // hash-partitioned on id and sym on dst — co-partitioned join.
-      val nbrProps = sym
-        .join(labels, sym("dst") === labels("id"))
-        .select(col("src").as("pid"), col("label").as("cand"), lit(false).as("own"))
-      // Pointer-jump proposals: each node proposes its label's label.
-      // The probe side (id keyed by jsrc) shuffles by label; the build
-      // side reuses labels' id partitioning.
-      val jumpProps = labels
-        .select(col("label").as("jsrc"), col("id").as("pid"))
-        .join(labels.select(col("id").as("jsrc"), col("label").as("cand")), Seq("jsrc"))
-        .select(col("pid"), col("cand"), lit(false).as("own"))
-      // One min-fold over all proposals replaces the pairwise left
-      // joins; `own` rides along to recover the previous label for
-      // convergence detection.
-      val next = nbrProps
-        .union(jumpProps)
-        .union(labels.select(col("id").as("pid"), col("label").as("cand"),
-          lit(true).as("own")))
-        .groupBy(col("pid"))
-        .agg(min(col("cand")).as("new_label"),
-          min(when(col("own"), col("cand"))).as("old_label"))
-        .select(col("pid").as("id"), col("new_label"),
-          (col("new_label") < col("old_label")).as("chg"))
-        .localCheckpoint(false)
+      val next = propagateOnce(sym, labels).localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
       it += 1

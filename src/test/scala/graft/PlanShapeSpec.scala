@@ -146,6 +146,31 @@ class PlanShapeSpec extends SparkSpecBase {
       "token array was inlined into the n-gram lambda:\n" + p.take(1500))
   }
 
+  test("dupClusters iteration folds proposals with one exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val sym = edges
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst")).localCheckpoint(false)
+    val labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .repartition(col("id")).localCheckpoint(false)
+    val next = graft.dedup.Dedup.propagateOnce(sym, labels)
+    next.collect() // finalize the adaptive plan
+    val finalPlan = next.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    // One exchange for the proposal fold; a second is tolerated only
+    // when the label side is too big for AQE to broadcast the joins.
+    // Anything more means the union-fold degraded to pairwise joins.
+    assert(exchanges <= 2, s"iteration runs $exchanges shuffles:\n" + finalPlan.take(1500))
+    assert(!finalPlan.contains("CartesianProduct"))
+  }
+
   test("custom dot_product participates in codegen (q23 projection)") {
     val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
     df.collect() // finalize the adaptive plan
