@@ -15,6 +15,10 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      // The engine's Catalyst surface: SQL registration of the native
+      // expressions (dot_product, minhash_sketch) and the
+      // CollapseJsonExtracts optimizer rule.
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

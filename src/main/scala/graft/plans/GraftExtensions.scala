@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.minhashSketchDescriptor)
+    ext.injectOptimizerRule(_ => CollapseJsonExtracts)
   }
 }
 
