@@ -588,6 +588,25 @@ object SparkEntry {
       .select(col("src"), col("nbr"), col("cos"), col("rk"))
   }
 
+  /** Multi-field JSON extraction THROUGH the CollapseJsonExtracts
+    * optimizer rule: the document is assembled with format_string
+    * (opaque to Spark's own OptimizeJsonExprs, so the parse is real),
+    * then two get_json_object calls group the events. The rule folds
+    * them into one shared from_json — PlanShapeSpec asserts the
+    * rewrite fired in THIS query's optimized plan; the oracle pins the
+    * rewrite's semantics at gate scale. min/max are order-independent
+    * on doubles, so the aggregate hashes exactly. */
+  def q57JsonCollapse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(format_string("""{"t":"%s","u":"%d"}""",
+        col("event_type"), col("user_id")).as("doc"), col("value"))
+      .groupBy(
+        get_json_object(col("doc"), "$.t").as("etype"),
+        get_json_object(col("doc"), "$.u").as("uid"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("v_min"),
+        round(max(col("value")), 6).as("v_max"))
+
   /** Deterministic train/valid/test assignment: a hash-based split is
     * stable across runs, engines and cluster sizes (no RNG, no
     * sampling order dependence) — the reproducible way to split a
@@ -710,6 +729,7 @@ object SparkEntry {
     "q54_decontaminate" -> (q54Decontaminate _),
     "q55_repetition" -> (q55Repetition _),
     "q56_knn_join" -> (q56KnnJoin _),
+    "q57_json_collapse" -> (q57JsonCollapse _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1226,6 +1246,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rk
         |  FROM sym)
         |SELECT src, nbr, cos, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    "q57_json_collapse" ->
+      """WITH j AS (
+        |  SELECT printf('{"t":"%s","u":"%d"}', event_type, user_id) AS doc, value
+        |  FROM events)
+        |SELECT json_extract_string(doc, '$.t') AS etype,
+        |       json_extract_string(doc, '$.u') AS uid,
+        |       count(*) AS n,
+        |       round(min(value), 6) AS v_min,
+        |       round(max(value), 6) AS v_max
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "q55_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

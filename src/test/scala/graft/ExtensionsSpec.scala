@@ -31,35 +31,23 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(math.abs(sqlSum - dfSum) < 1e-12)
   }
 
-  private def withCollapseRule[T](f: => T): T = {
-    // Same rule object GraftExtensions injects; the shared test session
-    // was built without extensions, so attach it via the public
-    // experimental hook and detach after.
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.CollapseJsonExtracts
-    try f
-    finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_ eq graft.plans.CollapseJsonExtracts)
-  }
-
   test("CollapseJsonExtracts rewrites multi-field extraction to one from_json") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
     import spark2.implicits._
+    // The shared session is built by GraftSession, which installs
+    // GraftExtensions — the rule must fire with no extra setup.
     // Non-foldable input (literal JSON would be constant-folded away
     // before the plan assertion could see the rewrite).
     val df = spark.range(1)
       .select(format_string("""{"a":"x%d","b":"y"}""", col("id")).as("j"))
-    withCollapseRule {
-      val q = df.select(
-        get_json_object(col("j"), "$.a").as("a"),
-        get_json_object(col("j"), "$.b").as("b"))
-      val opt = q.queryExecution.optimizedPlan.toString
-      assert(opt.contains("from_json"), "rule did not fire:\n" + opt)
-      assert(!opt.contains("get_json_object"), "extraction not collapsed:\n" + opt)
-      assert(q.head() == org.apache.spark.sql.Row("x0", "y"))
-    }
+    val q = df.select(
+      get_json_object(col("j"), "$.a").as("a"),
+      get_json_object(col("j"), "$.b").as("b"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("from_json"), "rule did not fire:\n" + opt)
+    assert(!opt.contains("get_json_object"), "extraction not collapsed:\n" + opt)
+    assert(q.head() == org.apache.spark.sql.Row("x0", "y"))
   }
 
   test("CollapseJsonExtracts preserves get_json_object semantics case by case") {
@@ -77,14 +65,15 @@ class ExtensionsSpec extends SparkSpecBase {
       """{"a": "", "b": ""}""",
       null
     ).toDF("j")
-    // Ground truth: the un-rewritten streaming parser.
-    val expected = rows.select(
+    // Ground truth: json_tuple — the independent single-parse streaming
+    // implementation of the same top-level-field semantics, which the
+    // rule never rewrites. get_json_object below IS rewritten (the
+    // session installs GraftExtensions), so this compares the
+    // from_json-based rewrite against an unrewritten reference.
+    val expected = rows.select(json_tuple(col("j"), "a", "b")).collect()
+    val actual = rows.select(
       get_json_object(col("j"), "$.a"), get_json_object(col("j"), "$.b")).collect()
-    withCollapseRule {
-      val actual = rows.select(
-        get_json_object(col("j"), "$.a"), get_json_object(col("j"), "$.b")).collect()
-      assert(actual.toSeq == expected.toSeq)
-    }
+    assert(actual.toSeq == expected.toSeq)
   }
 
   test("CollapseJsonExtracts leaves single-field and complex paths alone") {
@@ -93,18 +82,16 @@ class ExtensionsSpec extends SparkSpecBase {
     import spark2.implicits._
     val df = spark.range(1)
       .select(format_string("""{"a":{"x":%d},"b":[2]}""", col("id")).as("j"))
-    withCollapseRule {
-      // One simple path only: a lone full parse would not pay for itself.
-      val single = df.select(get_json_object(col("j"), "$.a").as("a"))
-        .queryExecution.optimizedPlan.toString
-      assert(single.contains("get_json_object") && !single.contains("from_json"))
-      // Nested / subscripted paths keep the early-exit streaming parser.
-      val complex = df.select(
-        get_json_object(col("j"), "$.a.x").as("ax"),
-        get_json_object(col("j"), "$.b[0]").as("b0"))
-        .queryExecution.optimizedPlan.toString
-      assert(complex.contains("get_json_object") && !complex.contains("from_json"))
-    }
+    // One simple path only: a lone full parse would not pay for itself.
+    val single = df.select(get_json_object(col("j"), "$.a").as("a"))
+      .queryExecution.optimizedPlan.toString
+    assert(single.contains("get_json_object") && !single.contains("from_json"))
+    // Nested / subscripted paths keep the early-exit streaming parser.
+    val complex = df.select(
+      get_json_object(col("j"), "$.a.x").as("ax"),
+      get_json_object(col("j"), "$.b[0]").as("b0"))
+      .queryExecution.optimizedPlan.toString
+    assert(complex.contains("get_json_object") && !complex.contains("from_json"))
   }
 
   test("minhash_sketch aggregate is callable from SQL via GraftExtensions") {

@@ -171,6 +171,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!finalPlan.contains("CartesianProduct"))
   }
 
+  test("q57: CollapseJsonExtracts fires in the gate query's plan") {
+    // The shared test session installs GraftExtensions (GraftSession
+    // default), so the optimizer rewrite must land in q57's optimized
+    // plan: one shared from_json, no get_json_object.
+    val q = SparkEntry.queries("q57_json_collapse")(spark, sfDir)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("from_json"), "rule did not fire:\n" + opt.take(1500))
+    assert(!opt.contains("get_json_object"),
+      "extractions not collapsed:\n" + opt.take(1500))
+  }
+
   test("custom dot_product participates in codegen (q23 projection)") {
     val df = SparkEntry.queries("q23_cosine_pairs")(spark, sfDir)
     df.collect() // finalize the adaptive plan
