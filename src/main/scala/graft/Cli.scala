@@ -193,6 +193,40 @@ object Cli {
       println(s"curated corpus written to $out")
       0
 
+    case "ann" :: rest =>
+      // Approximate (or exact) nearest neighbors over an embedding
+      // parquet: writes (query_id, neighbor_id, cos, rank). Queries
+      // default to the corpus itself filtered by --queries-where.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val mode = m.get("--mode").flatMap(_.headOption).getOrElse("ivf")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+      val dim = m.get("--dim").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
+      val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
+      val where = m.get("--queries-where").flatMap(_.headOption)
+        .getOrElse(s"$idCol < 8")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val corpus = spark.read.parquet(in)
+      val queries = corpus.filter(where)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      val topk = mode match {
+        case "brute" => graft.similarity.Similarity.bruteForceTopK(
+          corpus, queries, idCol, vecCol, "q_id", "q_vec", k)
+        case "lsh" => graft.similarity.Similarity.lshTopK(
+          corpus, queries, idCol, vecCol, "q_id", "q_vec",
+          dim = dim, bits = 6, k = k, tables = 4)
+        case "ivf" => graft.similarity.Similarity.ivfTopK(
+          corpus, queries, idCol, vecCol, "q_id", "q_vec",
+          dim = dim, k = k, nlist = 24, nprobe = 6)
+        case other => sys.error(s"ann --mode must be brute|lsh|ivf, got $other")
+      }
+      topk.write.mode("overwrite").parquet(out)
+      println(s"ann ($mode) top-$k written to $out")
+      0
+
     case "vocab" :: rest =>
       // Corpus vocabulary: token frequencies, top-k as TSV.
       val m = opts(rest)

@@ -137,6 +137,30 @@ class DomainSpec extends SparkSpecBase {
     assert(vocab.columns.toSeq == Seq("token", "n"))
   }
 
+  test("CLI ann: ivf and brute top-k over an embedding parquet") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_ann").toString
+
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/ivf", "-k", "3")) == 0)
+    val ivf = spark.read.parquet(s"$tmp/ivf")
+    assert(ivf.columns.toSeq == Seq("query_id", "neighbor_id", "cos", "rank"))
+    // 8 default queries x up to 3 neighbors, ranks within bounds.
+    assert(ivf.count() == 24)
+    assert(ivf.filter(col("rank") > 3 || col("rank") < 1).count() == 0)
+
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/brute", "-k", "3", "--mode", "brute")) == 0)
+    val brute = spark.read.parquet(s"$tmp/brute")
+    assert(brute.count() == 24)
+    // IVF recall vs the exact answer on the same run: over half the
+    // true neighbors survive 6/24-cell probing on this tiny corpus.
+    val hit = brute.select("query_id", "neighbor_id")
+      .join(ivf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    assert(hit >= 12, s"ivf found only $hit/24 true neighbors")
+  }
+
   test("CLI split/decontaminate: deterministic split, anti-joined clean corpus") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_split").toString
