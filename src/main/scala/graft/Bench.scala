@@ -27,7 +27,8 @@ object Bench {
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"), count(lit(1)).as("n"))
         .write.mode("overwrite").format("noop").save()
     } catch {
-      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -35,7 +36,14 @@ object Bench {
       // (a bare count() would let Catalyst prune all projections, so
       // map-only queries would time the scan alone).
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      // NonFatal only: a missing table degrades to one failed entry, but
+      // a fatal VM error (OOM, linkage) must kill the run — timings
+      // measured on a heap-exhausted JVM would be garbage presented as
+      // data.
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Isolate queries: operators that localCheckpoint reused
       // intermediates leave persisted blocks behind; dropping them

@@ -1036,9 +1036,10 @@ object SparkEntry {
     // floor(x/|v|*1e6 + 0.5) (exact IEEE in both engines), init is the
     // per-orthant integer mean under 5 md5-derived hyperplanes (the q25
     // plane construction, sig % 24), distances and centroid updates are
-    // pure integer arithmetic (trunc == Java long division toward
-    // zero), so cells — and therefore the PRUNED candidate set — match
-    // Spark bit-for-bit.
+    // pure integer arithmetic (HUGEINT `//` on absolute values ==
+    // BigInt truncation toward zero — exact at any magnitude, unlike a
+    // DOUBLE trunc which loses bit-equality past 2^53), so cells — and
+    // therefore the PRUNED candidate set — match Spark bit-for-bit.
     "q45_ivf_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v,
@@ -1069,8 +1070,10 @@ object SparkEntry {
         |c0 AS (
         |  SELECT cells.cell, j.j,
         |    CASE WHEN bm.s IS NULL THEN seed.qv[j.j + 1]
-        |      ELSE CAST(trunc((2 * CAST(bm.s AS DOUBLE) + CASE WHEN bm.s >= 0 THEN bm.n ELSE -bm.n END)
-        |                 / (2 * bm.n)) AS BIGINT) END AS cv
+        |      ELSE CAST(CASE WHEN bm.s >= 0
+        |        THEN (2 * CAST(bm.s AS HUGEINT) + bm.n) // (2 * CAST(bm.n AS HUGEINT))
+        |        ELSE -((2 * -CAST(bm.s AS HUGEINT) + bm.n) // (2 * CAST(bm.n AS HUGEINT)))
+        |        END AS BIGINT) END AS cv
         |  FROM range(24) cells(cell)
         |  CROSS JOIN range(64) j(j)
         |  LEFT JOIN bm ON bm.cell = cells.cell AND bm.j = j.j
@@ -1089,8 +1092,10 @@ object SparkEntry {
         |c1 AS (
         |  SELECT c0.cell, c0.j,
         |    CASE WHEN s1.s IS NULL THEN c0.cv
-        |      ELSE CAST(trunc((2 * CAST(s1.s AS DOUBLE) + CASE WHEN s1.s >= 0 THEN s1.n ELSE -s1.n END)
-        |                 / (2 * s1.n)) AS BIGINT) END AS cv
+        |      ELSE CAST(CASE WHEN s1.s >= 0
+        |        THEN (2 * CAST(s1.s AS HUGEINT) + s1.n) // (2 * CAST(s1.n AS HUGEINT))
+        |        ELSE -((2 * -CAST(s1.s AS HUGEINT) + s1.n) // (2 * CAST(s1.n AS HUGEINT)))
+        |        END AS BIGINT) END AS cv
         |  FROM c0 LEFT JOIN s1 ON c0.cell = s1.cell AND c0.j = s1.j),
         |d2 AS (
         |  SELECT q.vec_id, c.cell,
@@ -1106,8 +1111,10 @@ object SparkEntry {
         |c2 AS (
         |  SELECT c1.cell, c1.j,
         |    CASE WHEN s2.s IS NULL THEN c1.cv
-        |      ELSE CAST(trunc((2 * CAST(s2.s AS DOUBLE) + CASE WHEN s2.s >= 0 THEN s2.n ELSE -s2.n END)
-        |                 / (2 * s2.n)) AS BIGINT) END AS cv
+        |      ELSE CAST(CASE WHEN s2.s >= 0
+        |        THEN (2 * CAST(s2.s AS HUGEINT) + s2.n) // (2 * CAST(s2.n AS HUGEINT))
+        |        ELSE -((2 * -CAST(s2.s AS HUGEINT) + s2.n) // (2 * CAST(s2.n AS HUGEINT)))
+        |        END AS BIGINT) END AS cv
         |  FROM c1 LEFT JOIN s2 ON c1.cell = s2.cell AND c1.j = s2.j),
         |df AS (
         |  SELECT q.vec_id, c.cell,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism guard for compute-bound narrow stages.
   *
@@ -22,16 +23,47 @@ object Parallelism {
   def ensure(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    // Estimate the scan's split count from optimizer statistics instead
-    // of materializing df.rdd: rdd forces physical planning of the
-    // subtree (thrown away whenever we wrap in repartition) and
-    // observes the pre-AQE count anyway. Byte-based stats mirror how
-    // FilePartition splits scans; unknown-size relations report the
-    // conservative default (huge), so the guard structurally no-ops on
-    // anything that isn't provably small — exactly the intent.
-    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes /
-      BigInt(math.max(1L, maxPartitionBytes)) + 1
-    if (estSplits < target) df.repartition(target) else df
+    if (estimatedSplits(df) < target) df.repartition(target) else df
+  }
+
+  /** Estimate how many partitions the scan will plan, WITHOUT physical
+    * planning (`df.rdd` would plan the subtree — thrown away whenever we
+    * then wrap in repartition — and observes the pre-AQE count anyway).
+    *
+    * For file sources this mirrors `FilePartition.maxSplitBytes`'s
+    * bin-packing: each file is padded by `openCostInBytes`, and the
+    * split size is `min(maxPartitionBytes, max(openCost, totalPadded /
+    * defaultParallelism))`. Raw `sizeInBytes / maxPartitionBytes` is NOT
+    * a substitute — a directory of 1000 tiny files packs to dozens of
+    * partitions via the open-cost padding while its byte total says
+    * "one", and repartitioning such an input on every call would add a
+    * needless full shuffle.
+    *
+    * Non-file leaves (in-memory relations, v2 sources) keep the
+    * byte-stats estimate; unknown sizes report the conservative default
+    * (huge), so the guard structurally no-ops on anything that isn't
+    * provably small — exactly the intent.
+    */
+  private def estimatedSplits(df: DataFrame): BigInt = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val maxPartitionBytes = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectLeaves().map[BigInt] {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        // File listing is cached in the relation's FileIndex — reading
+        // lengths here lists nothing new.
+        val sizes = fs.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+        val totalPadded = sizes.map(s => BigInt(s) + openCost).sum
+        val bytesPerCore = totalPadded / math.max(1, spark.sparkContext.defaultParallelism)
+        val maxSplit = BigInt(maxPartitionBytes)
+          .min(BigInt(openCost).max(bytesPerCore))
+          .max(1)
+        totalPadded / maxSplit + 1
+      case leaf =>
+        leaf.stats.sizeInBytes / maxPartitionBytes + 1
+    }.sum
   }
 }

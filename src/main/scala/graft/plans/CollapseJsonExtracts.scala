@@ -28,16 +28,30 @@ import org.apache.spark.unsafe.types.UTF8String
   *    same (canonicalized) JSON expression within one operator's
   *    expression list (a single extraction is cheaper as-is);
   *  - only Project / Filter / Aggregate operators;
-  *  - extracted values keep `get_json_object` semantics: string
-  *    rendering of scalars, raw JSON text of objects/arrays, null for
-  *    missing fields / JSON nulls / corrupt documents (equivalence
-  *    asserted case-by-case in ExtensionsSpec).
+  *  - extracted values keep `get_json_object` semantics on valid JSON:
+  *    string rendering of scalars, raw JSON text of objects/arrays,
+  *    null for missing fields / JSON nulls / corrupt documents
+  *    (equivalence asserted case-by-case in ExtensionsSpec). The
+  *    parser is configured with `allowUnquotedControlChars` to match
+  *    `GetJsonObject`'s lenient factory on raw control characters.
+  *
+  * Known divergence — MALFORMED documents only (both shapes violate
+  * RFC 8259): (1) duplicate keys — the streaming parser returns the
+  * FIRST occurrence, a full parse keeps the LAST; (2) non-numeric
+  * number literals (`NaN`/`Infinity`) — the streaming parser rejects
+  * the token (null from that point on), the full parse accepts the
+  * whole document and renders the literal as a string. Pipelines
+  * that must preserve exact `get_json_object` behavior on such input
+  * can disable the rewrite per session with
+  * `spark.graft.collapseJsonExtracts.enabled=false`.
   *
   * Registered by [[GraftExtensions]] via `injectOptimizerRule`; runs
   * inside the operator-optimization fixed point and converges because
   * rewritten groups contain no `GetJsonObject` to re-trigger on.
   */
 object CollapseJsonExtracts extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.collapseJsonExtracts.enabled"
 
   private val SimpleField = """\$\.([A-Za-z_][A-Za-z0-9_]*)""".r
 
@@ -71,7 +85,11 @@ object CollapseJsonExtracts extends Rule[LogicalPlan] {
             val names = collapsible(json.canonicalized).toSeq
             val schema = StructType(names.map(StructField(_, StringType)))
             GetStructField(
-              JsonToStructs(schema, Map.empty[String, String], json,
+              // GetJsonObject's Jackson factory accepts raw control
+              // characters inside strings; mirror that here so leniently
+              // formed documents don't flip to corrupt-record null.
+              JsonToStructs(schema,
+                Map("allowUnquotedControlChars" -> "true"), json,
                 Some(conf.sessionLocalTimeZone)),
               names.indexOf(name), Some(name))
           case _ => e
@@ -79,7 +97,11 @@ object CollapseJsonExtracts extends Rule[LogicalPlan] {
     }))
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewritePlan(plan)
+
+  private def rewritePlan(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p: Project =>
       rewriteAll(p.projectList)
         .map(es => p.copy(projectList = es.map(_.asInstanceOf[NamedExpression])))

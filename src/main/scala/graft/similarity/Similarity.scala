@@ -225,11 +225,15 @@ object Similarity {
       vecCol: String,
       dim: Int,
       nlist: Int,
-      iters: Int,
-      scale: Long): Seq[Seq[Long]] = {
-    // Round half away from zero without leaving integer arithmetic
-    // (Java long division truncates toward zero, same as DuckDB trunc).
-    def roundDiv(s: Long, n: Long): Long = (2 * s + (if (s >= 0) n else -n)) / (2 * n)
+      iters: Int): Seq[Seq[Long]] = {
+    // Round half away from zero without leaving exact integer
+    // arithmetic. BigInt, not long, for the doubled numerator: a cell
+    // sum |s| near 2^62 would overflow 2*s and silently wrap. BigInt
+    // `/` truncates toward zero, same as Java long division and the
+    // oracle's HUGEINT `//`-on-absolute-values form, so centroids stay
+    // bit-equal across engines at any magnitude.
+    def roundDiv(s: Long, n: Long): Long =
+      ((BigInt(s) * 2 + (if (s >= 0) n else -n)) / (BigInt(n) * 2)).toLong
     // (Spherical re-projection of centroids was tried and measured
     // WORSE here: the inputs are unit-norm, so plain integer means
     // already point the right way and the re-projection only added
@@ -257,8 +261,13 @@ object Similarity {
       .limit(nlist)
       .select(col("qv"))
       .collect()
+    // An IVF quantizer with fewer vectors than cells is degenerate, and
+    // the DuckDB oracle's seed join silently drops the missing cells
+    // (diverging from a modulo-wrapped seed list); fail loud instead.
+    require(seedRows.length >= nlist,
+      s"IVF k-means needs at least nlist=$nlist vectors; corpus has ${seedRows.length}")
     val init = Array.tabulate(nlist) { c =>
-      seedRows(c % seedRows.length).getSeq[Long](0).toArray
+      seedRows(c).getSeq[Long](0).toArray
     }
     bucketed.foreach { r =>
       init(r.getLong(0).toInt)(r.getInt(1)) = roundDiv(r.getLong(2), r.getLong(3))
@@ -324,7 +333,7 @@ object Similarity {
     val quantized = graft.ops.Parallelism.ensure(corpus)
       .select(col(idCol), col(vecCol), quantize(col(vecCol), scale).as("qv"))
       .localCheckpoint(false)
-    val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters, scale)
+    val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
     // nlist × dim centroid matrix as ONE literal in the plan (the same
     // single-node trick as the LSH plane matrix).
     val centroidsLit = typedlit(centroids)

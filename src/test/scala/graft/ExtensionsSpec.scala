@@ -63,6 +63,7 @@ class ExtensionsSpec extends SparkSpecBase {
       """{"b": "missing a"}""",
       """not json at all""",
       """{"a": "", "b": ""}""",
+      "{\"a\": \"raw\tcontrol\", \"b\": 1}", // unescaped TAB: lenient parse
       null
     ).toDF("j")
     // Ground truth: json_tuple — the independent single-parse streaming
@@ -74,6 +75,22 @@ class ExtensionsSpec extends SparkSpecBase {
     val actual = rows.select(
       get_json_object(col("j"), "$.a"), get_json_object(col("j"), "$.b")).collect()
     assert(actual.toSeq == expected.toSeq)
+  }
+
+  test("CollapseJsonExtracts can be disabled per session") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1)
+      .select(format_string("""{"a":"x%d","b":"y"}""", col("id")).as("j"))
+    val q = df.select(
+      get_json_object(col("j"), "$.a").as("a"),
+      get_json_object(col("j"), "$.b").as("b"))
+    val key = graft.plans.CollapseJsonExtracts.EnabledKey
+    spark.conf.set(key, "false")
+    try {
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("get_json_object") && !opt.contains("from_json"),
+        "escape hatch did not suppress the rewrite:\n" + opt)
+    } finally spark.conf.unset(key)
   }
 
   test("CollapseJsonExtracts leaves single-field and complex paths alone") {
