@@ -153,10 +153,13 @@ object Dedup {
 
   /** Deterministic 64-bit hash of a string gram for MinHash: first 15
     * hex digits of md5, as a non-negative long. Engine-portable (md5 is
-    * md5 everywhere) and uniform.
+    * md5 everywhere) and uniform. Computed by the native
+    * [[graft.functions.Md5Prefix64]] kernel — bit-equal to the
+    * `conv(substring(md5(g),1,15),16,10)` form the oracles transcribe,
+    * without the per-gram hex-string round-trip.
     */
   private[graft] def gramHash(gram: Column): Column =
-    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix64(gram)
 
   /** Per-ROW MinHash signature over a MATERIALIZED array of pmod'ed
     * gram hashes — for sources where one row carries the whole

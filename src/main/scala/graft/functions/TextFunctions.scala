@@ -96,9 +96,7 @@ object TextFunctions {
   def hashSplit(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
     require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
       s"train ($trainPct) and valid ($validPct) percentages must be >= 0 and sum to <= 100")
-    val bucket = pmod(
-      conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = pmod(Md5Prefix64(id.cast("string")), lit(100L))
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + validPct, lit("valid"))
       .otherwise(lit("test"))
@@ -151,8 +149,7 @@ object TextFunctions {
     * k-shingle (first 15 hex digits as a long — engine-portable, the
     * same identity the dedup oracles validate). */
   def rollingHashes(text: Column, k: Int): Column =
-    transform(charShingles(text, k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    transform(charShingles(text, k), s => Md5Prefix64(s))
 
   /** Winnowing fingerprint (the MOSS scheme) over an ALREADY
     * MATERIALIZED rolling-hash array column: the distinct minima of

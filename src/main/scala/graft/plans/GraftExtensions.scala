@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, MinHashSketchAgg}
+import graft.functions.{DotProduct, HyperplaneSignature, Md5Prefix64, MinHashSketchAgg}
 
 /** Catalyst extension point: registers graft's native expressions in
   * the SQL function registry, so pure-SQL users (spark.sql, JDBC,
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.minhashSketchDescriptor)
+    ext.injectFunction(GraftExtensions.md5Prefix64Descriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
     ext.injectOptimizerRule(_ => CollapseJsonExtracts)
   }
 }
@@ -51,5 +53,33 @@ object GraftExtensions {
           s"minhash_sketch: k must be an int literal, got $other")
       }
       MinHashSketchAgg(args.head, k).toAggregateExpression()
+    })
+
+  /** `md5_prefix64(string) -> long` — the engine's portable 60-bit
+    * string hash (first 15 hex digits of md5). */
+  val md5Prefix64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_prefix64"),
+    new ExpressionInfo(classOf[Md5Prefix64].getCanonicalName, null, "md5_prefix64"),
+    { args =>
+      require(args.length == 1, s"md5_prefix64 expects 1 argument, got ${args.length}")
+      Md5Prefix64(args.head)
+    })
+
+  /** `hyperplane_sig(array<double>, dim, bits[, table]) -> long` — the
+    * random-hyperplane LSH signature (dim/bits/table must be int
+    * literals). */
+  val hyperplaneSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSignature].getCanonicalName, null, "hyperplane_sig"),
+    { args =>
+      require(args.length == 3 || args.length == 4,
+        s"hyperplane_sig expects 3 or 4 arguments, got ${args.length}")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_sig: $what must be an int literal, got $other")
+      }
+      val table = if (args.length == 4) intLit(args(3), "table") else 0
+      HyperplaneSignature(args.head, table, intLit(args(1), "dim"), intLit(args(2), "bits"))
     })
 }

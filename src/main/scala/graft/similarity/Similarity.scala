@@ -60,30 +60,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane i is
-    * derived from md5(i,j) mapped to [-1, 1). No RNG — reproducible
-    * across runs, engines and cluster sizes.
-    */
-  private def planeComponent(table: Int, plane: Int, j: Int): Double = {
-    val h = java.lang.Long.parseLong(
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane_${table}_${plane}_$j")
-        .substring(0, 15), 16)
-    (h.toDouble / (1L << 59).toDouble) - 1.0
-  }
-
   /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
     *
-    * The whole `bits × dim` plane matrix is ONE literal (a single
-    * `array<array<double>>` node in the plan): at real embedding dims
-    * (768 × 16 bits) inlining per-component literals would blow the
-    * expression tree to ~12k nodes and stall codegen/analysis. All dots
-    * are computed by a single `transform` over the plane rows, then the
-    * signature is folded from the sign bits — three HOF nodes total,
-    * independent of dim and bits.
+    * One native codegen'd plan node ([[graft.functions.HyperplaneSignature]])
+    * with the `bits × dim` plane matrix held as a reference object —
+    * plan size is O(1) in dim and bits (the earlier HOF form carried a
+    * plane literal per signature occurrence: q25's probe side alone
+    * embeds 28 signatures, ~11k literal nodes at 6 × 64, stalling
+    * analysis + codegen), and the per-row dots run as a fused primitive
+    * loop instead of interpreted lambdas. Bit-equal to
+    * [[lshSignatureHof]] (property-tested in ExpressionParitySpec).
     */
-  def lshSignature(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
+  def lshSignature(vec: Column, dim: Int, bits: Int, table: Int = 0): Column =
+    graft.functions.HyperplaneSignature(asDouble(vec), dim, bits, table)
+
+  /** The declarative HOF form of [[lshSignature]] — the reference
+    * semantics the native expression is property-tested against, and
+    * the shape an engine without expression extensions would run.
+    */
+  private[graft] def lshSignatureHof(vec: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     val planes: Seq[Seq[Double]] =
-      (0 until bits).map(i => (0 until dim).map(j => planeComponent(table, i, j)))
+      (0 until bits).map(i =>
+        (0 until dim).map(j => graft.functions.AnnKernels.planeComponent(table, i, j)))
     val planesLit = typedlit(planes)
     val v = asDouble(vec)
     val dots = transform(planesLit, p =>
@@ -187,11 +185,12 @@ object Similarity {
   private def intDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d)
 
-  /** argmin cell for a quantized vector against a `nlist × dim` long
-    * centroid literal: lexicographic struct sort on (dist, cell) — ties
-    * break on the lower cell index, deterministically.
+  /** The declarative HOF form of the nearest-cell probe — reference
+    * semantics for [[graft.functions.IvfNearestCells]] (which replaces
+    * it in the live plans): lexicographic struct sort on (dist, cell),
+    * ties to the lower cell index. Kept for ExpressionParitySpec.
     */
-  private def nearestCells(qv: Column, centroidsLit: Column, nlist: Int): Column =
+  private[graft] def nearestCellsHof(qv: Column, centroidsLit: Column, nlist: Int): Column =
     array_sort(zip_with(
       centroidsLit,
       sequence(lit(0), lit(nlist - 1)),
@@ -275,10 +274,10 @@ object Similarity {
     var centroids: IndexedSeq[IndexedSeq[Long]] =
       init.map(_.toIndexedSeq).toIndexedSeq
     for (_ <- 0 until iters) {
-      val centroidsLit = typedlit(centroids.map(_.toSeq).toSeq)
       val stats = quantized
         .withColumn("cell",
-          element_at(nearestCells(col("qv"), centroidsLit, nlist), 1).getField("cell"))
+          element_at(graft.functions.IvfNearestCells(
+            col("qv"), centroids.map(_.toSeq), 1), 1))
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
@@ -334,21 +333,18 @@ object Similarity {
       .select(col(idCol), col(vecCol), quantize(col(vecCol), scale).as("qv"))
       .localCheckpoint(false)
     val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
-    // nlist × dim centroid matrix as ONE literal in the plan (the same
-    // single-node trick as the LSH plane matrix).
-    val centroidsLit = typedlit(centroids)
-
+    // The nlist × dim centroid matrix rides inside the native probe
+    // expression as one reference object — a single plan node per
+    // probe, O(1) plan size in nlist and dim.
     val assigned = quantized
       .withColumn("cell",
-        element_at(nearestCells(col("qv"), centroidsLit, nlist), 1).getField("cell"))
+        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
     // Each query's nprobe nearest cells: integer squared-L2 to every
-    // centroid, lexicographic struct sort on (dist, cell), slice,
-    // explode.
+    // centroid, (dist, cell)-ordered, explode.
     val probed = queries
-      .withColumn("__cells",
-        slice(nearestCells(quantize(col(queryVecCol), scale), centroidsLit, nlist), 1, nprobe))
-      .withColumn("cell", explode(col("__cells.cell")))
-      .drop("__cells")
+      .withColumn("cell",
+        explode(graft.functions.IvfNearestCells(
+          quantize(col(queryVecCol), scale), centroids, nprobe)))
 
     // A corpus vector lives in exactly one cell and a query probes
     // distinct cells, so each (query, neighbor) pair matches at most

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HyperplaneSignature, IvfNearestCells, Md5Prefix64}
+import graft.similarity.Similarity
+
+/** The native codegen'd expressions must be BIT-EQUAL to the
+  * declarative forms they replaced — that identity is what keeps the
+  * DuckDB oracles (which transcribe the declarative arithmetic) green.
+  * Each test drives both the interpreted path (collect on tiny frames
+  * falls back to eval) and whole-stage codegen, over adversarial
+  * inputs: negative values, ties, unicode, empty strings.
+  */
+class ExpressionParitySpec extends SparkSpecBase {
+
+  test("md5_prefix64 equals conv(substring(md5(s),1,15),16,10)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val strs = Seq("", " ", "a", "hello world", "naïve café — π≈3.14159", "\t\n",
+      "0123456789abcdef" * 8) ++
+      (0 until 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s").repartition(4)
+    val rows = df.select(
+      Md5Prefix64(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+    assert(rows.length == strs.length)
+  }
+
+  test("md5_prefix64 via SQL registration") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq("x", "y").toDF("s").createOrReplaceTempView("mp64_t")
+    val out = spark.sql(
+      "SELECT md5_prefix64(s) = conv(substring(md5(s), 1, 15), 16, 10)::long FROM mp64_t")
+      .collect()
+    assert(out.forall(_.getBoolean(0)))
+  }
+
+  test("hyperplane_sig equals the HOF plane-literal formulation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val vecs = (0 until 200).map(_ => Seq.fill(dim)(rnd.nextGaussian())) ++
+      Seq(Seq.fill(dim)(0.0)) // all-zero vector: every dot == 0 -> all bits set
+    for (bits <- Seq(1, 6, 12); table <- Seq(0, 3)) {
+      val df = vecs.toDF("v").select(col("v").cast("array<double>").as("v")).repartition(4)
+      val rows = df.select(
+        HyperplaneSignature(col("v"), dim, bits, table).as("native"),
+        Similarity.lshSignatureHof(col("v"), dim, bits, table).as("hof"))
+        .collect()
+      rows.foreach(r =>
+        assert(r.getLong(0) == r.getLong(1), s"bits=$bits table=$table: $r"))
+    }
+  }
+
+  test("ivf_nearest_cells equals the HOF struct-sort formulation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val nlist = 7
+    val centroids: Seq[Seq[Long]] =
+      (0 until nlist).map(_ => Seq.fill(dim)(rnd.nextInt(2000000).toLong - 1000000))
+    // Duplicate one centroid to force exact distance ties — the
+    // (dist, cell) tie-break must pick the lower cell in both forms.
+    val tied = centroids.updated(5, centroids(2))
+    val qvs = (0 until 300).map(_ => Seq.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)) ++
+      tied // query exactly at a duplicated centroid: dist 0 tie
+    val centroidsLit = typedlit(tied)
+    for (limit <- Seq(1, 3, nlist)) {
+      val df = qvs.toDF("qv").repartition(4)
+      val rows = df.select(
+        IvfNearestCells(col("qv"), tied, limit).as("native"),
+        slice(Similarity.nearestCellsHof(col("qv"), centroidsLit, nlist), 1, limit)
+          .getField("cell").as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"limit=$limit: $r")
+      }
+    }
+  }
+}
