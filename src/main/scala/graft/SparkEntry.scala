@@ -663,6 +663,27 @@ object SparkEntry {
       nFrames = 4, frameBytes = 1024)
       .toDF()
 
+  /** Multimodal video: real recursive RIFF/AVI chunk walk per
+    * partition (`LIST hdrl` → `avih`) + declarative fps/duration
+    * math. The oracle derives the same fields from the canonical
+    * fixture layout — independent derivations must agree. */
+  def q58VideoMeta(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.VideoOps.decodeAviMeta(
+      s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/video/*.avi"))
+      .toDF()
+      .withColumn("fps", round(lit(1000000.0) / col("us_per_frame"), 6))
+      .withColumn("duration_sec",
+        round(col("n_frames") * col("us_per_frame") / lit(1000000.0), 6))
+
+  /** Multimodal video frame sampling: every 2nd `00db`/`00dc` chunk
+    * from the container walk, fingerprinted where the codec decode
+    * would run (same md5-of-hex identity as the audio frames). */
+  def q59VideoFrames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.VideoOps.frameSample(
+      s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/video/*.avi"),
+      everyK = 2)
+      .toDF()
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -730,6 +751,8 @@ object SparkEntry {
     "q55_repetition" -> (q55Repetition _),
     "q56_knn_join" -> (q56KnnJoin _),
     "q57_json_collapse" -> (q57JsonCollapse _),
+    "q58_video_meta" -> (q58VideoMeta _),
+    "q59_video_frames" -> (q59VideoFrames _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1253,6 +1276,46 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rk
         |  FROM sym)
         |SELECT src, nbr, cos, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    // q58/q59 oracles read the canonical AVI layout arithmetically
+    // (avih data at byte 32; movi frame i's data at 232 + i*(8+fs)) —
+    // the Spark side walks the chunk tree instead of assuming offsets,
+    // so the two derivations are independent. LE fields are
+    // byte-reversed hex concats, as in the WAV oracles.
+    "q58_video_meta" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, hex(content) AS h
+        |  FROM read_blob('$FixtureDir/video/*.avi')),
+        |m AS (
+        |  SELECT name,
+        |    CAST(concat('0x', substr(h,71,2), substr(h,69,2), substr(h,67,2), substr(h,65,2)) AS BIGINT) AS us_per_frame,
+        |    CAST(concat('0x', substr(h,103,2), substr(h,101,2), substr(h,99,2), substr(h,97,2)) AS BIGINT) AS n_frames,
+        |    CAST(CAST(concat('0x', substr(h,135,2), substr(h,133,2), substr(h,131,2), substr(h,129,2)) AS BIGINT) AS INTEGER) AS width,
+        |    CAST(CAST(concat('0x', substr(h,143,2), substr(h,141,2), substr(h,139,2), substr(h,137,2)) AS BIGINT) AS INTEGER) AS height
+        |  FROM b)
+        |SELECT name, width, height, n_frames, us_per_frame,
+        |  round(1000000.0 / us_per_frame, 6) AS fps,
+        |  round((n_frames * us_per_frame) / 1000000.0, 6) AS duration_sec
+        |FROM m""".stripMargin,
+    "q59_video_frames" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, hex(content) AS h
+        |  FROM read_blob('$FixtureDir/video/*.avi')),
+        |m AS (
+        |  SELECT name, h,
+        |    CAST(concat('0x', substr(h,103,2), substr(h,101,2), substr(h,99,2), substr(h,97,2)) AS BIGINT) AS n_frames,
+        |    CAST(concat('0x', substr(h,135,2), substr(h,133,2), substr(h,131,2), substr(h,129,2)) AS BIGINT)
+        |      * CAST(concat('0x', substr(h,143,2), substr(h,141,2), substr(h,139,2), substr(h,137,2)) AS BIGINT)
+        |      * 3 AS fs
+        |  FROM b),
+        |fr AS (
+        |  SELECT name, h, CAST(i AS INTEGER) AS frame_idx,
+        |    232 + i * (8 + fs) AS off, fs
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS i) t
+        |  WHERE i % 2 = 0)
+        |SELECT name, frame_idx, CAST(off AS BIGINT) AS frame_off,
+        |  CAST(fs AS INTEGER) AS frame_bytes,
+        |  md5(substr(h, CAST(2 * off + 1 AS BIGINT), CAST(2 * fs AS BIGINT))) AS frame_md5
+        |FROM fr""".stripMargin,
     "q57_json_collapse" ->
       """WITH j AS (
         |  SELECT printf('{"t":"%s","u":"%d"}', event_type, user_id) AS doc, value

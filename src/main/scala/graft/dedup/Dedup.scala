@@ -466,6 +466,9 @@ object Dedup {
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("new_label").as("label"))
       it += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC")) {
+        System.err.println(s"[cc] iteration $it changed=$changed")
+      }
     }
     val singletons = nodes
       .select(col(idCol).as("id"), col(idCol).as("label"))

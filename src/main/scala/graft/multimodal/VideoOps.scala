@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Video (binary) column handling for training-data pipelines — the
+  * third multimodal column type next to [[ImageOps]] and [[AudioOps]].
+  *
+  * Same design: video travels as an opaque `binary` column; the
+  * CONTAINER parse (a real recursive RIFF/AVI chunk walk — `LIST hdrl`
+  * → `avih` for stream metadata, `LIST movi` → `00db`/`00dc` chunks
+  * for per-frame byte extents) runs per-partition where the binaryFile
+  * scan landed each blob, no shuffle. The per-frame DECODE is the one
+  * step that needs a codec library (absent in this container) and is
+  * stubbed as the same deterministic content fingerprint the audio
+  * path uses — md5 of the frame bytes' uppercase hex — exactly where
+  * the codec call would slot in; schema, partitioning and batch shape
+  * around it are real.
+  *
+  * Frame sampling (`everyK`) is the standard training-data move: a
+  * video contributes every K-th frame, not all of them — the sampled
+  * frame set is what a vision encoder would embed.
+  *
+  * Engine-portable identities: the DuckDB oracle cannot walk chunks,
+  * but the fixture writer's canonical layout makes frame offsets a
+  * closed form (movi data at byte 232 + i·(8+frame_size)); the Spark
+  * side never assumes that layout — it walks whatever chunks are
+  * present — so oracle and engine agree through genuinely independent
+  * derivations.
+  */
+object VideoOps {
+
+  /** Parsed AVI main-header metadata (`avih`). */
+  final case class AviMeta(
+      name: String,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      us_per_frame: Long)
+
+  /** One sampled frame: container-level byte extent + content
+    * fingerprint (the codec slot). */
+  final case class VideoFrame(
+      name: String,
+      frame_idx: Int,
+      frame_off: Long,
+      frame_bytes: Int,
+      frame_md5: String)
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def hexUpper(b: Array[Byte], off: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len * 2)
+    var i = 0
+    while (i < len) { sb.append(f"${b(off + i) & 0xff}%02X"); i += 1 }
+    sb.toString
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** Recursive chunk walk: (fourcc or LIST-type, dataOff, dataLen) for
+    * every chunk in `[from, until)`, descending into LISTs. Chunks are
+    * word-aligned (odd sizes pad one byte) per the RIFF spec.
+    */
+  private def walk(b: Array[Byte], from: Int, until: Int): Iterator[(String, Int, Int)] = {
+    var pos = from
+    new Iterator[(String, Int, Int)] {
+      var pending: Iterator[(String, Int, Int)] = Iterator.empty
+      def hasNext: Boolean = pending.hasNext || pos + 8 <= until
+      def next(): (String, Int, Int) = {
+        if (pending.hasNext) pending.next()
+        else {
+          val cc = fourcc(b, pos)
+          val sz = leU32(b, pos + 4).toInt
+          val dataOff = pos + 8
+          pos = dataOff + sz + (sz & 1)
+          if (cc == "LIST") {
+            val listType = fourcc(b, dataOff)
+            pending = walk(b, dataOff + 4, dataOff + sz)
+            (listType, dataOff + 4, sz - 4)
+          } else (cc, dataOff, sz)
+        }
+      }
+    }
+  }
+
+  private def requireAvi(name: String, b: Array[Byte]): Unit =
+    require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ",
+      s"$name: not a RIFF/AVI container")
+
+  private def named(binaries: DataFrame): DataFrame =
+    binaries.select(regexp_extract(col("path"), "[^/]+$", 0).as("name"), col("content"))
+
+  /** Parse `avih` main headers per-partition: one row per file, no
+    * shuffle. */
+  def decodeAviMeta(spark: SparkSession, binaries: DataFrame): Dataset[AviMeta] = {
+    import spark.implicits._
+    named(binaries)
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, b) =>
+          requireAvi(name, b)
+          val avih = walk(b, 12, b.length).collectFirst { case ("avih", off, _) => off }
+            .getOrElse(sys.error(s"$name: no avih header"))
+          AviMeta(name,
+            width = leU32(b, avih + 32).toInt,
+            height = leU32(b, avih + 36).toInt,
+            n_frames = leU32(b, avih + 16),
+            us_per_frame = leU32(b, avih))
+        }
+      }
+  }
+
+  /** Every `everyK`-th video frame chunk (`00db`/`00dc`), with its
+    * container byte extent and content fingerprint. The chunk walk is
+    * the real container parse; the fingerprint is the codec slot. */
+  def frameSample(
+      spark: SparkSession,
+      binaries: DataFrame,
+      everyK: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    named(binaries)
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (name, b) =>
+          requireAvi(name, b)
+          val frameCc = "^\\d\\d(db|dc)$".r
+          walk(b, 12, b.length)
+            .filter(c => frameCc.findFirstIn(c._1).isDefined)
+            .zipWithIndex
+            .collect { case ((_, off, len), idx) if idx % everyK == 0 =>
+              VideoFrame(name, idx, off.toLong, len, md5Hex(hexUpper(b, off, len)))
+            }
+        }
+      }
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{AudioOps, ImageOps}
+import graft.multimodal.{AudioOps, ImageOps, VideoOps}
 
 /** Multimodal binary-column pipeline: decode correctness against a
   * hand-computed fixture and the resize contract (shape, determinism,
@@ -96,5 +96,51 @@ class MultimodalSpec extends SparkSpecBase {
       spark, ImageOps.readBinary(spark, wavGlob), 4, 1024).collect()
     assert(frames.map(f => (f.name, f.frame_idx, f.frame_md5)).toSet ==
       again.map(f => (f.name, f.frame_idx, f.frame_md5)).toSet)
+  }
+
+  private val aviGlob = "/root/repo/fixtures/video/*.avi"
+
+  test("AVI container walk matches the generator's specs") {
+    val metas = VideoOps.decodeAviMeta(
+      spark, ImageOps.readBinary(spark, aviGlob)).collect()
+      .map(m => m.name -> m).toMap
+    // tools/gen_fixtures.py video(): (width, height, us_per_frame, n_frames)
+    val expect = Map(
+      "clip_0.avi" -> ((8, 6, 40000L, 12L)),
+      "clip_1.avi" -> ((16, 8, 33333L, 10L)),
+      "clip_2.avi" -> ((4, 4, 100000L, 20L)))
+    assert(metas.keySet == expect.keySet)
+    expect.foreach { case (n, (w, h, uspf, nf)) =>
+      val m = metas(n)
+      assert((m.width, m.height, m.us_per_frame, m.n_frames) == ((w, h, uspf, nf)), n)
+    }
+  }
+
+  test("AVI frame sampling: every 2nd chunk, canonical offsets, independent md5") {
+    val frames = VideoOps.frameSample(
+      spark, ImageOps.readBinary(spark, aviGlob), everyK = 2).collect()
+    // 12, 10, 20 frames -> 6 + 5 + 10 sampled
+    assert(frames.length == 21)
+    val expectFs = Map("clip_0.avi" -> 144, "clip_1.avi" -> 384, "clip_2.avi" -> 48)
+    frames.groupBy(_.name).foreach { case (n, fs) =>
+      val size = expectFs(n)
+      fs.foreach { f =>
+        assert(f.frame_idx % 2 == 0, n)
+        assert(f.frame_bytes == size, n)
+        // The walker's offsets must land on the canonical closed form
+        // the oracle assumes: 232 + i*(8+frame_size).
+        assert(f.frame_off == 232L + f.frame_idx * (8L + size), s"$n idx=${f.frame_idx}")
+      }
+    }
+    // Independent fingerprint recomputation straight from the file
+    // bytes (no walker involved).
+    val f0 = frames.filter(f => f.name == "clip_0.avi" && f.frame_idx == 2).head
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/video/clip_0.avi"))
+    val hex = bytes.slice(f0.frame_off.toInt, f0.frame_off.toInt + f0.frame_bytes)
+      .map(b => f"${b & 0xff}%02X").mkString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(f0.frame_md5 == md5)
   }
 }

@@ -302,6 +302,50 @@ def audio():
             f.write(hdr + bytes(buf))
 
 
+def video():
+    # Canonical uncompressed AVI (RIFF): LIST hdrl {avih, LIST strl
+    # {strh 'vids'/'DIB ', strf BITMAPINFOHEADER}} + LIST movi with one
+    # '00db' chunk per raw BGR frame. A real container format walkable
+    # without codec libraries; frame payloads are closed-form LCG bytes.
+    # Widths keep row_bytes (w*3) a multiple of 4, so there is no DIB
+    # row padding and frame_size == w*h*3 exactly — which is what lets
+    # the DuckDB oracle compute chunk offsets arithmetically
+    # (movi data starts at byte 232; frame i data at 232 + i*(8+fs)).
+    import struct
+    specs = [(8, 6, 40000, 12), (16, 8, 33333, 10), (4, 4, 100000, 20)]
+    for vi, (wd, ht, uspf, nframes) in enumerate(specs):
+        fs = wd * ht * 3
+        frames = []
+        x = 7654321 + vi
+        for fi in range(nframes):
+            buf = bytearray()
+            for _ in range(fs):
+                x = (1103515245 * x + 12345) % (1 << 31)
+                buf.append(x & 0xFF)
+            frames.append(bytes(buf))
+        avih = struct.pack("<14I", uspf, fs * 1000000 // uspf, 0, 0x10,
+                           nframes, 0, 1, fs, wd, ht, 0, 0, 0, 0)
+        strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                uspf, 1000000, 0, nframes, fs, 10000, 0)
+                + struct.pack("<4h", 0, 0, wd, ht))
+        strf = struct.pack("<IiiHHIIiiII", 40, wd, ht, 1, 24, 0, fs, 0, 0, 0, 0)
+        strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+            + b"strh" + struct.pack("<I", len(strh)) + strh \
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+            + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+        movi_body = b"".join(b"00db" + struct.pack("<I", fs) + fr for fr in frames)
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+        body = b"AVI " + hdrl + movi
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert len(hdrl) == 200 and blob.index(b"movi") == 220, \
+            "canonical AVI layout drifted; q58/q59 oracles assume it"
+        path = os.path.join(ROOT, "video", "clip_%d.avi" % vi)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(blob)
+
+
 if __name__ == "__main__":
     star_counts()
     segment_cnv()
@@ -316,5 +360,6 @@ if __name__ == "__main__":
     clinical()
     images()
     audio()
+    video()
     n = sum(len(fs) for _, _, fs in os.walk(ROOT))
     print("wrote %d fixture files under %s" % (n, ROOT))
