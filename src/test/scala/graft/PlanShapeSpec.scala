@@ -193,4 +193,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
       "dot_product projection is outside whole-stage codegen:\n" + p.take(1500))
   }
+
+  test("native kernels are single plan nodes inside codegen stages") {
+    // hyperplane_sig: q25 computes corpus + probe signatures inline
+    // (no checkpoint), so its plan must carry the O(1)-size expression
+    // nodes — 4 tables × (1 + bits+1 probes) of them — instead of HOF
+    // plane-literal machinery.
+    val q25 = SparkEntry.queries("q25_lsh_ann_topk")(spark, sfDir)
+    val p25 = q25.queryExecution.analyzed.toString
+    assert(p25.contains("hyperplane_sig"), p25.take(1500))
+
+    // md5_prefix64 under the hash-bucket split (q19's gram hash sits
+    // behind a checkpoint boundary, so q53's narrow plan is the
+    // visible seat).
+    val q53 = SparkEntry.queries("q53_split")(spark, sfDir)
+    val p53 = q53.queryExecution.analyzed.toString
+    assert(p53.contains("md5_prefix64"), p53.take(1500))
+
+    // ivf_nearest_cells in the q45 probe/assignment plan.
+    val q45 = SparkEntry.queries("q45_ivf_ann_topk")(spark, sfDir)
+    val p45 = q45.queryExecution.analyzed.toString
+    assert(p45.contains("ivf_nearest_cells"), p45.take(1500))
+  }
 }
