@@ -289,6 +289,31 @@ object Cli {
       println(s"decontaminated corpus written to $out")
       0
 
+    case "frames" :: rest =>
+      // Multimodal frame extraction: sample frames from every media
+      // file under a glob (container parse per-partition, fingerprint
+      // where the codec decode would run) into one parquet frame
+      // table — the input a vision/audio encoder batch would embed.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val kind = m.get("--kind").flatMap(_.headOption).getOrElse("avi")
+      val spark = session()
+      val binaries = graft.multimodal.ImageOps.readBinary(spark, in)
+      val frames = kind match {
+        case "avi" =>
+          val everyK = m.get("--every").flatMap(_.headOption).map(_.toInt).getOrElse(1)
+          graft.multimodal.VideoOps.frameSample(spark, binaries, everyK).toDF()
+        case "wav" =>
+          val n = m.get("--frames").flatMap(_.headOption).map(_.toInt).getOrElse(4)
+          val bytes = m.get("--bytes").flatMap(_.headOption).map(_.toInt).getOrElse(1024)
+          graft.multimodal.AudioOps.frameSample(spark, binaries, n, bytes).toDF()
+        case other => sys.error(s"frames: unknown --kind $other (avi|wav)")
+      }
+      frames.write.mode("overwrite").parquet(out)
+      println(s"frame table written to $out")
+      0
+
     case other =>
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
@@ -302,6 +327,8 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
+           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

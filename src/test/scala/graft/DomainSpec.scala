@@ -161,6 +161,24 @@ class DomainSpec extends SparkSpecBase {
     assert(hit >= 12, s"ivf found only $hit/24 true neighbors")
   }
 
+  test("CLI frames: avi and wav frame tables land with sane schemas") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_frames").toString
+
+    assert(graft.Cli.run(Array(
+      "frames", "-i", "/root/repo/fixtures/video/*.avi",
+      "-o", s"$tmp/avi", "--every", "2")) == 0)
+    val avi = spark.read.parquet(s"$tmp/avi")
+    assert(avi.columns.toSeq ==
+      Seq("name", "frame_idx", "frame_off", "frame_bytes", "frame_md5"))
+    assert(avi.count() == 21) // (12+10+20 frames) every 2nd
+
+    assert(graft.Cli.run(Array(
+      "frames", "-i", "/root/repo/fixtures/audio/*.wav",
+      "-o", s"$tmp/wav", "--kind", "wav", "--frames", "2")) == 0)
+    val wav = spark.read.parquet(s"$tmp/wav")
+    assert(wav.count() == 6) // 3 clips x 2 frames
+  }
+
   test("CLI split/decontaminate: deterministic split, anti-joined clean corpus") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_split").toString
