@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenization kernels.
+  *
+  * Tokenize → shingle is the first stage of EVERY text operator
+  * (dedup, quality, vocab, decontamination), and the declarative form
+  * pays an interpreted higher-order `filter`/`transform` lambda per
+  * element on the hottest path in the engine. These expressions fuse
+  * each stage into one codegen-friendly node with identical results
+  * (property-tested in ExpressionParitySpec).
+  *
+  * Null semantics: standard expression null-propagation (null in →
+  * null out), where the HOF compositions yield an empty array for a
+  * null input. The corpus contract (documents.text non-null, enforced
+  * upstream) makes the two indistinguishable in every declared query.
+  */
+object TextKernels {
+
+  /** Split on a regex, drop empty tokens, optionally lowercasing
+    * first. Bit-equal to
+    * `filter(split(lower(s), pattern), t => length(t) > 0)`:
+    * `UTF8String.toLowerCase` is Spark's own `lower()`, and the regex
+    * split matches `StringSplit`'s limit -1 behavior.
+    */
+  def regexTokens(s: UTF8String, regex: java.util.regex.Pattern, lowercase: Boolean): ArrayData = {
+    val base = if (lowercase) s.toLowerCase else s
+    val parts = regex.split(base.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (!parts(i).isEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var k = 0
+    i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { out(k) = UTF8String.fromString(parts(i)); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `regex_tokens(string) -> array<string>` with a fixed pattern and
+  * lowercase flag — the whitespace tokenizer (`\s+`, lowercase) and
+  * the BPE-ish subword splitter (`[^a-z0-9]+`, lowercase) in one
+  * fused node.
+  */
+case class RegexTokens(child: Expression, pattern: String, lowercase: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "regex_tokens"
+
+  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
+
+  def compute(s: UTF8String): ArrayData = TextKernels.regexTokens(s, regex, lowercase)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("regexTokens", this, classOf[RegexTokens].getName)
+    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexTokens =
+    copy(child = newChild)
+}
+
+object RegexTokens {
+  def apply(c: Column, pattern: String, lowercase: Boolean): Column =
+    ColumnBridge.column(RegexTokens(ColumnBridge.expression(c), pattern, lowercase))
+}
+
+/** `word_ngrams(array<string>, n) -> array<string>`: sliding window of
+  * n tokens, space-joined. Matches the HOF
+  * `transform(sequence(0, size-n), i => array_join(slice(toks,i+1,n), " "))`
+  * with the `size >= n → else empty` guard: `UTF8String.concatWs` IS
+  * `array_join`'s kernel.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(a: ArrayData): ArrayData = {
+    val sz = a.numElements()
+    if (sz < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](sz - n + 1)
+      var i = 0
+      while (i <= sz - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
+    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def apply(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), n))
+}

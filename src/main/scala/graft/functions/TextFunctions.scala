@@ -15,8 +15,16 @@ object TextFunctions {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** Lowercased whitespace tokens, empty tokens removed. */
+  /** Lowercased whitespace tokens, empty tokens removed — the native
+    * fused [[RegexTokens]] kernel (one node, no interpreted `filter`
+    * lambda per token). Bit-equal to [[tokensHof]]
+    * (ExpressionParitySpec). */
   def tokens(text: Column): Column =
+    RegexTokens(text, "\\s+", lowercase = true)
+
+  /** The declarative HOF form of [[tokens]] — the reference semantics
+    * the native kernel is property-tested against. */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count. */
@@ -27,13 +35,17 @@ object TextFunctions {
     * deterministic proxy for tokenizer cost estimation.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+    size(RegexTokens(text, "[^a-z0-9]+", lowercase = true))
 
-  /** Word n-grams over the token array (array of space-joined grams).
-    * `transform` over an index `sequence` — distributed, per-row, no
-    * shuffle.
-    */
+  /** Word n-grams over the token array (array of space-joined grams) —
+    * the native fused [[WordNgrams]] kernel; per-row, no shuffle.
+    * Bit-equal to [[wordNgramsHof]] (ExpressionParitySpec). */
   def wordNgrams(toks: Column, n: Int): Column =
+    WordNgrams(toks, n)
+
+  /** The declarative HOF form of [[wordNgrams]] — reference semantics
+    * for the parity test. */
+  private[graft] def wordNgramsHof(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
       transform(

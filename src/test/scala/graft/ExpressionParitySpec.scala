@@ -58,6 +58,47 @@ class ExpressionParitySpec extends SparkSpecBase {
     }
   }
 
+  test("regex_tokens equals filter(split(lower(s)), length > 0)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(43)
+    val strs = Seq("", " ", "  ", "Hello  World", "\ta\nb c\t", "ünïcödé ÅÄÖ tokens",
+      "one", " leading", "trailing ", "a  b   c    d") ++
+      (0 until 300).map { _ =>
+        (0 until rnd.nextInt(8)).map(_ =>
+          rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" " * (1 + rnd.nextInt(3)))
+      }
+    val df = strs.toDF("s").repartition(4)
+    val rows = df.select(
+      graft.functions.RegexTokens(col("s"), "\\s+", lowercase = true).as("native"),
+      graft.functions.TextFunctions.tokensHof(col("s")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r"))
+    // Subword pattern too.
+    val rows2 = df.select(
+      graft.functions.RegexTokens(col("s"), "[^a-z0-9]+", lowercase = true).as("native"),
+      filter(split(lower(col("s")), "[^a-z0-9]+"), t => length(t) > 0).as("hof"))
+      .collect()
+    rows2.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r"))
+  }
+
+  test("word_ngrams equals the transform/slice/array_join HOF") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(47)
+    val arrays: Seq[Seq[String]] = Seq(Seq.empty[String], Seq("a"), Seq("a", "b")) ++
+      (0 until 300).map(_ =>
+        Seq.fill(rnd.nextInt(12))(rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString))
+    val df = arrays.toDF("toks").repartition(4)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(
+        graft.functions.WordNgrams(col("toks"), n).as("native"),
+        graft.functions.TextFunctions.wordNgramsHof(col("toks"), n).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n: $r"))
+    }
+  }
+
   test("ivf_nearest_cells equals the HOF struct-sort formulation") {
     val spark2 = spark
     import spark2.implicits._
