@@ -127,3 +127,114 @@ object WordNgrams {
   def apply(toks: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), n))
 }
+
+/** `rolling_hashes(string, k) -> array<long>`: the 60-bit md5 hash of
+  * every char k-shingle in one node. Matches
+  * `transform(charShingles(text, k), s => md5_prefix64(s))` — same
+  * substring boundaries (`Column.substr` counts UTF8 code points, so
+  * shingling here walks UTF8String.substringSQL), same hash.
+  */
+case class RollingHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  def compute(s: UTF8String): ArrayData = {
+    val len = s.numChars()
+    if (len < k) new GenericArrayData(Array.empty[Long])
+    else {
+      val out = new Array[Long](len - k + 1)
+      var i = 0
+      while (i <= len - k) {
+        out(i) = HashKernels.md5Prefix64(s.substringSQL(i + 1, k))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingHashes", this, classOf[RollingHashes].getName)
+    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+object RollingHashes {
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(RollingHashes(ColumnBridge.expression(text), k))
+}
+
+/** `winnow_minima(array<long>, w) -> array<long>`: the distinct minima
+  * of every `w`-window (the MOSS winnowing fingerprint), via a
+  * monotonic deque — O(len) per document where the HOF
+  * `transform(sequence, i => array_min(slice(hs, i+1, w)))` is
+  * O(len·w) even with the hash array materialized. Output order and
+  * values match the HOF + `array_distinct` form exactly (window-order
+  * minima, first occurrence kept). Degenerate inputs match too:
+  * fewer than w hashes → the single global minimum; empty → empty.
+  */
+case class WinnowMinima(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, s"w must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_minima"
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n < w) {
+      var m = a.getLong(0)
+      var i = 1
+      while (i < n) { val v = a.getLong(i); if (v < m) m = v; i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    // Sliding-window minima: deque of indices with increasing values.
+    // `<=` on eviction keeps the RIGHTMOST of equal minima, matching
+    // array_min's VALUE (ties have equal values, so emitted minima are
+    // identical either way); distinct-ness is tracked with a seen-set
+    // in first-occurrence order, as array_distinct does.
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < n) {
+      while (tail > head && a.getLong(deque(tail - 1)) >= a.getLong(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = a.getLong(deque(head))
+        if (seen.add(m)) out += m
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowMinima", this, classOf[WinnowMinima].getName)
+    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinima =
+    copy(child = newChild)
+}
+
+object WinnowMinima {
+  def apply(hashes: Column, w: Int): Column =
+    ColumnBridge.column(WinnowMinima(ColumnBridge.expression(hashes), w))
+}

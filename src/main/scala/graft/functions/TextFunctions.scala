@@ -159,31 +159,44 @@ object TextFunctions {
 
   /** Per-shingle rolling hashes: 64-bit md5-derived hash of each char
     * k-shingle (first 15 hex digits as a long — engine-portable, the
-    * same identity the dedup oracles validate). */
+    * same identity the dedup oracles validate). Native fused
+    * [[RollingHashes]] kernel; bit-equal to [[rollingHashesHof]]
+    * (ExpressionParitySpec). */
   def rollingHashes(text: Column, k: Int): Column =
+    RollingHashes(text, k)
+
+  /** Declarative HOF form of [[rollingHashes]] (parity reference). */
+  private[graft] def rollingHashesHof(text: Column, k: Int): Column =
     transform(charShingles(text, k), s => Md5Prefix64(s))
 
-  /** Winnowing fingerprint (the MOSS scheme) over an ALREADY
-    * MATERIALIZED rolling-hash array column: the distinct minima of
-    * every `w`-window over the hashes. Guarantees any shared substring
-    * of length >= k + w - 1 contributes at least one common fingerprint
-    * between two documents, while keeping the fingerprint density
-    * ~2/(w+1) — the standard local document fingerprint for
-    * plagiarism/near-dup detection at corpus scale (each doc reduces to
-    * a small hash set; overlap is a keyed join, never a text
-    * comparison).
+  /** Winnowing fingerprint (the MOSS scheme) over a rolling-hash
+    * array: the distinct minima of every `w`-window. Guarantees any
+    * shared substring of length >= k + w - 1 contributes at least one
+    * common fingerprint between two documents, while keeping the
+    * fingerprint density ~2/(w+1) — the standard local document
+    * fingerprint for plagiarism/near-dup detection at corpus scale
+    * (each doc reduces to a small hash set; overlap is a keyed join,
+    * never a text comparison).
     *
-    * `hashes` MUST be a plain column reference (project
-    * `rollingHashes(...)` in a separate `select` first), never an
-    * inline expression: Catalyst evaluates a lambda body per array
-    * element, so an inline hash-array subtree captured by the window
-    * lambda would be recomputed for EVERY window — O(len²) hash calls
-    * per document (measured 60s → 1s at sf0.1 for this one change).
+    * Native monotonic-deque [[WinnowMinima]] kernel: O(len) per
+    * document where the HOF window scan was O(len·w), and it
+    * references its input exactly once — so the historical "project
+    * `rollingHashes(...)` as an attribute first or Catalyst
+    * re-evaluates the subtree per window, O(len²)" trap (measured
+    * 60s → 1s at sf0.1) no longer applies, though materializing the
+    * hash array remains good practice when it has other consumers.
     *
     * Degenerate inputs: fewer than `w` windows → the global minimum;
     * no hashes at all → empty array.
     */
   def winnowFromHashes(hashes: Column, w: Int): Column =
+    WinnowMinima(hashes, w)
+
+  /** Declarative HOF form of [[winnowFromHashes]] — the parity
+    * reference, and the O(len·w) shape the native deque kernel
+    * replaces (the kernel also lifts the "materialize the hash array
+    * first" restriction, since it references its input once). */
+  private[graft] def winnowFromHashesHof(hashes: Column, w: Int): Column =
     when(size(hashes) >= w,
       array_distinct(transform(
         sequence(lit(0), size(hashes) - w),

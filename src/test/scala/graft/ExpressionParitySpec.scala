@@ -99,6 +99,42 @@ class ExpressionParitySpec extends SparkSpecBase {
     }
   }
 
+  test("rolling_hashes equals transform(charShingles, md5_prefix64)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(53)
+    val strs = Seq("", "abc", "abcdefgh", "ünïcödé shingles — ok",
+      "exactly8", "1234567") ++
+      (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s").repartition(4)
+    for (k <- Seq(1, 4, 8)) {
+      val rows = df.select(
+        graft.functions.RollingHashes(col("s"), k).as("native"),
+        graft.functions.TextFunctions.rollingHashesHof(col("s"), k).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k: $r"))
+    }
+  }
+
+  test("winnow_minima equals the HOF window scan, including tie and degenerate cases") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(59)
+    val arrays: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(5L), Seq(3L, 3L, 3L), Seq(9L, 1L, 9L, 1L, 9L),
+      Seq(1L, 2L, 3L, 4L, 5L), Seq(5L, 4L, 3L, 2L, 1L)) ++
+      (0 until 300).map(_ =>
+        Seq.fill(rnd.nextInt(30))(rnd.nextInt(10).toLong)) // dense ties
+    val df = arrays.toDF("hs").repartition(4)
+    for (w <- Seq(1, 2, 4, 7)) {
+      val rows = df.select(
+        graft.functions.WinnowMinima(col("hs"), w).as("native"),
+        graft.functions.TextFunctions.winnowFromHashesHof(col("hs"), w).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"w=$w: $r"))
+    }
+  }
+
   test("ivf_nearest_cells equals the HOF struct-sort formulation") {
     val spark2 = spark
     import spark2.implicits._
