@@ -221,7 +221,11 @@ object Cli {
         case "ivf" => graft.similarity.Similarity.ivfTopK(
           corpus, queries, idCol, vecCol, "q_id", "q_vec",
           dim = dim, k = k, nlist = 24, nprobe = 6)
-        case other => sys.error(s"ann --mode must be brute|lsh|ivf, got $other")
+        case "ivf-index" =>
+          val index = one(m, "--index")
+          graft.similarity.Similarity.ivfTopKIndexed(
+            spark, index, queries, "q_id", "q_vec", k = k, nprobe = 6)
+        case other => sys.error(s"ann --mode must be brute|lsh|ivf|ivf-index, got $other")
       }
       topk.write.mode("overwrite").parquet(out)
       println(s"ann ($mode) top-$k written to $out")
@@ -289,6 +293,22 @@ object Cli {
       println(s"decontaminated corpus written to $out")
       0
 
+    case "ann-index" :: rest =>
+      // Build a persisted IVF index: vectors partitioned by cell
+      // (probe-time partition pruning) + index.json (quantizer).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val dim = m.get("--dim").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+      val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
+      val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
+      val spark = session()
+      graft.similarity.Similarity.writeIvfIndex(
+        spark.read.parquet(in), idCol, vecCol, dim, nlist, out)
+      println(s"ivf index ($nlist cells) written to $out")
+      0
+
     case "frames" :: rest =>
       // Multimodal frame extraction: sample frames from every media
       // file under a glob (container parse per-partition, fingerprint
@@ -327,7 +347,8 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
-           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  ann-index  -i <embeddings.parquet> -o <index-path> [--nlist 24] [--dim 64]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneSignature, Md5Prefix64, MinHashSketchAgg}
+import graft.functions.{DotProduct, HyperplaneSignature, Md5Prefix64, MinHashSketchAgg, RollingHashes, WinnowMinima, WordNgrams}
 
 /** Catalyst extension point: registers graft's native expressions in
   * the SQL function registry, so pure-SQL users (spark.sql, JDBC,
@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSketchDescriptor)
     ext.injectFunction(GraftExtensions.md5Prefix64Descriptor)
     ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
+    ext.injectFunction(GraftExtensions.wordNgramsDescriptor)
+    ext.injectFunction(GraftExtensions.rollingHashesDescriptor)
+    ext.injectFunction(GraftExtensions.winnowMinimaDescriptor)
     ext.injectOptimizerRule(_ => CollapseJsonExtracts)
   }
 }
@@ -81,5 +84,38 @@ object GraftExtensions {
       }
       val table = if (args.length == 4) intLit(args(3), "table") else 0
       HyperplaneSignature(args.head, table, intLit(args(1), "dim"), intLit(args(2), "bits"))
+    })
+
+  private def intLitArg(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an int literal, got $other")
+  }
+
+  /** `word_ngrams(array<string>, n) -> array<string>`. */
+  val wordNgramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[WordNgrams].getCanonicalName, null, "word_ngrams"),
+    { args =>
+      require(args.length == 2, s"word_ngrams expects 2 arguments, got ${args.length}")
+      WordNgrams(args.head, intLitArg(args(1), "word_ngrams", "n"))
+    })
+
+  /** `rolling_hashes(string, k) -> array<long>`. */
+  val rollingHashesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hashes"),
+    new ExpressionInfo(classOf[RollingHashes].getCanonicalName, null, "rolling_hashes"),
+    { args =>
+      require(args.length == 2, s"rolling_hashes expects 2 arguments, got ${args.length}")
+      RollingHashes(args.head, intLitArg(args(1), "rolling_hashes", "k"))
+    })
+
+  /** `winnow_minima(array<long>, w) -> array<long>`. */
+  val winnowMinimaDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_minima"),
+    new ExpressionInfo(classOf[WinnowMinima].getCanonicalName, null, "winnow_minima"),
+    { args =>
+      require(args.length == 2, s"winnow_minima expects 2 arguments, got ${args.length}")
+      WinnowMinima(args.head, intLitArg(args(1), "winnow_minima", "w"))
     })
 }

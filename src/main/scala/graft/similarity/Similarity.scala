@@ -363,6 +363,126 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Persisted IVF index layout: `<path>/vectors` is the assigned
+    * corpus written `partitionBy("cell")` — the physical layout that
+    * turns probe-cell selection into PARTITION PRUNING, the engine's
+    * answer to a vector index — and `<path>/index.json` carries the
+    * quantizer (centroid matrix + params), small by construction
+    * (`nlist × dim` longs).
+    *
+    * Build is one quantize+assign pass after the Lloyd training; the
+    * index is immutable and reproducible (deterministic quantizer), so
+    * rebuilding from the same corpus bit-matches.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      path: String,
+      iters: Int = 2,
+      scale: Long = 1000000L): Unit = {
+    val spark = corpus.sparkSession
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), col(vecCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false)
+    val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
+    quantized
+      .withColumn("cell",
+        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // Index metadata via the Hadoop FS API (path-scheme-agnostic: the
+    // same code writes to HDFS/S3A on a cluster).
+    val meta = new StringBuilder
+    meta ++= s"""{"dim":$dim,"nlist":$nlist,"scale":$scale,"idCol":"$idCol","vecCol":"$vecCol","centroids":["""
+    meta ++= centroids.map(_.mkString("[", ",", "]")).mkString(",")
+    meta ++= "]}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.json"), true)
+    try out.write(meta.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Self-describing index metadata (`<path>/index.json`). */
+  final case class IvfIndexMeta(
+      dim: Int,
+      scale: Long,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Long]])
+
+  private[graft] def readIvfIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndexMeta = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/index.json"))
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, buf)
+      buf.toString("UTF-8")
+    } finally in.close()
+    // Parse with Spark's JSON machinery (no extra deps): one-row frame.
+    import spark.implicits._
+    val row = spark.read.json(Seq(raw).toDS()).head()
+    IvfIndexMeta(
+      dim = row.getAs[Long]("dim").toInt,
+      scale = row.getAs[Long]("scale"),
+      idCol = row.getAs[String]("idCol"),
+      vecCol = row.getAs[String]("vecCol"),
+      centroids = row.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("centroids")
+        .map(_.toSeq).toSeq)
+  }
+
+  /** ANN top-k against a PERSISTED IVF index: probe cells come from
+    * the (driver-held) centroid matrix, and the corpus scan reads ONLY
+    * the probed cells' partitions — a static `cell IN (...)` predicate
+    * on the partition column, visible as `PartitionFilters` in the
+    * plan (asserted in SimilaritySpec). At any corpus size the scan
+    * cost is `|distinct probed cells| / nlist` of the data; the probe
+    * set stays tiny by contract (queries × nprobe).
+    *
+    * Results are identical to [[ivfTopK]] run with the same params on
+    * the corpus the index was built from (deterministic quantizer —
+    * asserted in SimilaritySpec).
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val meta = readIvfIndexMeta(spark, path)
+    val (idCol, vecCol) = (meta.idCol, meta.vecCol)
+    val probed = queries
+      .withColumn("cell",
+        explode(graft.functions.IvfNearestCells(
+          quantize(col(queryVecCol), meta.scale), meta.centroids, nprobe)))
+    // Distinct probed cells — tiny by contract — collected once so the
+    // scan carries a STATIC partition predicate (no full-index listing
+    // of data files outside the probed cells).
+    val cells = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells: _*))
+    val scored = corpus
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(
+        col(queryIdCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection).
     *
     * `bits == 0`: exact full self-join — O(n²), for small corpora and

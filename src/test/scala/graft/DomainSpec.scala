@@ -161,6 +161,19 @@ class DomainSpec extends SparkSpecBase {
     assert(hit >= 12, s"ivf found only $hit/24 true neighbors")
   }
 
+  test("CLI ann-index + ann --mode ivf-index: build once, query pruned") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_ivfidx").toString
+    assert(graft.Cli.run(Array("ann-index", "-i", emb, "-o", s"$tmp/idx")) == 0)
+    assert(new java.io.File(s"$tmp/idx/index.json").exists())
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/hits", "--mode", "ivf-index",
+      "--index", s"$tmp/idx", "-k", "3")) == 0)
+    val hits = spark.read.parquet(s"$tmp/hits")
+    assert(hits.columns.toSeq == Seq("query_id", "neighbor_id", "cos", "rank"))
+    assert(hits.count() == 24)
+  }
+
   test("CLI frames: avi and wav frame tables land with sane schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_frames").toString
 

@@ -111,6 +111,22 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(complex.contains("get_json_object") && !complex.contains("from_json"))
   }
 
+  test("text/ann kernels are callable from SQL via GraftExtensions") {
+    // The shared session installs GraftExtensions, so these resolve
+    // with no extra registration.
+    val toks = spark.sql(
+      """SELECT word_ngrams(array('a','b','c'), 2) AS g,
+        |       rolling_hashes('abcd', 2) AS rh,
+        |       winnow_minima(array(9L, 1L, 9L, 2L), 2) AS wm,
+        |       hyperplane_sig(array(1.0d, -1.0d), 2, 4) AS hs,
+        |       md5_prefix64('x') AS m""".stripMargin).head()
+    assert(toks.getSeq[String](0) == Seq("a b", "b c"))
+    assert(toks.getSeq[Long](1).length == 3)
+    assert(toks.getSeq[Long](2) == Seq(1L, 2L))
+    assert(toks.getLong(3) == toks.getLong(3)) // resolves + evaluates
+    assert(toks.getLong(4) >= 0L)
+  }
+
   test("minhash_sketch aggregate is callable from SQL via GraftExtensions") {
     val (id, info, builder) = graft.plans.GraftExtensions.minhashSketchDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -56,6 +56,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(four > one, s"multi-table recall $four not above single-table $one")
   }
 
+  test("persisted IVF index: identical results to in-memory ivfTopK, pruned scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmp)
+    val indexed = Similarity.ivfTopKIndexed(
+      spark, tmp, queries, "q_id", "q_vec", k = 5, nprobe = 6)
+    val inMemory = Similarity.ivfTopK(
+      emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+      dim = 64, k = 5, nlist = 24, nprobe = 6)
+    // Deterministic quantizer -> the persisted index reproduces the
+    // in-memory pruned search exactly.
+    val diff = indexed.exceptAll(inMemory).count() + inMemory.exceptAll(indexed).count()
+    assert(diff == 0, s"indexed IVF differs from in-memory by $diff rows")
+
+    // The scan must carry the probe cells as PARTITION filters — the
+    // layout, not a post-scan filter, limits what is read.
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "no partition filter on the index scan:\n" + plan.take(2000))
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan)
+    assert(pruned.isDefined, "cell not in PartitionFilters:\n" + plan.take(2000))
+
+    // Fewer cell directories read than exist: list the index layout.
+    val allCells = new java.io.File(s"$tmp/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(allCells.length > 6, s"degenerate index layout: ${allCells.length} cells")
+  }
+
   test("IVF assigns every corpus vector to exactly one of nlist cells") {
     // The partition-pruning story depends on a total, single assignment.
     val ivf = Similarity.ivfTopK(
