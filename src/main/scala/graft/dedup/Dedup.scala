@@ -459,6 +459,12 @@ object Dedup {
       // iteration's joins are co-partitioned too.
       .repartition(col("id"))
       .localCheckpoint(false)
+    // One materialized round per iteration. (Chaining two
+    // propagateOnce calls per localCheckpoint was tried and measured
+    // WORSE: the unmaterialized mid-labels feed four consumers inside
+    // the next round — the edge join, both pointer-jump sides and the
+    // own-label union — so the whole first round re-executes 4x per
+    // cycle; q52 3.0s -> 4.8s.)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
