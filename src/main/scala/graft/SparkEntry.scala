@@ -684,6 +684,23 @@ object SparkEntry {
       everyK = 2)
       .toDF()
 
+  /** PERSISTED IVF index round-trip: build the partitioned index
+    * (per-run temp dir, the q16 pattern), then answer the q45 search
+    * through it — probe cells from the index.json quantizer, corpus
+    * scan pruned to the probed cells' partitions. The deterministic
+    * quantizer makes the round-trip bit-equal to the in-memory path,
+    * so this shares q45's full value oracle verbatim: the gate proves
+    * index build + partition-pruned read lose nothing. */
+  def q60IvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val emb = Tables.embeddings(s, dir)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmp)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopKIndexed(s, tmp, queries, "q_id", "q_vec", k = 5, nprobe = 6)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -753,6 +770,7 @@ object SparkEntry {
     "q57_json_collapse" -> (q57JsonCollapse _),
     "q58_video_meta" -> (q58VideoMeta _),
     "q59_video_frames" -> (q59VideoFrames _),
+    "q60_ivf_indexed" -> (q60IvfIndexed _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -805,6 +823,107 @@ object SparkEntry {
       |  SELECT id_a, id_b,
       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)""".stripMargin
+
+  private val IvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, v,
+        |        list_transform(v, x ->
+        |          CAST(floor(x / sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT)) AS qv
+        |      FROM e),
+        |planes AS (
+        |  SELECT b.i, j.j,
+        |    (CAST(concat('0x', substr(md5('plane_0_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
+        |      / power(2, 59)) - 1.0 AS c
+        |  FROM range(5) b(i), range(64) j(j)),
+        |dots AS (
+        |  SELECT q.vec_id, p.i, sum(p.c * q.v[p.j + 1] ORDER BY p.j) AS d
+        |  FROM q CROSS JOIN planes p GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) % 24
+        |      AS cell
+        |  FROM dots GROUP BY 1),
+        |bm AS (
+        |  SELECT g.cell, j.j, CAST(sum(q.qv[j.j + 1]) AS BIGINT) AS s, count(*) AS n
+        |  FROM sigs g JOIN q USING (vec_id) CROSS JOIN range(64) j(j) GROUP BY 1, 2),
+        |seed AS (
+        |  SELECT row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |           AS cell,
+        |         qv
+        |  FROM q),
+        |c0 AS (
+        |  SELECT cells.cell, j.j,
+        |    CASE WHEN bm.s IS NULL THEN seed.qv[j.j + 1]
+        |      ELSE CAST(CASE WHEN bm.s >= 0
+        |        THEN (2 * CAST(bm.s AS HUGEINT) + bm.n) // (2 * CAST(bm.n AS HUGEINT))
+        |        ELSE -((2 * -CAST(bm.s AS HUGEINT) + bm.n) // (2 * CAST(bm.n AS HUGEINT)))
+        |        END AS BIGINT) END AS cv
+        |  FROM range(24) cells(cell)
+        |  CROSS JOIN range(64) j(j)
+        |  LEFT JOIN bm ON bm.cell = cells.cell AND bm.j = j.j
+        |  JOIN seed ON seed.cell = cells.cell),
+        |d1 AS (
+        |  SELECT q.vec_id, c.cell,
+        |    sum((q.qv[c.j + 1] - c.cv) * (q.qv[c.j + 1] - c.cv)) AS dist
+        |  FROM q CROSS JOIN c0 c GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d1) t WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a.cell, j.j, CAST(sum(q.qv[j.j + 1]) AS BIGINT) AS s, count(*) AS n
+        |  FROM a1 a JOIN q USING (vec_id) CROSS JOIN range(64) j(j) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cell, c0.j,
+        |    CASE WHEN s1.s IS NULL THEN c0.cv
+        |      ELSE CAST(CASE WHEN s1.s >= 0
+        |        THEN (2 * CAST(s1.s AS HUGEINT) + s1.n) // (2 * CAST(s1.n AS HUGEINT))
+        |        ELSE -((2 * -CAST(s1.s AS HUGEINT) + s1.n) // (2 * CAST(s1.n AS HUGEINT)))
+        |        END AS BIGINT) END AS cv
+        |  FROM c0 LEFT JOIN s1 ON c0.cell = s1.cell AND c0.j = s1.j),
+        |d2 AS (
+        |  SELECT q.vec_id, c.cell,
+        |    sum((q.qv[c.j + 1] - c.cv) * (q.qv[c.j + 1] - c.cv)) AS dist
+        |  FROM q CROSS JOIN c1 c GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d2) t WHERE rn = 1),
+        |s2 AS (
+        |  SELECT a.cell, j.j, CAST(sum(q.qv[j.j + 1]) AS BIGINT) AS s, count(*) AS n
+        |  FROM a2 a JOIN q USING (vec_id) CROSS JOIN range(64) j(j) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cell, c1.j,
+        |    CASE WHEN s2.s IS NULL THEN c1.cv
+        |      ELSE CAST(CASE WHEN s2.s >= 0
+        |        THEN (2 * CAST(s2.s AS HUGEINT) + s2.n) // (2 * CAST(s2.n AS HUGEINT))
+        |        ELSE -((2 * -CAST(s2.s AS HUGEINT) + s2.n) // (2 * CAST(s2.n AS HUGEINT)))
+        |        END AS BIGINT) END AS cv
+        |  FROM c1 LEFT JOIN s2 ON c1.cell = s2.cell AND c1.j = s2.j),
+        |df AS (
+        |  SELECT q.vec_id, c.cell,
+        |    sum((q.qv[c.j + 1] - c.cv) * (q.qv[c.j + 1] - c.cv)) AS dist
+        |  FROM q CROSS JOIN c2 c GROUP BY 1, 2),
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM df) t WHERE rn = 1),
+        |pp AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM df WHERE vec_id < 8) t WHERE rn <= 6),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id
+        |  FROM pp p JOIN af a USING (cell) WHERE a.vec_id <> p.q_id),
+        |scored AS (
+        |  SELECT c.q_id, c.neighbor_id,
+        |    list_dot_product(en.v, eq.v)
+        |      / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cs
+        |  FROM cand c JOIN e en ON en.vec_id = c.neighbor_id JOIN e eq ON eq.vec_id = c.q_id)
+        |SELECT q_id AS query_id, neighbor_id, round(cs, 6) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -1063,106 +1182,11 @@ object SparkEntry {
     // BigInt truncation toward zero — exact at any magnitude, unlike a
     // DOUBLE trunc which loses bit-equality past 2^53), so cells — and
     // therefore the PRUNED candidate set — match Spark bit-for-bit.
-    "q45_ivf_ann_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id, v,
-        |        list_transform(v, x ->
-        |          CAST(floor(x / sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT)) AS qv
-        |      FROM e),
-        |planes AS (
-        |  SELECT b.i, j.j,
-        |    (CAST(concat('0x', substr(md5('plane_0_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
-        |      / power(2, 59)) - 1.0 AS c
-        |  FROM range(5) b(i), range(64) j(j)),
-        |dots AS (
-        |  SELECT q.vec_id, p.i, sum(p.c * q.v[p.j + 1] ORDER BY p.j) AS d
-        |  FROM q CROSS JOIN planes p GROUP BY 1, 2),
-        |sigs AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) % 24
-        |      AS cell
-        |  FROM dots GROUP BY 1),
-        |bm AS (
-        |  SELECT g.cell, j.j, CAST(sum(q.qv[j.j + 1]) AS BIGINT) AS s, count(*) AS n
-        |  FROM sigs g JOIN q USING (vec_id) CROSS JOIN range(64) j(j) GROUP BY 1, 2),
-        |seed AS (
-        |  SELECT row_number() OVER (ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR)), vec_id) - 1
-        |           AS cell,
-        |         qv
-        |  FROM q),
-        |c0 AS (
-        |  SELECT cells.cell, j.j,
-        |    CASE WHEN bm.s IS NULL THEN seed.qv[j.j + 1]
-        |      ELSE CAST(CASE WHEN bm.s >= 0
-        |        THEN (2 * CAST(bm.s AS HUGEINT) + bm.n) // (2 * CAST(bm.n AS HUGEINT))
-        |        ELSE -((2 * -CAST(bm.s AS HUGEINT) + bm.n) // (2 * CAST(bm.n AS HUGEINT)))
-        |        END AS BIGINT) END AS cv
-        |  FROM range(24) cells(cell)
-        |  CROSS JOIN range(64) j(j)
-        |  LEFT JOIN bm ON bm.cell = cells.cell AND bm.j = j.j
-        |  JOIN seed ON seed.cell = cells.cell),
-        |d1 AS (
-        |  SELECT q.vec_id, c.cell,
-        |    sum((q.qv[c.j + 1] - c.cv) * (q.qv[c.j + 1] - c.cv)) AS dist
-        |  FROM q CROSS JOIN c0 c GROUP BY 1, 2),
-        |a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |    FROM d1) t WHERE rn = 1),
-        |s1 AS (
-        |  SELECT a.cell, j.j, CAST(sum(q.qv[j.j + 1]) AS BIGINT) AS s, count(*) AS n
-        |  FROM a1 a JOIN q USING (vec_id) CROSS JOIN range(64) j(j) GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cell, c0.j,
-        |    CASE WHEN s1.s IS NULL THEN c0.cv
-        |      ELSE CAST(CASE WHEN s1.s >= 0
-        |        THEN (2 * CAST(s1.s AS HUGEINT) + s1.n) // (2 * CAST(s1.n AS HUGEINT))
-        |        ELSE -((2 * -CAST(s1.s AS HUGEINT) + s1.n) // (2 * CAST(s1.n AS HUGEINT)))
-        |        END AS BIGINT) END AS cv
-        |  FROM c0 LEFT JOIN s1 ON c0.cell = s1.cell AND c0.j = s1.j),
-        |d2 AS (
-        |  SELECT q.vec_id, c.cell,
-        |    sum((q.qv[c.j + 1] - c.cv) * (q.qv[c.j + 1] - c.cv)) AS dist
-        |  FROM q CROSS JOIN c1 c GROUP BY 1, 2),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |    FROM d2) t WHERE rn = 1),
-        |s2 AS (
-        |  SELECT a.cell, j.j, CAST(sum(q.qv[j.j + 1]) AS BIGINT) AS s, count(*) AS n
-        |  FROM a2 a JOIN q USING (vec_id) CROSS JOIN range(64) j(j) GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT c1.cell, c1.j,
-        |    CASE WHEN s2.s IS NULL THEN c1.cv
-        |      ELSE CAST(CASE WHEN s2.s >= 0
-        |        THEN (2 * CAST(s2.s AS HUGEINT) + s2.n) // (2 * CAST(s2.n AS HUGEINT))
-        |        ELSE -((2 * -CAST(s2.s AS HUGEINT) + s2.n) // (2 * CAST(s2.n AS HUGEINT)))
-        |        END AS BIGINT) END AS cv
-        |  FROM c1 LEFT JOIN s2 ON c1.cell = s2.cell AND c1.j = s2.j),
-        |df AS (
-        |  SELECT q.vec_id, c.cell,
-        |    sum((q.qv[c.j + 1] - c.cv) * (q.qv[c.j + 1] - c.cv)) AS dist
-        |  FROM q CROSS JOIN c2 c GROUP BY 1, 2),
-        |af AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |    FROM df) t WHERE rn = 1),
-        |pp AS (
-        |  SELECT vec_id AS q_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |    FROM df WHERE vec_id < 8) t WHERE rn <= 6),
-        |cand AS (
-        |  SELECT p.q_id, a.vec_id AS neighbor_id
-        |  FROM pp p JOIN af a USING (cell) WHERE a.vec_id <> p.q_id),
-        |scored AS (
-        |  SELECT c.q_id, c.neighbor_id,
-        |    list_dot_product(en.v, eq.v)
-        |      / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cs
-        |  FROM cand c JOIN e en ON en.vec_id = c.neighbor_id JOIN e eq ON eq.vec_id = c.q_id)
-        |SELECT q_id AS query_id, neighbor_id, round(cs, 6) AS cos, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin,
+    "q45_ivf_ann_topk" -> IvfOracleSql,
+    // Same oracle verbatim: the persisted-index round-trip (build ->
+    // partition-pruned read -> rank) is proven bit-equal to the
+    // in-memory pruned search by the deterministic quantizer.
+    "q60_ivf_indexed" -> IvfOracleSql,
     "q46_winnow_fingerprint" ->
       """WITH hs AS (
         |  SELECT doc_id,
