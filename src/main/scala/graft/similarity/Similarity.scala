@@ -170,6 +170,8 @@ object Similarity {
     * deterministic quantizer below (no round() half-way-case divergence
     * between engines).
     */
+  private[graft] def quantizeVec(vec: Column, scale: Long): Column = quantize(vec, scale)
+
   private def quantize(vec: Column, scale: Long): Column = {
     import graft.functions.VectorFunctions.dot
     val v = asDouble(vec)

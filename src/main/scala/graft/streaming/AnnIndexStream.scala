@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.similarity.Similarity
+
+/** Incremental maintenance of the persisted IVF index
+  * ([[Similarity.writeIvfIndex]]'s layout): embeddings landing in a
+  * directory are quantized and cell-assigned per row against the
+  * FIXED quantizer in `index.json`, and appended into the
+  * `partitionBy(cell)` vector store. Queries through
+  * [[Similarity.ivfTopKIndexed]] see new vectors at the next trigger —
+  * the freshness story a training-data retrieval pipeline needs
+  * without retraining or rewriting the index.
+  *
+  * Cell assignment is a per-row narrow map (the same
+  * `ivf_nearest_cells` kernel the batch path uses), so the stream
+  * never shuffles: file source → project → partitioned file sink.
+  * Appending with a frozen quantizer is the standard IVF trade —
+  * cells drift as the distribution shifts; rebuild the quantizer
+  * (one [[Similarity.writeIvfIndex]] run) when recall degrades.
+  *
+  * StreamingSpec proves the invariant that matters: after streaming
+  * N files in, a query over the streamed index equals the same query
+  * over a batch index built from the union of those files with the
+  * same quantizer.
+  */
+object AnnIndexStream {
+
+  /** Start appending embeddings from `landingDir` (parquet files with
+    * the index's id/vec columns) into the index at `indexPath`.
+    *
+    * The sink is a `foreachBatch` BATCH append, not the streaming
+    * parquet sink: the streaming sink's `_spark_metadata` log would
+    * make every batch read of the store (ivfTopKIndexed, and the
+    * batch-built seed itself) see only sink-tracked files. The trade
+    * is the standard one — source progress is checkpointed, sink
+    * writes are not transactional, so a crash mid-batch can duplicate
+    * that batch's rows on retry; dedup-on-read (`dropDuplicates(id)`)
+    * or a compaction pass reconciles if that matters downstream.
+    */
+  def maintain(
+      spark: SparkSession,
+      landingDir: String,
+      indexPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val meta = Similarity.readIvfIndexMeta(spark, indexPath)
+    val schema = spark.read.parquet(landingDir).schema
+    assigned(spark.readStream.schema(schema).parquet(landingDir), meta)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell")
+          .parquet(s"$indexPath/vectors")
+      }
+      .start()
+  }
+
+  /** The shared (batch == stream) assignment stage: quantize and
+    * cell-assign each embedding against the frozen quantizer. */
+  def assigned(embeddings: DataFrame, meta: Similarity.IvfIndexMeta): DataFrame =
+    embeddings.select(
+      col(meta.idCol),
+      col(meta.vecCol),
+      element_at(
+        graft.functions.IvfNearestCells(
+          Similarity.quantizeVec(col(meta.vecCol), meta.scale), meta.centroids, 1),
+        1).as("cell"))
+}

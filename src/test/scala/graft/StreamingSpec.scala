@@ -228,4 +228,61 @@ class StreamingSpec extends SparkSpecBase {
       assert(after4.size > after2.size, "new files added no (probe,sample) cells")
     } finally q.stop()
   }
+
+  test("streamed IVF index appends == batch index over the union (frozen quantizer)") {
+    import graft.similarity.Similarity
+    import graft.streaming.AnnIndexStream
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    val seed = emb.filter(col("vec_id") % 3 === 0) // initial corpus
+    val tmp = Files.createTempDirectory("graft_ann_stream").toString
+    val indexPath = s"$tmp/idx"
+    Similarity.writeIvfIndex(seed, "vec_id", "embedding",
+      dim = 64, nlist = 8, path = indexPath)
+
+    // Land two parquet batches of new vectors, stream them in.
+    val landing = s"$tmp/landing"
+    emb.filter(col("vec_id") % 3 === 1)
+      .write.mode("append").parquet(landing)
+    val q1 = AnnIndexStream.maintain(spark, landing, indexPath, s"$tmp/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    emb.filter(col("vec_id") % 3 === 2)
+      .write.mode("append").parquet(landing)
+    val q2 = AnnIndexStream.maintain(spark, landing, indexPath, s"$tmp/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Frozen-quantizer batch reference: assign ALL vectors with the
+    // streamed index's own quantizer and compare stores row-for-row.
+    val meta = Similarity.readIvfIndexMeta(spark, indexPath)
+    val expected = AnnIndexStream.assigned(emb, meta)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val stored = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == expected, "streamed index store != frozen-quantizer assignment")
+
+    // And the search over the streamed index equals the same search
+    // over a batch-written index USING THE SAME quantizer: rebuild the
+    // vectors dir from scratch with the frozen assignment.
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val streamedHits = Similarity.ivfTopKIndexed(
+      spark, indexPath, queries, "q_id", "q_vec", k = 3, nprobe = 4)
+    val rebuilt = s"$tmp/rebuilt"
+    AnnIndexStream.assigned(emb, meta)
+      .write.partitionBy("cell").parquet(s"$rebuilt/vectors")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rebuilt), spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$indexPath/index.json"),
+      fs, new org.apache.hadoop.fs.Path(s"$rebuilt/index.json"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val batchHits = Similarity.ivfTopKIndexed(
+      spark, rebuilt, queries, "q_id", "q_vec", k = 3, nprobe = 4)
+    val diff = streamedHits.exceptAll(batchHits).count() +
+      batchHits.exceptAll(streamedHits).count()
+    assert(diff == 0, s"streamed-index search differs from batch index by $diff rows")
+  }
 }
