@@ -438,11 +438,67 @@ object Dedup {
       nodes: DataFrame,
       edges: DataFrame,
       idCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      smallGraphThreshold: Long = 4L << 20): DataFrame = {
+    // ADAPTIVE: the edge list is materialized once (it is usually an
+    // expensive LSH/Jaccard pipeline) and counted. When the
+    // edge-touched subgraph is small — the REALISTIC dedup case: a few
+    // percent dup rate leaves edge counts orders of magnitude below
+    // the corpus — a driver-side union-find replaces the iterative
+    // job cascade: one collect of ≤ threshold edges (default 4M ≈
+    // 64 MB of longs), O(E α(E)) with min-id representatives, zero
+    // further shuffles. Same labels as the distributed loop by
+    // construction (component min). Above the threshold, or for
+    // non-integral id types, the O(log n)-round distributed
+    // propagation below runs unchanged — the 100 TB path.
+    val idType = nodes.schema(idCol).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    if (integral && e.count() <= smallGraphThreshold) {
+      def toLong(v: Any): Long = v match {
+        case i: Int => i.toLong
+        case l: Long => l
+      }
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r))) // path halving
+          r = parent.get(r)
+        }
+        r
+      }
+      e.collect().foreach { row =>
+        val a = toLong(row.get(0)); val b = toLong(row.get(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // Attach the larger root under the smaller: the root of
+          // every component stays its minimum id.
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val pairs = {
+        val it = parent.keySet().iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        while (it.hasNext) { val k = it.next(); buf += ((k, find(k))) }
+        buf.toSeq
+      }
+      val labelDf = pairs.toDF("__id", "__cl")
+        .select(col("__id").cast(idType).as(idCol),
+          col("__cl").cast(idType).as("cluster_id"))
+      val singletons = nodes.select(col(idCol))
+        .join(labelDf.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), col(idCol).as("cluster_id"))
+      return labelDf.union(singletons)
+    }
     // Symmetrize in ONE pass over the edge subplan (explode of both
     // orientations) — a two-branch self-union would execute the edge
     // detection (often an expensive LSH pipeline) once per branch.
-    val sym = edges
+    val sym = e
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))

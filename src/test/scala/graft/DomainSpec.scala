@@ -101,6 +101,11 @@ class DomainSpec extends SparkSpecBase {
     Seq(10L, 11L, 12L).foreach(i => assert(got(i) == 10L, s"clique node $i"))
     assert(got(20L) == 20L && got(21L) == 21L)
     assert(got.size == 13)
+    // Force the DISTRIBUTED label-propagation path (threshold 0) and
+    // require identical labels from the driver union-find fast path.
+    val distributed = Dedup.dupClusters(nodes, edges, "doc_id",
+      smallGraphThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(distributed == got, "driver fast path != distributed propagation")
   }
 
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
