@@ -119,6 +119,67 @@ object VideoOps {
       }
   }
 
+  /** One decoded video frame: row-major r,g,b-interleaved pixels —
+    * the same batch shape as [[ImageOps.DecodedImage]], keyed by
+    * frame. */
+  final case class DecodedFrame(
+      name: String,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      pixels: Array[Int])
+
+  /** REAL frame decode for uncompressed 24-bpp AVIs — no codec
+    * needed, just BITMAPINFOHEADER semantics: `00db` payloads are
+    * bottom-up DIB rows in BGR byte order, each row padded to 4
+    * bytes. Emits every `everyK`-th frame as row-major top-down RGB,
+    * feeding the same downstream analytics as the image path
+    * ([[ImageOps.channelMeans]]' input shape). Compressed fourccs
+    * (`00dc` with a non-DIB handler) are where a codec library would
+    * take over — same slot, same schema.
+    */
+  def decodeDibFrames(
+      spark: SparkSession,
+      binaries: DataFrame,
+      everyK: Int): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    named(binaries)
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (name, b) =>
+          requireAvi(name, b)
+          val avih = walk(b, 12, b.length).collectFirst { case ("avih", off, _) => off }
+            .getOrElse(sys.error(s"$name: no avih header"))
+          val w = leU32(b, avih + 32).toInt
+          val h = leU32(b, avih + 36).toInt
+          val rowBytes = ((w * 3 + 3) / 4) * 4
+          val frameCc = "^\\d\\d(db|dc)$".r
+          walk(b, 12, b.length)
+            .filter(c => frameCc.findFirstIn(c._1).isDefined)
+            .zipWithIndex
+            .collect { case ((_, off, len), idx) if idx % everyK == 0 =>
+              require(len >= rowBytes * h, s"$name frame $idx: $len bytes < ${rowBytes * h}")
+              val px = new Array[Int](w * h * 3)
+              var y = 0
+              while (y < h) {
+                val srcRow = off + (h - 1 - y) * rowBytes // bottom-up
+                var x = 0
+                while (x < w) {
+                  val s = srcRow + x * 3
+                  val d = (y * w + x) * 3
+                  px(d) = b(s + 2) & 0xff     // R
+                  px(d + 1) = b(s + 1) & 0xff // G
+                  px(d + 2) = b(s) & 0xff     // B
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(name, idx, w, h, px)
+            }
+        }
+      }
+  }
+
   /** Every `everyK`-th video frame chunk (`00db`/`00dc`), with its
     * container byte extent and content fingerprint. The chunk walk is
     * the real container parse; the fingerprint is the codec slot. */

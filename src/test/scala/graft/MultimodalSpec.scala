@@ -143,4 +143,34 @@ class MultimodalSpec extends SparkSpecBase {
       .digest(hex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
     assert(f0.frame_md5 == md5)
   }
+
+  test("DIB frame decode reproduces the generator's LCG stream exactly") {
+    // Independent oracle: the fixture writer emits frame bytes from a
+    // closed-form LCG (x' = (1103515245x + 12345) mod 2^31, byte =
+    // x & 0xFF, seeded 7654321 + clipIdx, continuous across frames).
+    // Re-derive pixel values from the FORMULA — never from the file —
+    // and compare against the parser's bottom-up BGR -> top-down RGB
+    // mapping. clip_0: 8x6, 12 frames, rowBytes = 24 (no padding).
+    val frames = VideoOps.decodeDibFrames(
+      spark, ImageOps.readBinary(spark, "/root/repo/fixtures/video/clip_0.avi"), everyK = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 12)
+    val (w, h, fs) = (8, 6, 144)
+    var x = 7654321L
+    val stream = Array.fill(12 * fs) {
+      x = (1103515245L * x + 12345L) % (1L << 31)
+      (x & 0xff).toInt
+    }
+    frames.foreach { f =>
+      assert(f.width == w && f.height == h && f.pixels.length == w * h * 3, f.frame_idx.toString)
+      val base = f.frame_idx * fs
+      for (y <- 0 until h; px <- 0 until w; ch <- 0 until 3) {
+        // top-down RGB pixel (y,px,ch) <- LCG byte at bottom-up BGR
+        // position (h-1-y)*rowBytes + px*3 + (2-ch)
+        val expect = stream(base + (h - 1 - y) * (w * 3) + px * 3 + (2 - ch))
+        val got = f.pixels((y * w + px) * 3 + ch)
+        assert(got == expect, s"frame ${f.frame_idx} y=$y x=$px ch=$ch")
+      }
+    }
+  }
 }

@@ -122,11 +122,19 @@ class PropertySpec extends SparkSpecBase {
       }
       val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
 
+      // Default threshold -> the driver fast path.
       val got = Dedup.dupClusters(
         (0L until n.toLong).toDF("doc_id"),
         edges.toDF("doc_a", "doc_b"), "doc_id")
         .as[(Long, Long)].collect().toMap
       assert(got == expect, s"trial $trial (n=$n, ${edges.size} edges)")
+      // Threshold 0 -> the distributed label-propagation path must
+      // produce the same labels on the same graph.
+      val dist = Dedup.dupClusters(
+        (0L until n.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"), "doc_id", smallGraphThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == expect, s"trial $trial distributed (n=$n, ${edges.size} edges)")
     }
   }
 
