@@ -394,6 +394,13 @@ object Similarity {
       .withColumn("cell",
         element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
       .select(col(idCol), col(vecCol), col("cell"))
+      // Cluster rows by cell before the partitioned write: without
+      // this every task writes a sliver into every cell directory
+      // (tasks × nlist small files); with it each cell is one
+      // task's output (AQE splits oversized cells at real scale via
+      // rebalance semantics — tune with a repartition(n, col) when a
+      // cell outgrows a single task's file-size budget).
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     // Index metadata via the Hadoop FS API (path-scheme-agnostic: the
     // same code writes to HDFS/S3A on a cluster).
