@@ -70,4 +70,24 @@ object AnnIndexStream {
         graft.functions.IvfNearestCells(
           Similarity.quantizeVec(col(meta.vecCol), meta.scale), meta.centroids, 1),
         1).as("cell"))
+
+  /** Compact the vector store: drop duplicate ids (keep-one; a
+    * crash-retried batch is the only source of dups and its copies
+    * are identical rows) and rewrite clustered one-task-per-cell.
+    * Run between maintenance windows — also reconciles the
+    * many-small-appends file layout back to the batch-built shape.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    val meta = Similarity.readIvfIndexMeta(spark, indexPath)
+    // EAGER checkpoint: overwrite deletes the input files at job
+    // start, so the deduped store must be fully materialized in block
+    // storage BEFORE the write begins — a lazy checkpoint would read
+    // from the directory it is replacing.
+    val store = spark.read.parquet(s"$indexPath/vectors")
+      .dropDuplicates(meta.idCol)
+      .repartition(col("cell"))
+      .localCheckpoint(true)
+    store.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/vectors")
+  }
 }

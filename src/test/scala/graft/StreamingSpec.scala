@@ -284,5 +284,23 @@ class StreamingSpec extends SparkSpecBase {
     val diff = streamedHits.exceptAll(batchHits).count() +
       batchHits.exceptAll(streamedHits).count()
     assert(diff == 0, s"streamed-index search differs from batch index by $diff rows")
+
+    // Compaction: simulate a crash-retried duplicate batch, compact,
+    // and require the store back to exactly one row per id — with the
+    // search unchanged.
+    val dupBatch = emb.filter(col("vec_id") % 3 === 2)
+    AnnIndexStream.assigned(dupBatch, meta)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/vectors")
+    assert(spark.read.parquet(s"$indexPath/vectors").count() > emb.count(),
+      "duplicate batch did not land (test setup)")
+    AnnIndexStream.compact(spark, indexPath)
+    val compacted = spark.read.parquet(s"$indexPath/vectors")
+    assert(compacted.count() == emb.count(), "compaction lost or kept extra rows")
+    assert(compacted.select("vec_id").distinct().count() == emb.count())
+    val compactedHits = Similarity.ivfTopKIndexed(
+      spark, indexPath, queries, "q_id", "q_vec", k = 3, nprobe = 4)
+    val diff2 = compactedHits.exceptAll(batchHits).count() +
+      batchHits.exceptAll(compactedHits).count()
+    assert(diff2 == 0, s"post-compaction search differs by $diff2 rows")
   }
 }
