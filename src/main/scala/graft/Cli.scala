@@ -225,7 +225,11 @@ object Cli {
           val index = one(m, "--index")
           graft.similarity.Similarity.ivfTopKIndexed(
             spark, index, queries, "q_id", "q_vec", k = k, nprobe = 6)
-        case other => sys.error(s"ann --mode must be brute|lsh|ivf|ivf-index, got $other")
+        case "lsh-index" =>
+          val index = one(m, "--index")
+          graft.similarity.Similarity.lshTopKIndexed(
+            spark, index, queries, "q_id", "q_vec", k = k)
+        case other => sys.error(s"ann --mode must be brute|lsh|ivf|ivf-index|lsh-index, got $other")
       }
       topk.write.mode("overwrite").parquet(out)
       println(s"ann ($mode) top-$k written to $out")
@@ -294,19 +298,32 @@ object Cli {
       0
 
     case "ann-index" :: rest =>
-      // Build a persisted IVF index: vectors partitioned by cell
-      // (probe-time partition pruning) + index.json (quantizer).
+      // Build a persisted ANN index (probe-time partition pruning):
+      // --family ivf -> vectors partitioned by cell + quantizer JSON;
+      // --family lsh -> tables-way replicated index partitioned by
+      // (t, sig).
       val m = opts(rest)
       val in = one(m, "-i", "--input")
       val out = one(m, "-o", "--output")
+      val family = m.get("--family").flatMap(_.headOption).getOrElse("ivf")
       val dim = m.get("--dim").flatMap(_.headOption).map(_.toInt).getOrElse(64)
-      val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
       val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
       val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
       val spark = session()
-      graft.similarity.Similarity.writeIvfIndex(
-        spark.read.parquet(in), idCol, vecCol, dim, nlist, out)
-      println(s"ivf index ($nlist cells) written to $out")
+      family match {
+        case "ivf" =>
+          val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
+          graft.similarity.Similarity.writeIvfIndex(
+            spark.read.parquet(in), idCol, vecCol, dim, nlist, out)
+          println(s"ivf index ($nlist cells) written to $out")
+        case "lsh" =>
+          val bits = m.get("--bits").flatMap(_.headOption).map(_.toInt).getOrElse(6)
+          val tables = m.get("--tables").flatMap(_.headOption).map(_.toInt).getOrElse(4)
+          graft.similarity.Similarity.writeLshIndex(
+            spark.read.parquet(in), idCol, vecCol, dim, bits, out, tables)
+          println(s"lsh index ($tables x 2^$bits buckets) written to $out")
+        case other => sys.error(s"ann-index --family must be ivf|lsh, got $other")
+      }
       0
 
     case "frames" :: rest =>
@@ -347,8 +364,8 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
-           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
-           |  ann-index  -i <embeddings.parquet> -o <index-path> [--nlist 24] [--dim 64]
+           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

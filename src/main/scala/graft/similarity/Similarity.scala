@@ -365,6 +365,116 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Persisted multi-table LSH index: `<path>/vectors` holds one row
+    * per (table, signature, vector) — the `tables`-way replicated
+    * corpus index — written `partitionBy("t", "sig")` so a probe
+    * reads only its bucket directories. Directory count is
+    * `tables × 2^bits`; size `bits` so buckets stay directory-sized
+    * (6–10 bits; beyond that prefer the IVF index, whose cell count
+    * is data-adaptive). `<path>/index.json` carries (dim, bits,
+    * tables) — the planes themselves are deterministic functions of
+    * those, so they never need storing.
+    */
+  def writeLshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bits: Int,
+      path: String,
+      tables: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshSignature(col(vecCol), dim, bits, t).as("sig"))): _*))
+          .as("ts"))
+      .select(col(idCol), col(vecCol), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .repartition(col("t"), col("sig"))
+      .write.mode("overwrite").partitionBy("t", "sig").parquet(s"$path/vectors")
+    val meta =
+      s"""{"dim":$dim,"bits":$bits,"tables":$tables,"idCol":"$idCol","vecCol":"$vecCol"}"""
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.json"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** ANN top-k against a persisted LSH index: per-table probe
+    * signatures (own bucket + Hamming-1 flips) are computed on the
+    * query set, grouped into a per-table `sig IN (...)` disjunction —
+    * a static partition predicate, so only `tables × (bits+1)`
+    * bucket directories per query batch are listed and read.
+    * Identical results to [[lshTopK]] over the corpus the index was
+    * built from (deterministic signatures; asserted in
+    * SimilaritySpec).
+    */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val metaRow = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/index.json"))
+      val raw = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.commons.io.IOUtils.copy(in, buf)
+        buf.toString("UTF-8")
+      } finally in.close()
+      spark.read.json(Seq(raw).toDS()).head()
+    }
+    val dim = metaRow.getAs[Long]("dim").toInt
+    val bits = metaRow.getAs[Long]("bits").toInt
+    val tables = metaRow.getAs[Long]("tables").toInt
+    val idCol = metaRow.getAs[String]("idCol")
+    val vecCol = metaRow.getAs[String]("vecCol")
+
+    val probes = queries
+      .select(col("*"), explode(array((for {
+        t <- 0 until tables
+        sig0 = lshSignature(col(queryVecCol), dim, bits, t)
+        flip <- -1 until bits
+      } yield struct(
+        lit(t).as("t"),
+        (if (flip < 0) sig0 else sig0.bitwiseXOR(lit(1L << flip))).as("probe"))): _*)).as("tp"))
+      .select(col("*"), col("tp.t").as("t"), col("tp.probe").as("probe"))
+      .drop("tp")
+      .localCheckpoint(false)
+    // Distinct probed buckets per table — tiny by contract — become a
+    // static per-table `sig IN (...)` disjunction on the partition
+    // columns: only probed bucket directories are listed/read.
+    val probedBuckets: Map[Int, Seq[Long]] = probes
+      .select(col("t"), col("probe")).distinct()
+      .collect().groupBy(_.getInt(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSeq
+      }
+    val pruneCond = probedBuckets.map { case (t, sigs) =>
+      col("t") === t && col("sig").isin(sigs: _*)
+    }.reduce(_ || _)
+    val corpus = spark.read.parquet(s"$path/vectors").filter(pruneCond)
+    val scored = corpus
+      .join(broadcast(probes),
+        corpus("t") === probes("t") && col("sig") === col("probe") &&
+          col(idCol) =!= col(queryIdCol))
+      .select(
+        col(queryIdCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Persisted IVF index layout: `<path>/vectors` is the assigned
     * corpus written `partitionBy("cell")` — the physical layout that
     * turns probe-cell selection into PARTITION PRUNING, the engine's

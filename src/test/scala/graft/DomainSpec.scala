@@ -177,6 +177,13 @@ class DomainSpec extends SparkSpecBase {
     val hits = spark.read.parquet(s"$tmp/hits")
     assert(hits.columns.toSeq == Seq("query_id", "neighbor_id", "cos", "rank"))
     assert(hits.count() == 24)
+
+    assert(graft.Cli.run(Array(
+      "ann-index", "-i", emb, "-o", s"$tmp/lsh", "--family", "lsh")) == 0)
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/lshhits", "--mode", "lsh-index",
+      "--index", s"$tmp/lsh", "-k", "3")) == 0)
+    assert(spark.read.parquet(s"$tmp/lshhits").count() > 0)
   }
 
   test("CLI frames: avi and wav frame tables land with sane schemas") {

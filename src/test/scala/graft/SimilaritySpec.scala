@@ -84,6 +84,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(allCells.length > 6, s"degenerate index layout: ${allCells.length} cells")
   }
 
+  test("persisted LSH index: identical results to in-memory lshTopK, pruned scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_index").toString
+    Similarity.writeLshIndex(emb, "vec_id", "embedding",
+      dim = 64, bits = 6, path = tmp, tables = 4)
+    val indexed = Similarity.lshTopKIndexed(
+      spark, tmp, queries, "q_id", "q_vec", k = 5)
+    val inMemory = Similarity.lshTopK(
+      emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+      dim = 64, bits = 6, k = 5, tables = 4)
+    val diff = indexed.exceptAll(inMemory).count() + inMemory.exceptAll(indexed).count()
+    assert(diff == 0, s"indexed LSH differs from in-memory by $diff rows")
+
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*sig".r.findFirstIn(plan).isDefined,
+      "probe buckets not in PartitionFilters:\n" + plan.take(2000))
+  }
+
   test("IVF assigns every corpus vector to exactly one of nlist cells") {
     // The partition-pruning story depends on a total, single assignment.
     val ivf = Similarity.ivfTopK(
