@@ -691,8 +691,13 @@ object SparkEntry {
     * quantizer makes the round-trip bit-equal to the in-memory path,
     * so this shares q45's full value oracle verbatim: the gate proves
     * index build + partition-pruned read lose nothing. */
+  // One index dir per JVM, overwritten per invocation — repeated
+  // bench/verify runs must not accumulate full corpus copies in /tmp.
+  private lazy val IvfIndexTmp: String =
+    java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+
   def q60IvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val tmp = IvfIndexTmp
     val emb = Tables.embeddings(s, dir)
     Similarity.writeIvfIndex(emb, "vec_id", "embedding",
       dim = 64, nlist = 24, path = tmp)

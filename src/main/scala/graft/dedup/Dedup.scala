@@ -430,8 +430,12 @@ object Dedup {
       .groupBy(col("pid"))
       .agg(min(col("cand")).as("new_label"),
         min(when(col("own"), col("cand"))).as("old_label"))
+      // A node ACQUIRING its first label (old_label null — possible
+      // only for dangling edge endpoints, which are never seeded)
+      // counts as a change: stopping on `new < old` alone terminates
+      // one round early and strands labels at the dangling connector.
       .select(col("pid").as("id"), col("new_label"),
-        (col("new_label") < col("old_label")).as("chg"))
+        (col("old_label").isNull || col("new_label") < col("old_label")).as("chg"))
   }
 
   def dupClusters(
@@ -439,18 +443,25 @@ object Dedup {
       edges: DataFrame,
       idCol: String,
       maxIter: Int = 30,
-      smallGraphThreshold: Long = 4L << 20): DataFrame = {
+      smallGraphThreshold: Long = 1L << 20): DataFrame = {
     // ADAPTIVE: the edge list is materialized once (it is usually an
     // expensive LSH/Jaccard pipeline) and counted. When the
     // edge-touched subgraph is small — the REALISTIC dedup case: a few
     // percent dup rate leaves edge counts orders of magnitude below
     // the corpus — a driver-side union-find replaces the iterative
-    // job cascade: one collect of ≤ threshold edges (default 4M ≈
-    // 64 MB of longs), O(E α(E)) with min-id representatives, zero
-    // further shuffles. Same labels as the distributed loop by
-    // construction (component min). Above the threshold, or for
-    // non-integral id types, the O(log n)-round distributed
+    // job cascade: one collect of ≤ threshold edges (default 1M rows;
+    // collected Rows cost ~100 bytes each, so ~100 MB transient on
+    // the driver — size the threshold to the driver heap, not to the
+    // 16-bytes-of-longs lower bound), O(E α(E)) with min-VALID-id
+    // representatives, zero further shuffles. Above the threshold, or
+    // for non-integral id types, the O(log n)-round distributed
     // propagation below runs unchanged — the 100 TB path.
+    //
+    // Contract (both paths): output has one row per node of `nodes`;
+    // cluster_id is the minimum id IN `nodes` of the node's connected
+    // component. Edge endpoints absent from `nodes` still CONNECT
+    // components (the distributed propagation flows labels through
+    // them) but never label one and never appear in the output.
     val idType = nodes.schema(idCol).dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
@@ -474,19 +485,32 @@ object Dedup {
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) {
-          // Attach the larger root under the smaller: the root of
-          // every component stays its minimum id.
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
       val spark = nodes.sparkSession
       import spark.implicits._
-      val pairs = {
+      // Which edge endpoints are real nodes: the endpoint set is
+      // bounded by 2x the (thresholded) edge count, so the semi-join
+      // result collects safely. Labels are the min VALID id per
+      // component; components with no valid node vanish.
+      val endpointIds = {
         val it = parent.keySet().iterator()
-        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        while (it.hasNext) { val k = it.next(); buf += ((k, find(k))) }
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        while (it.hasNext) buf += it.next()
         buf.toSeq
       }
+      val validIds: Array[Long] = endpointIds.toDF("__id")
+        .select(col("__id").cast(idType).as(idCol))
+        .join(nodes.select(col(idCol)), Seq(idCol), "left_semi")
+        .collect().map(r => toLong(r.get(0)))
+      val minValid = new java.util.HashMap[Long, Long]()
+      validIds.foreach { id =>
+        val r = find(id)
+        val cur = minValid.get(r)
+        if (!minValid.containsKey(r) || id < cur) minValid.put(r, id)
+      }
+      val pairs = validIds.map(id => (id, minValid.get(find(id)))).toSeq
       val labelDf = pairs.toDF("__id", "__cl")
         .select(col("__id").cast(idType).as(idCol),
           col("__cl").cast(idType).as("cluster_id"))
@@ -535,7 +559,12 @@ object Dedup {
     val singletons = nodes
       .select(col(idCol).as("id"), col(idCol).as("label"))
       .join(edgeNodes, Seq("id"), "left_anti")
-    labels.union(singletons)
+    labels
+      // Contract: rows only for real nodes. Dangling edge endpoints
+      // accumulate labels inside the loop (they must — labels flow
+      // THROUGH them), but they are not nodes and must not surface.
+      .join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .union(singletons)
       .select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native ANN kernels: the hyperplane-LSH signature and the IVF
   * nearest-cell probe as single codegen-friendly expression nodes.
@@ -69,7 +69,9 @@ object AnnKernels {
   * `when(d >= 0, …)` yields null → otherwise(0)).
   */
 case class HyperplaneSignature(child: Expression, table: Int, dim: Int, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   require(bits > 0 && bits < 63, s"bits must be in [1, 62], got $bits")
 
@@ -125,7 +127,9 @@ object HyperplaneSignature {
   * candidate set — are unchanged.
   */
 case class IvfNearestCells(child: Expression, centroids: Array[Array[Long]], limit: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   require(limit >= 1 && limit <= centroids.length,
     s"limit must be in [1, nlist=${centroids.length}], got $limit")

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels callable from generated code (plain object, no
@@ -47,7 +47,12 @@ object HashKernels {
   * ExpressionParitySpec), so DuckDB oracles written against
   * `substr(md5(x),1,15)` still match.
   */
-case class Md5Prefix64(child: Expression) extends UnaryExpression {
+case class Md5Prefix64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // SQL-registered: wrong-typed arguments must fail analysis (or
+  // coerce), never reinterpret memory at runtime.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix64"

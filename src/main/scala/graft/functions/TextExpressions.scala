@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native tokenization kernels.
@@ -53,7 +53,9 @@ object TextKernels {
   * fused node.
   */
 case class RegexTokens(child: Expression, pattern: String, lowercase: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "regex_tokens"
@@ -85,7 +87,10 @@ object RegexTokens {
   * with the `size >= n → else empty` guard: `UTF8String.concatWs` IS
   * `array_join`'s kernel.
   */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   require(n >= 1, s"n must be >= 1, got $n")
 
@@ -134,7 +139,10 @@ object WordNgrams {
   * substring boundaries (`Column.substr` counts UTF8 code points, so
   * shingling here walks UTF8String.substringSQL), same hash.
   */
-case class RollingHashes(child: Expression, k: Int) extends UnaryExpression {
+case class RollingHashes(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   require(k >= 1, s"k must be >= 1, got $k")
 
@@ -181,7 +189,10 @@ object RollingHashes {
   * minima, first occurrence kept). Degenerate inputs match too:
   * fewer than w hashes → the single global minimum; empty → empty.
   */
-case class WinnowMinima(child: Expression, w: Int) extends UnaryExpression {
+case class WinnowMinima(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   require(w >= 1, s"w must be >= 1, got $w")
 

@@ -44,18 +44,6 @@ object AudioOps {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
-  private def hexUpper(b: Array[Byte], off: Int, len: Int): String = {
-    val sb = new java.lang.StringBuilder(len * 2)
-    var i = 0
-    while (i < len) { sb.append(f"${b(off + i) & 0xff}%02X"); i += 1 }
-    sb.toString
-  }
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      .map(x => f"${x & 0xff}%02x").mkString
-
   /** Decode canonical RIFF/PCM WAV headers per-partition: sample rate,
     * channel count, bit depth, data size. One row per file, no
     * shuffle — each blob parses where the binaryFile scan put it. */
@@ -102,7 +90,7 @@ object AudioOps {
           (0 until nFrames).iterator.map { i =>
             val off = 44L + i * stride
             val len = math.min(frameBytes.toLong, b.length - off).toInt
-            AudioFrame(name, i, off, md5Hex(hexUpper(b, off.toInt, len)))
+            AudioFrame(name, i, off, BlobHex.fingerprint(b, off.toInt, len))
           }
         }
       }

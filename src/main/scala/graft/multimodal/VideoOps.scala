@@ -54,18 +54,6 @@ object VideoOps {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  private def hexUpper(b: Array[Byte], off: Int, len: Int): String = {
-    val sb = new java.lang.StringBuilder(len * 2)
-    var i = 0
-    while (i < len) { sb.append(f"${b(off + i) & 0xff}%02X"); i += 1 }
-    sb.toString
-  }
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      .map(x => f"${x & 0xff}%02x").mkString
-
   /** Recursive chunk walk: (fourcc or LIST-type, dataOff, dataLen) for
     * every chunk in `[from, until)`, descending into LISTs. Chunks are
     * word-aligned (odd sizes pad one byte) per the RIFF spec.
@@ -81,8 +69,15 @@ object VideoOps {
           val cc = fourcc(b, pos)
           val sz = leU32(b, pos + 4).toInt
           val dataOff = pos + 8
+          // Corrupt/truncated containers must fail loud, not loop: a
+          // size >= 2^31 wraps negative (pos would walk BACKWARDS
+          // forever), and an overlong chunk must not escape its
+          // enclosing extent.
+          require(sz >= 0 && dataOff + sz <= until,
+            s"corrupt RIFF chunk '$cc' at $pos: size $sz exceeds extent $until")
           pos = dataOff + sz + (sz & 1)
           if (cc == "LIST") {
+            require(sz >= 4, s"corrupt LIST at $pos: size $sz < 4")
             val listType = fourcc(b, dataOff)
             pending = walk(b, dataOff + 4, dataOff + sz)
             (listType, dataOff + 4, sz - 4)
@@ -198,7 +193,7 @@ object VideoOps {
             .filter(c => frameCc.findFirstIn(c._1).isDefined)
             .zipWithIndex
             .collect { case ((_, off, len), idx) if idx % everyK == 0 =>
-              VideoFrame(name, idx, off.toLong, len, md5Hex(hexUpper(b, off, len)))
+              VideoFrame(name, idx, off.toLong, len, BlobHex.fingerprint(b, off, len))
             }
         }
       }

@@ -417,24 +417,18 @@ object Similarity {
       queryIdCol: String,
       queryVecCol: String,
       k: Int): DataFrame = {
-    import spark.implicits._
-    val metaRow = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/index.json"))
-      val raw = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.commons.io.IOUtils.copy(in, buf)
-        buf.toString("UTF-8")
-      } finally in.close()
-      spark.read.json(Seq(raw).toDS()).head()
-    }
+    val metaRow = readIndexJson(spark, path)
     val dim = metaRow.getAs[Long]("dim").toInt
     val bits = metaRow.getAs[Long]("bits").toInt
     val tables = metaRow.getAs[Long]("tables").toInt
     val idCol = metaRow.getAs[String]("idCol")
     val vecCol = metaRow.getAs[String]("vecCol")
 
+    // Materialized ONCE (localCheckpoint): the probe frame feeds both
+    // the bucket collect and the join — a re-evaluated
+    // non-deterministic query source could otherwise probe buckets at
+    // join time that the partition filter never admitted, silently
+    // dropping neighbors.
     val probes = queries
       .select(col("*"), explode(array((for {
         t <- 0 until tables
@@ -454,9 +448,11 @@ object Similarity {
       .collect().groupBy(_.getInt(0)).map { case (t, rs) =>
         t -> rs.map(_.getLong(1)).toSeq
       }
+    // An empty query set prunes everything (degrade to empty, like
+    // the IVF path's empty isin).
     val pruneCond = probedBuckets.map { case (t, sigs) =>
       col("t") === t && col("sig").isin(sigs: _*)
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val corpus = spark.read.parquet(s"$path/vectors").filter(pruneCond)
     val scored = corpus
       .join(broadcast(probes),
@@ -533,9 +529,12 @@ object Similarity {
       vecCol: String,
       centroids: Seq[Seq[Long]])
 
-  private[graft] def readIvfIndexMeta(
+  /** Slurp `<path>/index.json` through the Hadoop FS API and parse it
+    * with Spark's JSON machinery (no extra deps): one-row frame.
+    * Shared by both index families' metadata readers. */
+  private def readIndexJson(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfIndexMeta = {
+      path: String): org.apache.spark.sql.Row = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/index.json"))
@@ -544,9 +543,14 @@ object Similarity {
       org.apache.commons.io.IOUtils.copy(in, buf)
       buf.toString("UTF-8")
     } finally in.close()
-    // Parse with Spark's JSON machinery (no extra deps): one-row frame.
     import spark.implicits._
-    val row = spark.read.json(Seq(raw).toDS()).head()
+    spark.read.json(Seq(raw).toDS()).head()
+  }
+
+  private[graft] def readIvfIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndexMeta = {
+    val row = readIndexJson(spark, path)
     IvfIndexMeta(
       dim = row.getAs[Long]("dim").toInt,
       scale = row.getAs[Long]("scale"),
@@ -578,10 +582,16 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val meta = readIvfIndexMeta(spark, path)
     val (idCol, vecCol) = (meta.idCol, meta.vecCol)
+    // Materialized ONCE: the probe frame feeds both the cell collect
+    // and the broadcast join — a re-evaluated non-deterministic query
+    // source could otherwise probe cells at join time that the static
+    // partition filter never admitted, silently dropping neighbors
+    // (and the quantize + source scan would run twice).
     val probed = queries
       .withColumn("cell",
         explode(graft.functions.IvfNearestCells(
           quantize(col(queryVecCol), meta.scale), meta.centroids, nprobe)))
+      .localCheckpoint(false)
     // Distinct probed cells — tiny by contract — collected once so the
     // scan carries a STATIC partition predicate (no full-index listing
     // of data files outside the probed cells).

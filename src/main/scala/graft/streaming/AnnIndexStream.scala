@@ -79,15 +79,24 @@ object AnnIndexStream {
     */
   def compact(spark: SparkSession, indexPath: String): Unit = {
     val meta = Similarity.readIvfIndexMeta(spark, indexPath)
-    // EAGER checkpoint: overwrite deletes the input files at job
-    // start, so the deduped store must be fully materialized in block
-    // storage BEFORE the write begins — a lazy checkpoint would read
-    // from the directory it is replacing.
-    val store = spark.read.parquet(s"$indexPath/vectors")
+    // Write-then-swap: compacting IN PLACE (overwrite of the source
+    // dir, even from an eager localCheckpoint) has a destructive
+    // window — checkpoint blocks are not replayable, so losing an
+    // executor after the overwrite deleted the originals loses the
+    // store. Writing to a sibling temp dir keeps the live store
+    // intact until the new one is durable; the swap is two renames.
+    val vectors = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/vectors__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/vectors__old")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(vectors.toString)
       .dropDuplicates(meta.idCol)
       .repartition(col("cell"))
-      .localCheckpoint(true)
-    store.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/vectors")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    require(fs.rename(vectors, old), s"compact: could not move $vectors aside")
+    require(fs.rename(tmp, vectors), s"compact: could not activate $tmp")
+    fs.delete(old, true)
   }
 }

@@ -108,6 +108,23 @@ class DomainSpec extends SparkSpecBase {
     assert(distributed == got, "driver fast path != distributed propagation")
   }
 
+  test("dupClusters contract on dangling edge ids: connect but never label") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // id 3 appears in edges but NOT in nodes (filtered out upstream):
+    // it must CONNECT 5 and 6 into one component, must not become the
+    // cluster label (even though 3 < 5), and must not emit a row.
+    val nodes = Seq(5L, 6L, 9L).toDF("doc_id")
+    val edges = Seq((3L, 5L), (3L, 6L)).toDF("doc_a", "doc_b")
+    val expect = Map(5L -> 5L, 6L -> 5L, 9L -> 9L)
+    val fast = Dedup.dupClusters(nodes, edges, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.dupClusters(nodes, edges, "doc_id", smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == expect, s"fast path: $fast")
+    assert(dist == expect, s"distributed path: $dist")
+  }
+
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
