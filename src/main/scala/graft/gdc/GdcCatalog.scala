@@ -90,6 +90,12 @@ class GdcCatalog(
     val payload = basePayload(inFilter, fields, expand)
     val probe = jsonDf(fetch(endpoint, payload + ("size" -> "1")))
     val total = probe.select("data.pagination.total").head().getLong(0)
+    // Zero matches short-circuit BEFORE the page fetch: an empty hits
+    // array infers as array<string>, so the star-expand below would
+    // throw at analysis; and a `size=0` wire request is pointless.
+    // The empty frame carries no columns — callers' schema comes from
+    // real hits.
+    if (total == 0L) return spark.emptyDataFrame
     val body = fetch(endpoint, payload + ("size" -> total.toString))
     import org.apache.spark.sql.functions._
     jsonDf(body)
@@ -126,6 +132,9 @@ class GdcCatalog(
     val (half1, half2) = fields.splitAt((fields.length + 1) / 2)
     val d1 = search(endpoint, inFilter, "id" +: half1)
     val d2 = search(endpoint, inFilter, "id" +: half2)
-    d1.join(d2, Seq("id"), "full_outer")
+    // Zero matches: both halves are the columnless empty frame — the
+    // id rejoin has nothing to join on.
+    if (d1.columns.isEmpty) d1
+    else d1.join(d2, Seq("id"), "full_outer")
   }
 }

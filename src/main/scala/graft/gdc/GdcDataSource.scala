@@ -160,19 +160,31 @@ class GdcScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val supported = filters.filter(translate(_).isDefined)
+    // DOTTED paths (nested, possibly array-typed on the server) have
+    // ANY-element `in` semantics server-side, while the scan flattens
+    // arrays to comma-joined strings — a multi-valued hit can satisfy
+    // the server condition yet fail the literal Spark predicate. Such
+    // filters are sent to the wire as a PREFILTER but stay residual so
+    // Spark re-evaluates them on the materialized value (this also
+    // correctly disables complete count(*) pushdown for them: the
+    // server's ANY-count could overcount). Top-level scalar fields
+    // have identical semantics both sides and are fully handled.
+    val (dotted, scalar) = supported.partition(f =>
+      translate(f).exists(_.field.contains('.')))
     // Catalyst pairs every EqualTo/In with an IsNotNull on the same
     // attribute. A GDC `in` condition already implies non-null
-    // server-side, so the IsNotNull is fully handled by the pushed
-    // condition — keeping it as a residual would (correctly but
-    // uselessly) block complete count(*) pushdown.
-    val inAttrs = supported.flatMap(translate).collect {
+    // server-side, so for fully-handled scalar fields the IsNotNull
+    // is covered by the pushed condition — keeping it as a residual
+    // would (correctly but uselessly) block complete count(*)
+    // pushdown.
+    val scalarInAttrs = scalar.flatMap(translate).collect {
       case GdcFilter.In(f, _) => f
     }.toSet
-    val implied = filters.collect {
-      case f @ IsNotNull(a) if inAttrs.contains(unquote(a)) => f
+    val implied: Array[Filter] = filters.collect {
+      case f @ IsNotNull(a) if scalarInAttrs.contains(unquote(a)) => f
     }
-    pushed = supported ++ implied
-    filters.filterNot(pushed.contains)
+    pushed = scalar ++ dotted ++ implied
+    filters.filterNot(f => scalar.contains(f) || implied.contains(f))
   }
 
   override def pushedFilters(): Array[Filter] = pushed

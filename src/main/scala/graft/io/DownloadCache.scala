@@ -16,14 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object DownloadCache {
 
-  /** Local catalog: one row per file under `glob` with its md5 —
-    * a distributed binaryFile scan (the checksum work happens where
-    * the blocks are). */
-  def localCatalog(spark: SparkSession, glob: String): DataFrame =
+  /** Local catalog: one row per file under `glob` with its md5.
+    *
+    * The binaryFile scan provides the distributed FILE LISTING only
+    * (path column — content is never projected, so never read); each
+    * digest then STREAMS through a 1 MiB buffer in mapPartitions,
+    * matching the reference's chunked read (`xena_dataset.py:246-261`).
+    * Materializing `content` and hashing with `md5(col)` was the
+    * obvious one-liner but needs file-sized executor memory and hard
+    * caps at 2 GB per file — GDC files exceed both.
+    */
+  def localCatalog(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(glob)
-      .select(
-        regexp_extract(col("path"), "[^/]+$", 0).as("name"),
-        md5(col("content")).as("md5sum"))
+      .select(col("path"))
+      .as[String]
+      .mapPartitions { paths =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](1 << 20)
+        paths.map { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf.value)
+          digest.reset()
+          val in = fs.open(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) digest.update(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally in.close()
+          (p.getName, digest.digest().map(b => f"${b & 0xff}%02x").mkString)
+        }
+      }
+      .toDF("name", "md5sum")
+  }
 
   /** Files to (re-)download: in the remote catalog but locally absent
     * OR present with a different md5. Anti-join on (name, md5sum). */

@@ -150,10 +150,17 @@ object XenaMetadata {
   }
 
   /** Render + write next to a matrix path (`<matrix>.json`), the
-    * reference's sink contract (`xena_dataset.py:719-723`). */
+    * reference's sink contract (`xena_dataset.py:719-723`). Hadoop FS
+    * API: the metadata sink must accept every URI the matrix sink
+    * does (hdfs://, s3a://, file:) — a java.nio write would treat a
+    * remote URI as a local relative path. */
   def write(matrixPath: String, metadataKind: String, v: Vars): String = {
     val out = matrixPath + ".json"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), render(metadataKind, v))
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val os = fs.create(p, true)
+    try os.write(render(metadataKind, v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     out
   }
 }

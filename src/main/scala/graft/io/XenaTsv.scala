@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.StructType
   */
 object XenaTsv {
 
+  /** Backtick-quote a column name for resolution: matrix columns may
+    * contain dots (survival `OS.time`, every reverse-dotted clinical
+    * column), which `df.col` would otherwise parse as nested-field
+    * access and fail with UNRESOLVED_COLUMN. */
+  private def quoted(n: String): String = "`" + n.replace("`", "``") + "`"
+
   /** Read a TSV directory/file. Explicit schema preferred (no inference
     * pass); nulls are empty fields, matching the reference's NaN→empty
     * rendering.
@@ -45,7 +51,7 @@ object XenaTsv {
       names: Seq[String],
       schema: Option[StructType] = None): DataFrame = {
     val df = read(spark, path, schema)
-    val picked = useCols.map(i => df.col(df.columns(i)))
+    val picked = useCols.map(i => df.col(quoted(df.columns(i))))
     df.select(picked.zip(names).map { case (c, n) => c.as(n) }: _*)
   }
 
@@ -119,7 +125,7 @@ object XenaTsv {
     val ordered = rowKey match {
       case Some(k) =>
         val rest = df.columns.filterNot(_ == k)
-        df.select((k +: rest.toIndexedSeq).map(df.col): _*)
+        df.select((k +: rest.toIndexedSeq).map(n => df.col(quoted(n))): _*)
       case None => df
     }
     ordered
@@ -148,10 +154,10 @@ object XenaTsv {
       rowKey: String,
       shards: Int): String = {
     val rest = df.columns.filterNot(_ == rowKey)
-    val ordered = df.select((rowKey +: rest.toIndexedSeq).map(df.col): _*)
+    val ordered = df.select((rowKey +: rest.toIndexedSeq).map(n => df.col(quoted(n))): _*)
     ordered
-      .repartitionByRange(shards, col(rowKey))
-      .sortWithinPartitions(col(rowKey))
+      .repartitionByRange(shards, col(quoted(rowKey)))
+      .sortWithinPartitions(col(quoted(rowKey)))
       .write
       .mode("overwrite")
       .option("sep", "\t")

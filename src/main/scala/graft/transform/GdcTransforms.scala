@@ -35,7 +35,7 @@ object GdcTransforms {
       sampleValues: Seq[String] = Seq.empty): DataFrame =
     graft.model.DTypes.registry(dtype).strategy match {
       case s: SampleColumnsMatrix =>
-        val samples = if (sampleValues.nonEmpty) sampleValues else listSampleIds(dir)
+        val samples = if (sampleValues.nonEmpty) sampleValues else listSampleIds(spark, dir)
         sampleColumnsMatrix(spark, dir, s, samples)
       case s: SegmentMatrix => segmentMatrix(spark, dir, s)
       case MafVector        => mafVector(spark, dir)
@@ -183,7 +183,7 @@ object GdcTransforms {
       col("callers"),
       (col("t_alt_count").cast("double") / col("t_depth").cast("double")).as("dna_vaf"))
 
-    val allSamples = listSampleIds(dir)
+    val allSamples = listSampleIds(spark, dir)
     val sampleDf = allSamples.toDF("sample")
     val missing = sampleDf.join(data.select("sample").distinct(), Seq("sample"), "left_anti")
     val sentinel = missing.select(
@@ -225,14 +225,22 @@ object GdcTransforms {
 
   /** Driver-side listing of sample ids from a raw-file directory —
     * metadata-sized, the same class of operation as Spark's file
-    * index. */
-  def listSampleIds(dir: String): Seq[String] = {
-    val uuid = UuidRe.r
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .map(_.getName)
-      .flatMap { n =>
-        uuid.findFirstMatchIn(n).map(m => n.substring(0, math.max(0, m.start - 1)))
-      }
+    * index. Hadoop FS API, so hdfs://s3a:// directories list the same
+    * as local ones (a java.io.File listing silently returns nothing
+    * for remote URIs, which dropped every sample column downstream);
+    * a missing directory fails loud. The extraction pattern is the
+    * SAME `<sample>.<uuid>` regex as the executor-side
+    * [[sampleIdFromFile]] — the two must never desynchronize, or
+    * sentinel/pivot sample sets diverge from the scanned values.
+    */
+  def listSampleIds(spark: SparkSession, dir: String): Seq[String] = {
+    val sampleRe = s"^(.+?)\\.$UuidRe".r
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"raw directory not found: $dir")
+    fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .flatMap(n => sampleRe.findFirstMatchIn(n).map(_.group(1)))
       .distinct.sorted
   }
 

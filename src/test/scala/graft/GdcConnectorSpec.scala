@@ -130,14 +130,27 @@ class GdcConnectorSpec extends SparkSpecBase {
     assert(FakeGdcServer.requests.forall(_._2.get("size").contains("1")),
       "count(*) fetched hit pages: " + FakeGdcServer.requests.mkString("\n"))
 
-    // filters still reach the probe's wire request
+    // A TOP-LEVEL scalar filter has identical semantics on both sides,
+    // so the filtered count still answers from the probe alone.
+    FakeGdcServer.requests.clear()
+    val mafCount = gdc().filter(col("data_type") === "maf").count()
+    assert(mafCount == 19)
+    assert(FakeGdcServer.requests.forall { r =>
+      r._2.get("size").contains("1") && r._2.contains("filters")
+    }, "scalar-filtered count(*) probe lost the filter or fetched pages")
+
+    // A DOTTED path may be array-typed server-side (ANY-element `in`
+    // semantics vs Spark's literal predicate on the flattened value),
+    // so the filter stays residual: the count must NOT answer from the
+    // server's probe total — pages are fetched and Spark re-evaluates.
     FakeGdcServer.requests.clear()
     val brca = gdc()
       .filter(col("`cases.project.project_id`") === "TCGA-BRCA").count()
     assert(brca == 19)
-    assert(FakeGdcServer.requests.forall { r =>
-      r._2.get("size").contains("1") && r._2.contains("filters")
-    }, "filtered count(*) probe lost the filter or fetched pages")
+    assert(FakeGdcServer.requests.exists(r => !r._2.get("size").contains("1")),
+      "dotted-path filtered count(*) wrongly answered from the ANY-semantics probe")
+    assert(FakeGdcServer.requests.forall(_._2.contains("filters")),
+      "dotted-path prefilter did not reach the wire")
   }
 
   test("limit pushes into the probe protocol; pages become partitions") {

@@ -101,4 +101,19 @@ class XenaOpsSpec extends SparkSpecBase {
     val back = XenaOps.pivotMatrix(long, "probe", "sample", "value", Seq("A", "N", "R"))
     assert(XenaOps.canonicalEqual(wide, back))
   }
+
+  test("TSV write/read round-trips DOTTED column names (survival OS.time shape)") {
+    import spark.implicits._
+    // The survival matrix ships literal dotted names; df.col parses a
+    // bare dot as nested access, so the sink must backtick-quote.
+    val df = Seq(("s1", 1, 100.5), ("s2", 0, 7.25))
+      .toDF("sample", "OS", "OS.time")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsv_dotted").toString
+    graft.io.XenaTsv.write(df, s"$tmp/m", rowKey = Some("sample"))
+    val back = graft.io.XenaTsv.read(spark, s"$tmp/m")
+    assert(back.columns.toSeq == Seq("sample", "OS", "OS.time"))
+    assert(back.count() == 2)
+    val hdr = graft.io.XenaTsv.writeSharded(df, s"$tmp/sharded", "sample", 2)
+    assert(hdr == "sample\tOS\tOS.time")
+  }
 }
