@@ -24,8 +24,12 @@ object Cli {
   }
 
   private def opts(args: List[String]): Map[String, List[String]] = {
+    // A repeated flag ACCUMULATES values (`-f a -f b` == `-f a b`) —
+    // resetting to Nil on re-appearance silently dropped all but the
+    // last occurrence's values.
     val (m, _) = args.foldLeft((Map.empty[String, List[String]], "")) {
-      case ((acc, _), a) if a.startsWith("-") => (acc.updated(a, Nil), a)
+      case ((acc, _), a) if a.startsWith("-") =>
+        (if (acc.contains(a)) acc else acc.updated(a, Nil), a)
       case ((acc, key), a) => (acc.updated(key, acc.getOrElse(key, Nil) :+ a), key)
     }
     m
@@ -92,7 +96,11 @@ object Cli {
             cohort.getOrElse("GDC " + d))
           println(s"[etl-batch] $d: ok")
         } catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM/linkage error means the session is
+          // no longer trustworthy — quarantining it and "succeeding"
+          // the remaining dtypes on a corrupted JVM would report
+          // garbage as ok.
+          case scala.util.control.NonFatal(e) =>
             quarantined += d -> String.valueOf(e.getMessage).takeWhile(_ != '\n')
             println(s"[etl-batch] $d: QUARANTINED (${e.getMessage})")
         }
@@ -153,12 +161,17 @@ object Cli {
       val docs = spark.read.parquet(in)
       val clusters = mode match {
         case "exact" =>
+          // Dedup.exact's shape (partial-aggregating groupBy for the
+          // keeper, then a keyed join back) instead of a window: the
+          // window form plans a full sort per fingerprint partition
+          // for the same output. Fingerprints computed ONCE — the
+          // frame feeds both the keeper aggregate and the join.
           import org.apache.spark.sql.functions.{col, min => fmin}
-          docs.select(col(idCol),
+          val fps = docs.select(col(idCol),
             graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
-            .withColumn("cluster_id",
-              fmin(col(idCol)).over(
-                org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+            .localCheckpoint(false)
+          fps.join(
+            fps.groupBy("fp").agg(fmin(col(idCol)).as("cluster_id")), Seq("fp"))
             .select(col(idCol), col("cluster_id"))
         case "near" =>
           val pairs = graft.dedup.Dedup.minHashLshPairs(

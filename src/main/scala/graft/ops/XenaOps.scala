@@ -266,10 +266,17 @@ object XenaOps {
     val spark = df.sparkSession
     val otherCols = df.columns.filterNot(_ == keyCol).toIndexedSeq
     val rows = df.collect()
-    val keys = rows.map(_.getAs[Any](keyCol).toString).toIndexedSeq
+    // Null cells stay null (pandas `.T` keeps NaN); a null KEY cannot
+    // name a column — fail loud with the offending frame shape.
+    def str(v: Any): String = if (v == null) null else v.toString
+    val keys = rows.map { r =>
+      val k = r.getAs[Any](keyCol)
+      require(k != null, s"transposeSmall: null value in key column '$keyCol'")
+      k.toString
+    }.toIndexedSeq
     val out = otherCols.map { c =>
       org.apache.spark.sql.Row.fromSeq(
-        c +: rows.toIndexedSeq.map(_.getAs[Any](c).asInstanceOf[Object].toString))
+        c +: rows.toIndexedSeq.map(r => str(r.getAs[Any](c))))
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType) +:

@@ -48,7 +48,15 @@ object AnnIndexStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val meta = Similarity.readIvfIndexMeta(spark, indexPath)
-    val schema = spark.read.parquet(landingDir).schema
+    // Landing schema comes from the INDEX STORE, not the landing dir:
+    // the maintainer normally starts on an empty directory (awaiting
+    // future drops), where a batch parquet read would throw
+    // 'Unable to infer schema'. The store always exists (writeIvfIndex
+    // created it) and its id/vec fields are exactly what landings must
+    // carry.
+    val storeSchema = spark.read.parquet(s"$indexPath/vectors").schema
+    val schema = org.apache.spark.sql.types.StructType(
+      storeSchema.fields.filter(f => f.name == meta.idCol || f.name == meta.vecCol))
     assigned(spark.readStream.schema(schema).parquet(landingDir), meta)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -96,7 +104,12 @@ object AnnIndexStream {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     require(fs.rename(vectors, old), s"compact: could not move $vectors aside")
-    require(fs.rename(tmp, vectors), s"compact: could not activate $tmp")
+    if (!fs.rename(tmp, vectors)) {
+      // Recover the middle state: put the live store back before
+      // failing, so queries and a compact retry keep working.
+      fs.rename(old, vectors)
+      sys.error(s"compact: could not activate $tmp; original store restored")
+    }
     fs.delete(old, true)
   }
 }

@@ -226,13 +226,17 @@ object EventStreams {
         }
       }
       val pending = all.drop(pendingFrom)
-      if (pending.isEmpty && state.exists) state.remove()
-      else {
-        state.update(BufState(pending, seq))
-        if (pending.nonEmpty)
-          // wake when the watermark passes the open session's close
-          state.setTimeoutTimestamp((pending.last + gapUs) / 1000L + 1L)
-      }
+      // The state always survives: it carries sessionSeq, and dropping
+      // it when the buffer empties would restart the user's numbering
+      // at 1 — colliding with already-emitted (user_id, session_seq)
+      // keys. An empty-buffer state is a single counter, and a user
+      // who sessionized once is expected back; per-user state is
+      // bounded regardless (pending holds only events newer than
+      // watermark - gap).
+      state.update(BufState(pending, seq))
+      if (pending.nonEmpty)
+        // wake when the watermark passes the open session's close
+        state.setTimeoutTimestamp((pending.last + gapUs) / 1000L + 1L)
       out.reverseIterator
     }
 

@@ -34,9 +34,13 @@ object StreamDedup {
       tsCol: String,
       watermarkDelay: String): DataFrame = {
     val fp = docs.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
-    if (fp.isStreaming)
-      fp.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark("fp")
-    else
-      fp.dropDuplicates("fp")
+    val deduped =
+      if (fp.isStreaming)
+        fp.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark("fp")
+      else
+        fp.dropDuplicates("fp")
+    // The fingerprint is dedup-internal: callers get their input
+    // schema back, not an extra md5 column persisted corpus-wide.
+    deduped.drop("fp")
   }
 }

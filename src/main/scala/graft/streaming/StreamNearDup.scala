@@ -52,6 +52,15 @@ object StreamNearDup {
       stateTtl: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The keyed-state row encodes doc ids as primitive longs; a
+    // non-integral id would cast to null and kill the encoder mid
+    // stream — fail loud at planning time instead (the batch path
+    // keeps native id types; map string ids to longs upstream before
+    // streaming).
+    val idType = docs.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType,
+      s"candidatePairs requires an integral id column; $idCol is $idType")
 
     // Materialize each stage's array as an attribute before the next
     // lambda consumes it (grams -> hashes -> signature -> buckets):

@@ -104,8 +104,13 @@ class StreamingSpec extends SparkSpecBase {
       b1.unionByName(b2), "text", "ts", "1 hour")
     assert(emitted.count() == truth.count(),
       s"streaming emitted ${emitted.count()} rows, batch dedup ${truth.count()}")
-    // Every distinct fingerprint appears exactly once.
-    assert(emitted.groupBy("fp").count().filter(col("count") > 1).isEmpty)
+    // Output schema is the INPUT schema (no leaked internal fp
+    // column), and every distinct fingerprint appears exactly once —
+    // recomputed here, since dedup no longer exposes it.
+    assert(emitted.columns.toSeq == Seq("event_id", "ts", "text"))
+    assert(emitted
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .groupBy("fp").count().filter(col("count") > 1).isEmpty)
     assert(emitted.count() > 0)
   }
 
