@@ -169,6 +169,12 @@ object Dedup {
     * forms produce bit-equal signatures (asserted in
     * DedupSketchSpec). Pass an ATTRIBUTE column, not an inline
     * expression: each of the `numHashes` slots references it once.
+    *
+    * PRECONDITION: `hashes` is non-empty — an empty array would give
+    * an all-null signature whose band buckets collapse to md5("") and
+    * go quadratic. The aggregate twin structurally can't see an empty
+    * group; per-row callers must filter gramless documents first
+    * (StreamNearDup does: `size(grams) > 0`).
     */
   def minHashSignature(hashes: Column, numHashes: Int): Column = {
     val p = graft.functions.MinHashSketchAgg.Prime
@@ -568,11 +574,14 @@ object Dedup {
       .select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
-  /** Benchmark decontamination: for every corpus document, the number
-    * of distinct word `n`-grams it shares with a held-out/benchmark
-    * set (the GPT-3/PaLM-style n-gram-overlap contamination check —
-    * corpus docs with `shared_grams > 0` leak benchmark content and
-    * get dropped or flagged upstream of training).
+  /** Benchmark decontamination: for every corpus document WITH at
+    * least one shared gram, the number of distinct word `n`-grams it
+    * shares with a held-out/benchmark set (the GPT-3/PaLM-style
+    * n-gram-overlap contamination check). Zero-overlap documents do
+    * NOT appear (inner join by design — at 100 TB emitting a row per
+    * clean document would dwarf the contaminated set): consumers drop
+    * contamination with an ANTI-join on the returned doc ids, as the
+    * CLI `decontaminate` does — never `filter(shared_grams === 0)`.
     *
     * Scale shape: benchmark sets are small by construction (10³–10⁵
     * docs vs a 100 TB corpus), so the distinct benchmark gram set is

@@ -63,10 +63,14 @@ object AnnKernels {
   * random-hyperplane LSH signature as ONE plan node. Input must be
   * `array<double>` (callers cast explicitly).
   *
-  * Matches the HOF form exactly: per-plane dot is a sequential
-  * left-to-right IEEE sum over `min(dim, |v|)` components; a NaN dot
-  * contributes a 0 bit (Java `>=` on NaN is false; the HOF's
-  * `when(d >= 0, …)` yields null → otherwise(0)).
+  * Matches the HOF form exactly, INCLUDING ragged inputs: a vector
+  * whose length differs from `dim` signs to 0L — in the HOF,
+  * `zip_with` pads the shorter side with nulls, nulling every dot, so
+  * every bit falls to the `otherwise(0)` branch (a partial-sum sign
+  * would diverge). For equal lengths the per-plane dot is a
+  * sequential left-to-right IEEE sum; a NaN dot contributes a 0 bit
+  * (Java `>=` on NaN is false; the HOF's `when(d >= 0, …)` yields
+  * null → otherwise(0)).
   */
 case class HyperplaneSignature(child: Expression, table: Int, dim: Int, bits: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -81,15 +85,15 @@ case class HyperplaneSignature(child: Expression, table: Int, dim: Int, bits: In
   @transient private lazy val planes: Array[Double] = AnnKernels.planes(table, dim, bits)
 
   def compute(a: ArrayData): Long = {
+    if (a.numElements() != dim) return 0L // ragged: HOF nulls every dot
     val p = planes
-    val n = math.min(dim, a.numElements())
     var sig = 0L
     var i = 0
     while (i < bits) {
       var dot = 0.0
       val base = i * dim
       var j = 0
-      while (j < n) { dot += a.getDouble(j) * p(base + j); j += 1 }
+      while (j < dim) { dot += a.getDouble(j) * p(base + j); j += 1 }
       if (dot >= 0) sig |= 1L << i
       i += 1
     }

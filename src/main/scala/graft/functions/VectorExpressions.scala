@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd dot product of two `array<double>` columns.
   *
@@ -22,10 +22,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Array elements are assumed non-null (embedding vectors).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  // Inputs must already be array<double> — callers cast explicitly
-  // (graft.similarity.Similarity.asDouble); no implicit coercion here.
+  // SQL-registered: wrong-typed arguments must fail analysis (or
+  // coerce — e.g. array<float> casts up), never reinterpret memory.
+  // DataFrame callers already cast (graft.similarity.Similarity
+  // .asDouble), so this is a no-op on the engine's own paths.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 

@@ -77,13 +77,10 @@ object GraftExtensions {
     { args =>
       require(args.length == 3 || args.length == 4,
         s"hyperplane_sig expects 3 or 4 arguments, got ${args.length}")
-      def intLit(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"hyperplane_sig: $what must be an int literal, got $other")
-      }
-      val table = if (args.length == 4) intLit(args(3), "table") else 0
-      HyperplaneSignature(args.head, table, intLit(args(1), "dim"), intLit(args(2), "bits"))
+      val table = if (args.length == 4) intLitArg(args(3), "hyperplane_sig", "table") else 0
+      HyperplaneSignature(args.head, table,
+        intLitArg(args(1), "hyperplane_sig", "dim"),
+        intLitArg(args(2), "hyperplane_sig", "bits"))
     })
 
   private def intLitArg(e: Expression, fn: String, what: String): Int = e match {

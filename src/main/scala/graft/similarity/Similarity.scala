@@ -22,6 +22,15 @@ object Similarity {
     * row and evaluates its lambdas interpreted; at all-pairs scale that
     * was ~90% of the query). Identical IEEE result to the sequential
     * HOF fold, so SQL oracles agree bitwise.
+    *
+    * CONTRACT: embeddings are finite and nonzero-norm (enforce
+    * upstream — e.g. drop empty-document vectors at embed time). A
+    * zero-norm side yields 0/0 = NaN, and Spark orders NaN ABOVE every
+    * number: one zero vector would pass every `>= threshold` filter
+    * and displace a true neighbor at rank 1 of every top-k. The
+    * arithmetic is deliberately NOT null-guarded here — the oracles
+    * transcribe the raw expression, and hiding a contract violation
+    * would silently skew results instead of making it visible.
     */
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.VectorFunctions.dot
@@ -31,6 +40,33 @@ object Similarity {
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** The shared top-k tail of every ANN query: rank scored
+    * (query_id, neighbor_id, cos) rows per query by (cos desc,
+    * neighbor_id) — the deterministic tie-break — keep k, round to
+    * the 6dp oracle convention. ONE definition: the in-memory and
+    * persisted-index paths must rank identically or their equality
+    * contracts drift.
+    */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** The per-table probe set of a query vector: its own signature plus
+    * every Hamming-1 flip, as (t, probe) structs — shared by the
+    * in-memory and persisted-index LSH paths. */
+  private def lshProbeArray(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((for {
+      t <- 0 until tables
+      sig0 = lshSignature(vec, dim, bits, t)
+      flip <- -1 until bits
+    } yield struct(
+      lit(t).as("t"),
+      (if (flip < 0) sig0 else sig0.bitwiseXOR(lit(1L << flip))).as("probe"))): _*)
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     *
@@ -53,11 +89,7 @@ object Similarity {
         col(queryIdCol).as("query_id"),
         col(idCol).as("neighbor_id"),
         cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
@@ -133,13 +165,8 @@ object Similarity {
     // Probe buckets per table: the query's own signature and all
     // Hamming-1 flips.
     val probeSigs = queries
-      .select(col("*"), explode(array((for {
-        t <- 0 until tables
-        sig0 = lshSignature(col(queryVecCol), dim, bits, t)
-        flip <- -1 until bits
-      } yield struct(
-        lit(t).as("t"),
-        (if (flip < 0) sig0 else sig0.bitwiseXOR(lit(1L << flip))).as("probe"))): _*)).as("tp"))
+      .select(col("*"),
+        explode(lshProbeArray(col(queryVecCol), dim, bits, tables)).as("tp"))
       .select(col("*"), col("tp.t").as("t"), col("tp.probe").as("probe"))
       .drop("tp")
     val scored = sigCorpus
@@ -152,11 +179,7 @@ object Similarity {
         cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** Quantize a double vector onto a fixed-point integer grid after
@@ -358,11 +381,7 @@ object Similarity {
         col(queryIdCol).as("query_id"),
         col(idCol).as("neighbor_id"),
         cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** Persisted multi-table LSH index: `<path>/vectors` holds one row
@@ -430,13 +449,8 @@ object Similarity {
     // join time that the partition filter never admitted, silently
     // dropping neighbors.
     val probes = queries
-      .select(col("*"), explode(array((for {
-        t <- 0 until tables
-        sig0 = lshSignature(col(queryVecCol), dim, bits, t)
-        flip <- -1 until bits
-      } yield struct(
-        lit(t).as("t"),
-        (if (flip < 0) sig0 else sig0.bitwiseXOR(lit(1L << flip))).as("probe"))): _*)).as("tp"))
+      .select(col("*"),
+        explode(lshProbeArray(col(queryVecCol), dim, bits, tables)).as("tp"))
       .select(col("*"), col("tp.t").as("t"), col("tp.probe").as("probe"))
       .drop("tp")
       .localCheckpoint(false)
@@ -464,11 +478,7 @@ object Similarity {
         cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** Persisted IVF index layout: `<path>/vectors` is the assigned
@@ -605,11 +615,7 @@ object Similarity {
         col(queryIdCol).as("query_id"),
         col(idCol).as("neighbor_id"),
         cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup detection).

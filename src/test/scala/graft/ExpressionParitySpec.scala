@@ -46,7 +46,12 @@ class ExpressionParitySpec extends SparkSpecBase {
     val rnd = new scala.util.Random(23)
     val dim = 16
     val vecs = (0 until 200).map(_ => Seq.fill(dim)(rnd.nextGaussian())) ++
-      Seq(Seq.fill(dim)(0.0)) // all-zero vector: every dot == 0 -> all bits set
+      Seq(Seq.fill(dim)(0.0)) ++ // all-zero vector: every dot == 0 -> all bits set
+      // Ragged vectors (shorter AND longer than dim): the HOF's
+      // zip_with pads with nulls, nulling every dot -> signature 0;
+      // the native kernel must agree, not sign a partial sum.
+      Seq(Seq.fill(dim - 3)(rnd.nextGaussian()), Seq.fill(dim + 5)(rnd.nextGaussian()),
+        Seq.empty[Double])
     for (bits <- Seq(1, 6, 12); table <- Seq(0, 3)) {
       val df = vecs.toDF("v").select(col("v").cast("array<double>").as("v")).repartition(4)
       val rows = df.select(
