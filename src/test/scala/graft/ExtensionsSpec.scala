@@ -127,6 +127,20 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(toks.getLong(4) >= 0L)
   }
 
+  test("SQL kernels coerce or reject wrong-typed arguments at analysis") {
+    // array<int> coerces to array<double>: same value as the exact call.
+    val coerced = spark.sql(
+      "SELECT dot_product(array(1, 2, 3), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(coerced == 32.0)
+    // A string argument where an array is required fails ANALYSIS —
+    // not mid-job with a ClassCastException.
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_prefix64(array(1, 2))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("minhash_sketch aggregate is callable from SQL via GraftExtensions") {
     val (id, info, builder) = graft.plans.GraftExtensions.minhashSketchDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
