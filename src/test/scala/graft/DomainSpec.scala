@@ -203,6 +203,27 @@ class DomainSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$tmp/lshhits").count() > 0)
   }
 
+  test("CLI repeated flags accumulate (-f a -f b keeps both files)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_repeat").toString
+    // Two matrices with DISJOINT sample columns; losing one to the
+    // repeated -f (the old reset-on-reappearance bug) drops its
+    // samples from the merge.
+    graft.io.XenaTsv.write(
+      Seq(("cg01", 0.5), ("cg02", 0.6)).toDF("Composite Element REF", "SAMP-01A"),
+      s"$tmp/m0.tsv", rowKey = Some("Composite Element REF"))
+    graft.io.XenaTsv.write(
+      Seq(("cg01", 0.7), ("cg03", 0.8)).toDF("Composite Element REF", "SAMP-02A"),
+      s"$tmp/m1.tsv", rowKey = Some("Composite Element REF"))
+    assert(graft.Cli.run(Array("merge-xena",
+      "-f", s"$tmp/m0.tsv", "-f", s"$tmp/m1.tsv",
+      "-t", "methylation450", "-o", s"$tmp/merged.tsv")) == 0)
+    val merged = graft.io.XenaTsv.read(spark, s"$tmp/merged.tsv")
+    assert(merged.columns.toSet ==
+      Set("Composite Element REF", "SAMP-01A", "SAMP-02A"),
+      s"merge lost a repeated -f file: ${merged.columns.mkString(",")}")
+  }
+
   test("CLI frames: avi and wav frame tables land with sane schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_frames").toString
 

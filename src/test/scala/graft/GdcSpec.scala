@@ -49,6 +49,22 @@ class GdcSpec extends SparkSpecBase {
     assert(calls(0)._2("fields") == "file_id,file_name")
   }
 
+  test("search: zero matches short-circuit to an empty frame, no page fetch") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    val fetch: (String, Map[String, String]) => String = { (endpoint, params) =>
+      calls += ((endpoint, params))
+      // An empty hits array would infer array<string> and crash the
+      // star-expand — the probe total must short-circuit before it.
+      """{"data":{"pagination":{"total":0},"hits":[]}}"""
+    }
+    val catalog = new GdcCatalog(spark, fetch)
+    val df = catalog.search("files",
+      inFilter = GdcFilter.fromMap(Map("data_type" -> "does-not-exist")))
+    assert(df.count() == 0)
+    assert(calls.size == 1, "zero-hit search still fetched a page")
+    assert(calls(0)._2("size") == "1")
+  }
+
   test("_mapping probe + half-field vertical partition rejoin on id") {
     val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
     val fetch: (String, Map[String, String]) => String = { (endpoint, params) =>
