@@ -222,7 +222,8 @@ object Dedup {
       textCol: String,
       n: Int,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val grams = docGrams(docs, idCol, textCol, n)
       .withColumn("h", pmod(gramHash(col("gram")), lit(1L << 32)))
 
@@ -246,8 +247,25 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint(false)
 
-    val ca = bandTable.withColumnRenamed("doc_id", "doc_a")
-    val cb = bandTable.withColumnRenamed("doc_id", "doc_b")
+    // Hot-bucket skew guard — the band-level sibling of the gram
+    // maxDocFreq cap and the streaming maxBucketSize: a degenerate
+    // bucket (mass-duplicated boilerplate hashing identically in one
+    // band) contributes O(size²) candidate pairs. Buckets above the
+    // cap are dropped whole; their members' true near-dups still
+    // surface through the other bands (and exact duplicates through
+    // exact dedup). The cap check is one count over the (small) band
+    // table — never over the corpus.
+    val capped =
+      if (maxBucketSize == Long.MaxValue) bandTable
+      else {
+        val ok = bandTable.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucketSize)
+          .select("band", "bucket")
+        bandTable.join(ok, Seq("band", "bucket"), "left_semi")
+      }
+    val ca = capped.withColumnRenamed("doc_id", "doc_a")
+    val cb = capped.withColumnRenamed("doc_id", "doc_b")
     ca.join(cb, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -261,9 +279,10 @@ object Dedup {
       n: Int,
       threshold: Double,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame =
+      bands: Int = 8,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
     verifyCandidates(docs,
-      minHashCandidates(docs, idCol, textCol, n, numHashes, bands),
+      minHashCandidates(docs, idCol, textCol, n, numHashes, bands, maxBucketSize),
       idCol, textCol, n, threshold)
 
   /** 60-bit SimHash signatures: per-token md5-derived hash; signature

@@ -117,4 +117,32 @@ class DedupSketchSpec extends SparkSpecBase {
     }
     assert(got(1L) == expect)
   }
+
+  test("hot-bucket cap drops degenerate buckets; uncapped is unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 byte-identical docs: every band bucket for them has 40
+    // members -> 780 pairs per band uncapped. Two genuinely similar
+    // but distinct docs ride along.
+    val boiler = (0 until 40).map(i => (i.toLong, "the same boilerplate text repeated here"))
+    val pair = Seq(
+      (100L, "a distinctly worded document about graph clustering"),
+      (101L, "a distinctly worded document about graph clusters"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup.minHashCandidates(docs, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 40 * 39 / 2, s"expected quadratic boilerplate pairs, got ${uncapped.size}")
+    // Cap below the boilerplate bucket size: its pairs vanish; the
+    // distinct near-dup pair survives (its buckets are size 2).
+    val capped = graft.dedup.Dedup.minHashCandidates(docs, "doc_id", "text", n = 2,
+      maxBucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), s"cap dropped the true near-dup pair: $capped")
+    assert(!capped.exists(p => p._1 < 40 && p._2 < 40), s"hot bucket not capped: $capped")
+    // Long.MaxValue cap == no cap (the q19 oracle relies on this).
+    val defaulted = graft.dedup.Dedup.minHashCandidates(docs, "doc_id", "text", n = 2,
+      maxBucketSize = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaulted == uncapped)
+  }
 }
