@@ -174,8 +174,11 @@ object Cli {
             fps.groupBy("fp").agg(fmin(col(idCol)).as("cluster_id")), Seq("fp"))
             .select(col(idCol), col("cluster_id"))
         case "near" =>
+          val maxBucket = m.get("--max-bucket").flatMap(_.headOption)
+            .map(_.toLong).getOrElse(10000L)
           val pairs = graft.dedup.Dedup.minHashLshPairs(
-            docs, idCol, textCol, n = 2, threshold = 0.8)
+            docs, idCol, textCol, n = 2, threshold = 0.8,
+            maxBucketSize = maxBucket)
           graft.dedup.Dedup.dupClusters(
             docs.selectExpr(idCol), pairs, idCol)
         case other => sys.error(s"dedup --mode must be exact|near, got $other")
@@ -372,7 +375,7 @@ object Cli {
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]
            |  xena-eql   <matrix-a> <matrix-b>
-           |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--id doc_id] [--text text]
+           |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]

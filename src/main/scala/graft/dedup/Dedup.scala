@@ -335,7 +335,8 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      bands: Int = 6): DataFrame = {
+      bands: Int = 6,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(60 % bands == 0, "bands must divide 60")
     val bandBits = 60 / bands
     val mask = (1L << bandBits) - 1
@@ -375,10 +376,25 @@ object Dedup {
     // the verification input by orders of magnitude — one xor+popcount
     // per collision vs a gram-array intersection per pair.
     val maxDist = 2 * bands - 1
+    // Same hot-bucket skew guard as [[minHashCandidates]]: the
+    // bit_count prefilter below bounds VERIFICATION, but the bucket
+    // join itself still emits O(size²) collision rows for a
+    // degenerate bucket (mass-identical signatures). Capped buckets
+    // drop whole; the documented pigeonhole recall guarantee then
+    // holds only for pairs outside them.
+    val exactCapped =
+      if (maxBucketSize == Long.MaxValue) exact
+      else {
+        val ok = exact.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucketSize)
+          .select("band", "bucket")
+        exact.join(ok, Seq("band", "bucket"), "left_semi")
+      }
     val candidates = probes
       .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("band"), col("bucket"))
-      .join(exact.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      .join(exactCapped.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b") &&
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
