@@ -214,8 +214,7 @@ object SparkEntry {
     */
   def q16TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{StructType, StructField, IntegerType, StringType}
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_tsv_nation").toString
+    val tmp = tempDirCleanedOnExit("graft_tsv_nation")
     val nationCols = Tables.nation(s, dir)
     XenaTsv.write(nationCols, tmp, rowKey = Some("n_nationkey"))
     val schema = StructType(
@@ -607,13 +606,11 @@ object SparkEntry {
         round(min(col("value")), 6).as("v_min"),
         round(max(col("value")), 6).as("v_max"))
 
-  /** Deterministic train/valid/test assignment: a hash-based split is
-    * stable across runs, engines and cluster sizes (no RNG, no
-    * sampling order dependence) — the reproducible way to split a
-    * training corpus. 80/10/10 on md5(doc_id) mod 100. */
-  /** Deterministic 80/10/10 hash-bucket split label for `doc_id` —
-    * shared by q53 (the split itself) and q54 (decontamination across
-    * the same split boundaries) so the two can never disagree. */
+  /** Deterministic 80/10/10 hash-bucket split label for `doc_id`
+    * (md5 mod 100 — stable across runs, engines and cluster sizes; no
+    * RNG, no sampling-order dependence) — shared by q53 (the split
+    * itself) and q54 (decontamination across the same split
+    * boundaries) so the two can never disagree. */
   private def splitLabel: Column =
     graft.functions.TextFunctions.hashSplit(col("doc_id"))
 
@@ -691,13 +688,19 @@ object SparkEntry {
     * quantizer makes the round-trip bit-equal to the in-memory path,
     * so this shares q45's full value oracle verbatim: the gate proves
     * index build + partition-pruned read lose nothing. */
-  // One index dir per JVM, overwritten per invocation — repeated
-  // bench/verify runs must not accumulate full corpus copies in /tmp.
-  private lazy val IvfIndexTmp: String =
-    java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+  /** A per-INVOCATION temp dir deleted at JVM exit: isolation for
+    * concurrent callers (a JVM-shared dir would let one invocation's
+    * overwrite race another's read) without accumulating directories
+    * across repeated bench/verify runs in one process. */
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    dir.toString
+  }
 
   def q60IvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val tmp = IvfIndexTmp
+    val tmp = tempDirCleanedOnExit("graft_ivf_idx")
     val emb = Tables.embeddings(s, dir)
     Similarity.writeIvfIndex(emb, "vec_id", "embedding",
       dim = 64, nlist = 24, path = tmp)

@@ -17,13 +17,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // Delete any prior run's output FIRST: if this query then fails,
+      // a stale parquet must not survive for the DuckDB compare to
+      // silently pass last run's data as current.
+      val dest = s"$outDir/$name"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dest))
+      // NonFatal only — after an OOM/linkage error the session can't
+      // be trusted to verify anything.
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dest)
+      catch { case scala.util.control.NonFatal(e) =>
+        failed ::= name
+        System.err.println(s"[verify] $name failed: ${e.toString}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,5 +50,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries failed: " +
+        failed.reverse.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -44,6 +44,24 @@ object AudioOps {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
+  /** The canonical-44-byte-header contract, validated IN FULL: RIFF/
+    * WAVE magic, a plain 16-byte PCM `fmt ` chunk at offset 12, and
+    * the `data` chunk at offset 36. A WAV with an 18-byte fmt (cbSize
+    * present — common encoder output) or a LIST/INFO chunk before
+    * `data` would otherwise pass a magic-only check and yield silently
+    * garbage sizes from the fixed offsets; fail loud WITH the
+    * filename instead. */
+  private def requireCanonicalWav(name: String, b: Array[Byte]): Unit = {
+    require(b.length >= 44 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE", s"$name: not RIFF/WAVE")
+    require(new String(b, 12, 4, "US-ASCII") == "fmt " && leU32(b, 16) == 16L,
+      s"$name: not a canonical 16-byte PCM fmt chunk at offset 12 " +
+        "(extended fmt / extra chunks are out of this parser's contract)")
+    require(new String(b, 36, 4, "US-ASCII") == "data",
+      s"$name: no data chunk at offset 36 (non-canonical chunk layout)")
+  }
+
   /** Decode canonical RIFF/PCM WAV headers per-partition: sample rate,
     * channel count, bit depth, data size. One row per file, no
     * shuffle — each blob parses where the binaryFile scan put it. */
@@ -54,9 +72,7 @@ object AudioOps {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (name, b) =>
-          require(b.length >= 44 &&
-            new String(b, 0, 4, "US-ASCII") == "RIFF" &&
-            new String(b, 8, 4, "US-ASCII") == "WAVE", s"$name: not RIFF/WAVE")
+          requireCanonicalWav(name, b)
           val ch = leU16(b, 22)
           val rate = leU32(b, 24).toInt
           val bits = leU16(b, 34)
@@ -85,6 +101,7 @@ object AudioOps {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (name, b) =>
+          requireCanonicalWav(name, b) // same contract as decodeWavMeta
           val dataLen = math.min(leU32(b, 40), (b.length - 44).toLong)
           val stride = dataLen / nFrames
           (0 until nFrames).iterator.map { i =>

@@ -49,12 +49,22 @@ object ImageOps {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (name, bytes) =>
+          // PPM comments ('#' to end of line) are spec-legal anywhere
+          // whitespace is (GIMP/ImageMagick emit a CREATOR line) —
+          // strip them before tokenizing, or the positional header
+          // parse reads a comment word as the width.
           val toks = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+            .replaceAll("#[^\n]*", " ")
             .split("\\s+").filter(_.nonEmpty)
           require(toks.headOption.contains("P3"), s"$name: not an ASCII PPM")
-          val w = toks(1).toInt
-          val h = toks(2).toInt
-          DecodedImage(name, w, h, toks.drop(4).map(_.toInt))
+          try {
+            val w = toks(1).toInt
+            val h = toks(2).toInt
+            DecodedImage(name, w, h, toks.drop(4).map(_.toInt))
+          } catch {
+            case e: NumberFormatException =>
+              throw new IllegalArgumentException(s"$name: malformed PPM: ${e.getMessage}", e)
+          }
         }
       }
   }

@@ -72,8 +72,10 @@ object VideoOps {
           // Corrupt/truncated containers must fail loud, not loop: a
           // size >= 2^31 wraps negative (pos would walk BACKWARDS
           // forever), and an overlong chunk must not escape its
-          // enclosing extent.
-          require(sz >= 0 && dataOff + sz <= until,
+          // enclosing extent. The bound is computed in LONG — an Int
+          // dataOff + sz would itself wrap for sizes just under 2^31
+          // and sail past the check.
+          require(sz >= 0 && dataOff.toLong + sz <= until,
             s"corrupt RIFF chunk '$cc' at $pos: size $sz exceeds extent $until")
           pos = dataOff + sz + (sz & 1)
           if (cc == "LIST") {
