@@ -189,8 +189,19 @@ object Dedup {
     * md5 of the band's signature slice. Shared by the batch LSH
     * self-join and the streaming keyed-state path so both sides bucket
     * identically. Pass a materialized signature attribute.
+    *
+    * Computed by the native [[graft.functions.BandBuckets]] kernel —
+    * bit-equal to the declarative [[bandBucketsHof]] form
+    * (ExpressionParitySpec), which at the q19 shape (64 hashes × 16
+    * bands) was a ~170-node expression tree whose first-run codegen
+    * compilation dominated the query's wall time.
     */
-  def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
+  def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column =
+    graft.functions.BandBuckets(sig, numHashes, bands)
+
+  /** The declarative twin of [[bandBuckets]], retained for the parity
+    * property test: the oracle SQL transcribes THIS arithmetic. */
+  private[graft] def bandBucketsHof(sig: Column, numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { bIdx =>

@@ -108,7 +108,15 @@ case class WordNgrams(child: Expression, n: Int)
       while (i <= sz - n) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
+        // Null tokens are representable (the declared input type admits
+        // them via the SQL-registered form) and must be SKIPPED, matching
+        // array_join's semantics in the HOF — concatWs skips null parts,
+        // but reading a null slot as UTF8String first is undefined on
+        // unsafe rows.
+        while (j < n) {
+          parts(j) = if (a.isNullAt(i + j)) null else a.getUTF8String(i + j)
+          j += 1
+        }
         out(i) = UTF8String.concatWs(space, parts: _*)
         i += 1
       }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, HyperplaneSignature, Md5Prefix64, MinHashSketchAgg, RollingHashes, WinnowMinima, WordNgrams}
+import graft.functions.{BandBuckets, DotProduct, HyperplaneSignature, Md5Prefix64, MinHashSketchAgg, RollingHashes, WinnowMinima, WordNgrams}
 
 /** Catalyst extension point: registers graft's native expressions in
   * the SQL function registry, so pure-SQL users (spark.sql, JDBC,
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordNgramsDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashesDescriptor)
     ext.injectFunction(GraftExtensions.winnowMinimaDescriptor)
+    ext.injectFunction(GraftExtensions.bandBucketsDescriptor)
     ext.injectOptimizerRule(_ => CollapseJsonExtracts)
   }
 }
@@ -105,6 +106,17 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, s"rolling_hashes expects 2 arguments, got ${args.length}")
       RollingHashes(args.head, intLitArg(args(1), "rolling_hashes", "k"))
+    })
+
+  /** `band_buckets(array<long>, numHashes, bands) -> array<struct<band,bucket>>`. */
+  val bandBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("band_buckets"),
+    new ExpressionInfo(classOf[BandBuckets].getCanonicalName, null, "band_buckets"),
+    { args =>
+      require(args.length == 3, s"band_buckets expects 3 arguments, got ${args.length}")
+      BandBuckets(args.head,
+        intLitArg(args(1), "band_buckets", "numHashes"),
+        intLitArg(args(2), "band_buckets", "bands"))
     })
 
   /** `winnow_minima(array<long>, w) -> array<long>`. */

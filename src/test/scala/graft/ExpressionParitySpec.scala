@@ -140,6 +140,46 @@ class ExpressionParitySpec extends SparkSpecBase {
     }
   }
 
+  test("band_buckets equals the md5/concat_ws/element_at HOF") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(67)
+    for ((numHashes, bands) <- Seq((64, 16), (32, 8), (8, 4), (4, 4))) {
+      // Exact-length signatures (the sketch-agg contract), including
+      // zeros, Long extremes, ties — plus null slots, which concat_ws
+      // SKIPS (and so must the kernel).
+      val sigs: Seq[Seq[java.lang.Long]] =
+        (0 until 200).map(_ => Seq.fill(numHashes)(
+          java.lang.Long.valueOf(rnd.nextLong() & ((1L << 32) - 1)))) ++
+        Seq(Seq.fill(numHashes)(java.lang.Long.valueOf(0L)),
+          Seq.fill(numHashes)(java.lang.Long.valueOf(Long.MaxValue)),
+          Seq.tabulate(numHashes)(i =>
+            if (i % 3 == 0) null else java.lang.Long.valueOf(i.toLong)))
+      val df = sigs.toDF("sig").repartition(4)
+      val rows = df.select(
+        graft.functions.BandBuckets(col("sig"), numHashes, bands).as("native"),
+        graft.dedup.Dedup.bandBucketsHof(col("sig"), numHashes, bands).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        val nat = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getInt(0), x.getString(1)))
+        val hof = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1)))
+        assert(nat == hof, s"numHashes=$numHashes bands=$bands: $nat vs $hof")
+      }
+    }
+  }
+
+  test("band_buckets via SQL registration") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(Seq(1L, 2L, 3L, 4L)).toDF("sig").createOrReplaceTempView("bb_t")
+    val out = spark.sql(
+      """SELECT band_buckets(sig, 4, 2) =
+        |  array(struct(0, md5(concat_ws('_', sig[0], sig[1]))),
+        |        struct(1, md5(concat_ws('_', sig[2], sig[3])))) FROM bb_t""".stripMargin)
+      .collect()
+    assert(out.forall(_.getBoolean(0)))
+  }
+
   test("ivf_nearest_cells equals the HOF struct-sort formulation") {
     val spark2 = spark
     import spark2.implicits._
