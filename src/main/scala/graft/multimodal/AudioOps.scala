@@ -95,6 +95,10 @@ object AudioOps {
       binaries: DataFrame,
       nFrames: Int,
       frameBytes: Int): Dataset[AudioFrame] = {
+    // Fail at planning, not per-file inside the job: nFrames divides
+    // the payload length below (CLI-reachable via `frames --frames 0`).
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    require(frameBytes > 0, s"frameBytes must be > 0, got $frameBytes")
     import spark.implicits._
     binaries
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"), col("content"))

@@ -411,8 +411,11 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("ts.t").as("t"), col("ts.sig").as("sig"))
       .repartition(col("t"), col("sig"))
       .write.mode("overwrite").partitionBy("t", "sig").parquet(s"$path/vectors")
+    // Column names are caller-supplied strings: JSON-quote them, or a
+    // quote/backslash in a name writes an index.json the reader can't
+    // parse (or silently mis-parses).
     val meta =
-      s"""{"dim":$dim,"bits":$bits,"tables":$tables,"idCol":"$idCol","vecCol":"$vecCol"}"""
+      s"""{"dim":$dim,"bits":$bits,"tables":$tables,"idCol":${graft.io.JsonUtil.quote(idCol)},"vecCol":${graft.io.JsonUtil.quote(vecCol)}}"""
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.json"), true)
@@ -521,7 +524,7 @@ object Similarity {
     // Index metadata via the Hadoop FS API (path-scheme-agnostic: the
     // same code writes to HDFS/S3A on a cluster).
     val meta = new StringBuilder
-    meta ++= s"""{"dim":$dim,"nlist":$nlist,"scale":$scale,"idCol":"$idCol","vecCol":"$vecCol","centroids":["""
+    meta ++= s"""{"dim":$dim,"nlist":$nlist,"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"vecCol":${graft.io.JsonUtil.quote(vecCol)},"centroids":["""
     meta ++= centroids.map(_.mkString("[", ",", "]")).mkString(",")
     meta ++= "]}"
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -98,7 +98,17 @@ object AnnIndexStream {
     val old = new org.apache.hadoop.fs.Path(s"$indexPath/vectors__old")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true); fs.delete(old, true)
+    fs.delete(tmp, true)
+    // Crash recovery BEFORE any delete: a prior compact that died
+    // between its two swap renames leaves `vectors` gone and `old`
+    // holding the only copy — deleting `old` here would destroy the
+    // store permanently. Swap it back first; `old` is only garbage
+    // once `vectors` exists.
+    if (!fs.exists(vectors) && fs.exists(old)) {
+      require(fs.rename(old, vectors),
+        s"compact: found interrupted swap ($vectors missing) but could not restore $old")
+    }
+    fs.delete(old, true)
     spark.read.parquet(vectors.toString)
       .dropDuplicates(meta.idCol)
       .repartition(col("cell"))

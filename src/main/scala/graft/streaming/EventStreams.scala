@@ -184,16 +184,29 @@ object EventStreams {
     * emission). Late events beyond the watermark are dropped by Spark
     * before reaching the state function — the standard contract.
     *
-    * State is bounded: per user it holds only events newer than
+    * State is bounded PER USER: it holds only events newer than
     * (watermark - gap). An event-time timeout fires when the
     * watermark passes a buffered session's close point, so sessions
-    * finalize even for users with no further traffic.
+    * finalize even for users with no further traffic. The ROW COUNT
+    * is one state row per user ever seen, kept forever by default —
+    * the row survives with an empty buffer because it carries
+    * `session_seq`, and dropping it would restart the user's
+    * numbering at 1, colliding with already-emitted
+    * (user_id, session_seq) keys.
+    *
+    * `idleStateExpiryMinutes` is the escape hatch for unbounded- or
+    * transient-key deployments (anonymous ids, IoT devices): a user's
+    * drained state row is removed once the watermark passes its last
+    * finalized session by the expiry. The documented trade: a user
+    * returning AFTER expiry restarts at session_seq 1 — downstream
+    * keys must then include a time component (or tolerate seq reuse).
     */
   def sessionizeWatermarked(
       spark: SparkSession,
       events: DataFrame,
       gapMinutes: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      idleStateExpiryMinutes: Option[Long] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60000000L
@@ -226,17 +239,24 @@ object EventStreams {
         }
       }
       val pending = all.drop(pendingFrom)
-      // The state always survives: it carries sessionSeq, and dropping
-      // it when the buffer empties would restart the user's numbering
+      // The state survives a drained buffer BY DEFAULT: it carries
+      // sessionSeq, and dropping it would restart the user's numbering
       // at 1 — colliding with already-emitted (user_id, session_seq)
-      // keys. An empty-buffer state is a single counter, and a user
-      // who sessionized once is expected back; per-user state is
-      // bounded regardless (pending holds only events newer than
-      // watermark - gap).
-      state.update(BufState(pending, seq))
-      if (pending.nonEmpty)
-        // wake when the watermark passes the open session's close
-        state.setTimeoutTimestamp((pending.last + gapUs) / 1000L + 1L)
+      // keys. An empty-buffer state is a single counter. With the
+      // idle-expiry hatch configured, a drained row instead arms an
+      // idle timeout and is removed when that fires with nothing new
+      // buffered (the seq-restart trade is documented on the method).
+      if (state.hasTimedOut && all.isEmpty && idleStateExpiryMinutes.isDefined) {
+        state.remove()
+      } else {
+        state.update(BufState(pending, seq))
+        if (pending.nonEmpty)
+          // wake when the watermark passes the open session's close
+          state.setTimeoutTimestamp((pending.last + gapUs) / 1000L + 1L)
+        else idleStateExpiryMinutes.foreach { mins =>
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + mins * 60000L)
+        }
+      }
       out.reverseIterator
     }
 

@@ -307,5 +307,21 @@ class StreamingSpec extends SparkSpecBase {
     val diff2 = compactedHits.exceptAll(batchHits).count() +
       batchHits.exceptAll(compactedHits).count()
     assert(diff2 == 0, s"post-compaction search differs by $diff2 rows")
+
+    // Crash recovery: a compact that died BETWEEN its two swap renames
+    // leaves vectors gone and vectors__old holding the only copy. A
+    // retry must restore the store, not delete the last copy.
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$indexPath/vectors__old")
+    assert(fs.rename(vecPath, oldPath), "test setup: simulate mid-swap crash")
+    AnnIndexStream.compact(spark, indexPath)
+    val recovered = spark.read.parquet(s"$indexPath/vectors")
+    assert(recovered.count() == emb.count(), "recovery compact lost rows")
+    assert(!fs.exists(oldPath), "recovery compact left vectors__old behind")
+    val recoveredHits = Similarity.ivfTopKIndexed(
+      spark, indexPath, queries, "q_id", "q_vec", k = 3, nprobe = 4)
+    val diff3 = recoveredHits.exceptAll(batchHits).count() +
+      batchHits.exceptAll(recoveredHits).count()
+    assert(diff3 == 0, s"post-recovery search differs by $diff3 rows")
   }
 }
