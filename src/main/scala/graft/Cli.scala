@@ -2,18 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.io.{XenaMetadata, XenaTsv}
+import graft.gdc.{GdcCatalog, HttpTransport}
+import graft.io.{DownloadExecutor, XenaMetadata, XenaTsv}
 import graft.model.DTypes
 import graft.ops.XenaOps
 import graft.transform.{Clinical, GdcTransforms}
 
 /** CLI surface mirroring the reference `xge` entry point
-  * (`main.py:44-116`): `etl`, `merge-xena`, `metadata`, `xena-eql`.
+  * (`main.py:44-116`): `etl`, `merge-xena`, `metadata`, `xena-eql`,
+  * `gdc-check-new`, plus the network `download` verb backing `etl`.
   * Argument shapes follow the reference subcommands; execution is the
-  * Spark engine. The GDC download step (network) is out of scope —
-  * `etl` transforms an already-downloaded raw directory.
+  * Spark engine.
   */
 object Cli {
+
+  /** Network seam: every subcommand that talks to GDC builds its
+    * transport here, so specs swap in fixtures while production gets
+    * the JDK client under the reference's 10-retry/0.5-backoff policy
+    * (`utils.py:187-204`). `usePost` is requested by verbs whose
+    * filter payload exceeds URL limits (`gdc-check-new`'s 20k-uuid
+    * batches — `gdc.py:626-635`).
+    */
+  private[graft] var transportFactory: Boolean => HttpTransport =
+    usePost => HttpTransport.default(usePost = usePost)
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -38,6 +49,39 @@ object Cli {
   private def one(m: Map[String, List[String]], keys: String*): String =
     keys.flatMap(k => m.getOrElse(k, Nil)).headOption.getOrElse(
       sys.error(s"missing required option ${keys.mkString("/")}"))
+
+  /** Read the 'New File UUID' column from a data-release TSV, local
+    * path or http(s) URL, gzipped or plain — what the reference does
+    * with `pd.read_csv(url, sep='\t')` in `main.py:44-47`. The file is
+    * a release manifest (tens of thousands of rows at most) — a plain
+    * driver-side read, no Spark job.
+    */
+  private[graft] def readUuidColumn(
+      pathOrUrl: String, transport: HttpTransport): List[String] = {
+    val raw: java.io.InputStream =
+      if (pathOrUrl.startsWith("http://") || pathOrUrl.startsWith("https://")) {
+        val (status, in) = transport.open(pathOrUrl, Map.empty)
+        if (status < 200 || status >= 300) {
+          in.close()
+          sys.error(s"fetching $pathOrUrl failed: HTTP $status")
+        }
+        in
+      } else java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pathOrUrl))
+    val in = if (pathOrUrl.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(raw) else raw
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val lines = src.getLines()
+      if (!lines.hasNext) sys.error(s"$pathOrUrl is empty")
+      val header = lines.next().split('\t')
+      val idx = header.indexOf("New File UUID")
+      require(idx >= 0,
+        s"$pathOrUrl has no 'New File UUID' column (got: ${header.mkString(", ")})")
+      lines.map(_.split('\t')).collect {
+        case f if f.length > idx && f(idx).nonEmpty => f(idx)
+      }.toList
+    } finally src.close()
+  }
 
   /** One dtype's ETL: raw dir → matrix TSV + Loader metadata JSON. */
   private def etlOne(
@@ -144,6 +188,47 @@ object Cli {
         XenaTsv.read(spark, a, None), XenaTsv.read(spark, b, None))
       println(if (equal) "Equal matrices." else "Matrices differ.")
       if (equal) 0 else 1
+
+    case "gdc-check-new" :: url :: Nil =>
+      // Reference `xge gdc-check-new <URL>` (`main.py:43-48,135-144`):
+      // the argument is a data-release TSV[.gz] with a 'New File UUID'
+      // column; the summary table prints to stdout as TSV
+      // (`gdc.py:652` to_csv(sys.stdout, sep='\t')).
+      val transport = transportFactory(true)
+      val uuids = readUuidColumn(url, transport)
+      val spark = session()
+      val catalog = new GdcCatalog(spark, HttpTransport.fetchFn(transport))
+      val df = catalog.checkNew(uuids)
+      if (df.columns.nonEmpty) {
+        println(df.columns.mkString("\t"))
+        // Collect is summary-sized: rows are distinct
+        // (workflow, projects, data_type) combinations post-dedup.
+        df.collect().foreach { r =>
+          println(df.columns.indices
+            .map(i => Option(r.get(i)).map(_.toString).getOrElse(""))
+            .mkString("\t"))
+        }
+      }
+      0
+
+    case "download" :: rest =>
+      // The reference's XenaDataset.download step (xena_dataset.py:
+      // 571-664) as a standalone verb: manifest TSV (name, md5sum,
+      // url) → raw dir, md5-reconciled against what's already there.
+      val m = opts(rest)
+      val manifest = one(m, "-m", "--manifest")
+      val dest = one(m, "-o", "--output")
+      val spark = session()
+      val remote = spark.read.option("sep", "\t").option("header", "true")
+        .csv(manifest).select("name", "md5sum", "url")
+      val report = DownloadExecutor.sync(
+        spark, remote, java.nio.file.Paths.get(dest), transportFactory(false))
+      println(s"[download] ${report.downloaded.size} downloaded, " +
+        s"${report.deleted.size} stale deleted, ${report.redacted.size} redacted, " +
+        s"${report.quarantined.size} quarantined")
+      report.quarantined.foreach { case (n, why) =>
+        println(s"[download] QUARANTINED $n — $why") }
+      if (report.ok) 0 else 1
 
     // ---- training-data pipeline subcommands (beyond-parity surface) --
 
@@ -375,6 +460,8 @@ object Cli {
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]
            |  xena-eql   <matrix-a> <matrix-b>
+           |  gdc-check-new <release-tsv-url-or-path>   (summary TSV on stdout)
+           |  download   -m <manifest.tsv: name md5sum url> -o <raw-dir>
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]

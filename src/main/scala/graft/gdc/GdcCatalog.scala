@@ -1,6 +1,6 @@
 package graft.gdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** GDC REST catalog layer (SURVEY §2 S4/O3/O4), network-free by
   * construction: the HTTP transport is an injected function, so the
@@ -107,6 +107,48 @@ class GdcCatalog(
     * 20,000 uuids per request). */
   def chunked[T](uuids: Seq[T], chunkSize: Int = 20000): Seq[Seq[T]] =
     uuids.grouped(chunkSize).map(_.toSeq).toSeq
+
+  /** The `gdc-check-new` summary (`gdc.py:615-669`): given a data
+    * release's updated file uuids, report the impacted
+    * (workflow, projects, data_type) combinations.
+    *
+    * Mirrors the reference mechanics: uuids go to the `files` endpoint
+    * in batches of `chunkSize` = 20,000 (`gdc.py:622-625`) filtered to
+    * open access, each hit's case list is string-aggregated into a
+    * comma-joined distinct project set (`gdc.py:637-639`), batches are
+    * concatenated, `id` dropped, and duplicates removed
+    * (`gdc.py:643-651`). One deliberate divergence: the reference's
+    * pandas normalize splits single-case hits into a separate
+    * `cases.project.project_id` column (its 1-element-array collapse
+    * runs before normalize), so its output carries two
+    * half-populated case columns; Spark's uniform schema keeps every
+    * hit's projects in the single `cases` column.
+    */
+  def checkNew(uuids: Seq[String], chunkSize: Int = 20000): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = chunked(uuids, chunkSize).map { batch =>
+      search("files",
+        Seq(In("access", Seq("open")), In("file_id", batch)),
+        fields = Seq(
+          "cases.project.project_id", "data_type", "analysis.workflow_type"))
+    }.filter(_.columns.nonEmpty)
+    if (parts.isEmpty) return spark.emptyDataFrame
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // Field-presence tolerance mirrors the reference's try/except
+    // around the cases map and the id drop (`gdc.py:636-651`): a
+    // release whose hits carry none of a field still summarizes.
+    val have = unioned.columns.toSet
+    def ifHave(name: String, c: => Column): Column =
+      if (have(name)) c else lit(null).cast("string")
+    unioned
+      .select(
+        ifHave("analysis", col("analysis.workflow_type")).as("analysis.workflow_type"),
+        ifHave("cases", array_join(array_distinct(
+          transform(col("cases"), c => c.getField("project").getField("project_id"))),
+          ", ")).as("cases"),
+        ifHave("data_type", col("data_type")).as("data_type"))
+      .dropDuplicates()
+  }
 
   /** Runtime schema probe (`gdc.py:486-493`): `<endpoint>/_mapping`
     * returns the catalog's full dotted field list. Schema-sized,

@@ -1,0 +1,156 @@
+package graft.io
+
+import java.io.{IOException, InputStream}
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gdc.HttpTransport
+
+/** The transfer half of S9 (`DownloadCache` is the planning half):
+  * materializes a raw-data directory from a remote catalog, streaming
+  * each file to disk with the md5 computed in-flight
+  * (`gdc.py:360-431` download loop; `xena_dataset.py:623-648`
+  * retry-mounted streaming write; md5 skip/delete reconciliation at
+  * `xena_dataset.py:591-622` — already expressed by `DownloadCache`).
+  *
+  * Deviations from the reference, on purpose:
+  *  - md5 VERIFICATION of the downloaded bytes against the catalog's
+  *    `md5sum` (the reference only md5s pre-existing files): a
+  *    mismatch — truncated body, proxy error page — moves the file to
+  *    `quarantine/` instead of poisoning the raw dir, and the next
+  *    sync re-plans it as a download.
+  *  - `redacted.txt` is written into the destination dir, not the
+  *    process cwd (`xena_dataset.py:651-661` writes to `os.getcwd()`).
+  *
+  * The loop is DRIVER-SIDE by design: transfers are network-bound and
+  * per-file independent, and the reference's own loop is sequential.
+  * At cluster scale the same body runs unchanged inside a
+  * `foreachPartition` over the plan frame (every argument is
+  * serializable); single-node keeps it on the driver so specs and the
+  * Cli need no Spark job for a 3-file sync.
+  */
+object DownloadExecutor {
+
+  /** One planned transfer: catalog `name`, expected `md5sum`,
+    * absolute `url` (GDC's `data/<uuid>` endpoint or a fixture). */
+  final case class Item(name: String, md5sum: String, url: String)
+
+  /** What happened. `quarantined` carries (name, reason). */
+  final case class Report(
+      downloaded: Seq[String],
+      redacted: Seq[String],
+      quarantined: Seq[(String, String)],
+      deleted: Seq[String]) {
+    def ok: Boolean = quarantined.isEmpty
+  }
+
+  private def md5StreamToFile(in: InputStream, dest: Path): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](1 << 20)
+    val out = Files.newOutputStream(dest)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) { digest.update(buf, 0, n); out.write(buf, 0, n) }
+        n = in.read(buf)
+      }
+    } finally { out.close(); in.close() }
+    digest.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Transfer every planned item into `destDir`; delete every stale
+    * name. HTTP 451 (GDC-redacted cohorts, `xena_dataset.py:640-643`)
+    * is recorded, not fatal; any other non-2xx after the transport's
+    * retries aborts the run like the reference's `raise IOError`
+    * (`xena_dataset.py:644-648`).
+    */
+  def execute(
+      toDownload: Seq[Item],
+      toDelete: Seq[String],
+      destDir: Path,
+      transport: HttpTransport): Report = {
+    Files.createDirectories(destDir)
+    val downloaded = Seq.newBuilder[String]
+    val redacted = Seq.newBuilder[String]
+    val quarantined = Seq.newBuilder[(String, String)]
+
+    toDownload.foreach { item =>
+      val (status, body) = transport.open(item.url, Map.empty)
+      if (status == 451) { body.close(); redacted += item.url }
+      else if (status < 200 || status >= 300) {
+        body.close()
+        throw new IOException(s"Fail to download file ${item.url}. Response $status")
+      } else {
+        // Stream to a .part file so a crash mid-write never leaves a
+        // plausible-looking partial under the catalog name.
+        val part = destDir.resolve(item.name + ".part")
+        val actualMd5 = md5StreamToFile(body, part)
+        if (actualMd5 == item.md5sum) {
+          Files.move(part, destDir.resolve(item.name),
+            StandardCopyOption.REPLACE_EXISTING)
+          downloaded += item.name
+        } else {
+          val qdir = destDir.resolve("quarantine")
+          Files.createDirectories(qdir)
+          Files.move(part, qdir.resolve(item.name),
+            StandardCopyOption.REPLACE_EXISTING)
+          quarantined += item.name ->
+            s"md5 mismatch: expected ${item.md5sum}, got $actualMd5"
+        }
+      }
+    }
+
+    val deleted = toDelete.filter { name =>
+      Files.deleteIfExists(destDir.resolve(name))
+    }
+
+    val red = redacted.result()
+    if (red.nonEmpty) {
+      val lines = red.map(u => s"Fail to download file $u. Response 451")
+      Files.write(destDir.resolve("redacted.txt"),
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    Report(downloaded.result(), red, quarantined.result(), deleted)
+  }
+
+  /** End-to-end sync: remote catalog frame `(name, md5sum, url)` →
+    * raw dir, reconciled through `DownloadCache` (up-to-date files are
+    * skipped, stale ones deleted) and transferred via `execute`. This
+    * is what stands where the reference chains
+    * `download_map` → `download()` inside `XenaDataset.download`
+    * (`xena_dataset.py:571-664`).
+    *
+    * The plan collect is catalog-sized (one row per file in the
+    * dataset, thousands at most) — the BYTES never touch the driver
+    * heap; they stream straight to disk.
+    */
+  def sync(
+      spark: SparkSession,
+      remote: DataFrame,
+      rawDir: Path,
+      transport: HttpTransport): Report = {
+    val hasLocal = Files.isDirectory(rawDir) && {
+      val s = Files.list(rawDir)
+      try s.filter(Files.isRegularFile(_)).findFirst().isPresent finally s.close()
+    }
+    val (plan, deletions) =
+      if (hasLocal) {
+        // Executor bookkeeping (redacted.txt, quarantine/ children —
+        // the glob lists matched directories' files too) is not raw
+        // data: it must neither satisfy a download nor get reconciled
+        // away as stale.
+        val local = DownloadCache.localCatalog(spark, rawDir.toString + "/*")
+          .filter(!org.apache.spark.sql.functions.col("name")
+            .isin("redacted.txt", "quarantine"))
+          .localCheckpoint(true) // feeds BOTH anti-joins; hash each file once
+        (DownloadCache.toDownload(remote, local),
+          DownloadCache.toDelete(local, remote)
+            .select("name").collect().map(_.getString(0)).toSeq)
+      } else (remote, Seq.empty[String])
+
+    val items = plan.select("name", "md5sum", "url").collect()
+      .map(r => Item(r.getString(0), r.getString(1), r.getString(2))).toSeq
+    execute(items, deletions, rawDir, transport)
+  }
+}
