@@ -289,10 +289,12 @@ object SparkEntry {
   }
 
   /** All-pairs cosine above a threshold (exact variant — the LSH-
-    * bucketed scale path is property-tested in SimilaritySpec). */
+    * bucketed scale path is property-tested in SimilaritySpec). The
+    * `allowExact` hatch acknowledges the O(n²) self-join — unhatched
+    * callers beyond [[Similarity.MaxExactPairsRows]] are refused. */
   def q23CosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.45)
+      threshold = 0.45, allowExact = true)
 
   /** Sessionization (gaps-and-islands, 30-minute inactivity) + per-
     * session stats. One shuffle on user_id shared by both windows. */

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
@@ -128,8 +129,14 @@ case class BandBuckets(child: Expression, numHashes: Int, bands: Int)
   private val rowsPerBand = numHashes / bands
   private val sep = '_'.toByte
 
+  /** A NULL signature computes like an all-null-slot one — every band
+    * gets md5("") — matching the declarative HOF twin (and therefore
+    * every oracle SQL transcription of it): `element_at(NULL, i)` is
+    * null and `concat_ws` skips nulls, so the HOF never null-escapes.
+    * Unreachable from the sketch-agg pipeline (signatures are total)
+    * but reachable through the SQL-registered `band_buckets`. */
   def compute(a: ArrayData): ArrayData = {
-    val n = a.numElements()
+    val n = if (a == null) 0 else a.numElements()
     val out = new Array[Any](bands)
     val sb = new java.lang.StringBuilder(rowsPerBand * 12)
     var b = 0
@@ -154,12 +161,23 @@ case class BandBuckets(child: Expression, numHashes: Int, bands: Int)
     new GenericArrayData(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[ArrayData])
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bandBuckets", this, classOf[BandBuckets].getName)
-    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $ref.compute($c)")
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    // No null-intercept: a null child still computes (see compute's
+    // contract above), so the result is never null.
+    ev.copy(
+      code = childGen.code +
+        code"""
+          $arrCls ${ev.value} = (${childGen.isNull}) ? $ref.compute(null)
+            : $ref.compute((${classOf[ArrayData].getName}) ${childGen.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BandBuckets =

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Largest corpus `cosinePairs(bits = 0)` will accept without
+    * `allowExact = true`: 2^16 rows ≈ 2.1e9 candidate pairs — past
+    * this the exact path is a scale bug, not a query. */
+  val MaxExactPairsRows: Long = 1L << 16
+
   /** Cosine similarity of two double arrays: sequential dot / (|a| |b|),
     * computed with the custom codegen'd [[graft.functions.DotProduct]]
     * expression — a fused zero-allocation loop inside whole-stage
@@ -639,10 +644,23 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       dim: Int = 0,
-      bits: Int = 0): DataFrame = {
+      bits: Int = 0,
+      allowExact: Boolean = false): DataFrame = {
     val wide = graft.ops.Parallelism.ensure(corpus)
     val paired =
       if (bits == 0) {
+        // Guard the quadratic path: without the `allowExact` hatch a
+        // corpus beyond `MaxExactPairsRows` refuses to plan n² pairs
+        // (2^16 rows already means ~2·10⁹ candidate pairs). The hatch
+        // also skips the guard's count job, so a hatched caller's plan
+        // is byte-identical to the unguarded original.
+        if (!allowExact) {
+          val n = wide.count()
+          require(n <= MaxExactPairsRows,
+            s"cosinePairs(bits = 0) is an exact O(n^2) self-join and the corpus has " +
+              s"$n rows (guard cap $MaxExactPairsRows). Use bits > 0 for the " +
+              "LSH-bucketed scale path, or pass allowExact = true if n^2 is intended.")
+        }
         val a = wide.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
         val b = wide.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
         a.join(b, col("id_a") < col("id_b"))

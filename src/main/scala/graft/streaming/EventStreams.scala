@@ -200,6 +200,14 @@ object EventStreams {
     * finalized session by the expiry. The documented trade: a user
     * returning AFTER expiry restarts at session_seq 1 — downstream
     * keys must then include a time component (or tolerate seq reuse).
+    *
+    * LIMITATION: the hatch arms the idle timeout when a row is
+    * TOUCHED (new traffic, or a timeout fire that drains it). Drained
+    * rows accumulated by a previous run WITHOUT the hatch carry no
+    * armed timeout, and a restart with the hatch set does not visit
+    * them — they expire only after their user next sends traffic (or
+    * via a state-store migration). The hatch bounds growth going
+    * forward; it does not retroactively reclaim old idle state.
     */
   def sessionizeWatermarked(
       spark: SparkSession,
@@ -207,6 +215,11 @@ object EventStreams {
       gapMinutes: Long,
       watermarkDelay: String,
       idleStateExpiryMinutes: Option[Long] = None): DataFrame = {
+    // Fail at plan time: a zero/negative expiry would only surface
+    // inside the micro-batch when setTimeoutTimestamp rejects a
+    // timestamp at/before the watermark — killing the running query.
+    idleStateExpiryMinutes.foreach(m => require(m > 0,
+      s"idleStateExpiryMinutes must be positive, got $m"))
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60000000L

@@ -168,6 +168,35 @@ class ExpressionParitySpec extends SparkSpecBase {
     }
   }
 
+  test("band_buckets: NULL signature computes like the HOF (md5('') per band)") {
+    // The HOF never null-escapes: element_at(NULL, i) is null and
+    // concat_ws skips nulls, so a null sig yields md5("") in every
+    // band. The kernel must agree (it used to null-intercept) —
+    // reachable via the SQL-registered band_buckets even though the
+    // sketch-agg pipeline never produces a null signature.
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq[Option[Seq[Long]]](None, Some(Seq(1L, 2L, 3L, 4L)))
+      .toDF("sig")
+    val rows = df.select(
+      graft.functions.BandBuckets(col("sig"), 4, 2).as("native"),
+      graft.dedup.Dedup.bandBucketsHof(col("sig"), 4, 2).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "kernel must compute on a null sig, not null-escape")
+      val nat = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getInt(0), x.getString(1)))
+      val hof = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1)))
+      assert(nat == hof)
+    }
+    // And the SQL-registered form agrees with a literal NULL.
+    val viaSql = spark.sql(
+      "SELECT band_buckets(CAST(NULL AS ARRAY<BIGINT>), 4, 2)").collect()
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map(b => f"${b & 0xff}%02x").mkString
+    assert(viaSql.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getInt(0), x.getString(1))) == Seq((0, emptyMd5), (1, emptyMd5)))
+  }
+
   test("band_buckets via SQL registration") {
     val spark2 = spark
     import spark2.implicits._

@@ -112,4 +112,26 @@ class SimilaritySpec extends SparkSpecBase {
     val diff = ivf.exceptAll(bf).count() + bf.exceptAll(ivf).count()
     assert(diff == 0, s"full-probe IVF differs from brute force by $diff rows")
   }
+
+  test("cosinePairs exact-path guard: oversized corpus refused, hatch accepted") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Guard fires on the COUNT, before any pair is planned -- so an
+    // over-cap frame is cheap to build (one tiny vector per row).
+    val big = spark.range(Similarity.MaxExactPairsRows + 1)
+      .select(col("id").as("vec_id"), array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosinePairs(big, "vec_id", "embedding", threshold = 0.5))
+    assert(e.getMessage.contains("allowExact"))
+
+    // Under the cap: no hatch needed.
+    val small = spark.range(4)
+      .select(col("id").as("vec_id"), array(lit(1.0f), col("id").cast("float")).as("embedding"))
+    assert(Similarity.cosinePairs(small, "vec_id", "embedding", threshold = -1.0)
+      .count() == 6, "4 choose 2 pairs")
+
+    // Hatched: identical result, and no guard count job on the big frame.
+    assert(Similarity.cosinePairs(small, "vec_id", "embedding", threshold = -1.0,
+      allowExact = true).count() == 6)
+  }
 }

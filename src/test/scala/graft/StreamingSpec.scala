@@ -324,4 +324,17 @@ class StreamingSpec extends SparkSpecBase {
       batchHits.exceptAll(recoveredHits).count()
     assert(diff3 == 0, s"post-recovery search differs by $diff3 rows")
   }
+
+  test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
+    // The guard must fire BEFORE any micro-batch runs (a bad expiry
+    // would otherwise kill the query inside setTimeoutTimestamp) — so
+    // plan construction alone, no stream start, must throw.
+    val stream = Tables.events(spark, sfDir)
+    for (bad <- Seq(0L, -5L)) {
+      val e = intercept[IllegalArgumentException](
+        EventStreams.sessionizeWatermarked(spark, stream, 30L, "2 hours",
+          idleStateExpiryMinutes = Some(bad)))
+      assert(e.getMessage.contains("idleStateExpiryMinutes"))
+    }
+  }
 }
