@@ -194,6 +194,73 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairSet(spark.table("neardup_stream")) == batchCands)
   }
 
+  test("streaming near-dup TTL at a real trigger: state evicts, compaction catches the missed pair") {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamNearDup
+    import org.apache.spark.sql.streaming.Trigger
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // Any known near-dup pair: its halves will arrive on opposite
+    // sides of the TTL window.
+    val somePair = Dedup.minHashCandidates(docs, "doc_id", "text", n = 2)
+      .select("doc_a", "doc_b").head()
+    val (a, b) = (somePair.getLong(0), somePair.getLong(1))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_ttl").toString
+    docs.filter(col("doc_id") === a).coalesce(1).write.parquet(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = StreamNearDup.candidatePairs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+      "doc_id", "text", n = 2, stateTtl = Some("2 seconds"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_ttl")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // processAllAvailable CANNOT be used here: ProcessingTimeTimeout
+      // keeps shouldRunAnotherBatch true, so the engine schedules
+      // timeout-check batches forever and the no-new-data latch never
+      // fires (the exact behavior StreamNearDup's scaladoc documents).
+      // Poll observable state instead.
+      def stateRows: Long = Option(q.lastProgress)
+        .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
+      def await(desc: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(cond, s"timed out waiting for: $desc")
+      }
+      // Doc a's band buckets become live state.
+      await("doc a planting bucket state")(stateRows > 0)
+      // Real trigger keeps firing empty batches; once processing time
+      // passes the TTL, the timeout branch removes every bucket —
+      // state size returns to zero instead of growing unboundedly.
+      await("TTL eviction at a real trigger")(stateRows == 0)
+
+      // Doc b arrives after eviction: it re-plants state, but the
+      // (a, b) candidate is MISSED — the documented TTL trade.
+      docs.filter(col("doc_id") === b).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      await("doc b re-planting bucket state")(stateRows > 0)
+      assert(q.exception.isEmpty, s"stream died under TTL: ${q.exception}")
+      val streamed = spark.table("neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!streamed.contains((a, b)),
+        "pair across the TTL boundary must be missed (state was evicted)")
+
+      // The documented remedy: periodic batch compaction over the full
+      // corpus catches what the TTL dropped.
+      val compacted = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.0)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(compacted.contains((a, b)),
+        "batch compaction must recover the TTL-evicted candidate pair")
+    } finally q.stop()
+  }
+
   test("incremental matrix stream == batch rebuild, before and after new files land") {
     import graft.model.DTypes
     import graft.streaming.MatrixStream
