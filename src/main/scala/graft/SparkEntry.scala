@@ -1172,17 +1172,36 @@ object SparkEntry {
     "q26_cosine_pairs_lsh" ->
       s"""WITH $LshCosinePairsCtes
         |SELECT id_a, id_b, round(cs, 6) AS cos FROM scored WHERE cs >= 0.35""".stripMargin,
-    "q52_embedding_clusters" ->
-      s"""WITH RECURSIVE $LshCosinePairsCtes,
+    // Connected components WITHOUT a recursive CTE: 18 unrolled
+    // hook-and-compress (pointer jumping) rounds over the edge set,
+    // converging to the min-id label for any component of up to 2^18
+    // nodes — beyond every gate corpus. The recursive `reach` closure
+    // it replaces was O(Σ component²) rows AND fragmented DuckDB's
+    // allocator into ~30k mmap regions at sf0.1, tripping
+    // vm.max_map_count-driven bad_allocs in LATER queries on the same
+    // connection (q55/q56/q60 failed collaterally). MATERIALIZED is
+    // load-bearing: each round references its predecessor twice, so
+    // inlining would expand the plan 2^36-fold.
+    "q52_embedding_clusters" -> {
+      val rounds = (1 to 18).map { k =>
+        s"""h$k AS MATERIALIZED (
+           |  SELECT l.id, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+           |  FROM lab${k - 1} l
+           |  LEFT JOIN edges e ON e.s = l.id
+           |  LEFT JOIN lab${k - 1} nl ON nl.id = e.d
+           |  GROUP BY l.id, l.lab),
+           |lab$k AS MATERIALIZED (
+           |  SELECT h.id, h2.lab FROM h$k h JOIN h$k h2 ON h2.id = h.lab)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LshCosinePairsCtes,
         |pairs AS (SELECT id_a, id_b FROM scored WHERE cs >= 0.35),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT id_a AS s, id_b AS d FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT eg.s, reach.r FROM edges eg JOIN reach ON reach.id = eg.d)
-        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+        |lab0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lab FROM embeddings),
+        |$rounds
+        |SELECT id AS vec_id, lab AS cluster_id FROM lab18""".stripMargin
+    },
     // Transcribes Similarity.ivfTopK's deterministic integer Lloyd
     // (scale 1e6, nlist 24, iters 2, nprobe 6, k 5): quantization is
     // floor(x/|v|*1e6 + 0.5) (exact IEEE in both engines), init is the
