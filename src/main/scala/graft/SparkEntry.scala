@@ -711,6 +711,49 @@ object SparkEntry {
     Similarity.ivfTopKIndexed(s, tmp, queries, "q_id", "q_vec", k = 5, nprobe = 6)
   }
 
+  /** Sliding-window document chunking (window 50 tokens, stride 40 —
+    * 10-token overlap): the fixed-budget segmentation that feeds a
+    * tokenizer/packing stage in a training-data pipeline. One narrow
+    * pass: tokenize once, explode the window-index sequence, slice per
+    * window. `slice` clamps at the tail, so the final chunk is short
+    * rather than padded and every token lands in at least one chunk.
+    */
+  def q61Chunking(s: SparkSession, dir: String): DataFrame = {
+    val w = 50
+    val st = 40
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("nc",
+        when(size(col("toks")) <= w, lit(1L))
+          .otherwise(ceil((size(col("toks")) - w).cast("double") / st).cast("long") + 1L))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_seq"))
+      .select(col("doc_id"), col("chunk_seq"),
+        slice(col("toks"), (col("chunk_seq") * st + 1).cast("int"), lit(w)).as("ct"))
+      .select(col("doc_id"), col("chunk_seq"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        array_join(col("ct"), " ").as("chunk"))
+  }
+
+  /** Deterministic stratified downsampling by language — the corpus
+    * REBALANCING step of a data-mixing pipeline. Per-stratum keep
+    * rates applied through an md5 bucket of the doc id (the
+    * [[TextFunctions.hashSplit]] property: a doc's fate never changes
+    * as the corpus grows, across runs and engines). The rate table is
+    * a broadcast literal join; unknown strata keep everything.
+    */
+  def q62StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 25), ("zh", 60), ("es", 60), ("de", 60), ("fr", 100))
+    Tables.documents(s, dir)
+      .join(broadcast(rates.toDF("lang", "rate")), Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(100)))
+      .filter(pmod(graft.functions.Md5Prefix64(
+        concat(lit("strat_"), col("doc_id").cast("string"))), lit(100L)) < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -781,6 +824,8 @@ object SparkEntry {
     "q58_video_meta" -> (q58VideoMeta _),
     "q59_video_frames" -> (q59VideoFrames _),
     "q60_ivf_indexed" -> (q60IvfIndexed _),
+    "q61_chunking" -> (q61Chunking _),
+    "q62_stratified_sample" -> (q62StratifiedSample _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1216,6 +1261,32 @@ object SparkEntry {
     // partition-pruned read -> rank) is proven bit-equal to the
     // in-memory pruned search by the deterministic quantizer.
     "q60_ivf_indexed" -> IvfOracleSql,
+    "q61_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 50 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1 END AS nc
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_seq FROM n),
+        |s AS (
+        |  SELECT doc_id, chunk_seq,
+        |    list_slice(toks, chunk_seq * 40 + 1, chunk_seq * 40 + 50) AS ct
+        |  FROM c)
+        |SELECT doc_id, chunk_seq, CAST(len(ct) AS BIGINT) AS n_tokens,
+        |  array_to_string(ct, ' ') AS chunk
+        |FROM s""".stripMargin,
+    "q62_stratified_sample" ->
+      """WITH rates(lang, rate) AS (
+        |  VALUES ('en', 25), ('zh', 60), ('es', 60), ('de', 60), ('fr', 100))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d LEFT JOIN rates r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5('strat_' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 100 < coalesce(r.rate, 100)""".stripMargin,
     "q46_winnow_fingerprint" ->
       """WITH hs AS (
         |  SELECT doc_id,

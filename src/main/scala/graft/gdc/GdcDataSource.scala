@@ -87,9 +87,46 @@ object GdcDataSource {
     fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  def newTransport(className: String): GdcTransport =
-    Class.forName(className).getDeclaredConstructor()
-      .newInstance().asInstanceOf[GdcTransport]
+  /** Instantiate the named transport and mount the reference's retry
+    * policy (`utils.py:187-204`, the same `RetryingTransport` the Cli
+    * uses): every driver probe and every executor page fetch retries
+    * up to `retries` times with `backoffFactor` backoff. A class
+    * implementing the richer [[HttpTransport]] gets status-forcelist
+    * {500, 502, 504} retries too; the plain [[GdcTransport]] contract
+    * surfaces no status codes, so there only connect/read
+    * `IOException`s are retryable. `retries = 0` disables wrapping.
+    */
+  def newTransport(
+      className: String,
+      retries: Int = 10,
+      backoffFactor: Double = 0.5): GdcTransport = {
+    val raw = Class.forName(className).getDeclaredConstructor().newInstance()
+    raw match {
+      case h: HttpTransport =>
+        val f = HttpTransport.fetchFn(
+          if (retries <= 0) h else new RetryingTransport(h, retries, backoffFactor))
+        (ep: String, params: Map[String, String]) => f(ep, params)
+      case t: GdcTransport =>
+        if (retries <= 0) t
+        else {
+          val asHttp = new HttpTransport {
+            override def get(ep: String, params: Map[String, String]): GdcResponse =
+              GdcResponse(200,
+                t.fetch(ep, params).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val retrying = new RetryingTransport(asHttp, retries, backoffFactor)
+          (ep: String, params: Map[String, String]) => retrying.get(ep, params).text
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$className implements neither graft.gdc.GdcTransport nor graft.gdc.HttpTransport")
+    }
+  }
+
+  /** (`retries`, `backoffFactor`) read options — the connector's retry
+    * knobs, defaulting to the reference policy. */
+  def retryOptions(options: CaseInsensitiveStringMap): (Int, Double) = (
+    Option(options.get("retries")).map(_.toInt).getOrElse(10),
+    Option(options.get("backoffFactor")).map(_.toDouble).getOrElse(0.5))
 
   /** Dotted-path walk over a hit: arrays flatten (every element's
     * sub-values collected in document order), leaves render as text,
@@ -224,6 +261,7 @@ class GdcCountScan(options: CaseInsensitiveStringMap, conds: Array[GdcFilter.Con
 
   private val endpoint = options.get("endpoint")
   private val transportClass = options.get("transport")
+  private val (retries, backoff) = GdcDataSource.retryOptions(options)
 
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
@@ -243,6 +281,7 @@ class GdcCountScan(options: CaseInsensitiveStringMap, conds: Array[GdcFilter.Con
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val ep = endpoint; val tc = transportClass; val params = probeParams
+    val r = retries; val bf = backoff
     (_: InputPartition) => new PartitionReader[InternalRow] {
       // PartitionReader contract: next() advances (and may do I/O),
       // get() returns the current row and must be idempotent — a
@@ -253,7 +292,7 @@ class GdcCountScan(options: CaseInsensitiveStringMap, conds: Array[GdcFilter.Con
         if (emitted) false
         else {
           val total = GdcDataSource.parseTotal(
-            GdcDataSource.newTransport(tc).fetch(ep, params))
+            GdcDataSource.newTransport(tc, r, bf).fetch(ep, params))
           row = new GenericInternalRow(Array[Any](total))
           emitted = true
           true
@@ -275,6 +314,7 @@ class GdcScan(
   private val endpoint = options.get("endpoint")
   private val transportClass = options.get("transport")
   private val pageSize = Option(options.get("pageSize")).map(_.toInt).getOrElse(20000)
+  private val (retries, backoff) = GdcDataSource.retryOptions(options)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -290,7 +330,7 @@ class GdcScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     // O3: the size-1 probe establishes the result count server-side.
-    val transport = GdcDataSource.newTransport(transportClass)
+    val transport = GdcDataSource.newTransport(transportClass, retries, backoff)
     val total = GdcDataSource.parseTotal(
       transport.fetch(endpoint, baseParams + ("size" -> "1")))
     val effective = limit.fold(total)(l => math.min(total, l.toLong))
@@ -302,7 +342,8 @@ class GdcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdcReaderFactory(endpoint, transportClass, baseParams, schema.fieldNames)
+    new GdcReaderFactory(endpoint, transportClass, baseParams, schema.fieldNames,
+      retries, backoff)
 }
 
 case class GdcInputPartition(from: Long, size: Long) extends InputPartition
@@ -311,14 +352,16 @@ class GdcReaderFactory(
     endpoint: String,
     transportClass: String,
     baseParams: Map[String, String],
-    fields: Array[String])
+    fields: Array[String],
+    retries: Int = 10,
+    backoffFactor: Double = 0.5)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GdcInputPartition]
     new PartitionReader[InternalRow] {
       private lazy val hits = {
-        val transport = GdcDataSource.newTransport(transportClass)
+        val transport = GdcDataSource.newTransport(transportClass, retries, backoffFactor)
         GdcDataSource.parseHits(transport.fetch(endpoint,
           baseParams ++ Map("from" -> p.from.toString, "size" -> p.size.toString)))
       }.iterator

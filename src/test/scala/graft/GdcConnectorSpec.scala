@@ -69,6 +69,36 @@ object FakeGdcServer {
 
 /** DataSourceV2 connector: filter / column / limit pushdown reach the
   * wire, pages become partitions, dotted paths flatten arrays. */
+/** Fails the first N fetches with IOException, then delegates to the
+  * fixture server — exercises the connector-mounted retry policy. */
+class FlakyGdcServer extends GdcTransport {
+  override def fetch(endpoint: String, params: Map[String, String]): String = {
+    FlakyGdcServer.calls += 1
+    if (FlakyGdcServer.calls <= FlakyGdcServer.failFirst)
+      throw new java.io.IOException(s"connection reset #${FlakyGdcServer.calls}")
+    new FakeGdcServer().fetch(endpoint, params)
+  }
+}
+object FlakyGdcServer {
+  @volatile var calls = 0
+  @volatile var failFirst = 0
+  def arm(n: Int): Unit = { calls = 0; failFirst = n }
+}
+
+/** An HttpTransport-implementing fixture: first fetch answers 502,
+  * then delegates — exercises the status-forcelist retry path that the
+  * plain GdcTransport contract cannot express. */
+class Flaky502Server extends graft.gdc.HttpTransport {
+  override def get(endpoint: String, params: Map[String, String]): graft.gdc.GdcResponse = {
+    Flaky502Server.calls += 1
+    if (Flaky502Server.calls == 1)
+      graft.gdc.GdcResponse(502, "bad gateway".getBytes("UTF-8"))
+    else graft.gdc.GdcResponse(200,
+      new FakeGdcServer().fetch(endpoint, params).getBytes("UTF-8"))
+  }
+}
+object Flaky502Server { @volatile var calls = 0 }
+
 class GdcConnectorSpec extends SparkSpecBase {
 
   private def gdc(pageSize: Int = 20) = spark.read.format("gdc")
@@ -159,5 +189,47 @@ class GdcConnectorSpec extends SparkSpecBase {
     // pageSize 20 over 57 records → 3 partitions on the full scan
     assert(gdc(pageSize = 20).rdd.getNumPartitions == 3)
     assert(gdc(pageSize = 100).rdd.getNumPartitions == 1)
+  }
+
+  test("connector retry: executor page fetches survive transient IOExceptions") {
+    // 2 failures then success: first retry immediate, second sleeps 1s
+    // (urllib3 backoff) - tolerable in a spec, proves the policy is
+    // mounted on the partition reader path, not just the driver probe.
+    FlakyGdcServer.arm(2)
+    val df = spark.read.format("gdc")
+      .option("endpoint", "files")
+      .option("fields", "file_id,data_type")
+      .option("transport", classOf[FlakyGdcServer].getName)
+      .option("pageSize", "100")
+      .load()
+    assert(df.count() == 57)
+    assert(FlakyGdcServer.calls >= 3, "retries must have happened")
+  }
+
+  test("connector retry: retries=0 disables the policy") {
+    FlakyGdcServer.arm(1)
+    val df = spark.read.format("gdc")
+      .option("endpoint", "files")
+      .option("fields", "file_id")
+      .option("transport", classOf[FlakyGdcServer].getName)
+      .option("retries", "0")
+      .load()
+    val e = intercept[Exception](df.count())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[java.io.IOException]),
+      s"unretried IOException must surface, got $e")
+  }
+
+  test("connector retry: HttpTransport fixtures get status-forcelist retries") {
+    Flaky502Server.calls = 0
+    val df = spark.read.format("gdc")
+      .option("endpoint", "files")
+      .option("fields", "file_id")
+      .option("transport", classOf[Flaky502Server].getName)
+      .option("pageSize", "100")
+      .load()
+    assert(df.count() == 57)
+    assert(Flaky502Server.calls >= 2, "the 502 must have been retried")
   }
 }
