@@ -150,6 +150,67 @@ class GdcCatalog(
       .dropDuplicates()
   }
 
+  /** Project catalog (`gdc.py:437-462` `get_project_info`): name,
+    * primary site, project id and program name for the given projects
+    * (all projects when empty). The reference indexes the frame by
+    * `id`; Spark frames have no index, so `id` stays a column.
+    */
+  def projectInfo(projects: Seq[String] = Seq.empty): DataFrame = {
+    val conds =
+      if (projects.isEmpty) Seq.empty
+      else Seq(In("projects.project_id", projects))
+    search("projects", conds,
+      fields = Seq("name", "primary_site", "project_id", "program.name"))
+  }
+
+  /** Field-to-field mapping (`gdc.py:655-729` `map_two_fields`):
+    * values of `inputField` → the set of `outputField` values that
+    * co-occur under the deepest SHARED dotted prefix — e.g. aliquot
+    * ids map to their own sample's submitter_id, not to every sample
+    * of the case. Absent `inputValues` still appear, mapped to empty
+    * (`gdc.py:725-727`). Result is driver-sized by contract (a
+    * metadata mapping table); output sets are returned SORTED for
+    * determinism where the reference's `list(set)` order is arbitrary.
+    */
+  def mapTwoFields(
+      endpoint: String,
+      inputField: String,
+      outputField: String,
+      inputValues: Seq[String] = Seq.empty): Map[String, Seq[String]] = {
+    import GdcDataSource.{parseHits, parseTotal, pathValues, pathNodes}
+    val conds =
+      if (inputValues.isEmpty) Seq.empty else Seq(In(inputField, inputValues))
+    val payload = basePayload(conds, Seq(inputField, outputField), Seq.empty)
+    val total = parseTotal(fetch(endpoint, payload + ("size" -> "1")))
+    val hits =
+      if (total == 0L) Seq.empty
+      else parseHits(fetch(endpoint, payload + ("size" -> total.toString)))
+    val inKeys = inputField.split('.')
+    val outKeys = outputField.split('.')
+    // Deepest shared prefix, never swallowing either leaf.
+    val sharedLen = math.min(
+      inKeys.zip(outKeys).takeWhile { case (a, b) => a == b }.length,
+      math.min(inKeys.length, outKeys.length) - 1)
+    val shared = inKeys.take(sharedLen).mkString(".")
+    val inSub = inKeys.drop(sharedLen).mkString(".")
+    val outSub = outKeys.drop(sharedLen).mkString(".")
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.SortedSet[String]]
+    val wanted = inputValues.toSet
+    hits.foreach { hit =>
+      val sharedObjs = if (shared.isEmpty) Seq(hit) else pathNodes(hit, shared)
+      sharedObjs.foreach { obj =>
+        val outs = pathValues(obj, outSub)
+        pathValues(obj, inSub).foreach { v =>
+          if (wanted.isEmpty || wanted.contains(v))
+            m.getOrElseUpdate(v, scala.collection.mutable.SortedSet.empty[String]) ++= outs
+        }
+      }
+    }
+    inputValues.foreach(v =>
+      m.getOrElseUpdate(v, scala.collection.mutable.SortedSet.empty[String]))
+    m.map { case (k, v) => k -> v.toSeq }.toMap
+  }
+
   /** Runtime schema probe (`gdc.py:486-493`): `<endpoint>/_mapping`
     * returns the catalog's full dotted field list. Schema-sized,
     * collected driver-side — query plans stay per-run static (SURVEY

@@ -128,11 +128,12 @@ object GdcDataSource {
     Option(options.get("retries")).map(_.toInt).getOrElse(10),
     Option(options.get("backoffFactor")).map(_.toDouble).getOrElse(0.5))
 
-  /** Dotted-path walk over a hit: arrays flatten (every element's
-    * sub-values collected in document order), leaves render as text,
-    * multiple values comma-join, absent path → null — the
-    * `get_json_objects` semantics (`utils.py:207-232`). */
-  def extractPath(node: JsonNode, path: String): String = {
+  /** Dotted-path walk over a hit: the nodes at `path`, arrays
+    * flattened (every element's sub-values collected in document
+    * order), null/missing dropped — the `get_json_objects` walk
+    * (`utils.py:207-232`). Empty path returns the node itself
+    * (array-flattened). */
+  def pathNodes(node: JsonNode, path: String): Seq[JsonNode] = {
     def walk(n: JsonNode, parts: List[String]): Seq[JsonNode] = parts match {
       case Nil => if (n.isArray) n.elements().asScala.toSeq else Seq(n)
       case p :: rest =>
@@ -140,9 +141,18 @@ object GdcDataSource {
         else if (n.has(p)) walk(n.get(p), rest)
         else Seq.empty
     }
-    val leaves = walk(node, path.split("\\.").toList)
-      .filterNot(l => l.isNull || l.isMissingNode)
-      .map(l => if (l.isValueNode) l.asText() else l.toString)
+    val parts = if (path.isEmpty) Nil else path.split("\\.").toList
+    walk(node, parts).filterNot(l => l.isNull || l.isMissingNode)
+  }
+
+  /** [[pathNodes]] leaves rendered as text (objects as JSON). */
+  def pathValues(node: JsonNode, path: String): Seq[String] =
+    pathNodes(node, path).map(l => if (l.isValueNode) l.asText() else l.toString)
+
+  /** Leaves at `path` comma-joined, absent path → null — the column
+    * rendering the DSv2 scan materializes. */
+  def extractPath(node: JsonNode, path: String): String = {
+    val leaves = pathValues(node, path)
     if (leaves.isEmpty) null else leaves.mkString(",")
   }
 

@@ -150,4 +150,71 @@ class GdcSpec extends SparkSpecBase {
     val rows = t.orderBy("name").collect()
     assert(rows.map(_.toSeq.mkString(",")).toSeq == Seq("x,a,c", "y,b,d"))
   }
+
+  test("mapTwoFields: shared-path scoping, invalid path, absent values (gdc.py:655-729)") {
+    // Two samples per case, each with its own aliquots: an aliquot id
+    // must map to ITS sample's submitter_id only (the shared 'samples'
+    // prefix scopes the pairing) -- the reference's own CI expectation
+    // shape (tests/test_gdc.py:128-160).
+    val hit =
+      """{"id":"case-1","samples":[
+        |{"submitter_id":"S-A","portions":[{"analytes":[{"aliquots":[
+        |  {"aliquot_id":"al-1"},{"aliquot_id":"al-2"}]}]}]},
+        |{"submitter_id":"S-B","portions":[{"analytes":[{"aliquots":[
+        |  {"aliquot_id":"al-3"}]}]}]}]}""".stripMargin.replace("\n", "")
+    val fetch: (String, Map[String, String]) => String = { (endpoint, params) =>
+      assert(endpoint == "cases")
+      if (params("size") == "1")
+        s"""{"data":{"pagination":{"total":1},"hits":[$hit]}}"""
+      else
+        s"""{"data":{"pagination":{"total":1},"hits":[$hit]}}"""
+    }
+    val catalog = new GdcCatalog(spark, fetch)
+    val m = catalog.mapTwoFields("cases",
+      "samples.portions.analytes.aliquots.aliquot_id", "samples.submitter_id",
+      inputValues = Seq("al-1", "al-3", "missing-aliquot"))
+    assert(m("al-1") == Seq("S-A"), "aliquot must map to its OWN sample")
+    assert(m("al-3") == Seq("S-B"))
+    assert(m("missing-aliquot") == Seq.empty,
+      "requested-but-absent values map to empty (gdc.py:725-727)")
+    assert(!m.contains("al-2"), "unrequested values are filtered out")
+
+    val bad = catalog.mapTwoFields("cases",
+      "samples.portions.analytes.aliquots.aliquot_id", "invalid.path",
+      inputValues = Seq("al-1"))
+    assert(bad("al-1") == Seq.empty, "invalid output path maps to empty")
+  }
+
+  test("mapTwoFields: top-level fields (no shared prefix) aggregate per hit") {
+    val fetch: (String, Map[String, String]) => String = { (_, params) =>
+      val hits =
+        """[{"id":"p1","project_id":"PRJ-A","disease_type":["D1","D2"]},
+          |{"id":"p2","project_id":"PRJ-B","disease_type":"D3"}]""".stripMargin.replace("\n", "")
+      s"""{"data":{"pagination":{"total":2},"hits":$hits}}"""
+    }
+    val m = new GdcCatalog(spark, fetch).mapTwoFields(
+      "projects", "project_id", "disease_type")
+    assert(m("PRJ-A") == Seq("D1", "D2"), "array outputs flatten")
+    assert(m("PRJ-B") == Seq("D3"))
+  }
+
+  test("projectInfo: projects endpoint with the reference field list") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val fetch: (String, Map[String, String]) => String = { (endpoint, params) =>
+      assert(endpoint == "projects")
+      calls += params
+      if (params("size") == "1")
+        """{"data":{"pagination":{"total":2},"hits":[{"id":"x"}]}}"""
+      else
+        """{"data":{"pagination":{"total":2},"hits":[
+          |{"id":"TCGA-BRCA","name":"Breast","primary_site":["Breast"],"project_id":"TCGA-BRCA","program":{"name":"TCGA"}},
+          |{"id":"TARGET-NBL","name":"Neuroblastoma","primary_site":["Nervous System"],"project_id":"TARGET-NBL","program":{"name":"TARGET"}}]}}"""
+          .stripMargin.replace("\n", "")
+    }
+    val df = new GdcCatalog(spark, fetch).projectInfo(Seq("TCGA-BRCA", "TARGET-NBL"))
+    assert(df.count() == 2)
+    assert(df.columns.contains("id") && df.columns.contains("program"))
+    assert(calls.head("fields") == "name,primary_site,project_id,program.name")
+    assert(calls.head("filters").contains("projects.project_id"))
+  }
 }
