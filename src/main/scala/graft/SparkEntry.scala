@@ -723,12 +723,15 @@ object SparkEntry {
     val st = 40
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
       .withColumn("nc",
         when(size(col("toks")) <= w, lit(1L))
           .otherwise(ceil((size(col("toks")) - w).cast("double") / st).cast("long") + 1L))
+      // Token-less docs emit no chunks via explode-of-NULL — a
+      // `filter(size > 0)` would instead be pushed below the tokenize
+      // projection and re-tokenize every row inside the predicate.
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_seq"))
+        explode(when(size(col("toks")) > 0, sequence(lit(0L), col("nc") - 1)))
+          .as("chunk_seq"))
       .select(col("doc_id"), col("chunk_seq"),
         slice(col("toks"), (col("chunk_seq") * st + 1).cast("int"), lit(w)).as("ct"))
       .select(col("doc_id"), col("chunk_seq"),
