@@ -193,6 +193,25 @@ class GdcNetworkSpec extends SparkSpecBase {
     assert(Files.readAllBytes(raw.resolve("s1.tsv")).sameElements(blobs("s1.tsv")))
   }
 
+  test("sync: quarantined file is re-planned and recovers once the source heals") {
+    import spark.implicits._
+    val raw = Files.createTempDirectory("graft_sync_q")
+    val good = "gene\tv\ng1\t9\n".getBytes(UTF_8)
+    val remote = Seq(("f.tsv", md5Of(good), "mock://data/f.tsv"))
+      .toDF("name", "md5sum", "url")
+    // First sync serves corrupt bytes -> quarantine, nothing lands.
+    val r1 = DownloadExecutor.sync(spark, remote, raw,
+      new BlobTransport(Map("f.tsv" -> "garbage".getBytes(UTF_8))))
+    assert(!r1.ok && !Files.exists(raw.resolve("f.tsv")))
+    assert(Files.exists(raw.resolve("quarantine/f.tsv")))
+    // Source healed: the name is still absent locally (quarantine is
+    // excluded from the catalog's satisfaction set), so the re-sync
+    // re-plans and completes the download.
+    val r2 = DownloadExecutor.sync(spark, remote, raw, new BlobTransport(Map("f.tsv" -> good)))
+    assert(r2.ok && r2.downloaded == Seq("f.tsv"))
+    assert(Files.readAllBytes(raw.resolve("f.tsv")).sameElements(good))
+  }
+
   test("S9 end-to-end: download a raw dir from a fixture catalog, then etl it") {
     // Remote catalog = the star_counts fixture files, served over the
     // fake transport; sync materializes the raw dir the etl verb
