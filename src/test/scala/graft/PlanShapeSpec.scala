@@ -215,4 +215,22 @@ class PlanShapeSpec extends SparkSpecBase {
     val p45 = q45.queryExecution.analyzed.toString
     assert(p45.contains("ivf_nearest_cells"), p45.take(1500))
   }
+
+  test("q61: one tokenize, zero exchanges, two-column scan") {
+    val p = plan("q61_chunking")
+    assert("regex_tokens".r.findAllIn(p).size == 1,
+      "chunking must tokenize each document exactly once (a pushed-down " +
+        "size filter re-tokenizes inside the predicate)")
+    assert(!p.contains("Exchange"), "chunking is a narrow map-side pass")
+    assert(!p.contains("text#") || !p.contains("lang#"),
+      "scan must prune to (doc_id, text)")
+  }
+
+  test("q62: rate table broadcasts; corpus never shuffles") {
+    val p = plan("q62_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") &&
+      !"Exchange hashpartitioning".r.findAllIn(p).hasNext,
+      "stratified sampling must be a map-only pass over the corpus")
+  }
 }
