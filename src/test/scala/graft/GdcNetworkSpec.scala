@@ -301,6 +301,28 @@ class GdcNetworkSpec extends SparkSpecBase {
       "u1/u2 dedup to one row; u3 multi-project comma-joins; u4 null workflow survives")
   }
 
+  test("readUuidColumn: http(s) release file via transport, gz and plain, error status") {
+    val body = "Old File UUID\tNew File UUID\nold-1\tu1\nold-2\tu2\n"
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(body.getBytes(UTF_8)); gz.close(); bos.toByteArray
+    }
+    val t = new HttpTransport {
+      override def get(ep: String, params: Map[String, String]): GdcResponse =
+        ep match {
+          case "https://example.invalid/rel.tsv.gz" => GdcResponse(200, gzBytes)
+          case "https://example.invalid/rel.tsv" => GdcResponse(200, body.getBytes(UTF_8))
+          case _ => resp(404)
+        }
+    }
+    assert(Cli.readUuidColumn("https://example.invalid/rel.tsv.gz", t) == List("u1", "u2"))
+    assert(Cli.readUuidColumn("https://example.invalid/rel.tsv", t) == List("u1", "u2"))
+    val e = intercept[RuntimeException](
+      Cli.readUuidColumn("https://example.invalid/missing.tsv", t))
+    assert(e.getMessage.contains("404"))
+  }
+
   test("CLI gdc-check-new: release TSV.gz in, fixture-matched summary TSV out") {
     // The reference test shape (tests/test_gdc.py:115-126): feed the
     // release's 'New File UUID' list, compare the stdout TSV against
