@@ -757,6 +757,53 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Sequence packing (concat-and-split at a 512-token budget): every
+    * chunk from [[q61Chunking]] gets its (pack_id, pack_offset) in the
+    * global (doc_id, chunk_seq) order — the assignment a trainer uses
+    * to fill fixed-length contexts without padding waste.
+    *
+    * The naive formulation is a global-order window cumsum, which
+    * Spark plans as a SINGLE partition (no partitionBy) — a 100 TB
+    * scale bug. This is the distributed prefix sum instead:
+    * repartitionByRange on the order key (range ids are ascending, so
+    * partition order IS global order), per-partition window cumsum,
+    * and the per-partition totals — one row per shuffle partition —
+    * collect to the driver for the cross-partition offsets, re-joined
+    * as a broadcast literal. The result is a pure function of the
+    * data — partitioning cannot change any row's cumulative sum.
+    */
+  def q63Pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val budget = 512L
+    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val chunks = q61Chunking(s, dir)
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"))
+    // localCheckpoint freezes spark_partition_id for BOTH consumers
+    // (the window pass and the per-partition totals).
+    val ranged = chunks
+      .repartitionByRange(nparts, col("doc_id"), col("chunk_seq"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val local = Window.partitionBy("pid").orderBy("doc_id", "chunk_seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Driver-side cumsum of per-partition totals: nparts rows by contract.
+    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offDf = (if (offsets.isEmpty) Seq((0, 0L)) else offsets).toDF("pid", "poffset")
+    ranged
+      .withColumn("local_cum", coalesce(sum("n_tokens").over(local), lit(0L)))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum", col("local_cum") + col("poffset"))
+      // Integral DIV, not double division: a corpus-scale cumsum
+      // exceeds 2^53 long before 100 TB and double floor would drift.
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
+        expr(s"cum DIV ${budget}L").as("pack_id"),
+        pmod(col("cum"), lit(budget)).as("pack_offset"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -829,6 +876,7 @@ object SparkEntry {
     "q60_ivf_indexed" -> (q60IvfIndexed _),
     "q61_chunking" -> (q61Chunking _),
     "q62_stratified_sample" -> (q62StratifiedSample _),
+    "q63_pack" -> (q63Pack _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1283,6 +1331,31 @@ object SparkEntry {
         |SELECT doc_id, chunk_seq, CAST(len(ct) AS BIGINT) AS n_tokens,
         |  array_to_string(ct, ' ') AS chunk
         |FROM s""".stripMargin,
+    "q63_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 50 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1 END AS nc
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_seq FROM n),
+        |s AS (
+        |  SELECT doc_id, chunk_seq,
+        |    CAST(len(list_slice(toks, chunk_seq * 40 + 1, chunk_seq * 40 + 50)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, chunk_seq, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM s)
+        |SELECT doc_id, chunk_seq, n_tokens,
+        |  cum // 512 AS pack_id, cum % 512 AS pack_offset
+        |FROM w""".stripMargin,
     "q62_stratified_sample" ->
       """WITH rates(lang, rate) AS (
         |  VALUES ('en', 25), ('zh', 60), ('es', 60), ('de', 60), ('fr', 100))

@@ -226,6 +226,16 @@ class PlanShapeSpec extends SparkSpecBase {
       "scan must prune to (doc_id, text)")
   }
 
+  test("q63: prefix sum never collapses to a single-partition window") {
+    val p = plan("q63_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      "global-order cumsum fell back to a one-partition window — the " +
+        "100 TB scale bug the distributed prefix sum exists to avoid")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-partition offsets must join as a broadcast literal:\n" + p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

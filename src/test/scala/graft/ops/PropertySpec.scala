@@ -172,6 +172,38 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: q63 prefix sum == driver cumsum; invariant to partition count") {
+    import graft.SparkEntry
+    // Driver-side reference: global cumsum over the q61 chunks in
+    // (doc_id, chunk_seq) order — the single-partition semantics the
+    // distributed prefix sum must reproduce exactly.
+    val chunks = SparkEntry.queries("q61_chunking")(spark, sfDir)
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val expect = chunks.map { case (d, c, n) =>
+      val row = (d, c, n, acc / 512L, acc % 512L)
+      acc += n
+      row
+    }.toSeq
+
+    def run(): Seq[(Long, Long, Long, Long, Long)] =
+      SparkEntry.queries("q63_pack")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (nparts <- Seq("3", "13")) {
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+        assert(run() == expect,
+          s"distributed prefix sum diverges from global cumsum at $nparts partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
