@@ -804,6 +804,36 @@ object SparkEntry {
         pmod(col("cum"), lit(budget)).as("pack_offset"))
   }
 
+  /** Exact per-language token-length quantiles (p50/p90/p99) — the
+    * length-distribution report every data-mixing decision reads.
+    *
+    * Spark's exact `percentile` aggregate buffers EVERY value of a
+    * group in executor memory — a per-group OOM at corpus scale — and
+    * `approx_percentile` would not match any exact oracle. Token
+    * counts live in a bounded integer domain, so the scale-safe form
+    * is a value histogram: groupBy(lang, n_tokens) count (map-side
+    * combine shrinks each partition to |domain| rows before the
+    * shuffle), per-lang cumulative window, then percentile_disc reads
+    * off as min(n_tokens | cum >= ceil(q*total)). State is bounded by
+    * langs × distinct lengths — independent of corpus row count.
+    */
+  def q64LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
+    val byLang = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byLang.orderBy("n_tokens")))
+      .withColumn("total", sum("cnt").over(byLang))
+    def disc(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("total")), col("n_tokens")))
+    cum.groupBy("lang").agg(
+      disc(0.5).as("p50"), disc(0.9).as("p90"), disc(0.99).as("p99"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -877,6 +907,7 @@ object SparkEntry {
     "q61_chunking" -> (q61Chunking _),
     "q62_stratified_sample" -> (q62StratifiedSample _),
     "q63_pack" -> (q63Pack _),
+    "q64_length_quantiles" -> (q64LengthQuantiles _),
   )
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
@@ -1356,6 +1387,23 @@ object SparkEntry {
         |SELECT doc_id, chunk_seq, n_tokens,
         |  cum // 512 AS pack_id, cum % 512 AS pack_offset
         |FROM w""".stripMargin,
+    "q64_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT lang, n_tokens, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS total
+        |  FROM h)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN n_tokens END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum >= ceil(0.9 * total) THEN n_tokens END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN n_tokens END) AS BIGINT) AS p99
+        |FROM c GROUP BY lang""".stripMargin,
     "q62_stratified_sample" ->
       """WITH rates(lang, rate) AS (
         |  VALUES ('en', 25), ('zh', 60), ('es', 60), ('de', 60), ('fr', 100))

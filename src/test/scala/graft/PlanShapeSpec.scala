@@ -236,6 +236,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("q64: quantiles come from a bounded histogram, not value-buffering percentile") {
+    val p = plan("q64_length_quantiles")
+    assert(!p.toLowerCase.contains("percentile"),
+      "exact percentile buffers every group value in executor memory — " +
+        "the histogram form must never plan it")
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "histogram quantiles need only the (lang,n_tokens) agg exchange and " +
+        "the per-lang window exchange:\n" + p.take(2500))
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
