@@ -804,6 +804,29 @@ object SparkEntry {
         pmod(col("cum"), lit(budget)).as("pack_offset"))
   }
 
+  /** Pack materialization: the [[q63Pack]] assignment grouped into
+    * actual training contexts — one row per pack with its ordered
+    * member chunks. The groupBy key is pack_id, whose group size is
+    * BOUNDED by the 512-token budget (a pack holds at most
+    * budget/min_chunk_tokens chunks), so the aggregate's per-group
+    * state can never blow up on a skewed corpus — unlike grouping by
+    * doc_id or any data-dependent key. collect_list order is
+    * partitioning-dependent, so members are canonicalized with
+    * array_sort on the (doc_id, chunk_seq) struct before joining.
+    */
+  def q65PackMaterialize(s: SparkSession, dir: String): DataFrame = {
+    q63Pack(s, dir)
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("pack_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("chunk_seq")))),
+            x => concat_ws(":", x.getField("doc_id"), x.getField("chunk_seq"))),
+          " ").as("members"))
+  }
+
   /** Exact per-language token-length quantiles (p50/p90/p99) — the
     * length-distribution report every data-mixing decision reads.
     *
@@ -908,7 +931,38 @@ object SparkEntry {
     "q62_stratified_sample" -> (q62StratifiedSample _),
     "q63_pack" -> (q63Pack _),
     "q64_length_quantiles" -> (q64LengthQuantiles _),
+    "q65_pack_materialize" -> (q65PackMaterialize _),
   )
+
+  /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
+    * dataflow — used verbatim by both the q63 assignment oracle and
+    * the q65 materialization oracle so the two can never diverge. */
+  private val PackCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) <= 50 THEN 1
+      |         ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1 END AS nc
+      |  FROM t WHERE len(toks) > 0),
+      |c AS (
+      |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_seq FROM n),
+      |s AS (
+      |  SELECT doc_id, chunk_seq,
+      |    CAST(len(list_slice(toks, chunk_seq * 40 + 1, chunk_seq * 40 + 50)) AS BIGINT)
+      |      AS n_tokens
+      |  FROM c),
+      |w AS (
+      |  SELECT doc_id, chunk_seq, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_seq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM s),
+      |p AS (
+      |  SELECT doc_id, chunk_seq, n_tokens,
+      |    cum // 512 AS pack_id, cum % 512 AS pack_offset
+      |  FROM w)""".stripMargin
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used
     * verbatim by both q18 (the pair list) and q47 (the recursive
@@ -1362,31 +1416,13 @@ object SparkEntry {
         |SELECT doc_id, chunk_seq, CAST(len(ct) AS BIGINT) AS n_tokens,
         |  array_to_string(ct, ' ') AS chunk
         |FROM s""".stripMargin,
-    "q63_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |n AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN len(toks) <= 50 THEN 1
-        |         ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1 END AS nc
-        |  FROM t WHERE len(toks) > 0),
-        |c AS (
-        |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_seq FROM n),
-        |s AS (
-        |  SELECT doc_id, chunk_seq,
-        |    CAST(len(list_slice(toks, chunk_seq * 40 + 1, chunk_seq * 40 + 50)) AS BIGINT)
-        |      AS n_tokens
-        |  FROM c),
-        |w AS (
-        |  SELECT doc_id, chunk_seq, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_seq
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-        |  FROM s)
-        |SELECT doc_id, chunk_seq, n_tokens,
-        |  cum // 512 AS pack_id, cum % 512 AS pack_offset
-        |FROM w""".stripMargin,
+    "q63_pack" -> s"WITH $PackCtes\nSELECT doc_id, chunk_seq, n_tokens, pack_id, pack_offset FROM p",
+    "q65_pack_materialize" ->
+      s"""WITH $PackCtes
+         |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  string_agg(doc_id || ':' || chunk_seq, ' ' ORDER BY doc_id, chunk_seq) AS members
+         |FROM p GROUP BY pack_id""".stripMargin,
     "q64_length_quantiles" ->
       """WITH t AS (
         |  SELECT lang,
