@@ -93,7 +93,9 @@ object ScaleSmoke {
       "q24_session_stats", "q25_lsh_ann_topk", "q26_cosine_pairs_lsh",
       "q27_simhash_pairs", "q45_ivf_ann_topk", "q46_winnow_fingerprint",
       "q47_dup_clusters", "q52_embedding_clusters", "q56_knn_join",
-      "q60_ivf_indexed")
+      "q60_ivf_indexed",
+      "q61_chunking", "q62_stratified_sample", "q63_pack",
+      "q64_length_quantiles", "q65_pack_materialize")
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       val s = System.nanoTime()
@@ -169,6 +171,25 @@ object ScaleSmoke {
     checks += ("union-find paths agree (driver vs distributed)" ->
       s"${viaDriver.size} nodes, ${edges.count()} edges, identical clusters")
 
+    // 4. Packing partitions the chunk stream exactly at 10×: the
+    // distributed prefix sum must conserve every token (no chunk lost
+    // or double-assigned across range-partition boundaries), pack ids
+    // must be dense 0..N-1, and no offset may escape the budget.
+    val chunkTok = SparkEntry.queries("q61_chunking")(spark, workDir)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val packRow = SparkEntry.queries("q65_pack_materialize")(spark, workDir)
+      .agg(sum("pack_tokens"), count(lit(1)), max("pack_id")).collect()(0)
+    val maxOff = SparkEntry.queries("q63_pack")(spark, workDir)
+      .agg(max("pack_offset")).collect()(0).getLong(0)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(packRow.getLong(0) == chunkTok,
+      s"packing lost tokens at 10x: packs ${packRow.getLong(0)} vs chunks $chunkTok")
+    assert(packRow.getLong(2) == packRow.getLong(1) - 1,
+      s"pack ids not dense: max ${packRow.getLong(2)} over ${packRow.getLong(1)} packs")
+    assert(maxOff < 512L, s"pack_offset escaped the budget: $maxOff")
+    checks += ("packing prefix sum conserves tokens, dense pack ids, offsets < budget" ->
+      s"$chunkTok tokens across ${packRow.getLong(1)} packs, max offset $maxOff")
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"
@@ -182,6 +203,21 @@ object ScaleSmoke {
     md ++= "its scale path is q26 (run above) and past 2^16 rows the unhatched guard refuses (SimilaritySpec).\n\n"
     md ++= "## Scale-behavior assertions (all enforced by this run)\n\n"
     checks.foreach { case (k, v) => md ++= s"- **$k**: $v\n" }
+    md ++= """
+## Reading the numbers
+
+The 10× hotspots are exactly the operators whose work is proportional
+to the TRUE pair count, which this corpus makes extreme by design
+(every document has 9 planted near-copies): q26/q52/q56 pay per-bucket
+self-joins over 10-member families and q19/q27 pay candidate
+verification over ~250k real pairs. That cost is output-proportional —
+not a plan degradation — and shrinks linearly with the dup rate; the
+partition strategies (banding, bucket caps, pruned probes) held at 10×
+with zero recall loss. The corpus-preparation passes (q61–q65) are
+narrow or bounded-key aggregates and scale linearly; the packing
+prefix sum's driver collect stays one row per shuffle partition at
+any corpus size.
+"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] total ${f"$total%.2f"} s; SCALE.md written")

@@ -718,26 +718,9 @@ object SparkEntry {
     * window. `slice` clamps at the tail, so the final chunk is short
     * rather than padded and every token lands in at least one chunk.
     */
-  def q61Chunking(s: SparkSession, dir: String): DataFrame = {
-    val w = 50
-    val st = 40
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .withColumn("nc",
-        when(size(col("toks")) <= w, lit(1L))
-          .otherwise(ceil((size(col("toks")) - w).cast("double") / st).cast("long") + 1L))
-      // Token-less docs emit no chunks via explode-of-NULL — a
-      // `filter(size > 0)` would instead be pushed below the tokenize
-      // projection and re-tokenize every row inside the predicate.
-      .select(col("doc_id"), col("toks"),
-        explode(when(size(col("toks")) > 0, sequence(lit(0L), col("nc") - 1)))
-          .as("chunk_seq"))
-      .select(col("doc_id"), col("chunk_seq"),
-        slice(col("toks"), (col("chunk_seq") * st + 1).cast("int"), lit(w)).as("ct"))
-      .select(col("doc_id"), col("chunk_seq"),
-        size(col("ct")).cast("long").as("n_tokens"),
-        array_join(col("ct"), " ").as("chunk"))
-  }
+  def q61Chunking(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.chunk(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
   /** Deterministic stratified downsampling by language — the corpus
     * REBALANCING step of a data-mixing pipeline. Per-stratum keep
@@ -762,47 +745,13 @@ object SparkEntry {
     * global (doc_id, chunk_seq) order — the assignment a trainer uses
     * to fill fixed-length contexts without padding waste.
     *
-    * The naive formulation is a global-order window cumsum, which
-    * Spark plans as a SINGLE partition (no partitionBy) — a 100 TB
-    * scale bug. This is the distributed prefix sum instead:
-    * repartitionByRange on the order key (range ids are ascending, so
-    * partition order IS global order), per-partition window cumsum,
-    * and the per-partition totals — one row per shuffle partition —
-    * collect to the driver for the cross-partition offsets, re-joined
-    * as a broadcast literal. The result is a pure function of the
-    * data — partitioning cannot change any row's cumulative sum.
+    * The distributed prefix sum lives in [[graft.ops.Packing.assign]]
+    * (shared verbatim with the streaming continuation,
+    * [[graft.streaming.PackStream]]); see its scaladoc and EXPLAIN.md
+    * for why the naive global-window cumsum is a 100 TB scale bug.
     */
-  def q63Pack(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val budget = 512L
-    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val chunks = q61Chunking(s, dir)
-      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"))
-    // localCheckpoint freezes spark_partition_id for BOTH consumers
-    // (the window pass and the per-partition totals).
-    val ranged = chunks
-      .repartitionByRange(nparts, col("doc_id"), col("chunk_seq"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
-    val local = Window.partitionBy("pid").orderBy("doc_id", "chunk_seq")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // Driver-side cumsum of per-partition totals: nparts rows by contract.
-    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
-    val offDf = (if (offsets.isEmpty) Seq((0, 0L)) else offsets).toDF("pid", "poffset")
-    ranged
-      .withColumn("local_cum", coalesce(sum("n_tokens").over(local), lit(0L)))
-      .join(broadcast(offDf), Seq("pid"))
-      .withColumn("cum", col("local_cum") + col("poffset"))
-      // Integral DIV, not double division: a corpus-scale cumsum
-      // exceeds 2^53 long before 100 TB and double floor would drift.
-      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
-        expr(s"cum DIV ${budget}L").as("pack_id"),
-        pmod(col("cum"), lit(budget)).as("pack_offset"))
-  }
+  def q63Pack(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.assign(q61Chunking(s, dir), budget = 512L)
 
   /** Pack materialization: the [[q63Pack]] assignment grouped into
     * actual training contexts — one row per pack with its ordered

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation kernel: sliding-window chunking and the
+  * distributed-prefix-sum pack assignment (the q61/q63 gate queries,
+  * and the per-micro-batch stage of
+  * [[graft.streaming.PackStream]] — one codepath batch and stream).
+  */
+object Packing {
+
+  /** Sliding-window document chunking (window tokens per chunk,
+    * `window - stride` token overlap): tokenize once, explode the
+    * window-index sequence, slice per window. `slice` clamps at the
+    * tail, so the final chunk is short rather than padded and every
+    * token lands in at least one chunk. Token-less docs emit no
+    * chunks via explode-of-NULL — a `filter(size > 0)` would be
+    * pushed below the tokenize projection and re-tokenize every row
+    * inside the predicate.
+    *
+    * Input contract: `(doc_id, text)`. Narrow (zero exchanges).
+    */
+  def chunk(docs: DataFrame, window: Int = 50, stride: Int = 40): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("nc",
+        when(size(col("toks")) <= window, lit(1L))
+          .otherwise(ceil((size(col("toks")) - window).cast("double") / stride).cast("long") + 1L))
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) > 0, sequence(lit(0L), col("nc") - 1)))
+          .as("chunk_seq"))
+      .select(col("doc_id"), col("chunk_seq"),
+        slice(col("toks"), (col("chunk_seq") * stride + 1).cast("int"), lit(window)).as("ct"))
+      .select(col("doc_id"), col("chunk_seq"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        array_join(col("ct"), " ").as("chunk"))
+  }
+
+  /** Pack assignment in global `(doc_id, chunk_seq)` order, starting
+    * the token cumsum at `startOffset` (0 for a whole-corpus batch;
+    * the running stream offset for a micro-batch). Returns the
+    * assigned frame and the batch's total token count so a caller
+    * can advance its offset.
+    *
+    * The naive formulation is a global-order window cumsum, which
+    * Spark plans as a SINGLE partition — a 100 TB scale bug. This is
+    * the distributed prefix sum instead: repartitionByRange on the
+    * order key (range ids are ascending, so partition order IS global
+    * order), per-partition window cumsum, and the per-partition
+    * totals — one row per shuffle partition — collect to the driver
+    * for the cross-partition offsets, re-joined as a broadcast
+    * literal. The result is a pure function of (data, startOffset) —
+    * partitioning cannot change any row's cumulative sum.
+    *
+    * Input contract: `(doc_id, chunk_seq, n_tokens)`.
+    */
+  def assignWithTotal(
+      chunks: DataFrame,
+      budget: Long = 512L,
+      startOffset: Long = 0L): (DataFrame, Long) = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
+    val s = chunks.sparkSession
+    import s.implicits._
+    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint freezes spark_partition_id for BOTH consumers
+    // (the window pass and the per-partition totals).
+    val ranged = chunks
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"))
+      .repartitionByRange(nparts, col("doc_id"), col("chunk_seq"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val local = Window.partitionBy("pid").orderBy("doc_id", "chunk_seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Driver-side cumsum of per-partition totals: nparts rows by contract.
+    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, startOffset)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offDf = (if (offsets.isEmpty) Seq((0, startOffset)) else offsets).toDF("pid", "poffset")
+    val assigned = ranged
+      .withColumn("local_cum", coalesce(sum("n_tokens").over(local), lit(0L)))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum", col("local_cum") + col("poffset"))
+      // Integral DIV, not double division: a corpus-scale cumsum
+      // exceeds 2^53 long before 100 TB and double floor would drift.
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
+        expr(s"cum DIV ${budget}L").as("pack_id"),
+        pmod(col("cum"), lit(budget)).as("pack_offset"))
+    (assigned, totals.map(_._2).sum)
+  }
+
+  def assign(chunks: DataFrame, budget: Long = 512L, startOffset: Long = 0L): DataFrame =
+    assignWithTotal(chunks, budget, startOffset)._1
+}

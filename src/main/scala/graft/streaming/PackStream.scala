@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Packing
+
+/** Streaming continuation of the packing prefix sum: documents
+  * landing in a directory are chunked ([[Packing.chunk]] — the q61
+  * stage verbatim) and pack-assigned ([[Packing.assignWithTotal]] —
+  * the q63 distributed prefix sum verbatim) with the token cumsum
+  * CONTINUING across micro-batches, so a trainer can consume packs
+  * incrementally while the corpus is still landing. Within a batch,
+  * global (doc_id, chunk_seq) order; across batches, arrival order —
+  * the natural semantics of an append-only landing stream (equal to
+  * the batch q63 whenever files land in key order, asserted in
+  * StreamingSpec).
+  *
+  * Exactly-once offsets without a transactional sink:
+  *  - the running offset lives in `<outDir>/_offsets/<batchId>`
+  *    ("start end"), written AFTER the batch's data commit via
+  *    create-temp-then-rename (atomic on HDFS and local FS);
+  *  - each batch overwrites its own `data/batch=<id>` directory, so a
+  *    crash-retried batch replaces — never duplicates — its output;
+  *  - a retried batch whose offset file already exists reuses its
+  *    recorded start; one that crashed before the offset write
+  *    re-derives the same start from the previous batch's end. Batch
+  *    content is pinned by the source checkpoint and the assignment
+  *    is a pure function of (content, start), so every retry path
+  *    rewrites byte-identical data.
+  *
+  * Scale shape: per-batch driver state is one (start, end) pair —
+  * cross-batch state lives in the offset files, never in executor
+  * memory; the assignment itself inherits q63's bounds (driver
+  * collect is one row per shuffle partition).
+  */
+object PackStream {
+
+  /** The landing contract: parquet files of `(doc_id, text)`. */
+  val landingSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  def maintain(
+      spark: SparkSession,
+      landingDir: String,
+      outDir: String,
+      checkpointDir: String,
+      budget: Long = 512L,
+      window: Int = 50,
+      stride: Int = 40,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(landingSchema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, id, outDir, budget, window, stride)
+      }
+      .start()
+
+  /** One micro-batch: chunk, continue the cumsum from this batch's
+    * start offset, overwrite `data/batch=<id>`, then commit the
+    * offset file. Package-visible so StreamingSpec can drive the
+    * crash-retry paths directly.
+    */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      id: Long,
+      outDir: String,
+      budget: Long,
+      window: Int,
+      stride: Int): Unit = {
+    val spark = batch.sparkSession
+    val start = startOffsetFor(spark, outDir, id)
+    val (assigned, total) = Packing.assignWithTotal(
+      Packing.chunk(batch, window, stride), budget, start)
+    assigned.write.mode("overwrite").parquet(s"$outDir/data/batch=$id")
+    writeOffset(spark, outDir, id, start, start + total)
+  }
+
+  /** All packed chunks so far; `batch` arrives as a partition column
+    * from the `data/batch=<id>` layout. */
+  def packed(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/data")
+
+  private def fs(spark: SparkSession, outDir: String): FileSystem =
+    FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def offsetsDir(outDir: String) = new Path(s"$outDir/_offsets")
+
+  private def readOffset(f: FileSystem, p: Path): (Long, Long) = {
+    val in = f.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), UTF_8) finally in.close()
+    val Array(s, e) = txt.trim.split(" ")
+    (s.toLong, e.toLong)
+  }
+
+  /** This batch's start offset: its own recorded start on a retry,
+    * else the highest prior batch's end, else 0. */
+  private[graft] def startOffsetFor(spark: SparkSession, outDir: String, id: Long): Long = {
+    val f = fs(spark, outDir)
+    val dir = offsetsDir(outDir)
+    if (!f.exists(dir)) return 0L
+    val mine = new Path(dir, id.toString)
+    if (f.exists(mine)) readOffset(f, mine)._1
+    else {
+      val prior = f.listStatus(dir).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).map(_.toLong).filter(_ < id)
+      if (prior.isEmpty) 0L
+      else readOffset(f, new Path(dir, prior.max.toString))._2
+    }
+  }
+
+  private def writeOffset(
+      spark: SparkSession, outDir: String, id: Long, start: Long, end: Long): Unit = {
+    val f = fs(spark, outDir)
+    val dir = offsetsDir(outDir)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".$id.tmp")
+    val fin = new Path(dir, id.toString)
+    val out = f.create(tmp, true)
+    try out.write(s"$start $end".getBytes(UTF_8)) finally out.close()
+    // Replace-if-exists rename: a retried batch rewrites the same
+    // (deterministic) offsets, so losing the race to a previous
+    // attempt's file is benign.
+    if (!f.rename(tmp, fin)) {
+      f.delete(tmp, false)
+      if (!f.exists(fin))
+        sys.error(s"could not commit offset file for batch $id")
+    }
+  }
+}

@@ -392,6 +392,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff3 == 0, s"post-recovery search differs by $diff3 rows")
   }
 
+  test("streaming pack assignment: continues offsets across batches, == batch q63 " +
+    "for key-ordered landings, crash-retry rewrites identically") {
+    import java.nio.file.Files
+    import graft.streaming.PackStream
+
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val mid = docs.agg(avg(col("doc_id"))).collect()(0).getDouble(0)
+    val lo = docs.filter(col("doc_id") < mid)
+    val hi = docs.filter(col("doc_id") >= mid)
+    assert(lo.count() > 0 && hi.count() > 0)
+
+    val tmp = Files.createTempDirectory("graft_pack_stream").toString
+    val landing = s"$tmp/landing"
+    val out = s"$tmp/out"
+
+    def drain(): Unit = {
+      val q = PackStream.maintain(spark, landing, out, s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def packedNow() = PackStream.packed(spark, out)
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+      .collect().map(_.toSeq).toSet
+
+    // Land low doc_ids first, then high: arrival order == key order,
+    // so the streamed result must equal the batch q63 assignment.
+    lo.coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    val afterLo = packedNow()
+    hi.coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    val streamed = packedNow()
+    val batch = SparkEntry.queries("q63_pack")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "ordered-landing stream != batch q63")
+    assert(afterLo.nonEmpty && streamed.size > afterLo.size)
+
+    // Crash-retry path: re-running the last batch with its offset file
+    // intact must rewrite byte-identical data (reuses recorded start).
+    PackStream.processBatch(hi, 1L, out, 512L, 50, 40)
+    assert(packedNow() == streamed, "retry with offset file diverged")
+
+    // Crash BEFORE the offset commit: drop batch 1's offset file; the
+    // retry must re-derive the same start from batch 0's end.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$out/_offsets/1"), false))
+    PackStream.processBatch(hi, 1L, out, 512L, 50, 40)
+    assert(packedNow() == streamed, "retry without offset file diverged")
+    assert(PackStream.startOffsetFor(spark, out, 2L) ==
+      streamed.toSeq.map(_(2).asInstanceOf[Long]).sum,
+      "next batch's start must equal the total token count so far")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
