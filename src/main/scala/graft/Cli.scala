@@ -377,6 +377,37 @@ object Cli {
       println(s"split assignment written to $out")
       0
 
+    case "pack" :: rest =>
+      // Chunk documents into sliding token windows and assign
+      // fixed-budget training contexts (the q61/q63 pipeline).
+      // --stream treats --input as a landing directory and continues
+      // the token cumsum across micro-batches (PackStream).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val budget = m.get("--budget").flatMap(_.headOption).map(_.toLong).getOrElse(512L)
+      val window = m.get("--window").flatMap(_.headOption).map(_.toInt).getOrElse(50)
+      val stride = m.get("--stride").flatMap(_.headOption).map(_.toInt).getOrElse(40)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      if (m.contains("--stream")) {
+        val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+          .getOrElse(s"$out/_checkpoint")
+        val q = graft.streaming.PackStream.maintain(
+          spark, in, out, ckpt, budget, window, stride)
+        q.awaitTermination() // AvailableNow: returns once caught up
+        println(s"packed stream caught up; packs under $out/data")
+      } else {
+        val docs = spark.read.parquet(in)
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        graft.ops.Packing.assign(graft.ops.Packing.chunk(docs, window, stride), budget)
+          .write.mode("overwrite").parquet(out)
+        println(s"pack assignment written to $out")
+      }
+      0
+
     case "decontaminate" :: rest =>
       // Drop corpus docs sharing any word n-gram with the benchmark
       // set (GPT-3-style decontamination); writes the clean corpus.
@@ -466,6 +497,7 @@ object Cli {
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
+           |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]

@@ -267,6 +267,28 @@ class DomainSpec extends SparkSpecBase {
       "a benchmark doc survived decontamination")
   }
 
+  test("CLI pack: batch == gate assignment; --stream over a landing dir agrees") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = s"$sf/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_pack").toString
+
+    assert(graft.Cli.run(Array("pack", "-i", docs, "-o", s"$tmp/packs")) == 0)
+    val got = spark.read.parquet(s"$tmp/packs").collect().map(_.toSeq).toSet
+    val want = SparkEntry.queries("q63_pack")(spark, sf).collect().map(_.toSeq).toSet
+    assert(got == want, "CLI pack batch output != q63 gate assignment")
+
+    // Stream mode: same documents as one landing drop -> one batch ->
+    // identical assignment under data/batch=0.
+    val landing = s"$tmp/landing"
+    spark.read.parquet(docs).select("doc_id", "text").write.parquet(landing)
+    assert(graft.Cli.run(Array(
+      "pack", "-i", landing, "-o", s"$tmp/spacks", "--stream")) == 0)
+    val streamed = spark.read.parquet(s"$tmp/spacks/data")
+      .select("doc_id", "chunk_seq", "n_tokens", "pack_id", "pack_offset")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == want, "CLI pack --stream output != q63 gate assignment")
+  }
+
   test("CLI xena-eql: equal and unequal matrices, exit codes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
     import spark.implicits._
