@@ -753,6 +753,29 @@ object SparkEntry {
   def q63Pack(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.assign(q61Chunking(s, dir), budget = 512L)
 
+  /** PII redaction (emails, URLs): the safety-scrub pass of a corpus
+    * curation pipeline — replace matches with typed placeholders and
+    * count them per document. A narrow, zero-shuffle map pass (the
+    * 100 TB cost is one codegen'd regex scan per pattern); patterns
+    * stay inside the Java∩RE2 common subset so the engine and the
+    * DuckDB oracle agree byte-for-byte. URLs are scrubbed FIRST so an
+    * address embedded in a URL query string counts once, as a URL.
+    */
+  def q66Redact(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.{EmailPattern, UrlPattern, patternCount, redact}
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      // URLs scrubbed first, emails counted on the URL-scrubbed text:
+      // an address inside a URL query string is one URL, not also an
+      // email (counts stay consistent with what redaction removed).
+      .select(col("doc_id"),
+        patternCount(col("text"), UrlPattern).as("n_urls"),
+        redact(col("text"), UrlPattern, "<URL>").as("u"))
+      .select(col("doc_id"), col("n_urls"),
+        patternCount(col("u"), EmailPattern).as("n_emails"),
+        redact(col("u"), EmailPattern, "<EMAIL>").as("redacted"))
+  }
+
   /** Pack materialization: the [[q63Pack]] assignment grouped into
     * actual training contexts — one row per pack with its ordered
     * member chunks. The groupBy key is pack_id, whose group size is
@@ -881,6 +904,7 @@ object SparkEntry {
     "q63_pack" -> (q63Pack _),
     "q64_length_quantiles" -> (q64LengthQuantiles _),
     "q65_pack_materialize" -> (q65PackMaterialize _),
+    "q66_redact" -> (q66Redact _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1372,6 +1396,18 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
          |  string_agg(doc_id || ':' || chunk_seq, ' ' ORDER BY doc_id, chunk_seq) AS members
          |FROM p GROUP BY pack_id""".stripMargin,
+    "q66_redact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS ut
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(ut,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(ut,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
+        |FROM u""".stripMargin,
     "q64_length_quantiles" ->
       """WITH t AS (
         |  SELECT lang,

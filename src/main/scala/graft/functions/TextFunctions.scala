@@ -27,6 +27,20 @@ object TextFunctions {
   private[graft] def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** PII patterns, deliberately inside the Java∩RE2 regex common
+    * subset (no lookaround, no backrefs, explicit whitespace class)
+    * so the engine and a DuckDB/RE2 oracle match byte-for-byte. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern: String = "https?://[^ \\t\\n\\r]+"
+
+  /** Count of pattern matches in `text` (0 for no match). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Replace every match of `pattern` with `token`. */
+  def redact(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -204,6 +204,30 @@ class PropertySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("redaction: crafted emails/URLs scrub in order, counts match removals") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val rows = Seq(
+      // (text, n_urls, n_emails, redacted)
+      ("mail me at a.b+c@ex-ample.co.uk today",
+        0L, 1L, "mail me at <EMAIL> today"),
+      ("see https://x.io/p?u=a@b.com and http://y.z/q",
+        2L, 0L, "see <URL> and <URL>"), // the embedded address is URL, not email
+      ("plain text, no pii 4.5@ @x .com", 0L, 0L, "plain text, no pii 4.5@ @x .com"),
+      ("a@b.cd then https://h.tld", 1L, 1L, "<EMAIL> then <URL>"),
+      ("", 0L, 0L, ""))
+    val got = rows.map(_._1).toDF("text")
+      .select(
+        patternCount(col("text"), UrlPattern).as("nu"),
+        redact(col("text"), UrlPattern, "<URL>").as("u"))
+      .select(col("nu"),
+        patternCount(col("u"), EmailPattern).as("ne"),
+        redact(col("u"), EmailPattern, "<EMAIL>").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == rows.map(t => (t._2, t._3, t._4)),
+      s"redaction mismatch:\n${got.zip(rows).mkString("\n")}")
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
