@@ -829,6 +829,40 @@ object SparkEntry {
       disc(0.5).as("p50"), disc(0.9).as("p90"), disc(0.99).as("p99"))
   }
 
+  /** Temperature-weighted mixture allocation (α = 0.5): the data-
+    * mixing calculation that decides how many documents each source
+    * contributes to a training budget — weight ∝ n^α normalized over
+    * sources, so small sources are up-weighted relative to their raw
+    * share. One bounded aggregate (|sources| rows) plus a broadcast
+    * of the 1-row total; `sqrt`/`/`/`floor` are IEEE-exact in both
+    * engines so even target_docs compares exactly.
+    */
+  def q67Mixture(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = cnt.agg(sum(sqrt(col("n_docs").cast("double"))).as("tpw"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (sqrt(col("n_docs").cast("double")) / col("tpw")).as("weight"),
+        floor(sqrt(col("n_docs").cast("double")) / col("tpw") * 1000)
+          .cast("long").as("target_docs"))
+  }
+
+  /** Deterministic corpus shuffle order: every document's 0-based
+    * position in md5-keyed order — the reproducible "global shuffle"
+    * a trainer reads the corpus in. The position comes from
+    * [[graft.ops.Packing.globalPositions]] (distributed prefix sum),
+    * NOT a bare `row_number() over (order by ...)`, which would
+    * funnel the corpus through a single partition.
+    */
+  def q68ShuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.Md5Prefix64(
+        concat(lit("shuf_"), col("doc_id").cast("string"))).as("k"))
+    graft.ops.Packing.globalPositions(keyed, Seq("k", "doc_id"))
+      .select(col("doc_id"), col("pos"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -905,6 +939,8 @@ object SparkEntry {
     "q64_length_quantiles" -> (q64LengthQuantiles _),
     "q65_pack_materialize" -> (q65PackMaterialize _),
     "q66_redact" -> (q66Redact _),
+    "q67_mixture" -> (q67Mixture _),
+    "q68_shuffle_order" -> (q68ShuffleOrder _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1396,6 +1432,22 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
          |  string_agg(doc_id || ':' || chunk_seq, ' ' ORDER BY doc_id, chunk_seq) AS members
          |FROM p GROUP BY pack_id""".stripMargin,
+    "q67_mixture" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS tpw FROM c)
+        |SELECT source, n_docs,
+        |  sqrt(CAST(n_docs AS DOUBLE)) / tpw AS weight,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / tpw * 1000) AS BIGINT) AS target_docs
+        |FROM c, t""".stripMargin,
+    "q68_shuffle_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        |FROM k""".stripMargin,
     "q66_redact" ->
       """WITH u AS (
         |  SELECT doc_id, text,

@@ -96,4 +96,37 @@ object Packing {
 
   def assign(chunks: DataFrame, budget: Long = 512L, startOffset: Long = 0L): DataFrame =
     assignWithTotal(chunks, budget, startOffset)._1
+
+  /** 0-based global position of every row in `orderCols` order — the
+    * distributed form of a single-partition `row_number` window
+    * (which is THE classic Spark scale bug: `Window.orderBy` with no
+    * partitionBy funnels the dataset through one task). Same
+    * prefix-sum shape as [[assignWithTotal]]: range partition on the
+    * order key, per-partition row_number, per-partition row counts
+    * collected to the driver (one row per shuffle partition) and
+    * rejoined as a broadcast literal. `orderCols` must be a unique
+    * key for the position to be well-defined.
+    */
+  def globalPositions(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "globalPositions needs at least one order column")
+    val s = df.sparkSession
+    import s.implicits._
+    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val oc = orderCols.map(col)
+    val ranged = df
+      .repartitionByRange(nparts, oc: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offDf = (if (offsets.isEmpty) Seq((0, 0L)) else offsets).toDF("pid", "poffset")
+    ranged
+      .withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid").orderBy(oc: _*)).cast("long") - 1L)
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("pos", col("local_rn") + col("poffset"))
+      .drop("pid", "local_rn", "poffset")
+  }
 }

@@ -247,6 +247,16 @@ class PlanShapeSpec extends SparkSpecBase {
         "the per-lang window exchange:\n" + p.take(2500))
   }
 
+  test("q67/q68: mixture broadcasts its 1-row total; shuffle order never single-partitions") {
+    val p67 = plan("q67_mixture")
+    assert(p67.contains("Broadcast"), p67.take(1500))
+    val p68 = plan("q68_shuffle_order")
+    assert(!p68.contains("Exchange SinglePartition"),
+      "global row_number fell back to one partition — the scale bug " +
+        "globalPositions exists to avoid")
+    assert(p68.contains("BroadcastHashJoin"), p68.take(1500))
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -204,6 +204,23 @@ class PropertySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("property: globalPositions == driver sort index, invariant to partition count") {
+    import spark.implicits._
+    val rows = rnd.shuffle((0 until 500).map(i => (rnd.nextLong(), i.toLong)).toList)
+    val df = rows.toDF("a", "b")
+    val expect = rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((a, b), i) => (a, b, i.toLong) }.toSet
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (nparts <- Seq("3", "13")) {
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+        val got = Packing.globalPositions(df, Seq("a", "b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expect, s"positions diverged at $nparts partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("redaction: crafted emails/URLs scrub in order, counts match removals") {
     import spark.implicits._
     import graft.functions.TextFunctions._
