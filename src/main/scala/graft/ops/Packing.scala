@@ -109,6 +109,10 @@ object Packing {
     */
   def globalPositions(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "globalPositions needs at least one order column")
+    val reserved = Set("pid", "local_rn", "poffset", "pos")
+    require(!df.columns.exists(reserved.contains),
+      s"globalPositions reserves columns ${reserved.mkString(", ")}; " +
+        s"rename them in the input (got: ${df.columns.mkString(", ")})")
     val s = df.sparkSession
     import s.implicits._
     val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
