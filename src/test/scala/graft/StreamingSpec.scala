@@ -124,7 +124,10 @@ class StreamingSpec extends SparkSpecBase {
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.langIdHeuristic(col("text")).as("lang"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        // the q66 redaction pass is equally stateless — same codepath
+        TextFunctions.patternCount(col("text"), TextFunctions.UrlPattern).as("n_urls"),
+        TextFunctions.redact(col("text"), TextFunctions.EmailPattern, "<EMAIL>").as("red"))
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_text_stream").toString
     val docs = Tables.documents(spark, sfDir)
