@@ -829,6 +829,22 @@ object SparkEntry {
       disc(0.5).as("p50"), disc(0.9).as("p90"), disc(0.99).as("p99"))
   }
 
+  /** PQ (product-quantization) ANN top-k: the memory-compression
+    * scale path — corpus vectors become m=32 small-int codes (byte-
+    * packable: 32 B vs 256 B of floats) and every query scores by
+    * broadcast table lookups (ADC), never touching a float vector.
+    * Deterministic integer pipeline end to end, so it carries a full
+    * value oracle like q45. See
+    * [[graft.similarity.Similarity.pqTopK]].
+    */
+  def q69PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 5, dim = 64)
+  }
+
   /** Temperature-weighted mixture allocation (α = 0.5): the data-
     * mixing calculation that decides how many documents each source
     * contributes to a training budget — weight ∝ n^α normalized over
@@ -941,6 +957,7 @@ object SparkEntry {
     "q66_redact" -> (q66Redact _),
     "q67_mixture" -> (q67Mixture _),
     "q68_shuffle_order" -> (q68ShuffleOrder _),
+    "q69_pq_topk" -> (q69PqTopK _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1125,7 +1142,92 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin
 
+  /** q69's oracle: the grouped-subspace PQ pipeline transcribed with
+    * the q45 Lloyd idioms (HUGEINT round-half-away division, empty-
+    * cell fallback via LEFT JOIN, (dist, cell) tie-break). The
+    * iteration CTE chain is GENERATED from the same constants
+    * [[q69PqTopK]] passes (dim 64, m 32, dsub 2, ksub 32, iters 3,
+    * scale 1e6, queries vec_id<8, k 5) so engine and oracle cannot
+    * drift on a hand-edited copy. Ranking divides BEFORE ordering
+    * (cs DESC, neighbor_id): the engine ranks on the divided double,
+    * and totals that collide after division must tie-break
+    * identically in both engines.
+    */
+  private val PqOracleSql: String = {
+    val M = 32; val KSUB = 32; val ITERS = 3
+    val DSUB = 64 / M
+    def dCte(name: String, cb: String): String =
+      s"""$name AS (
+         |  SELECT b.vec_id, b.s, c.cell,
+         |    sum((b.sv[c.j + 1] - c.cv) * (b.sv[c.j + 1] - c.cv)) AS dist
+         |  FROM sub b JOIN $cb c ON b.s = c.s GROUP BY 1, 2, 3)""".stripMargin
+    def argminCte(name: String, d: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, s, cell FROM (
+         |    SELECT vec_id, s, cell,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+         |    FROM $d) t WHERE rn = 1)""".stripMargin
+    val iterations = (1 to ITERS).map { i =>
+      val prev = s"c${i - 1}"
+      s"""${dCte(s"d$i", prev)},
+         |${argminCte(s"a$i", s"d$i")},
+         |s$i AS (
+         |  SELECT a.s, a.cell, j.j, CAST(sum(b.sv[j.j + 1]) AS BIGINT) AS sm, count(*) AS n
+         |  FROM a$i a JOIN sub b ON a.vec_id = b.vec_id AND a.s = b.s
+         |  CROSS JOIN range($DSUB) j(j) GROUP BY 1, 2, 3),
+         |c$i AS (
+         |  SELECT $prev.s, $prev.cell, $prev.j,
+         |    CASE WHEN s$i.sm IS NULL THEN $prev.cv
+         |      ELSE CAST(CASE WHEN s$i.sm >= 0
+         |        THEN (2 * CAST(s$i.sm AS HUGEINT) + s$i.n) // (2 * CAST(s$i.n AS HUGEINT))
+         |        ELSE -((2 * -CAST(s$i.sm AS HUGEINT) + s$i.n) // (2 * CAST(s$i.n AS HUGEINT)))
+         |        END AS BIGINT) END AS cv
+         |  FROM $prev LEFT JOIN s$i
+         |    ON $prev.s = s$i.s AND $prev.cell = s$i.cell AND $prev.j = s$i.j)""".stripMargin
+    }.mkString(",\n")
+    val cb = s"c$ITERS"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |        list_transform(v, x ->
+       |          CAST(floor(x / sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |      FROM e),
+       |sub AS (
+       |  SELECT q.vec_id, s.s, list_slice(qv, s.s * $DSUB + 1, s.s * $DSUB + $DSUB) AS sv
+       |  FROM q CROSS JOIN range($M) s(s)),
+       |seeds AS (
+       |  SELECT s, cell, sv FROM (
+       |    SELECT s, sv,
+       |      row_number() OVER (PARTITION BY s
+       |        ORDER BY md5('pq_' || s || '_' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+       |    FROM sub) t WHERE cell < $KSUB),
+       |c0 AS (
+       |  SELECT s, cell, j.j, sv[j.j + 1] AS cv
+       |  FROM seeds CROSS JOIN range($DSUB) j(j)),
+       |$iterations,
+       |${dCte("de", cb)},
+       |enc AS (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+       |    FROM de) t WHERE rn = 1),
+       |dt AS (
+       |  SELECT qq.vec_id AS qid, c.s, c.cell, sum(qq.qv[c.s * $DSUB + c.j + 1] * c.cv) AS d
+       |  FROM (SELECT * FROM q WHERE vec_id < 8) qq CROSS JOIN $cb c
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT dt.qid AS query_id, en.vec_id AS neighbor_id, CAST(sum(dt.d) AS BIGINT) AS tot
+       |  FROM enc en JOIN dt ON dt.s = en.s AND dt.cell = en.code
+       |  WHERE en.vec_id <> dt.qid GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, round(cs, 6) AS cos, rank FROM (
+       |  SELECT query_id, neighbor_id, cs,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+       |  FROM (SELECT query_id, neighbor_id,
+       |          CAST(tot AS DOUBLE) / 1000000000000.0 AS cs FROM sc) x) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q69_pq_topk" -> PqOracleSql,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -693,4 +693,167 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  // -----------------------------------------------------------------
+  // Product quantization (PQ) — memory-compressed ANN scan
+  // -----------------------------------------------------------------
+
+  /** Deterministic per-subspace Lloyd: the corpus' quantized vectors
+    * are split into `m` contiguous `dsub`-dim subvectors and each
+    * subspace learns `ksub` integer centroids with the SAME exact-
+    * integer update rule as [[kmeansCellsDeterministic]] (seeds are
+    * the md5-ordered first `ksub` subvectors per subspace).
+    *
+    * Scale shape: all `m` subspaces train in ONE aggregate pass per
+    * iteration over the exploded (s, subvector) rows — not m separate
+    * corpus scans; the driver collect is m·ksub·dsub rows (the
+    * codebook itself, tiny by construction). Assignment is a
+    * per-subspace `when` chain of the codegen'd
+    * [[graft.functions.IvfNearestCells]] kernel — m plan nodes, O(1)
+    * in corpus size.
+    *
+    * Input contract: `quantized` has (`idCol`, `qv` array<long>) —
+    * the [[quantize]] grid, like kmeansCellsDeterministic.
+    */
+  def pqCodebooksDeterministic(
+      quantized: DataFrame,
+      idCol: String,
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    def roundDiv(s: Long, n: Long): Long =
+      ((BigInt(s) * 2 + (if (s >= 0) n else -n)) / (BigInt(n) * 2)).toLong
+    val sub = quantized
+      .select(col(idCol).as("__id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("qv"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("__id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("s")).orderBy(col("__h"), col("__id"))
+    val seedRows = sub
+      .withColumn("__h",
+        md5(concat(lit("pq_"), col("s").cast("string"), lit("_"), col("__id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ksub)
+      .select(col("s"), col("rn"), col("sv"))
+      .collect()
+    require(seedRows.length == m * ksub,
+      s"PQ needs at least ksub=$ksub vectors; got ${seedRows.length} seed rows for m=$m")
+    val init = Array.fill(m)(Array.ofDim[Array[Long]](ksub))
+    seedRows.foreach(r => init(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Long](2).toArray)
+    var cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      init.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val stats = sub
+        .withColumn("cell", subspaceNearest(col("s"), col("sv"), cbs))
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("pos", "q")))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(sum(col("q")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m, ksub)((s, c) => cbs(s)(c).toArray)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = roundDiv(r.getLong(3), r.getLong(4))
+      }
+      cbs = next.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+    }
+    cbs
+  }
+
+  /** Nearest-centroid cell of subvector `sv` in ITS subspace `s`: a
+    * when-chain over the m per-subspace [[graft.functions.IvfNearestCells]]
+    * kernels (each carries its codebook as one literal). */
+  private def subspaceNearest(
+      s: Column, sv: Column, cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): Column =
+    (1 until cbs.length).foldLeft(
+      element_at(graft.functions.IvfNearestCells(sv, cbs(0).map(_.toSeq), 1), 1)) {
+      (acc, i) =>
+        when(s === lit(i),
+          element_at(graft.functions.IvfNearestCells(sv, cbs(i).map(_.toSeq), 1), 1))
+          .otherwise(acc)
+    }
+
+  /** PQ code vector (m small ints) of a quantized vector. */
+  private def pqCodes(
+      qv: Column, cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], dsub: Int): Column =
+    array(cbs.zipWithIndex.map { case (cb, s) =>
+      element_at(
+        graft.functions.IvfNearestCells(slice(qv, s * dsub + 1, dsub), cb.map(_.toSeq), 1), 1)
+    }: _*)
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC).
+    *
+    * The 100 TB story IVF's partition pruning doesn't cover: MEMORY.
+    * A dim-64 float corpus is 256 B/vector; its PQ codes are m small
+    * ints — byte-packed, the q69 default (m=32, ksub=32) is 32 B per
+    * vector, an 8× scan-state compression — so the corpus fits in a
+    * fraction of the executors and the ADC scan is a narrow pass that
+    * reads no float vectors at all. Each query precomputes its m·ksub
+    * table of exact integer subspace dot products ON THE DRIVER
+    * (queries are contract-small, the table is m·ksub longs), ships
+    * it broadcast, and every corpus vector scores as m table
+    * lookups — no per-row float math, no corpus shuffle.
+    *
+    * Approximate by construction (quantization distortion — recall
+    * gated in SimilaritySpec), but a pure function of (data, params):
+    * training, encoding and scoring are exact integer arithmetic, so
+    * the whole pipeline carries a full DuckDB value oracle (q69),
+    * like the IVF path (q45).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 32,
+      ksub: Int = 32,
+      iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false)
+    val cbs = pqCodebooksDeterministic(quantized, idCol, m, ksub, dsub, iters)
+    val encoded = quantized.select(col(idCol), pqCodes(col("qv"), cbs, dsub).as("codes"))
+    // Per-query ADC tables, driver-side: the SAME quantization
+    // arithmetic as [[quantize]] (sequential dot, IEEE sqrt/floor) so
+    // grid values agree bitwise with the engine and the oracle.
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .collect()
+    val tables = qRows.map { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      var dot = 0.0
+      v.foreach(x => dot += x * x)
+      val norm = math.sqrt(dot)
+      val qq = v.map(x => math.floor(x / norm * scale + 0.5).toLong)
+      val dt = Array.ofDim[Long](m * ksub)
+      for (s <- 0 until m; c <- 0 until ksub) {
+        var acc = 0L
+        var j = 0
+        while (j < dsub) { acc += qq(s * dsub + j) * cbs(s)(c)(j); j += 1 }
+        dt(s * ksub + c) = acc
+      }
+      (qid, dt.toSeq)
+    }.toSeq
+    val qdf = tables.toDF("query_id", "dt")
+    val scored = encoded
+      .crossJoin(broadcast(qdf))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("dt"), s * lit(ksub) + c + lit(1))),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double") / lit(scale.toDouble * scale.toDouble)).as("cos"))
+    topKByCos(scored, k)
+  }
 }

@@ -39,10 +39,11 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
-  test("q22/q23: brute-force paths broadcast the small side only") {
-    // exact all-pairs is a BNLJ by design — but the build side must be
-    // the broadcast (small) relation, never a shuffled cartesian.
-    for (q <- Seq("q22_cosine_topk", "q23_cosine_pairs")) {
+  test("q22/q23/q69: scan-the-corpus paths broadcast the small side only") {
+    // exact all-pairs and the PQ ADC scan are BNLJs by design — but
+    // the build side must be the broadcast (small) relation, never a
+    // shuffled cartesian.
+    for (q <- Seq("q22_cosine_topk", "q23_cosine_pairs", "q69_pq_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }

@@ -44,6 +44,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r >= 0.5, s"LSH recall@5 = $r < 0.5")
   }
 
+  test("PQ ADC recall@5 vs brute force, and scores track true cosine") {
+    val pq = Similarity.pqTopK(
+      emb, "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
+    // Config sweep on the sf0.001 embeddings (near-incompressible
+    // random-ish vectors — the PQ worst case): m=8/ksub=16 → 0.15,
+    // m=16/ksub=32 → 0.43, m=32/ksub=16 → 0.68, m=32/ksub=32/iters=3
+    // → 0.80 (the shipped default: dsub=2 subspaces quantize direction
+    // finely enough for the cosine rank). Gate below the measurement
+    // for headroom on other scale factors.
+    val r = recallVsBruteForce(pq, 5)
+    assert(r >= 0.6, s"PQ recall@5 = $r < 0.6")
+    // ADC scores are approximate cosines: on the pairs PQ returns,
+    // the mean absolute error vs the true cosine must stay small
+    // (quantization distortion, not rank garbage).
+    val err = pq.join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv2")),
+        Seq("query_id"))
+      .select(abs(col("cos") - Similarity.cosine(col("nv"), col("qv2"))).as("e"))
+      .agg(avg("e")).collect()(0).getDouble(0)
+    assert(err < 0.15, s"mean |ADC cos - true cos| = $err >= 0.15")
+  }
+
+  test("PQ output is invariant to corpus partitioning") {
+    val a = Similarity.pqTopK(
+      emb, "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.pqTopK(
+      emb.repartition(7), "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "PQ training/encoding/ranking depends on partitioning")
+  }
+
   test("single-table LSH recall is strictly below the multi-table union") {
     // The reason `tables` exists: one table's recall decays like
     // p^bits; the L-table union must dominate it.
