@@ -330,7 +330,13 @@ object Cli {
           val index = one(m, "--index")
           graft.similarity.Similarity.lshTopKIndexed(
             spark, index, queries, "q_id", "q_vec", k = k)
-        case other => sys.error(s"ann --mode must be brute|lsh|ivf|ivf-index|lsh-index, got $other")
+        case "pq" => graft.similarity.Similarity.pqTopK(
+          corpus, idCol, vecCol, queries, "q_id", "q_vec", k = k, dim = dim)
+        case "pq-index" =>
+          val index = one(m, "--index")
+          graft.similarity.Similarity.pqTopKIndexed(
+            spark, index, queries, "q_id", "q_vec", k = k)
+        case other => sys.error(s"ann --mode must be brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index, got $other")
       }
       topk.write.mode("overwrite").parquet(out)
       println(s"ann ($mode) top-$k written to $out")
@@ -454,7 +460,11 @@ object Cli {
           graft.similarity.Similarity.writeLshIndex(
             spark.read.parquet(in), idCol, vecCol, dim, bits, out, tables)
           println(s"lsh index ($tables x 2^$bits buckets) written to $out")
-        case other => sys.error(s"ann-index --family must be ivf|lsh, got $other")
+        case "pq" =>
+          graft.similarity.Similarity.writePqIndex(
+            spark.read.parquet(in), idCol, vecCol, dim, out)
+          println(s"pq index (compressed codes) written to $out")
+        case other => sys.error(s"ann-index --family must be ivf|lsh|pq, got $other")
       }
       0
 
@@ -499,8 +509,8 @@ object Cli {
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
-           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
-           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]
+           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

@@ -822,9 +822,29 @@ object Similarity {
       .localCheckpoint(false)
     val cbs = pqCodebooksDeterministic(quantized, idCol, m, ksub, dsub, iters)
     val encoded = quantized.select(col(idCol), pqCodes(col("qv"), cbs, dsub).as("codes"))
-    // Per-query ADC tables, driver-side: the SAME quantization
-    // arithmetic as [[quantize]] (sequential dot, IEEE sqrt/floor) so
-    // grid values agree bitwise with the engine and the oracle.
+    pqAdcRank(encoded, idCol, queries, queryIdCol, queryVecCol, cbs, k, scale)
+  }
+
+  /** The shared ADC ranking tail of the in-memory and persisted PQ
+    * paths: build each query's m·ksub integer dot table ON THE DRIVER
+    * (the SAME quantization arithmetic as [[quantize]] — sequential
+    * dot, IEEE sqrt/floor — so grid values agree bitwise with the
+    * engine and the oracle), broadcast the tables, and score every
+    * encoded corpus row as m table lookups. */
+  private def pqAdcRank(
+      encoded: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      k: Int,
+      scale: Long): DataFrame = {
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val dsub = cbs.head.head.length
+    val spark = encoded.sparkSession
+    import spark.implicits._
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .collect()
@@ -855,5 +875,75 @@ object Similarity {
           lit(0L), (acc, x) => acc + x)
           .cast("double") / lit(scale.toDouble * scale.toDouble)).as("cos"))
     topKByCos(scored, k)
+  }
+
+  final case class PqIndexMeta(
+      scale: Long,
+      idCol: String,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]])
+
+  /** Persist a PQ index: `<path>/codes` (one (id, codes) row per
+    * corpus vector — the 8×-compressed scan state IS the store; no
+    * float vectors are written at all) plus `<path>/index.json` with
+    * the codebooks. Searches reopen with [[pqTopKIndexed]].
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      path: String,
+      m: Int = 32,
+      ksub: Int = 32,
+      iters: Int = 3,
+      scale: Long = 1000000L): Unit = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false)
+    val cbs = pqCodebooksDeterministic(quantized, idCol, m, ksub, dsub, iters)
+    quantized.select(col(idCol), pqCodes(col("qv"), cbs, dsub).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val meta = new StringBuilder
+    meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"codebooks":["""
+    meta ++= cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString(",")
+    meta ++= "]}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.json"), true)
+    try out.write(meta.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readPqIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndexMeta = {
+    val row = readIndexJson(spark, path)
+    PqIndexMeta(
+      scale = row.getAs[Long]("scale"),
+      idCol = row.getAs[String]("idCol"),
+      codebooks = row
+        .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Long]]]]("codebooks")
+        .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+  }
+
+  /** ANN top-k against a PERSISTED PQ index: the scan reads the codes
+    * store only (m small ints per vector — never the original
+    * floats), the codebooks travel from `index.json` to the driver's
+    * dot tables, and results are identical to [[pqTopK]] run with the
+    * same params on the corpus the index was built from (asserted in
+    * SimilaritySpec). */
+  def pqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val meta = readPqIndexMeta(spark, path)
+    pqAdcRank(spark.read.parquet(s"$path/codes"), meta.idCol,
+      queries, queryIdCol, queryVecCol, meta.codebooks, k, meta.scale)
   }
 }

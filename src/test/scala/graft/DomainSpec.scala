@@ -201,6 +201,13 @@ class DomainSpec extends SparkSpecBase {
       "ann", "-i", emb, "-o", s"$tmp/lshhits", "--mode", "lsh-index",
       "--index", s"$tmp/lsh", "-k", "3")) == 0)
     assert(spark.read.parquet(s"$tmp/lshhits").count() > 0)
+
+    assert(graft.Cli.run(Array(
+      "ann-index", "-i", emb, "-o", s"$tmp/pq", "--family", "pq")) == 0)
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/pqhits", "--mode", "pq-index",
+      "--index", s"$tmp/pq", "-k", "3")) == 0)
+    assert(spark.read.parquet(s"$tmp/pqhits").count() == 24)
   }
 
   test("CLI repeated flags accumulate (-f a -f b keeps both files)") {

@@ -67,6 +67,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(err < 0.15, s"mean |ADC cos - true cos| = $err >= 0.15")
   }
 
+  test("persisted PQ index: identical to in-memory pqTopK; store holds codes only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding", dim = 64, path = tmp)
+    val indexed = Similarity.pqTopKIndexed(spark, tmp, queries, "q_id", "q_vec", k = 5)
+    val mem = Similarity.pqTopK(
+      emb, "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
+    assert(indexed.collect().map(_.toSeq).toSet == mem.collect().map(_.toSeq).toSet,
+      "persisted-index PQ search != in-memory pqTopK")
+    // The store is the compression: codes only, no float vectors.
+    val store = spark.read.parquet(s"$tmp/codes")
+    assert(store.columns.toSet == Set("vec_id", "codes"), store.columns.mkString(","))
+  }
+
   test("PQ output is invariant to corpus partitioning") {
     val a = Similarity.pqTopK(
       emb, "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
