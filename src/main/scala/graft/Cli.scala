@@ -336,7 +336,12 @@ object Cli {
           val index = one(m, "--index")
           graft.similarity.Similarity.pqTopKIndexed(
             spark, index, queries, "q_id", "q_vec", k = k)
-        case other => sys.error(s"ann --mode must be brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index, got $other")
+        case "ivfpq-index" =>
+          val index = one(m, "--index")
+          graft.similarity.Similarity.ivfPqTopKIndexed(
+            spark, index, queries, "q_id", "q_vec", k = k, nprobe = 6)
+        case other => sys.error(
+          s"ann --mode must be brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index, got $other")
       }
       topk.write.mode("overwrite").parquet(out)
       println(s"ann ($mode) top-$k written to $out")
@@ -464,7 +469,12 @@ object Cli {
           graft.similarity.Similarity.writePqIndex(
             spark.read.parquet(in), idCol, vecCol, dim, out)
           println(s"pq index (compressed codes) written to $out")
-        case other => sys.error(s"ann-index --family must be ivf|lsh|pq, got $other")
+        case "ivfpq" =>
+          val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
+          graft.similarity.Similarity.writeIvfPqIndex(
+            spark.read.parquet(in), idCol, vecCol, dim, nlist, out)
+          println(s"ivf-pq index ($nlist cells, compressed codes) written to $out")
+        case other => sys.error(s"ann-index --family must be ivf|lsh|pq|ivfpq, got $other")
       }
       0
 
@@ -509,8 +519,8 @@ object Cli {
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
-           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
-           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]
+           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

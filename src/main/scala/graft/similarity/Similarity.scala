@@ -946,4 +946,149 @@ object Similarity {
     pqAdcRank(spark.read.parquet(s"$path/codes"), meta.idCol,
       queries, queryIdCol, queryVecCol, meta.codebooks, k, meta.scale)
   }
+
+  // -----------------------------------------------------------------
+  // IVF-PQ — both halves of the 100 TB ANN story in one index
+  // -----------------------------------------------------------------
+
+  /** Driver-side twin of [[quantize]] — same IEEE ops, same bits. */
+  private def quantizeDriver(v: Array[Double], scale: Long): Array[Long] = {
+    var dot = 0.0
+    v.foreach(x => dot += x * x)
+    val norm = math.sqrt(dot)
+    v.map(x => math.floor(x / norm * scale + 0.5).toLong)
+  }
+
+  /** Driver-side twin of the [[graft.functions.IvfNearestCells]]
+    * ordering: cells by (integer squared-L2, cell index) ascending. */
+  private def nearestCellsDriver(qq: Array[Long], centroids: Seq[Seq[Long]], n: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0L
+      var j = 0
+      while (j < qq.length) { val t = qq(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sorted.take(n).map(_._2)
+
+  final case class IvfPqIndexMeta(
+      scale: Long,
+      idCol: String,
+      centroids: Seq[Seq[Long]],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]])
+
+  /** Persist an IVF-PQ index: the coarse quantizer prunes I/O (codes
+    * partitioned by cell, like [[writeIvfIndex]]) and the codes
+    * compress what's read (m small ints per vector, like
+    * [[writePqIndex]]) — a probe reads `nprobe/nlist` of an
+    * already-8×-compressed store, the faiss-IVFPQ layout re-expressed
+    * as parquet partitions + a broadcast codebook. Both quantizers
+    * are the deterministic integer Lloyd, so searches are pure
+    * functions of (data, params).
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      path: String,
+      m: Int = 32,
+      ksub: Int = 32,
+      iters: Int = 2,
+      pqIters: Int = 3,
+      scale: Long = 1000000L): Unit = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false)
+    val centroids = kmeansCellsDeterministic(quantized, idCol, "qv", dim, nlist, iters)
+    val cbs = pqCodebooksDeterministic(quantized, idCol, m, ksub, dsub, pqIters)
+    quantized
+      .withColumn("cell",
+        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
+      .select(col(idCol), pqCodes(col("qv"), cbs, dsub).as("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val meta = new StringBuilder
+    meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"centroids":["""
+    meta ++= centroids.map(_.mkString("[", ",", "]")).mkString(",")
+    meta ++= """],"codebooks":["""
+    meta ++= cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString(",")
+    meta ++= "]}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.json"), true)
+    try out.write(meta.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readIvfPqIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndexMeta = {
+    val row = readIndexJson(spark, path)
+    IvfPqIndexMeta(
+      scale = row.getAs[Long]("scale"),
+      idCol = row.getAs[String]("idCol"),
+      centroids = row.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("centroids")
+        .map(_.toSeq).toSeq,
+      codebooks = row
+        .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Long]]]]("codebooks")
+        .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+  }
+
+  /** ANN top-k against a PERSISTED IVF-PQ index: each query's probe
+    * cells and ADC dot table are computed on the driver (queries are
+    * contract-small; the per-query state is nprobe ints + m·ksub
+    * longs), the scan carries a static `cell IN (...)` partition
+    * filter, and only probed cells' CODES are read and scored by
+    * table lookups — pruned I/O of compressed state, no float math,
+    * no corpus shuffle.
+    */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val meta = readIvfPqIndexMeta(spark, path)
+    val cbs = meta.codebooks
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val dsub = cbs.head.head.length
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .collect()
+    val probes = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qq = quantizeDriver(r.getSeq[Double](1).toArray, meta.scale)
+      val cells = nearestCellsDriver(qq, meta.centroids, nprobe)
+      val dt = Array.ofDim[Long](m * ksub)
+      for (s <- 0 until m; c <- 0 until ksub) {
+        var acc = 0L
+        var j = 0
+        while (j < dsub) { acc += qq(s * dsub + j) * cbs(s)(c)(j); j += 1 }
+        dt(s * ksub + c) = acc
+      }
+      (qid, cells, dt.toSeq)
+    }.toSeq
+    val allCells = probes.flatMap(_._2).distinct
+    val qdf = probes
+      .flatMap { case (qid, cells, dt) => cells.map(c => (qid, c, dt)) }
+      .toDF("query_id", "cell", "dt")
+    val scored = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(allCells: _*))
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col(meta.idCol) =!= col("query_id"))
+      .select(col("query_id"), col(meta.idCol).as("neighbor_id"),
+        (aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("dt"), s * lit(ksub) + c + lit(1))),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double") / lit(meta.scale.toDouble * meta.scale.toDouble)).as("cos"))
+    topKByCos(scored, k)
+  }
 }

@@ -208,6 +208,13 @@ class DomainSpec extends SparkSpecBase {
       "ann", "-i", emb, "-o", s"$tmp/pqhits", "--mode", "pq-index",
       "--index", s"$tmp/pq", "-k", "3")) == 0)
     assert(spark.read.parquet(s"$tmp/pqhits").count() == 24)
+
+    assert(graft.Cli.run(Array(
+      "ann-index", "-i", emb, "-o", s"$tmp/ivfpq", "--family", "ivfpq")) == 0)
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/ivfpqhits", "--mode", "ivfpq-index",
+      "--index", s"$tmp/ivfpq", "-k", "3")) == 0)
+    assert(spark.read.parquet(s"$tmp/ivfpqhits").count() == 24)
   }
 
   test("CLI repeated flags accumulate (-f a -f b keeps both files)") {

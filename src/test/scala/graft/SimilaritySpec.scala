@@ -80,6 +80,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(store.columns.toSet == Set("vec_id", "codes"), store.columns.mkString(","))
   }
 
+  test("persisted IVF-PQ index: full probe == in-memory PQ; pruned probe scans only probed cells") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmp)
+    // nprobe = nlist disables pruning: the result must be EXACTLY the
+    // in-memory ADC ranking (same deterministic codebooks and codes).
+    val full = Similarity.ivfPqTopKIndexed(
+      spark, tmp, queries, "q_id", "q_vec", k = 5, nprobe = 24)
+    val mem = Similarity.pqTopK(
+      emb, "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
+    assert(full.collect().map(_.toSeq).toSet == mem.collect().map(_.toSeq).toSet,
+      "full-probe IVF-PQ != in-memory pqTopK")
+
+    val pruned = Similarity.ivfPqTopKIndexed(
+      spark, tmp, queries, "q_id", "q_vec", k = 5, nprobe = 6)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "probe cells not in PartitionFilters:\n" + plan.take(2000))
+    // Measured 0.725 on the sf0.001 embeddings (≈ the 0.775 IVF prune
+    // recall × PQ's 0.80 ADC recall); gate below for headroom.
+    val r = recallVsBruteForce(pruned, 5)
+    assert(r >= 0.55, s"IVF-PQ pruned recall@5 = $r < 0.55")
+  }
+
   test("PQ output is invariant to corpus partitioning") {
     val a = Similarity.pqTopK(
       emb, "vec_id", "embedding", queries, "q_id", "q_vec", k = 5, dim = 64)
