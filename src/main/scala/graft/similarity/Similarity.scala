@@ -972,8 +972,18 @@ object Similarity {
   final case class IvfPqIndexMeta(
       scale: Long,
       idCol: String,
+      vecCol: String,
       centroids: Seq[Seq[Long]],
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]])
+
+  /** Public encode stage shared by the batch index writers and the
+    * streaming maintainer: quantize `vec` and emit its m subspace
+    * codes against frozen codebooks. Stateless and narrow. */
+  def pqEncodeVec(
+      vec: Column,
+      cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      scale: Long): Column =
+    pqCodes(quantize(vec, scale), cbs, cbs.head.head.length)
 
   /** Persist an IVF-PQ index: the coarse quantizer prunes I/O (codes
     * partitioned by cell, like [[writeIvfIndex]]) and the codes
@@ -1011,7 +1021,8 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val meta = new StringBuilder
-    meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"centroids":["""
+    meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"""
+    meta ++= s""""vecCol":${graft.io.JsonUtil.quote(vecCol)},"centroids":["""
     meta ++= centroids.map(_.mkString("[", ",", "]")).mkString(",")
     meta ++= """],"codebooks":["""
     meta ++= cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString(",")
@@ -1030,6 +1041,7 @@ object Similarity {
     IvfPqIndexMeta(
       scale = row.getAs[Long]("scale"),
       idCol = row.getAs[String]("idCol"),
+      vecCol = row.getAs[String]("vecCol"),
       centroids = row.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("centroids")
         .map(_.toSeq).toSeq,
       codebooks = row

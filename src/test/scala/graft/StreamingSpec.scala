@@ -395,6 +395,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff3 == 0, s"post-recovery search differs by $diff3 rows")
   }
 
+  test("streamed IVF-PQ appends == frozen encode; search equals batch-appended index") {
+    import graft.similarity.Similarity
+    import graft.streaming.AnnIndexStream
+    import java.nio.file.Files
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = emb.filter(col("vec_id") % 3 === 0)
+    val tmp = Files.createTempDirectory("graft_ivfpq_stream").toString
+    val indexPath = s"$tmp/idx"
+    Similarity.writeIvfPqIndex(seed, "vec_id", "embedding",
+      dim = 64, nlist = 8, path = indexPath)
+
+    val landing = s"$tmp/landing"
+    emb.filter(col("vec_id") % 3 === 1).select("vec_id", "embedding")
+      .write.mode("append").parquet(landing)
+    val q1 = AnnIndexStream.maintainIvfPq(spark, landing, indexPath, s"$tmp/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    emb.filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
+      .write.mode("append").parquet(landing)
+    val q2 = AnnIndexStream.maintainIvfPq(spark, landing, indexPath, s"$tmp/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Store must equal the frozen-quantizer encode of ALL vectors
+    // (codes store holds no floats at all).
+    val meta = Similarity.readIvfPqIndexMeta(spark, indexPath)
+    def canonRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2))).toSet
+    val stored = canonRows(spark.read.parquet(s"$indexPath/codes"))
+    val expected = canonRows(AnnIndexStream.assignedPq(
+      emb.select(col("vec_id"), col("embedding")), meta))
+    assert(stored == expected, "streamed IVF-PQ store != frozen-quantizer encode")
+    assert(spark.read.parquet(s"$indexPath/codes").columns.toSet ==
+      Set("vec_id", "codes", "cell"))
+
+    // Search over the streamed store == over a batch-rebuilt store
+    // with the same frozen quantizers.
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val streamedHits = Similarity.ivfPqTopKIndexed(
+      spark, indexPath, queries, "q_id", "q_vec", k = 3, nprobe = 4)
+    val rebuilt = s"$tmp/rebuilt"
+    AnnIndexStream.assignedPq(emb.select(col("vec_id"), col("embedding")), meta)
+      .write.partitionBy("cell").parquet(s"$rebuilt/codes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rebuilt), spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$indexPath/index.json"),
+      fs, new org.apache.hadoop.fs.Path(s"$rebuilt/index.json"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val batchHits = Similarity.ivfPqTopKIndexed(
+      spark, rebuilt, queries, "q_id", "q_vec", k = 3, nprobe = 4)
+    val diff = streamedHits.exceptAll(batchHits).count() +
+      batchHits.exceptAll(streamedHits).count()
+    assert(diff == 0, s"streamed IVF-PQ search differs from batch by $diff rows")
+  }
+
   test("streaming pack assignment: continues offsets across batches, == batch q63 " +
     "for key-ordered landings, crash-retry rewrites identically") {
     import java.nio.file.Files
