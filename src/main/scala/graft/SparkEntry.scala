@@ -516,6 +516,20 @@ object SparkEntry {
     Dedup.dupClusters(docs, edges, "doc_id")
   }
 
+  /** Near-dup REMOVAL — the end step [[q47DupClusters]] computes the
+    * labels for: keep exactly one document per near-dup cluster (the
+    * component-min canonical, i.e. rows where doc_id == cluster_id)
+    * and semi-join the corpus down to the survivors. The join key is
+    * the tiny survivor set, broadcast; the corpus never shuffles.
+    */
+  def q70NearDupDedup(s: SparkSession, dir: String): DataFrame = {
+    val survivors = q47DupClusters(s, dir)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    Tables.documents(s, dir)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Corpus vocabulary top-k by frequency (BPE-vocab precursor):
     * explode tokens → partial-agg counts → TakeOrdered top 100 with a
     * deterministic (count desc, token) tiebreak. The top-k never
@@ -958,6 +972,7 @@ object SparkEntry {
     "q67_mixture" -> (q67Mixture _),
     "q68_shuffle_order" -> (q68ShuffleOrder _),
     "q69_pq_topk" -> (q69PqTopK _),
+    "q70_neardup_dedup" -> (q70NearDupDedup _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1617,6 +1632,23 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q70_neardup_dedup" ->
+      s"""WITH RECURSIVE $NgramPairsCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+        |survivors AS (
+        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN survivors USING (doc_id)""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
