@@ -95,7 +95,8 @@ object ScaleSmoke {
       "q47_dup_clusters", "q52_embedding_clusters", "q56_knn_join",
       "q60_ivf_indexed",
       "q61_chunking", "q62_stratified_sample", "q63_pack",
-      "q64_length_quantiles", "q65_pack_materialize", "q69_pq_topk")
+      "q64_length_quantiles", "q65_pack_materialize", "q66_redact",
+      "q67_mixture", "q68_shuffle_order", "q69_pq_topk", "q70_neardup_dedup")
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       val s = System.nanoTime()
