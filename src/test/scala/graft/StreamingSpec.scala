@@ -506,6 +506,40 @@ class StreamingSpec extends SparkSpecBase {
       "next batch's start must equal the total token count so far")
   }
 
+  test("streaming pack: invariants hold when landings are NOT key-ordered") {
+    import java.nio.file.Files
+    import graft.streaming.PackStream
+
+    // Interleaved thirds: arrival order deliberately differs from
+    // (doc_id, chunk_seq) order, so the streamed assignment is NOT
+    // the batch q63 — but the packing invariants must still hold:
+    // every token packed exactly once, offsets inside the budget,
+    // dense pack ids, and the running offset equal to the total.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val tmp = Files.createTempDirectory("graft_pack_disorder").toString
+    val landing = s"$tmp/landing"
+    var batches = 0
+    for (r <- Seq(1, 0, 2)) { // lands residue-1 docs first
+      docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(landing)
+      val q = PackStream.maintain(spark, landing, tmp + "/out", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      batches += 1
+    }
+    val packed = PackStream.packed(spark, s"$tmp/out")
+    val row = packed.agg(
+      sum("n_tokens"), max("pack_offset"), max("pack_id"),
+      count_distinct(col("pack_id"))).collect()(0)
+    val chunkTokens = graft.ops.Packing.chunk(docs)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(row.getLong(0) == chunkTokens, "disorder stream lost or duplicated tokens")
+    assert(row.getLong(1) < 512L, s"pack_offset escaped the budget: ${row.getLong(1)}")
+    assert(row.getLong(2) == row.getLong(3) - 1,
+      s"pack ids not dense: max ${row.getLong(2)} over ${row.getLong(3)} packs")
+    assert(PackStream.startOffsetFor(spark, s"$tmp/out", batches.toLong) == chunkTokens,
+      "running offset != total tokens after unordered landings")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
