@@ -880,6 +880,7 @@ object Similarity {
   final case class PqIndexMeta(
       scale: Long,
       idCol: String,
+      vecCol: String,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]])
 
   /** Persist a PQ index: `<path>/codes` (one (id, codes) row per
@@ -907,7 +908,8 @@ object Similarity {
     quantized.select(col(idCol), pqCodes(col("qv"), cbs, dsub).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
     val meta = new StringBuilder
-    meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"codebooks":["""
+    meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"""
+    meta ++= s""""vecCol":${graft.io.JsonUtil.quote(vecCol)},"codebooks":["""
     meta ++= cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString(",")
     meta ++= "]}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -924,6 +926,7 @@ object Similarity {
     PqIndexMeta(
       scale = row.getAs[Long]("scale"),
       idCol = row.getAs[String]("idCol"),
+      vecCol = row.getAs[String]("vecCol"),
       codebooks = row
         .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Long]]]]("codebooks")
         .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
