@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,30 +58,46 @@ object Packing {
     *
     * Input contract: `(doc_id, chunk_seq, n_tokens)`.
     */
+  /** Shared core of the distributed prefix sum: range-partition `df`
+    * on `orderCols` (range ids ascending, so partition order IS
+    * global order; localCheckpoint freezes `spark_partition_id` for
+    * both consumers), aggregate `valueExpr` per partition, prefix-
+    * scan the per-partition totals on the driver (one row per
+    * shuffle partition by contract) starting at `start`, and return
+    * (ranged frame with a `pid` column, broadcastable (pid, poffset)
+    * frame, grand total). */
+  private def rangedWithOffsets(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueExpr: Column,
+      start: Long): (DataFrame, DataFrame, Long) = {
+    val s = df.sparkSession
+    import s.implicits._
+    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(nparts, orderCols.map(col): _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val totals = ranged.groupBy("pid").agg(valueExpr.as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, start)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offDf = (if (offsets.isEmpty) Seq((0, start)) else offsets).toDF("pid", "poffset")
+    (ranged, offDf, totals.map(_._2).sum)
+  }
+
   def assignWithTotal(
       chunks: DataFrame,
       budget: Long = 512L,
       startOffset: Long = 0L): (DataFrame, Long) = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
-    val s = chunks.sparkSession
-    import s.implicits._
-    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint freezes spark_partition_id for BOTH consumers
-    // (the window pass and the per-partition totals).
-    val ranged = chunks
-      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"))
-      .repartitionByRange(nparts, col("doc_id"), col("chunk_seq"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
-    val local = Window.partitionBy("pid").orderBy("doc_id", "chunk_seq")
+    val order = Seq("doc_id", "chunk_seq")
+    val (ranged, offDf, total) = rangedWithOffsets(
+      chunks.select(col("doc_id"), col("chunk_seq"), col("n_tokens")),
+      order, sum("n_tokens"), startOffset)
+    val local = Window.partitionBy("pid").orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // Driver-side cumsum of per-partition totals: nparts rows by contract.
-    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, startOffset)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
-    val offDf = (if (offsets.isEmpty) Seq((0, startOffset)) else offsets).toDF("pid", "poffset")
     val assigned = ranged
       .withColumn("local_cum", coalesce(sum("n_tokens").over(local), lit(0L)))
       .join(broadcast(offDf), Seq("pid"))
@@ -91,7 +107,7 @@ object Packing {
       .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
         expr(s"cum DIV ${budget}L").as("pack_id"),
         pmod(col("cum"), lit(budget)).as("pack_offset"))
-    (assigned, totals.map(_._2).sum)
+    (assigned, total)
   }
 
   def assign(chunks: DataFrame, budget: Long = 512L, startOffset: Long = 0L): DataFrame =
@@ -113,22 +129,11 @@ object Packing {
     require(!df.columns.exists(reserved.contains),
       s"globalPositions reserves columns ${reserved.mkString(", ")}; " +
         s"rename them in the input (got: ${df.columns.mkString(", ")})")
-    val s = df.sparkSession
-    import s.implicits._
-    val nparts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val oc = orderCols.map(col)
-    val ranged = df
-      .repartitionByRange(nparts, oc: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
-    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
-    val offDf = (if (offsets.isEmpty) Seq((0, 0L)) else offsets).toDF("pid", "poffset")
+    val (ranged, offDf, _) = rangedWithOffsets(df, orderCols, count(lit(1)), 0L)
     ranged
       .withColumn("local_rn",
-        row_number().over(Window.partitionBy("pid").orderBy(oc: _*)).cast("long") - 1L)
+        row_number().over(
+          Window.partitionBy("pid").orderBy(orderCols.map(col): _*)).cast("long") - 1L)
       .join(broadcast(offDf), Seq("pid"))
       .withColumn("pos", col("local_rn") + col("poffset"))
       .drop("pid", "local_rn", "poffset")
