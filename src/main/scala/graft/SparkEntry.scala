@@ -1002,7 +1002,8 @@ object SparkEntry {
       |  FROM s),
       |p AS (
       |  SELECT doc_id, chunk_seq, n_tokens,
-      |    cum // 512 AS pack_id, cum % 512 AS pack_offset
+      |    CAST(cum // 512 AS BIGINT) AS pack_id,
+      |    CAST(cum % 512 AS BIGINT) AS pack_offset
       |  FROM w)""".stripMargin
 
   /** Shared CTE body of the capped n-gram Jaccard edge set — used

@@ -28,7 +28,18 @@ object Verify {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dest))
       // NonFatal only — after an OOM/linkage error the session can't
       // be trusted to verify anything.
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dest)
+      // Canonical row order (all orderable columns): output row order
+      // must be a function of the data alone, never of partition
+      // boundaries or core count, so an order-sensitive downstream
+      // hash can't flake. Map columns aren't orderable; skip them.
+      try {
+        val df = fn(spark, sfDir)
+        val sortable = df.schema.fields
+          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`"))
+        val canon = if (sortable.nonEmpty) df.orderBy(sortable.toIndexedSeq: _*) else df
+        canon.coalesce(1).write.mode("overwrite").parquet(dest)
+      }
       catch { case scala.util.control.NonFatal(e) =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.toString}")

@@ -196,7 +196,7 @@ class PropertySpec extends SparkSpecBase {
 
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      for (nparts <- Seq("3", "13")) {
+      for (nparts <- Seq("1", "2", "13", "32", "200")) {
         spark.conf.set("spark.sql.shuffle.partitions", nparts)
         assert(run() == expect,
           s"distributed prefix sum diverges from global cumsum at $nparts partitions")
@@ -212,7 +212,7 @@ class PropertySpec extends SparkSpecBase {
       .map { case ((a, b), i) => (a, b, i.toLong) }.toSet
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      for (nparts <- Seq("3", "13")) {
+      for (nparts <- Seq("1", "2", "13", "32", "200")) {
         spark.conf.set("spark.sql.shuffle.partitions", nparts)
         val got = Packing.globalPositions(df, Seq("a", "b"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -31,11 +31,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_family(dt):
+    k = dt.kind if hasattr(dt, "kind") else "O"
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "O": "object"}.get(k, k)
+
+
 def compare(name, spark_df, oracle_df):
     problems = []
     sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
     if sc != oc:
         return [f"schema mismatch: spark={sc} oracle={oc}"]
+    # The driver's hash is dtype-sensitive: a DuckDB HUGEINT (sum of
+    # BIGINT, or BIGINT // and %) becomes float64 in pandas while the
+    # Spark parquet is int64 -- values equal, hash differs (the r6
+    # q63/q65 failure). Catch the family mismatch here so it can never
+    # reach the driver again.
+    for c in sc:
+        sf, of = dtype_family(spark_df[c].dtype), dtype_family(oracle_df[c].dtype)
+        if sf != of:
+            problems.append(
+                f"dtype family mismatch on {c}: spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype} (driver hash is dtype-sensitive; "
+                f"CAST in the oracle SQL)")
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = canon(spark_df), canon(oracle_df)
