@@ -123,35 +123,79 @@ object Cli {
       0
 
     case "etl-batch" :: rest =>
-      // The gdc2xena.py driver loop (E1): every requested dtype is
-      // attempted; failures are QUARANTINED (recorded, loop continues)
-      // and summarized at the end instead of aborting the run.
+      // The gdc2xena.py driver loop (E1, `gdc2xena.py:55-110`): every
+      // requested (project, dtype) is attempted; failures are
+      // QUARANTINED (recorded, loop continues) and summarized at the
+      // end instead of aborting the run. The quarantine PERSISTS:
+      // after every failure `<root>/unfinished.json` is rewritten
+      // (`gdc2xena.py:97-105`) and the stack trace appends to a
+      // per-run `<root>/etl_<ts>.err` log (`gdc2xena.py:67-78,106-108`),
+      // so a crashed or killed multi-project run can `--resume`:
+      // re-attempt exactly the recorded pairs, skipping recorded
+      // successes.
       val m = opts(rest)
       val root = one(m, "-r", "--root")
       val outDir = one(m, "-o", "--output")
-      val dtypes = m.getOrElse("-t", m.getOrElse("--datatypes", Nil))
-      require(dtypes.nonEmpty, "etl-batch needs -t <dtypes...>")
+      val resume = m.contains("--resume")
       val cohort = m.get("-c").flatMap(_.headOption)
       val spark = session()
-      val quarantined = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      dtypes.foreach { d =>
+      // `-t all` / `-p all` expand like `main.py:63-71`: all valid
+      // dtypes from the registry; all GDC projects via the projects
+      // endpoint. `--not-datatype` / `--not-projects` subtract.
+      val dtypes0 = m.getOrElse("-t", m.getOrElse("--datatypes", Nil))
+      val dtypes =
+        (if (dtypes0.exists(_.equalsIgnoreCase("all")))
+          (DTypes.registry.keySet ++ Set("clinical", "survival")).toList.sorted
+        else dtypes0).filterNot(m.getOrElse("--not-datatype", Nil).toSet)
+      val projects0 = m.getOrElse("-p", m.getOrElse("--projects", Nil))
+      val projects =
+        (if (projects0.exists(_.equalsIgnoreCase("all"))) {
+          val catalog = new GdcCatalog(
+            spark, HttpTransport.fetchFn(transportFactory(false)))
+          // Driver-sized by contract: the projects endpoint is a
+          // catalog of ~80 rows, same as the reference's index scan.
+          catalog.projectInfo().select("project_id")
+            .collect().map(_.getString(0)).toList.sorted
+        } else projects0)
+          .filterNot(m.getOrElse("--not-projects", Nil).toSet).distinct
+      val ledger = new EtlQuarantine(root)
+      // Work list: projects × dtypes, or exactly the quarantined
+      // pairs when resuming. "." is the project-less key (raw data
+      // directly under <root>/<dtype>).
+      val pairs: List[(String, String)] =
+        if (resume) ledger.recorded
+        else {
+          require(dtypes.nonEmpty, "etl-batch needs -t <dtypes...>")
+          (if (projects.isEmpty) List(".") else projects)
+            .flatMap(p => dtypes.map(p -> _))
+        }
+      var nOk, nFail = 0
+      pairs.foreach { case (proj, d) =>
+        val sub = if (proj == ".") d else s"$proj/$d"
         try {
-          etlOne(spark, d, s"$root/$d", s"$outDir/$d.tsv",
-            cohort.getOrElse("GDC " + d))
-          println(s"[etl-batch] $d: ok")
+          etlOne(spark, d, s"$root/$sub", s"$outDir/$sub.tsv",
+            cohort.getOrElse(if (proj == ".") "GDC " + d else "GDC " + proj))
+          nOk += 1
+          ledger.succeeded(proj, d)
+          println(s"[etl-batch] $sub: ok")
         } catch {
           // NonFatal only: an OOM/linkage error means the session is
           // no longer trustworthy — quarantining it and "succeeding"
           // the remaining dtypes on a corrupted JVM would report
           // garbage as ok.
           case scala.util.control.NonFatal(e) =>
-            quarantined += d -> String.valueOf(e.getMessage).takeWhile(_ != '\n')
-            println(s"[etl-batch] $d: QUARANTINED (${e.getMessage})")
+            nFail += 1
+            ledger.failed(proj, d, e)
+            println(s"[etl-batch] $sub: QUARANTINED (${e.getMessage})")
         }
       }
-      println(s"[etl-batch] ${dtypes.size - quarantined.size}/${dtypes.size} succeeded")
-      quarantined.foreach { case (d, why) => println(s"[etl-batch] failed: $d — $why") }
-      if (quarantined.isEmpty) 0 else 1
+      // Exit code reflects THIS run; the persisted ledger may still
+      // hold older pairs this run didn't attempt (printed for resume).
+      println(s"[etl-batch] $nOk/${pairs.size} succeeded")
+      ledger.recorded.foreach { case (p, d) =>
+        println(s"[etl-batch] unfinished: ${if (p == ".") d else s"$p/$d"}")
+      }
+      if (nFail == 0) 0 else 1
 
     case "merge-xena" :: rest =>
       val m = opts(rest)
@@ -507,7 +551,8 @@ object Cli {
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
            |  etl        -t <dtype> -r <raw-dir> -o <out-matrix> [-c <cohort>]
-           |  etl-batch  -t <dtypes...> -r <root> -o <out-dir> [-c <cohort>]  (quarantines failures)
+           |  etl-batch  -t <dtypes...|all> -r <root> -o <out-dir> [-p <projects...|all>] [--not-datatype <d...>] [--not-projects <p...>] [--resume] [-c <cohort>]
+           |             (quarantines failures to <root>/unfinished.json + etl_<ts>.err; --resume re-attempts exactly those)
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]
            |  xena-eql   <matrix-a> <matrix-b>

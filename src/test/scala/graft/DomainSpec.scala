@@ -347,6 +347,36 @@ class DomainSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$tmp/out/mirna.tsv")))
   }
 
+  test("CLI etl-batch: quarantine persists; --resume re-attempts only the quarantined pairs") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cli_batchq")
+    val raw = Files.createDirectory(tmp.resolve("raw"))
+    Files.createSymbolicLink(raw.resolve("star_counts"),
+      Paths.get("/root/repo/fixtures/star_counts"))
+    val out = tmp.resolve("out").toString
+    assert(graft.Cli.run(Array("etl-batch",
+      "-t", "star_counts", "mirna", "-r", raw.toString, "-o", out)) == 1)
+    // The record must survive the process: unfinished.json rewritten
+    // on failure (gdc2xena.py:97-105) + a stack trace in the .err log.
+    assert(Files.readString(raw.resolve("unfinished.json")) == """{".": ["mirna"]}""")
+    val errs = raw.toFile.listFiles.filter(_.getName.matches("etl_\\d{8}-\\d{6}\\.err"))
+    assert(errs.length == 1, "expected exactly one per-run .err log")
+    val log = Files.readString(errs.head.toPath)
+    assert(log.contains("[WARNING]: No mirna data for cohort .")
+      && log.contains("\tat "), "err log must carry the stack trace")
+    // Heal the failed dtype, SABOTAGE the succeeded one: resume must
+    // re-attempt exactly the quarantined pair, so the missing
+    // star_counts raw dir can only break a buggy resume.
+    Files.delete(raw.resolve("star_counts"))
+    Files.createSymbolicLink(raw.resolve("mirna"),
+      Paths.get("/root/repo/fixtures/mirna"))
+    assert(graft.Cli.run(Array("etl-batch",
+      "-r", raw.toString, "-o", out, "--resume")) == 0)
+    assert(Files.exists(Paths.get(s"$out/mirna.tsv")), "resume did not produce the healed dtype")
+    assert(!Files.exists(raw.resolve("unfinished.json")),
+      "a fully-recovered ledger must delete unfinished.json")
+  }
+
   test("writeSharded: globally-ordered shards cat-merge to the single-file matrix") {
     import spark.implicits._
     val df = (1 to 97)

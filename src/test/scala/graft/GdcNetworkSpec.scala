@@ -254,6 +254,36 @@ class GdcNetworkSpec extends SparkSpecBase {
     } finally Cli.transportFactory = saved
   }
 
+  test("CLI etl-batch -p all: project loop via the projects endpoint, one project quarantined") {
+    // `-p all` expands like main.py:63-66 -> gdc.py:434-459: the
+    // projects endpoint lists PROJ-A and PROJ-B; A has raw star_counts
+    // data, B doesn't -> B is quarantined, A completes.
+    val projectsBody =
+      """{"data":{"pagination":{"total":2},"hits":[
+        |{"id":"PROJ-A","project_id":"PROJ-A","name":"A","primary_site":"s","program":{"name":"P"}},
+        |{"id":"PROJ-B","project_id":"PROJ-B","name":"B","primary_site":"s","program":{"name":"P"}}]}}""".stripMargin
+    val tmp = Files.createTempDirectory("graft_cli_pall")
+    val raw = Files.createDirectory(tmp.resolve("raw"))
+    Files.createDirectory(raw.resolve("PROJ-A"))
+    Files.createSymbolicLink(raw.resolve("PROJ-A").resolve("star_counts"),
+      Paths.get("/root/repo/fixtures/star_counts"))
+    val out = tmp.resolve("out").toString
+    val saved = Cli.transportFactory
+    try {
+      Cli.transportFactory = _ => new HttpTransport {
+        override def get(ep: String, params: Map[String, String]): GdcResponse =
+          if (ep == "projects") GdcResponse(200, projectsBody.getBytes(UTF_8))
+          else resp(404)
+      }
+      assert(Cli.run(Array("etl-batch", "-t", "star_counts", "-p", "all",
+        "-r", raw.toString, "-o", out)) == 1)
+    } finally Cli.transportFactory = saved
+    val matrix = graft.io.XenaTsv.read(spark, s"$out/PROJ-A/star_counts.tsv", None)
+    assert(matrix.count() == 8, "healthy project did not complete")
+    assert(Files.readString(raw.resolve("unfinished.json"))
+      == """{"PROJ-B": ["star_counts"]}""")
+  }
+
   // ---- gdc-check-new -----------------------------------------------
 
   private val checkNewHits = Seq(
