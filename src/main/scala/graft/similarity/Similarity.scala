@@ -977,7 +977,24 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Seq[Seq[Long]],
-      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]])
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      /** Codebooks trained on (and codes encoding) the RESIDUAL from
+        * the assigned coarse centroid, not the raw vector — the faiss
+        * IVFPQ refinement. On a CLUSTERED corpus residuals span a much
+        * smaller ball than the raw vectors, so the same m·ksub budget
+        * quantizes finer (SimilaritySpec's planted-cluster row: ~1.0
+        * vs degraded raw-code recall). Default OFF: on the near-uniform
+        * synthetic bench embeddings, residuals are as incompressible
+        * as the raw vectors and measured recall was strictly worse
+        * (full-probe 0.75 vs 0.80, pruned 0.60 vs 0.725). */
+      residual: Boolean = false)
+
+  /** Exact-integer residual of a quantized vector from its cell's
+    * centroid — what residual codebooks train on and codes encode. */
+  private def residualOf(qv: Column, cell: Column, centroids: Seq[Seq[Long]]): Column = {
+    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    zip_with(qv, element_at(cLit, cell + 1), (a, b) => a - b)
+  }
 
   /** Public encode stage shared by the batch index writers and the
     * streaming maintainer: quantize `vec` and emit its m subspace
@@ -987,6 +1004,17 @@ object Similarity {
       cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
       scale: Long): Column =
     pqCodes(quantize(vec, scale), cbs, cbs.head.head.length)
+
+  /** Residual-aware encode of a raw vector against FROZEN IVF-PQ
+    * quantizers: `cell` must be the [[graft.functions.IvfNearestCells]]
+    * assignment of the SAME vector. Shared by the batch writer's
+    * layout and the streaming maintainer, so streamed landings encode
+    * byte-identically to a batch rebuild. */
+  def pqEncodeForCell(vec: Column, cell: Column, meta: IvfPqIndexMeta): Column = {
+    val qv = quantize(vec, meta.scale)
+    val enc = if (meta.residual) residualOf(qv, cell, meta.centroids) else qv
+    pqCodes(enc, meta.codebooks, meta.codebooks.head.head.length)
+  }
 
   /** Persist an IVF-PQ index: the coarse quantizer prunes I/O (codes
     * partitioned by cell, like [[writeIvfIndex]]) and the codes
@@ -1008,7 +1036,8 @@ object Similarity {
       ksub: Int = 32,
       iters: Int = 2,
       pqIters: Int = 3,
-      scale: Long = 1000000L): Unit = {
+      scale: Long = 1000000L,
+      residual: Boolean = false): Unit = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val dsub = dim / m
     val spark = corpus.sparkSession
@@ -1016,16 +1045,22 @@ object Similarity {
       .select(col(idCol), quantize(col(vecCol), scale).as("qv"))
       .localCheckpoint(false)
     val centroids = kmeansCellsDeterministic(quantized, idCol, "qv", dim, nlist, iters)
-    val cbs = pqCodebooksDeterministic(quantized, idCol, m, ksub, dsub, pqIters)
+    // Residual mode (the faiss-IVFPQ refinement): codebooks train on
+    // qv - centroid[cell], a far smaller ball than the raw corpus, so
+    // the same m·ksub budget quantizes finer; search adds the exact
+    // integer query·centroid term back per probed cell.
+    val cellCol =
+      element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1)
+    val encCol = if (residual) residualOf(col("qv"), cellCol, centroids) else col("qv")
+    val cbs = pqCodebooksDeterministic(
+      quantized.select(col(idCol), encCol.as("qv")), idCol, m, ksub, dsub, pqIters)
     quantized
-      .withColumn("cell",
-        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
-      .select(col(idCol), pqCodes(col("qv"), cbs, dsub).as("codes"), col("cell"))
+      .select(col(idCol), pqCodes(encCol, cbs, dsub).as("codes"), cellCol.as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val meta = new StringBuilder
     meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"""
-    meta ++= s""""vecCol":${graft.io.JsonUtil.quote(vecCol)},"centroids":["""
+    meta ++= s""""vecCol":${graft.io.JsonUtil.quote(vecCol)},"residual":$residual,"centroids":["""
     meta ++= centroids.map(_.mkString("[", ",", "]")).mkString(",")
     meta ++= """],"codebooks":["""
     meta ++= cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString(",")
@@ -1049,7 +1084,9 @@ object Similarity {
         .map(_.toSeq).toSeq,
       codebooks = row
         .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Long]]]]("codebooks")
-        .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+        .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq,
+      // Pre-residual indexes carry no flag: raw-vector codes.
+      residual = row.schema.fieldNames.contains("residual") && row.getAs[Boolean]("residual"))
   }
 
   /** ANN top-k against a PERSISTED IVF-PQ index: each query's probe
@@ -1088,21 +1125,35 @@ object Similarity {
         while (j < dsub) { acc += qq(s * dsub + j) * cbs(s)(c)(j); j += 1 }
         dt(s * ksub + c) = acc
       }
-      (qid, cells, dt.toSeq)
+      // Residual decomposition: q·x ≈ q·centroid[cell] + q·decode(codes),
+      // exact in integer arithmetic up to the residual's own
+      // quantization. cdot is the per-(query, cell) first term; 0 for
+      // raw-vector indexes.
+      val cdots = cells.map { c =>
+        if (!meta.residual) 0L
+        else {
+          var acc = 0L
+          var j = 0
+          val cent = meta.centroids(c)
+          while (j < qq.length) { acc += qq(j) * cent(j); j += 1 }
+          acc
+        }
+      }
+      (qid, cells.zip(cdots), dt.toSeq)
     }.toSeq
-    val allCells = probes.flatMap(_._2).distinct
+    val allCells = probes.flatMap(_._2.map(_._1)).distinct
     val qdf = probes
-      .flatMap { case (qid, cells, dt) => cells.map(c => (qid, c, dt)) }
-      .toDF("query_id", "cell", "dt")
+      .flatMap { case (qid, cells, dt) => cells.map { case (c, cd) => (qid, c, cd, dt) } }
+      .toDF("query_id", "cell", "cdot", "dt")
     val scored = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(allCells: _*))
       .join(broadcast(qdf), Seq("cell"))
       .filter(col(meta.idCol) =!= col("query_id"))
       .select(col("query_id"), col(meta.idCol).as("neighbor_id"),
-        (aggregate(
+        ((col("cdot") + aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
             (c, s) => element_at(col("dt"), s * lit(ksub) + c + lit(1))),
-          lit(0L), (acc, x) => acc + x)
+          lit(0L), (acc, x) => acc + x))
           .cast("double") / lit(meta.scale.toDouble * meta.scale.toDouble)).as("cos"))
     topKByCos(scored, k)
   }

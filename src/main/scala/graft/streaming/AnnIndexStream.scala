@@ -114,14 +114,18 @@ object AnnIndexStream {
 
   /** The shared (batch == stream) IVF-PQ assignment stage: coarse
     * cell + PQ codes against the frozen quantizers. */
-  def assignedPq(embeddings: DataFrame, meta: Similarity.IvfPqIndexMeta): DataFrame =
+  def assignedPq(embeddings: DataFrame, meta: Similarity.IvfPqIndexMeta): DataFrame = {
+    val cell = element_at(
+      graft.functions.IvfNearestCells(
+        Similarity.quantizeVec(col(meta.vecCol), meta.scale), meta.centroids, 1),
+      1)
     embeddings.select(
       col(meta.idCol),
-      Similarity.pqEncodeVec(col(meta.vecCol), meta.codebooks, meta.scale).as("codes"),
-      element_at(
-        graft.functions.IvfNearestCells(
-          Similarity.quantizeVec(col(meta.vecCol), meta.scale), meta.centroids, 1),
-        1).as("cell"))
+      // Residual-aware (reads meta.residual): landings encode exactly
+      // like the batch writer, codebooks and centroids frozen.
+      Similarity.pqEncodeForCell(col(meta.vecCol), cell, meta).as("codes"),
+      cell.as("cell"))
+  }
 
   /** Compact the vector store: drop duplicate ids (keep-one; a
     * crash-retried batch is the only source of dups and its copies

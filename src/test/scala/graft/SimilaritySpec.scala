@@ -82,8 +82,12 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("persisted IVF-PQ index: full probe == in-memory PQ; pruned probe scans only probed cells") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    // residual = false: raw-vector codes are definitionally identical
+    // to the in-memory global-PQ path — the strongest possible oracle
+    // for the cell-partitioned store + probe plumbing. The residual
+    // default's quality is gated in the next test.
     Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
-      dim = 64, nlist = 24, path = tmp)
+      dim = 64, nlist = 24, path = tmp, residual = false)
     // nprobe = nlist disables pruning: the result must be EXACTLY the
     // in-memory ADC ranking (same deterministic codebooks and codes).
     val full = Similarity.ivfPqTopKIndexed(
@@ -99,9 +103,90 @@ class SimilaritySpec extends SparkSpecBase {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       "probe cells not in PartitionFilters:\n" + plan.take(2000))
     // Measured 0.725 on the sf0.001 embeddings (≈ the 0.775 IVF prune
-    // recall × PQ's 0.80 ADC recall); gate below for headroom.
+    // recall × PQ's 0.80 ADC recall); gate leaves drift headroom for
+    // regenerated test data.
     val r = recallVsBruteForce(pruned, 5)
-    assert(r >= 0.55, s"IVF-PQ pruned recall@5 = $r < 0.55")
+    assert(r >= 0.65, s"IVF-PQ pruned recall@5 = $r < 0.65")
+  }
+
+  test("IVF-PQ residual encoding: wins decisively on a planted-cluster corpus") {
+    // The case the residual refinement exists for: a corpus with real
+    // cluster structure. 24 planted unit centers, 600 members at small
+    // angular jitter — after the coarse quantizer recovers the
+    // centers, residuals live in a tiny ball the codebooks quantize
+    // almost exactly, while raw-vector codes must spread the same
+    // m·ksub budget over the whole sphere. (On the near-uniform bench
+    // embeddings residual measured strictly WORSE — full 0.75 vs
+    // 0.80, pruned 0.60 vs 0.725 — which is why it defaults off.)
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(24)(unit(Array.fill(64)(rnd.nextGaussian())))
+    def member(c: Array[Double]): Seq[Float] =
+      unit(c.map(_ + 0.08 * rnd.nextGaussian())).map(_.toFloat).toSeq
+    val corpus = (0 until 600).map(i => (i.toLong, member(centers(i % 24))))
+      .toDF("vec_id", "embedding")
+    val qs = (0 until 8).map(i => (1000L + i, member(centers(i * 3 % 24))))
+      .toDF("q_id", "q_vec")
+    def recallOf(path: String): Double = {
+      val truth = Similarity.bruteForceTopK(
+        corpus, qs, "vec_id", "embedding", "q_id", "q_vec", k = 5)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.ivfPqTopKIndexed(spark, path, qs, "q_id", "q_vec", k = 5, nprobe = 24)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val tmpR = java.nio.file.Files.createTempDirectory("graft_ivfpq_res").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmpR, residual = true)
+    assert(Similarity.readIvfPqIndexMeta(spark, tmpR).residual)
+    val tmpRaw = java.nio.file.Files.createTempDirectory("graft_ivfpq_praw").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmpRaw, residual = false)
+    val (rRes, rRaw) = (recallOf(tmpR), recallOf(tmpRaw))
+    info(s"planted clusters: residual=$rRes raw=$rRaw")
+    assert(rRes > rRaw, s"residual $rRes not above raw $rRaw on clustered data")
+    assert(rRes >= 0.7, s"residual recall $rRes < 0.7 on planted clusters")
+  }
+
+  test("IVF-PQ residual score decomposition is exact: engine cos == driver q·c + q·decode(codes)") {
+    val tmpR = java.nio.file.Files.createTempDirectory("graft_ivfpq_exact").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmpR, residual = true)
+    val meta = Similarity.readIvfPqIndexMeta(spark, tmpR)
+    val scale = meta.scale
+    val q = queries.limit(1).collect().head
+    val qv = q.getSeq[Float](q.fieldIndex("q_vec")).map(_.toDouble).toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val qq = qv.map(x => math.floor(x / qn * scale + 0.5).toLong)
+    // Driver reimplementation over the raw codes store: the ADC score
+    // must be (q·centroid + q·concat(codebook rows))/scale² EXACTLY.
+    val codes = spark.read.parquet(s"$tmpR/codes").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Int](r.fieldIndex("codes")).toArray,
+        r.getInt(r.fieldIndex("cell"))))
+    val dsub = meta.codebooks.head.head.length
+    val want = codes.map { case (id, cs, cell) =>
+      var acc = 0L
+      meta.centroids(cell).zipWithIndex.foreach { case (c, j) => acc += qq(j) * c }
+      cs.zipWithIndex.foreach { case (code, s) =>
+        val row = meta.codebooks(s)(code)
+        var j = 0
+        while (j < dsub) { acc += qq(s * dsub + j) * row(j); j += 1 }
+      }
+      id -> BigDecimal(acc.toDouble / (scale.toDouble * scale.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Similarity.ivfPqTopKIndexed(
+      spark, tmpR, queries.limit(1), "q_id", "q_vec", k = 600, nprobe = 24)
+      .select("neighbor_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, cos) =>
+      assert(math.abs(cos - want(id)) < 1e-9, s"neighbor $id: engine $cos != driver ${want(id)}")
+    }
   }
 
   test("PQ output is invariant to corpus partitioning") {
