@@ -67,8 +67,18 @@ object Cli {
         }
         in
       } else java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pathOrUrl))
-    val in = if (pathOrUrl.endsWith(".gz"))
-      new java.util.zip.GZIPInputStream(raw) else raw
+    // Sniff the gzip magic (0x1f 0x8b) instead of trusting the name:
+    // a presigned URL's query string defeats an endsWith(".gz") check
+    // (".../release.tsv.gz?token=x") and would feed binary bytes to
+    // the TSV parser as text.
+    val buffered = new java.io.BufferedInputStream(raw)
+    buffered.mark(2)
+    val b1 = buffered.read()
+    val b2 = buffered.read()
+    buffered.reset()
+    val in: java.io.InputStream =
+      if (b1 == 0x1f && b2 == 0x8b) new java.util.zip.GZIPInputStream(buffered)
+      else buffered
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
       val lines = src.getLines()
@@ -438,9 +448,17 @@ object Cli {
       // --stream treats --input as a landing directory and continues
       // the token cumsum across micro-batches (PackStream).
       val m = opts(rest)
-      val in = one(m, "-i", "--input")
       val out = one(m, "-o", "--output")
       val budget = m.get("--budget").flatMap(_.headOption).map(_.toLong).getOrElse(512L)
+      if (m.contains("--compact")) {
+        // Maintenance verb: restore batch-q63 global order over a
+        // streamed pack store (no input needed — the store's own
+        // chunk rows are the assignment input).
+        graft.streaming.PackStream.compact(session(), out, budget)
+        println(s"pack store compacted to global (doc_id, chunk_seq) order: $out")
+        return 0
+      }
+      val in = one(m, "-i", "--input")
       val window = m.get("--window").flatMap(_.headOption).map(_.toInt).getOrElse(50)
       val stride = m.get("--stride").flatMap(_.headOption).map(_.toInt).getOrElse(40)
       val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
@@ -563,6 +581,7 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
+           |  pack       --compact -o <streamed-pack-store> [--budget 512]   (restore global order between maintenance windows)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]

@@ -191,6 +191,43 @@ object ScaleSmoke {
     checks += ("packing prefix sum conserves tokens, dense pack ids, offsets < budget" ->
       s"$chunkTok tokens across ${packRow.getLong(1)} packs, max offset $maxOff")
 
+    // 5. Persisted IVF-PQ index at 10×: build + pruned search of the
+    // only index family not already in the sweep (q60 covers IVF). The
+    // copy families make every query's true top-5 all within-family at
+    // cos ≈ 1 — exact rank among such near-ties is not stable under
+    // ADC quantization, so the gate is FAMILY precision (did the
+    // compressed, cell-pruned index land in the planted near-dup
+    // family?) plus the PartitionFilters pruning proof; plain
+    // recall@5 is reported unguarded.
+    val emb10 = Tables.embeddings(spark, workDir)
+    val qs10 = emb10.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val idxPath = s"$workDir/ivfpq_index"
+    val b0 = System.nanoTime()
+    graft.similarity.Similarity.writeIvfPqIndex(
+      emb10, "vec_id", "embedding", dim = 64, nlist = 24, path = idxPath)
+    val buildSec = (System.nanoTime() - b0) / 1e9
+    val prunedIdx = graft.similarity.Similarity.ivfPqTopKIndexed(
+      spark, idxPath, qs10, "q_id", "q_vec", k = 5, nprobe = 6)
+    val idxPlan = prunedIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(idxPlan).isDefined,
+      "IVF-PQ probe cells not pushed as PartitionFilters at 10x")
+    val gotIdx = prunedIdx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val famPrec = gotIdx.count { case (q, n) => n % IdStride == q % IdStride }
+      .toDouble / gotIdx.length
+    val truthIdx = graft.similarity.Similarity.bruteForceTopK(
+        emb10, qs10, "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallIdx = gotIdx.count(truthIdx.contains).toDouble / truthIdx.size
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    assert(famPrec >= 0.8,
+      f"IVF-PQ pruned search lost the planted families at 10x: precision $famPrec%.3f")
+    checks += ("persisted IVF-PQ at 10x: pruned probe finds the planted families" ->
+      (f"family precision $famPrec%.3f, recall@5 $recallIdx%.3f (near-tie ranks unstable " +
+        f"under ADC by construction), build $buildSec%.1f s, PartitionFilters verified"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -41,6 +41,16 @@ trait HttpTransport {
   }
 }
 
+/** Raised when the calling thread is interrupted mid-request —
+  * deliberately NOT an IOException, so the retry policy can never
+  * treat cancellation as a transient network failure (retrying an
+  * interrupted request would also make the next backoff's sleep throw
+  * from inside the retry loop, losing prompt-cancellation semantics).
+  * The interrupt flag is re-set before this is thrown.
+  */
+final class GdcInterrupted(cause: InterruptedException)
+  extends RuntimeException("HTTP request interrupted", cause)
+
 /** Raised when the retry budget is exhausted — the analogue of
   * urllib3's `MaxRetryError` surfacing as `requests.RetryError`.
   */
@@ -174,7 +184,7 @@ final class JdkHttpTransport(
         HttpResponse.BodyHandlers.ofByteArray())
       GdcResponse(r.statusCode(), r.body(), headerMap(r))
     } catch {
-      case e: InterruptedException => Thread.currentThread().interrupt(); throw new IOException(e)
+      case e: InterruptedException => Thread.currentThread().interrupt(); throw new GdcInterrupted(e)
     }
 
   override def open(endpoint: String, params: Map[String, String]): (Int, InputStream) =
@@ -183,7 +193,7 @@ final class JdkHttpTransport(
         HttpResponse.BodyHandlers.ofInputStream())
       (r.statusCode(), r.body())
     } catch {
-      case e: InterruptedException => Thread.currentThread().interrupt(); throw new IOException(e)
+      case e: InterruptedException => Thread.currentThread().interrupt(); throw new GdcInterrupted(e)
     }
 }
 

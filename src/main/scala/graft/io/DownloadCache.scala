@@ -26,12 +26,24 @@ object DownloadCache {
     * obvious one-liner but needs file-sized executor memory and hard
     * caps at 2 GB per file — GDC files exceed both.
     */
-  def localCatalog(spark: SparkSession, glob: String): DataFrame = {
+  def localCatalog(
+      spark: SparkSession,
+      glob: String,
+      /** Path substrings to exclude, e.g. `Seq("/quarantine/")` — a
+        * PATH filter, not a basename one: the binaryFile glob recurses
+        * into matched directories, so executor bookkeeping under
+        * `quarantine/` would otherwise be cataloged (and re-md5'd)
+        * under its basename every sync, could surface in toDelete, and
+        * could satisfy a download whose remote md5 matches the
+        * quarantined bytes while the raw dir still lacks the file. */
+      excludePathContains: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(glob)
       .select(col("path"))
+      // Before the hash pass: excluded files must not be md5'd at all.
+      .filter(excludePathContains.foldLeft(lit(true))((acc, s) => acc && !col("path").contains(s)))
       .as[String]
       .mapPartitions { paths =>
         val digest = java.security.MessageDigest.getInstance("MD5")

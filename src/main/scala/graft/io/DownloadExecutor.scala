@@ -139,8 +139,12 @@ object DownloadExecutor {
         // Executor bookkeeping (redacted.txt, quarantine/ children —
         // the glob lists matched directories' files too) is not raw
         // data: it must neither satisfy a download nor get reconciled
-        // away as stale.
-        val local = DownloadCache.localCatalog(spark, rawDir.toString + "/*")
+        // away as stale. Quarantine exclusion is BY PATH: a name
+        // filter would catalog quarantined files under their
+        // basenames (re-md5'd every sync, eligible for toDelete, and
+        // able to satisfy a download the raw dir doesn't hold).
+        val local = DownloadCache.localCatalog(spark, rawDir.toString + "/*",
+            excludePathContains = Seq("/quarantine/"))
           .filter(!org.apache.spark.sql.functions.col("name")
             .isin("redacted.txt", "quarantine"))
           .localCheckpoint(true) // feeds BOTH anti-joins; hash each file once

@@ -117,6 +117,60 @@ object PackStream {
     }
   }
 
+  /** Restore the batch-q63 global order over everything landed so far.
+    *
+    * Cross-batch pack order is arrival order by design (the natural
+    * append-only semantics); when landings arrived out of key order, a
+    * trainer wanting the canonical corpus order re-runs the batch
+    * assignment over all landed chunk rows — (doc_id, chunk_seq,
+    * n_tokens) is exactly [[Packing.assign]]'s input contract, so
+    * compaction needs no document text and costs one prefix-sum pass.
+    *
+    * Token conservation is REQUIRED before the store swaps: the
+    * reassigned grand total must equal the last committed offset end,
+    * so the running cumsum stays valid and subsequent maintenance
+    * batches continue appending from the same offset. The rewritten
+    * rows land under the last batch's `batch=<id>` partition (one
+    * coherent layout for [[packed]]); the swap is the same
+    * write-aside-then-two-renames as the ANN store compactor, with
+    * the same interrupted-swap recovery. Run between maintenance
+    * windows only.
+    */
+  def compact(spark: SparkSession, outDir: String, budget: Long = 512L): Unit = {
+    val f = fs(spark, outDir)
+    val data = new Path(s"$outDir/data")
+    val tmp = new Path(s"$outDir/data__compacting")
+    val old = new Path(s"$outDir/data__old")
+    f.delete(tmp, true)
+    // Crash recovery BEFORE any delete: a prior compact that died
+    // between its swap renames leaves `data` gone and `old` holding
+    // the only copy.
+    if (!f.exists(data) && f.exists(old))
+      require(f.rename(old, data),
+        s"compact: found interrupted swap ($data missing) but could not restore $old")
+    f.delete(old, true)
+    val offDir = offsetsDir(outDir)
+    val ids =
+      if (!f.exists(offDir)) Array.empty[Long]
+      else f.listStatus(offDir).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).map(_.toLong)
+    val lastEnd = if (ids.isEmpty) 0L else readOffset(f, new Path(offDir, ids.max.toString))._2
+    val chunks = spark.read.parquet(data.toString)
+      .select("doc_id", "chunk_seq", "n_tokens")
+    val (assigned, total) = Packing.assignWithTotal(chunks, budget, 0L)
+    require(total == lastEnd,
+      s"compact: reassigned token total $total != last committed offset end $lastEnd — " +
+        "refusing to swap (store and offsets would disagree)")
+    assigned.write.mode("overwrite")
+      .parquet(new Path(tmp, s"batch=${if (ids.isEmpty) 0L else ids.max}").toString)
+    require(f.rename(data, old), s"compact: could not move $data aside")
+    if (!f.rename(tmp, data)) {
+      f.rename(old, data)
+      sys.error(s"compact: could not activate $tmp; original store restored")
+    }
+    f.delete(old, true)
+  }
+
   private def writeOffset(
       spark: SparkSession, outDir: String, id: Long, start: Long, end: Long): Unit = {
     val f = fs(spark, outDir)

@@ -301,6 +301,14 @@ class DomainSpec extends SparkSpecBase {
       .select("doc_id", "chunk_seq", "n_tokens", "pack_id", "pack_offset")
       .collect().map(_.toSeq).toSet
     assert(streamed == want, "CLI pack --stream output != q63 gate assignment")
+
+    // --compact on the streamed store: idempotent here (single ordered
+    // batch), but drives the verb's swap + conservation end-to-end.
+    assert(graft.Cli.run(Array("pack", "--compact", "-o", s"$tmp/spacks")) == 0)
+    val compacted = spark.read.parquet(s"$tmp/spacks/data")
+      .select("doc_id", "chunk_seq", "n_tokens", "pack_id", "pack_offset")
+      .collect().map(_.toSeq).toSet
+    assert(compacted == want, "CLI pack --compact output != q63 gate assignment")
   }
 
   test("CLI xena-eql: equal and unequal matrices, exit codes") {

@@ -51,6 +51,21 @@ class GdcNetworkSpec extends SparkSpecBase {
     assert(sleeps.toSeq == Seq(1000L, 2000L), "no sleep after the final failure")
   }
 
+  test("retry: interruption is NOT retryable — one attempt, no backoff") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val raw = new HttpTransport {
+      override def get(ep: String, params: Map[String, String]): GdcResponse = {
+        calls += 1
+        throw new graft.gdc.GdcInterrupted(new InterruptedException("cancelled"))
+      }
+    }
+    val t = new RetryingTransport(raw, retries = 10, sleeper = sleeps += _)
+    intercept[graft.gdc.GdcInterrupted](t.get("files", Map.empty))
+    assert(calls == 1, "an interrupted request must not be retried")
+    assert(sleeps.isEmpty, "no backoff sleep may follow an interruption")
+  }
+
   test("retry: connect/read IOExceptions retried, cause preserved on give-up") {
     var calls = 0
     val flaky = new HttpTransport {

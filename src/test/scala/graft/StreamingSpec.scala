@@ -538,6 +538,24 @@ class StreamingSpec extends SparkSpecBase {
       s"pack ids not dense: max ${row.getLong(2)} over ${row.getLong(3)} packs")
     assert(PackStream.startOffsetFor(spark, s"$tmp/out", batches.toLong) == chunkTokens,
       "running offset != total tokens after unordered landings")
+
+    // Compaction: re-running the batch assignment over the landed
+    // chunk rows must restore EXACTLY the batch q63 result (which the
+    // arrival-order stream, by construction above, is not), conserve
+    // the token total, and leave the running offset valid for the
+    // next maintenance window.
+    def packedSet() = PackStream.packed(spark, s"$tmp/out")
+      .select(col("doc_id"), col("chunk_seq"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+      .collect().map(_.toSeq).toSet
+    val batch63 = SparkEntry.queries("q63_pack")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(packedSet() != batch63,
+      "precondition lost: unordered stream accidentally equals batch q63 — test can't bite")
+    PackStream.compact(spark, s"$tmp/out")
+    assert(packedSet() == batch63, "compacted store != batch q63 assignment")
+    assert(PackStream.startOffsetFor(spark, s"$tmp/out", batches.toLong) == chunkTokens,
+      "compaction must not disturb the running offset")
   }
 
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
