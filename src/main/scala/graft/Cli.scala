@@ -533,9 +533,14 @@ object Cli {
           println(s"pq index (compressed codes) written to $out")
         case "ivfpq" =>
           val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
+          // --residual: faiss-style residual codes — better on
+          // clustered corpora, worse on near-uniform ones (measured;
+          // see Similarity.IvfPqIndexMeta.residual).
+          val residual = m.contains("--residual")
           graft.similarity.Similarity.writeIvfPqIndex(
-            spark.read.parquet(in), idCol, vecCol, dim, nlist, out)
-          println(s"ivf-pq index ($nlist cells, compressed codes) written to $out")
+            spark.read.parquet(in), idCol, vecCol, dim, nlist, out, residual = residual)
+          println(s"ivf-pq index ($nlist cells, compressed" +
+            s"${if (residual) " residual" else ""} codes) written to $out")
         case other => sys.error(s"ann-index --family must be ivf|lsh|pq|ivfpq, got $other")
       }
       0
@@ -584,7 +589,7 @@ object Cli {
            |  pack       --compact -o <streamed-pack-store> [--budget 512]   (restore global order between maintenance windows)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
-           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64]
+           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

@@ -215,6 +215,15 @@ class DomainSpec extends SparkSpecBase {
       "ann", "-i", emb, "-o", s"$tmp/ivfpqhits", "--mode", "ivfpq-index",
       "--index", s"$tmp/ivfpq", "-k", "3")) == 0)
     assert(spark.read.parquet(s"$tmp/ivfpqhits").count() == 24)
+
+    // --residual: flag lands in index.json and search still serves.
+    assert(graft.Cli.run(Array("ann-index", "-i", emb,
+      "-o", s"$tmp/ivfpqr", "--family", "ivfpq", "--residual")) == 0)
+    assert(graft.similarity.Similarity.readIvfPqIndexMeta(spark, s"$tmp/ivfpqr").residual)
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/ivfpqrhits", "--mode", "ivfpq-index",
+      "--index", s"$tmp/ivfpqr", "-k", "3")) == 0)
+    assert(spark.read.parquet(s"$tmp/ivfpqrhits").count() == 24)
   }
 
   test("CLI repeated flags accumulate (-f a -f b keeps both files)") {
