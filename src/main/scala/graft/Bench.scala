@@ -79,16 +79,17 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val run1 = sweep()
     val run2 = sweep()
-    def qjson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)], f: Double => String): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def full(v: Double): String = String.format(java.util.Locale.ROOT, "%.9f", Double.box(v))
     val (t1, t2) = (run1.map(_._2).sum, run2.map(_._2).sum)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRED", "BENCH_PAIRED.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar),
-      s"""{"sf":"$sfDir","warmup_total":${fmt(t1)},"measured_total":${fmt(t2)},
-         |"warmup_queries":${qjson(run1)},
-         |"measured_queries":${qjson(run2)}}
+      s"""{"sf":"$sfDir","warmup_total":${full(t1)},"measured_total":${full(t2)},
+         |"warmup_queries":${qjson(run1, full)},
+         |"measured_queries":${qjson(run2, full)}}
          |""".stripMargin)
-    println(s"""{"metric":"total","value":${fmt(t2)},"unit":"sec","queries":${qjson(run2)},"warmup_total":${fmt(t1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(t2)},"unit":"sec","queries":${qjson(run2, fmt)},"warmup_total":${fmt(t1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -149,33 +149,45 @@ object Cli {
       val resume = m.contains("--resume")
       val cohort = m.get("-c").flatMap(_.headOption)
       val spark = session()
-      // `-t all` / `-p all` expand like `main.py:63-71`: all valid
-      // dtypes from the registry; all GDC projects via the projects
-      // endpoint. `--not-datatype` / `--not-projects` subtract.
-      val dtypes0 = m.getOrElse("-t", m.getOrElse("--datatypes", Nil))
-      val dtypes =
-        (if (dtypes0.exists(_.equalsIgnoreCase("all")))
-          (DTypes.registry.keySet ++ Set("clinical", "survival")).toList.sorted
-        else dtypes0).filterNot(m.getOrElse("--not-datatype", Nil).toSet)
-      val projects0 = m.getOrElse("-p", m.getOrElse("--projects", Nil))
-      val projects =
-        (if (projects0.exists(_.equalsIgnoreCase("all"))) {
-          val catalog = new GdcCatalog(
-            spark, HttpTransport.fetchFn(transportFactory(false)))
-          // Driver-sized by contract: the projects endpoint is a
-          // catalog of ~80 rows, same as the reference's index scan.
-          catalog.projectInfo().select("project_id")
-            .collect().map(_.getString(0)).toList.sorted
-        } else projects0)
-          .filterNot(m.getOrElse("--not-projects", Nil).toSet).distinct
       val ledger = new EtlQuarantine(root)
       // Work list: projects × dtypes, or exactly the quarantined
-      // pairs when resuming. "." is the project-less key (raw data
-      // directly under <root>/<dtype>).
+      // pairs when resuming ("." is the project-less key — raw data
+      // directly under <root>/<dtype>). The -t/-p expansion lives in
+      // the non-resume branch: a resume's work list ignores both, so
+      // running it anyway would add a spurious network round-trip
+      // (`-p all`) to every offline retry.
       val pairs: List[(String, String)] =
         if (resume) ledger.recorded
         else {
+          // `-t all` / `-p all` expand like `main.py:63-71`: all valid
+          // dtypes from the registry; all GDC projects via the
+          // projects endpoint. `--not-datatype`/`--not-projects`
+          // subtract.
+          val dtypes0 = m.getOrElse("-t", m.getOrElse("--datatypes", Nil))
+          val dtypes =
+            (if (dtypes0.exists(_.equalsIgnoreCase("all")))
+              DTypes.registry.keySet.toList.sorted // incl. clinical + survival
+            else dtypes0).filterNot(m.getOrElse("--not-datatype", Nil).toSet)
           require(dtypes.nonEmpty, "etl-batch needs -t <dtypes...>")
+          // argparse-choices parity (`main.py` restricts -t to
+          // valid_dtype): an unknown dtype must fail HERE — attempted,
+          // it would be PERSISTED into the quarantine ledger, where
+          // --resume retries the impossible pair forever.
+          val unknown = dtypes.filterNot(DTypes.registry.contains)
+          require(unknown.isEmpty,
+            s"unknown dtype(s): ${unknown.mkString(", ")} " +
+              s"(valid: ${DTypes.registry.keys.toList.sorted.mkString(", ")})")
+          val projects0 = m.getOrElse("-p", m.getOrElse("--projects", Nil))
+          val projects =
+            (if (projects0.exists(_.equalsIgnoreCase("all"))) {
+              val catalog = new GdcCatalog(
+                spark, HttpTransport.fetchFn(transportFactory(false)))
+              // Driver-sized by contract: the projects endpoint is a
+              // catalog of ~80 rows, same as the reference's index scan.
+              catalog.projectInfo().select("project_id")
+                .collect().map(_.getString(0)).toList.sorted
+            } else projects0)
+              .filterNot(m.getOrElse("--not-projects", Nil).toSet).distinct
           (if (projects.isEmpty) List(".") else projects)
             .flatMap(p => dtypes.map(p -> _))
         }
@@ -453,8 +465,11 @@ object Cli {
       if (m.contains("--compact")) {
         // Maintenance verb: restore batch-q63 global order over a
         // streamed pack store (no input needed — the store's own
-        // chunk rows are the assignment input).
-        graft.streaming.PackStream.compact(session(), out, budget)
+        // chunk rows are the assignment input). The geometry comes
+        // from the store's pinned budget; --budget is only an
+        // override for stores predating the pin (a conflict refuses).
+        graft.streaming.PackStream.compact(session(), out,
+          m.get("--budget").flatMap(_.headOption).map(_.toLong))
         println(s"pack store compacted to global (doc_id, chunk_seq) order: $out")
         return 0
       }

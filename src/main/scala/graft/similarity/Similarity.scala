@@ -996,15 +996,8 @@ object Similarity {
     zip_with(qv, element_at(cLit, cell + 1), (a, b) => a - b)
   }
 
-  /** Public encode stage shared by the batch index writers and the
-    * streaming maintainer: quantize `vec` and emit its m subspace
-    * codes against frozen codebooks. Stateless and narrow. */
-  def pqEncodeVec(
-      vec: Column,
-      cbs: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
-      scale: Long): Column =
-    pqCodes(quantize(vec, scale), cbs, cbs.head.head.length)
-
+  /** Encode stage shared by the batch index writer's layout and the
+    * streaming maintainer — see [[pqEncodeForCell]]. */
   /** Residual-aware encode of a raw vector against FROZEN IVF-PQ
     * quantizers: `cell` must be the [[graft.functions.IvfNearestCells]]
     * assignment of the SAME vector. Shared by the batch writer's

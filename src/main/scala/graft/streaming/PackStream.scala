@@ -75,11 +75,65 @@ object PackStream {
       window: Int,
       stride: Int): Unit = {
     val spark = batch.sparkSession
+    val f = fs(spark, outDir)
+    // Replaying a batch the last compaction already covered would
+    // overwrite its partition with arrival-order rows whose pack ids
+    // collide with the compacted global assignment — silent store
+    // corruption. Refuse loudly instead: this only fires when compact
+    // ran against a stream whose final batch hadn't committed its
+    // checkpoint (the documented don't — drain first).
+    compactedThrough(f, outDir).filter(id <= _).foreach { through =>
+      sys.error(s"batch $id replays into a store compacted through batch $through; " +
+        "the store already holds these rows under the global order. Restart the " +
+        "stream with a fresh checkpoint + landing delta, or compact only after " +
+        "the stream has fully committed (drain with Trigger.AvailableNow).")
+    }
+    // Pin the pack geometry: every batch (and compact) must use the
+    // SAME budget or pack ids stop being comparable across the store.
+    recordBudget(f, outDir, budget)
     val start = startOffsetFor(spark, outDir, id)
     val (assigned, total) = Packing.assignWithTotal(
       Packing.chunk(batch, window, stride), budget, start)
     assigned.write.mode("overwrite").parquet(s"$outDir/data/batch=$id")
     writeOffset(spark, outDir, id, start, start + total)
+  }
+
+  /** Highest batch id covered by the last [[compact]], if any. */
+  private def compactedThrough(f: FileSystem, outDir: String): Option[Long] = {
+    val p = new Path(s"$outDir/_compacted")
+    if (f.exists(p)) Some(readSmallFile(f, p).trim.toLong) else None
+  }
+
+  /** The store's pinned pack budget, if recorded (stores created
+    * before budget pinning lack the file). */
+  private[graft] def recordedBudget(f: FileSystem, outDir: String): Option[Long] = {
+    val p = new Path(s"$outDir/_budget")
+    if (f.exists(p)) Some(readSmallFile(f, p).trim.toLong) else None
+  }
+
+  private def recordBudget(f: FileSystem, outDir: String, budget: Long): Unit =
+    recordedBudget(f, outDir) match {
+      case Some(b) if b != budget =>
+        sys.error(s"pack store $outDir was built with --budget $b; running with " +
+          s"--budget $budget would mix two pack geometries in one store")
+      case Some(_) => ()
+      case None => writeSmallFile(f, new Path(s"$outDir/_budget"), budget.toString)
+    }
+
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+    finally in.close()
+  }
+
+  private def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      if (!f.exists(p)) sys.error(s"could not commit $p")
+    }
   }
 
   /** All packed chunks so far; `batch` arrives as a partition column
@@ -133,11 +187,29 @@ object PackStream {
     * rows land under the last batch's `batch=<id>` partition (one
     * coherent layout for [[packed]]); the swap is the same
     * write-aside-then-two-renames as the ANN store compactor, with
-    * the same interrupted-swap recovery. Run between maintenance
-    * windows only.
+    * the same interrupted-swap recovery. The geometry comes from the
+    * store's pinned `_budget` (an explicit conflicting override is
+    * refused), and the `_compacted` watermark fences out crash-replays
+    * of covered batch ids afterwards. Run between maintenance windows
+    * only — drain the stream (Trigger.AvailableNow) first.
     */
-  def compact(spark: SparkSession, outDir: String, budget: Long = 512L): Unit = {
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      budgetOverride: Option[Long] = None): Unit = {
     val f = fs(spark, outDir)
+    // The pack geometry comes from the store's own pinned budget —
+    // compacting with a different budget than the stream used would
+    // rewrite every row under the wrong geometry while the
+    // conservation check (budget-independent) still passes. An
+    // explicit conflicting override is refused; the override only
+    // serves stores created before budget pinning.
+    val budget = (recordedBudget(f, outDir), budgetOverride) match {
+      case (Some(b), Some(o)) if b != o =>
+        sys.error(s"pack store $outDir is pinned to --budget $b; refusing to compact " +
+          s"with --budget $o (two pack geometries in one store)")
+      case (stored, over) => stored.orElse(over).getOrElse(512L)
+    }
     val data = new Path(s"$outDir/data")
     val tmp = new Path(s"$outDir/data__compacting")
     val old = new Path(s"$outDir/data__old")
@@ -169,6 +241,12 @@ object PackStream {
       sys.error(s"compact: could not activate $tmp; original store restored")
     }
     f.delete(old, true)
+    // Replay fence: every batch id up to the compaction coverage now
+    // lives inside the rewritten store; a crash-replay of one of them
+    // would overwrite its partition with colliding arrival-order pack
+    // ids. processBatch refuses ids <= this watermark.
+    writeSmallFile(f, new Path(s"$outDir/_compacted"),
+      (if (ids.isEmpty) 0L else ids.max).toString)
   }
 
   private def writeOffset(

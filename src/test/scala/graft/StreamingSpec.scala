@@ -556,6 +556,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(packedSet() == batch63, "compacted store != batch q63 assignment")
     assert(PackStream.startOffsetFor(spark, s"$tmp/out", batches.toLong) == chunkTokens,
       "compaction must not disturb the running offset")
+
+    // Geometry + replay guards. A divergent budget must refuse (both
+    // in a batch and as a compact override): the conservation check
+    // is budget-independent, so without the pin a wrong budget would
+    // silently rewrite every row under the wrong pack geometry.
+    val eb = intercept[RuntimeException](
+      PackStream.processBatch(docs.limit(1), 99L, s"$tmp/out", 256L, 50, 40))
+    assert(eb.getMessage.contains("budget"))
+    val ec = intercept[RuntimeException](
+      PackStream.compact(spark, s"$tmp/out", Some(256L)))
+    assert(ec.getMessage.contains("budget"))
+    // Replaying a batch id the compaction covered would overwrite its
+    // partition with colliding arrival-order pack ids — fenced.
+    val er = intercept[RuntimeException](
+      PackStream.processBatch(docs.limit(1), (batches - 1).toLong, s"$tmp/out", 512L, 50, 40))
+    assert(er.getMessage.contains("compacted"))
+    // A genuinely new batch id continues from the same offset.
+    PackStream.processBatch(docs.limit(0), batches.toLong, s"$tmp/out", 512L, 50, 40)
+    assert(packedSet() == batch63, "empty continuation batch changed the store")
   }
 
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
