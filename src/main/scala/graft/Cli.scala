@@ -191,6 +191,11 @@ object Cli {
           (if (projects.isEmpty) List(".") else projects)
             .flatMap(p => dtypes.map(p -> _))
         }
+      // `--delete-raw`: drop a pair's raw dir once its matrix is
+      // written (`gdc2xena.py:93-95` shutil.rmtree on delete_raw_data)
+      // — a 33-project × 22-dtype run would otherwise hold every raw
+      // download on disk simultaneously.
+      val deleteRaw = m.contains("--delete-raw")
       var nOk, nFail = 0
       pairs.foreach { case (proj, d) =>
         val sub = if (proj == ".") d else s"$proj/$d"
@@ -199,6 +204,10 @@ object Cli {
             cohort.getOrElse(if (proj == ".") "GDC " + d else "GDC " + proj))
           nOk += 1
           ledger.succeeded(proj, d)
+          if (deleteRaw) {
+            println(s"[etl-batch] $sub: deleting raw data")
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/$sub"))
+          }
           println(s"[etl-batch] $sub: ok")
         } catch {
           // NonFatal only: an OOM/linkage error means the session is
@@ -589,7 +598,7 @@ object Cli {
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
            |  etl        -t <dtype> -r <raw-dir> -o <out-matrix> [-c <cohort>]
-           |  etl-batch  -t <dtypes...|all> -r <root> -o <out-dir> [-p <projects...|all>] [--not-datatype <d...>] [--not-projects <p...>] [--resume] [-c <cohort>]
+           |  etl-batch  -t <dtypes...|all> -r <root> -o <out-dir> [-p <projects...|all>] [--not-datatype <d...>] [--not-projects <p...>] [--resume] [--delete-raw] [-c <cohort>]
            |             (quarantines failures to <root>/unfinished.json + etl_<ts>.err; --resume re-attempts exactly those)
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]

@@ -364,6 +364,19 @@ class DomainSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$tmp/out/mirna.tsv")))
   }
 
+  test("CLI etl-batch --delete-raw: raw dir dropped after a successful transform") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cli_delraw")
+    val raw = Files.createDirectories(tmp.resolve("raw/star_counts"))
+    Files.list(Paths.get("/root/repo/fixtures/star_counts")).forEach(f =>
+      Files.copy(f, raw.resolve(f.getFileName)))
+    val out = tmp.resolve("out").toString
+    assert(graft.Cli.run(Array("etl-batch", "-t", "star_counts",
+      "-r", tmp.resolve("raw").toString, "-o", out, "--delete-raw")) == 0)
+    assert(Files.exists(Paths.get(s"$out/star_counts.tsv.json")), "matrix not produced")
+    assert(!Files.exists(raw), "--delete-raw must remove the consumed raw dir")
+  }
+
   test("CLI etl-batch: quarantine persists; --resume re-attempts only the quarantined pairs") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_cli_batchq")
