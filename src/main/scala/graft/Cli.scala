@@ -210,6 +210,16 @@ object Cli {
           }
           println(s"[etl-batch] $sub: ok")
         } catch {
+          // Cancellation is NOT a dataset failure: GdcInterrupted is a
+          // RuntimeException (hence NonFatal), but quarantining it
+          // would record a user ctrl-C as an unfinished pair and keep
+          // iterating the remaining work with the interrupt flag set.
+          // Abort the whole run instead — the ledger keeps whatever it
+          // held before this pair, so --resume still re-attempts it.
+          case e: graft.gdc.GdcInterrupted =>
+            println(s"[etl-batch] $sub: interrupted — aborting run " +
+              s"(${ledger.recorded.size} pair(s) remain recorded for --resume)")
+            throw e
           // NonFatal only: an OOM/linkage error means the session is
           // no longer trustworthy — quarantining it and "succeeding"
           // the remaining dtypes on a corrupted JVM would report
@@ -610,7 +620,7 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
-           |  pack       --compact -o <streamed-pack-store> [--budget 512]   (restore global order between maintenance windows)
+           |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual]

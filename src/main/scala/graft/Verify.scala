@@ -4,6 +4,20 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Recursive orderability, mirroring Catalyst's TypeUtils: a MapType
+    * anywhere inside the type (element, struct field, value) makes the
+    * whole column unorderable for orderBy. */
+  private[graft] def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => orderable(et)
+      case StructType(fields) => fields.forall(f => orderable(f.dataType))
+      case udt: UserDefinedType[_] => orderable(udt.sqlType)
+      case _ => true
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional third arg: comma-separated query-name prefixes, for
     // fast single-query iteration (the driver always passes two args).
@@ -31,11 +45,13 @@ object Verify {
       // Canonical row order (all orderable columns): output row order
       // must be a function of the data alone, never of partition
       // boundaries or core count, so an order-sensitive downstream
-      // hash can't flake. Map columns aren't orderable; skip them.
+      // hash can't flake. Orderability is recursive — a map ANYWHERE
+      // in the type (array<map<...>>, struct with a map field) makes
+      // the column unorderable and orderBy throw; skip those too.
       try {
         val df = fn(spark, sfDir)
         val sortable = df.schema.fields
-          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .filter(f => orderable(f.dataType))
           .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`"))
         val canon = if (sortable.nonEmpty) df.orderBy(sortable.toIndexedSeq: _*) else df
         canon.coalesce(1).write.mode("overwrite").parquet(dest)

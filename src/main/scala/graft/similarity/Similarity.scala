@@ -996,8 +996,6 @@ object Similarity {
     zip_with(qv, element_at(cLit, cell + 1), (a, b) => a - b)
   }
 
-  /** Encode stage shared by the batch index writer's layout and the
-    * streaming maintainer — see [[pqEncodeForCell]]. */
   /** Residual-aware encode of a raw vector against FROZEN IVF-PQ
     * quantizers: `cell` must be the [[graft.functions.IvfNearestCells]]
     * assignment of the SAME vector. Shared by the batch writer's

@@ -208,8 +208,20 @@ object PackStream {
       case (Some(b), Some(o)) if b != o =>
         sys.error(s"pack store $outDir is pinned to --budget $b; refusing to compact " +
           s"with --budget $o (two pack geometries in one store)")
-      case (stored, over) => stored.orElse(over).getOrElse(512L)
+      case (Some(b), _) => b
+      case (None, Some(o)) => o
+      case (None, None) =>
+        // No pin and no override: guessing a default here would rewrite
+        // a pre-pin store built with a different budget under the wrong
+        // geometry while the budget-independent conservation check still
+        // passes. Make the caller state the geometry explicitly.
+        sys.error(s"pack store $outDir has no pinned _budget; pass an explicit " +
+          "--budget matching the budget the store was built with")
     }
+    // Pin the resolved geometry so subsequent maintenance batches are
+    // held to the same budget (recordBudget is a no-op when already
+    // pinned; the conflict case was refused above).
+    recordBudget(f, outDir, budget)
     val data = new Path(s"$outDir/data")
     val tmp = new Path(s"$outDir/data__compacting")
     val old = new Path(s"$outDir/data__old")
@@ -226,7 +238,14 @@ object PackStream {
       if (!f.exists(offDir)) Array.empty[Long]
       else f.listStatus(offDir).map(_.getPath.getName)
         .filterNot(_.startsWith(".")).map(_.toLong)
-    val lastEnd = if (ids.isEmpty) 0L else readOffset(f, new Path(offDir, ids.max.toString))._2
+    // A store with no committed offsets has nothing to compact; writing
+    // `_compacted = 0` + a `batch=0` partition here would permanently
+    // fence out a legitimate first batch id 0 from a stream that simply
+    // hadn't committed yet (half-initialized or never-streamed store).
+    if (ids.isEmpty)
+      sys.error(s"pack store $outDir has no committed offsets (_offsets empty); " +
+        "nothing to compact — run the stream (or let a batch commit) first")
+    val lastEnd = readOffset(f, new Path(offDir, ids.max.toString))._2
     val chunks = spark.read.parquet(data.toString)
       .select("doc_id", "chunk_seq", "n_tokens")
     val (assigned, total) = Packing.assignWithTotal(chunks, budget, 0L)
@@ -234,7 +253,7 @@ object PackStream {
       s"compact: reassigned token total $total != last committed offset end $lastEnd — " +
         "refusing to swap (store and offsets would disagree)")
     assigned.write.mode("overwrite")
-      .parquet(new Path(tmp, s"batch=${if (ids.isEmpty) 0L else ids.max}").toString)
+      .parquet(new Path(tmp, s"batch=${ids.max}").toString)
     require(f.rename(data, old), s"compact: could not move $data aside")
     if (!f.rename(tmp, data)) {
       f.rename(old, data)
@@ -245,8 +264,7 @@ object PackStream {
     // lives inside the rewritten store; a crash-replay of one of them
     // would overwrite its partition with colliding arrival-order pack
     // ids. processBatch refuses ids <= this watermark.
-    writeSmallFile(f, new Path(s"$outDir/_compacted"),
-      (if (ids.isEmpty) 0L else ids.max).toString)
+    writeSmallFile(f, new Path(s"$outDir/_compacted"), ids.max.toString)
   }
 
   private def writeOffset(

@@ -26,4 +26,25 @@ class QueriesSmokeSpec extends SparkSpecBase {
       df.count() // forces full execution
     }
   }
+
+  test("Verify.orderable recurses: nested maps are unorderable, everything else sorts") {
+    import org.apache.spark.sql.types._
+    val m = MapType(StringType, LongType)
+    assert(!Verify.orderable(m))
+    assert(!Verify.orderable(ArrayType(m)))
+    assert(!Verify.orderable(StructType(Seq(StructField("x", m)))))
+    assert(!Verify.orderable(ArrayType(StructType(Seq(StructField("x", ArrayType(m)))))))
+    assert(Verify.orderable(ArrayType(StructType(Seq(StructField("x", ArrayType(LongType)))))))
+    assert(Verify.orderable(StringType) && Verify.orderable(BinaryType))
+    // The canonical-order sort itself must survive a nested-map column:
+    // a df with array<map<...>> used to make orderBy throw inside
+    // Verify's loop and record a false query failure.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3).select(col("id"),
+      array(map(lit("k"), col("id"))).as("am"))
+    val sortable = df.schema.fields.filter(f => Verify.orderable(f.dataType))
+      .map(f => col(s"`${f.name}`"))
+    assert(sortable.map(_.toString).toSeq == Seq("id"))
+    df.orderBy(sortable.toIndexedSeq: _*).collect() // must not throw
+  }
 }

@@ -577,6 +577,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(packedSet() == batch63, "empty continuation batch changed the store")
   }
 
+  test("pack compact: unpinned store needs explicit budget; empty store refuses") {
+    import java.nio.file.Files
+    import graft.streaming.PackStream
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(20)
+    val tmp = Files.createTempDirectory("graft_pack_guards").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+
+    // A store that never committed an offset has nothing to compact:
+    // compacting it used to write _compacted=0 + a batch=0 partition,
+    // permanently fencing a legitimate first batch 0.
+    val empty = s"$tmp/empty"
+    val e0 = intercept[RuntimeException](PackStream.compact(spark, empty, Some(512L)))
+    assert(e0.getMessage.contains("offsets"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$empty/_compacted")),
+      "refused compact must not leave a _compacted watermark")
+
+    // A pre-pin store (simulated by deleting _budget): compact with no
+    // override must refuse — guessing 512 would silently rewrite a
+    // 256-budget store under the wrong geometry.
+    val out = s"$tmp/prepin"
+    PackStream.processBatch(docs, 0L, out, 256L, 50, 40)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$out/_budget"), false))
+    val e1 = intercept[RuntimeException](PackStream.compact(spark, out))
+    assert(e1.getMessage.contains("_budget"))
+    // With the explicit override it compacts AND re-pins the geometry,
+    // so the next maintenance batch is held to the same budget again.
+    PackStream.compact(spark, out, Some(256L))
+    val e2 = intercept[RuntimeException](
+      PackStream.processBatch(docs, 99L, out, 512L, 50, 40))
+    assert(e2.getMessage.contains("budget"), "compact must re-pin the resolved budget")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
