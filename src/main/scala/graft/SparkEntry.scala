@@ -106,6 +106,24 @@ object SparkEntry {
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(qtySum(col("l_quantity")))
 
+  /** Pan-cancer-width pivot (SURVEY §7.4 risk 1): the two-phase
+    * [[XenaOps.pivotMatrixWide]] with `batchSize = 7` so the 25
+    * nation-keyed samples force the BATCHED path (4 pivot batches,
+    * full-outer merged) — the code a >10k-sample export runs, gated
+    * at driver-checkable width. Cells are pre-averaged in decimal-sum
+    * form (q13's trick) so the pivot's avg() is an identity and the
+    * result is bit-comparable to the oracle. */
+  def q71WidePivot(s: SparkSession, dir: String): DataFrame = {
+    val averaged = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"),
+        concat(lit("n"), col("c_nationkey").cast("string")).as("sample"),
+        col("c_acctbal").as("value"))
+      .groupBy(col("segment"), col("sample"))
+      .agg(round(sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1)), 6)
+        .as("value"))
+    XenaOps.pivotMatrixWide(averaged, "segment", "sample", "value", batchSize = 7)
+  }
+
   /** §2.5 V2: wide→long unpivot (melt). */
   def q07Unpivot(s: SparkSession, dir: String): DataFrame = {
     val wide = Tables.part(s, dir).select(
@@ -973,6 +991,7 @@ object SparkEntry {
     "q68_shuffle_order" -> (q68ShuffleOrder _),
     "q69_pq_topk" -> (q69PqTopK _),
     "q70_neardup_dedup" -> (q70NearDupDedup _),
+    "q71_wide_pivot" -> (q71WidePivot _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1650,6 +1669,21 @@ object SparkEntry {
         |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN survivors USING (doc_id)""".stripMargin,
+    "q71_wide_pivot" -> {
+      // 25 pivot columns generated from the same key space the engine
+      // derives them from (n0..n24), so engine and oracle can't drift
+      // on a hand-edited column list.
+      val cols = (0 to 24).map(i =>
+        s"""  max(CASE WHEN sample = 'n$i' THEN value END) AS "n$i"""").mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT c_mktsegment AS segment,
+         |    'n' || CAST(c_nationkey AS VARCHAR) AS sample,
+         |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS value
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT segment,
+         |$cols
+         |FROM m GROUP BY segment""".stripMargin
+    },
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

@@ -40,6 +40,66 @@ object XenaOps {
     pivoted.agg(avg(col(valueCol)))
   }
 
+  /** Long→wide pivot at pan-cancer widths (reference
+    * `xena_dataset.py:224-230` pandas `concat(axis=1)` and
+    * `scripts/join_xena.sh:59-67`, both of which assemble ~11k sample
+    * columns without a width limit).
+    *
+    * Two phases:
+    *  1. ONE distinct pass collects the sample universe to the driver —
+    *    driver list sized by the OUTPUT schema's column count, which
+    *    any wide result carries anyway. The explicit value list makes
+    *    each pivot a single shuffle and bypasses
+    *    `spark.sql.pivotMaxValues` (that cap guards the *inference*
+    *    collect, which this phase replaces).
+    *  2. Pivot in bounded column batches of `batchSize`, full-outer
+    *    merged on the row key. Batching keeps each aggregate's
+    *    expression count (and per-group state) bounded instead of
+    *    materializing one 11k-wide PivotFirst; each batch filters
+    *    `sampleCol IN (batch)` — pushed to the parquet scan, so with
+    *    sample-clustered inputs (the Xena layout: one file per sample)
+    *    a batch reads only its own slice and the total pre-merge
+    *    shuffle volume across all batches stays ~one full pass
+    *    (2 exchanges per batch: Spark plans pivot as a two-level
+    *    aggregate — per-(key,sample) pre-agg, then PivotFirst).
+    *    The merges cost one more exchange per join after the first: a
+    *    full-outer join's output partitioning is unknown to Catalyst
+    *    (either side may inject nulls), so the ACCUMULATED matrix
+    *    re-shuffles at each subsequent merge — (batches-2) extra
+    *    passes over dense-matrix volume. At pan-cancer widths the
+    *    batch count is single-digit (11k / 4000 = 3 ⇒ exactly one
+    *    extra pass), which is why `batchSize` is a width bound, not a
+    *    tuning knob to shrink: plan shape is pinned in PlanShapeSpec
+    *    at 3·batches−2 exchanges.
+    *
+    * ≤`batchSize` samples degrade to the plain single-shuffle
+    * [[pivotMatrix]] with explicit values.
+    */
+  def pivotMatrixWide(
+      long: DataFrame,
+      rowKey: String,
+      sampleCol: String,
+      valueCol: String,
+      batchSize: Int = 4000): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val sampleRows = long.select(col(sampleCol).cast("string")).distinct().collect()
+    // A null sample id cannot name a matrix column — same contract as
+    // transposeSmall's key column. Fail loud, not a column named "null".
+    require(!sampleRows.exists(_.isNullAt(0)),
+      s"pivotMatrixWide: null value in sample column '$sampleCol' cannot name a column")
+    val samples = sampleRows.map(_.getString(0)).sorted.toIndexedSeq
+    if (samples.length <= batchSize)
+      pivotMatrix(long, rowKey, sampleCol, valueCol, samples)
+    else {
+      val slices = samples.grouped(batchSize).toSeq.map { vs =>
+        pivotMatrix(
+          long.filter(col(sampleCol).cast("string").isin(vs: _*)),
+          rowKey, sampleCol, valueCol, vs)
+      }
+      mergeHorizontal(slices, rowKey)
+    }
+  }
+
   /** Wide→long unpivot (melt): inverse of [[pivotMatrix]]; reference
     * re-reads wide matrices for merge/compare (`utils.py:117-125`,
     * `main.py:27-36`). Narrow transform — no shuffle.
@@ -139,7 +199,9 @@ object XenaOps {
     */
   def canonicalEqual(a: DataFrame, b: DataFrame): Boolean = {
     if (a.columns.sorted.toSeq != b.columns.sorted.toSeq) return false
-    val cols = a.columns.sorted.toIndexedSeq.map(col)
+    // Backticked: phenotype columns are dotted (reverseDottedRename),
+    // and a bare col("a.b") parses as a struct path, not the column.
+    val cols = a.columns.sorted.toIndexedSeq.map(c => col(s"`$c`"))
     val ca = a.select(cols: _*)
     val cb = b.select(cols: _*)
     ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty

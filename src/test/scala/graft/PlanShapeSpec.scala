@@ -258,6 +258,29 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p68.contains("BroadcastHashJoin"), p68.take(1500))
   }
 
+  test("pivotMatrixWide: 3·batches−2 exchanges, no cartesian, joins stay key-equi") {
+    import org.apache.spark.sql.functions._
+    // 100 samples, batchSize 40 → 3 batch pivots. The pinned shape:
+    //  - 2 exchanges per batch (Spark plans pivot as per-(key,sample)
+    //    pre-agg + PivotFirst, each with its own hash exchange);
+    //  - +1 exchange per merge after the first: full-outer output
+    //    partitioning is unknown to Catalyst, so the accumulated side
+    //    re-shuffles. 3·3−2 = 7. This pin is the budget — a regression
+    //    to per-batch re-shuffles of the FULL matrix (or a cartesian)
+    //    must fail here before it fails on a cluster.
+    val long = spark.range(0, 100L * 20)
+      .select(
+        concat(lit("g"), (col("id") % 20).cast("string")).as("probe"),
+        concat(lit("s"), floor(col("id") / 20).cast("string")).as("sample"),
+        (col("id") % 13).cast("double").as("value"))
+    val wide = graft.ops.XenaOps.pivotMatrixWide(long, "probe", "sample", "value", batchSize = 40)
+    val p = wide.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 7, s"expected 3*3-2 = 7 exchanges, got $exchanges:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"), "wide pivot single-partitioned")
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

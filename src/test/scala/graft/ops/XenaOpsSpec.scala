@@ -37,6 +37,63 @@ class XenaOpsSpec extends SparkSpecBase {
     assert(XenaOps.canonicalEqual(back, averaged))
   }
 
+  test("pivotMatrixWide batched path equals plain pivot at small width") {
+    // 30 samples, batchSize 7 → 5 batches with a ragged tail; sparse
+    // cells so the full-outer merge must align rows across batches.
+    val long = spark.range(0, 50 * 30)
+      .select(
+        concat(lit("g"), (col("id") % 50).cast("string")).as("probe"),
+        concat(lit("s"), floor(col("id") / 50).cast("string")).as("sample"),
+        (col("id") % 97).cast("double").as("value"))
+      .filter((col("id") % 7) =!= 0) // holes → null cells
+    val wide = XenaOps.pivotMatrixWide(long, "probe", "sample", "value", batchSize = 7)
+    val plain = XenaOps.pivotMatrix(long, "probe", "sample", "value")
+    assert(XenaOps.canonicalEqual(wide, plain),
+      "batched wide pivot diverged from the plain single-shuffle pivot")
+  }
+
+  test("pivotMatrixWide assembles a >12k-sample pan-cancer width with default configs") {
+    // SURVEY §7.4 risk 1: the reference concat(axis=1)s ~11k sample
+    // columns (xena_dataset.py:224-230); our plain pivot would need a
+    // pivotMaxValues bump above 10k. 12_500 distinct samples, default
+    // batchSize, default spark.sql.pivotMaxValues (10k) — must build.
+    val nSamples = 12500
+    val nProbes = 8
+    val long = spark.range(0, nSamples.toLong * nProbes)
+      .select(
+        concat(lit("p"), (col("id") % nProbes).cast("string")).as("probe"),
+        concat(lit("s"), floor(col("id") / nProbes).cast("string")).as("sample"),
+        (col("id") % 1001).cast("double").as("value"),
+        col("id"))
+      // drop one (probe, sample) stripe so batches see missing cells
+      .filter(!(col("probe") === "p3" && floor(col("id") / nProbes) % 5 === 0))
+      .drop("id")
+    assert(spark.conf.get("spark.sql.pivotMaxValues").toInt == 10000,
+      "test precondition: default pivotMaxValues")
+    val wide = XenaOps.pivotMatrixWide(long, "probe", "sample", "value")
+    assert(wide.columns.length == nSamples + 1,
+      s"expected ${nSamples + 1} columns, got ${wide.columns.length}")
+    val rows = wide.collect()
+    assert(rows.length == nProbes)
+    // Spot-check cells: value of (p, s_k) is (k*nProbes + p) % 1001.
+    val byProbe = rows.map(r => r.getString(wide.columns.indexOf("probe")) -> r).toMap
+    def cell(p: Int, s: Int): Option[Double] = {
+      val r = byProbe(s"p$p"); val i = wide.columns.indexOf(s"s$s")
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    assert(cell(1, 12344) == Some(((12344L * nProbes + 1) % 1001).toDouble))
+    assert(cell(0, 0) == Some(0.0))
+    assert(cell(3, 12345) == None, "dropped stripe must surface as a null cell")
+    assert(cell(3, 12346) == Some(((12346L * nProbes + 3) % 1001).toDouble))
+  }
+
+  test("pivotMatrixWide refuses a null sample id") {
+    val long = Seq(("g1", "s1", 1.0), ("g1", null, 2.0)).toDF("probe", "sample", "value")
+    val e = intercept[IllegalArgumentException](
+      XenaOps.pivotMatrixWide(long, "probe", "sample", "value"))
+    assert(e.getMessage.contains("sample"))
+  }
+
   test("mergeHorizontal is a full-outer join on the row key") {
     val a = Seq(("g1", 1.0), ("g2", 2.0)).toDF("probe", "x")
     val b = Seq(("g2", 20.0), ("g3", 30.0)).toDF("probe", "y")
