@@ -91,8 +91,31 @@ object Bench {
       isolate()
       dt
     }
+    // SPARK_GRAFT_BENCH_ONLY=q26,q27 restricts the sweep to matching
+    // name prefixes: a fresh-JVM single-query paired run is the
+    // cold-start experiment (pass 1 = true first-run cost incl. the
+    // query's own codegen+JIT, pass 2 = steady state) without the
+    // other 69 queries' state in the way.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     def sweep(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> time(name, fn) }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+        .map { case (name, fn) => name -> time(name, fn) }
+    // Janino compile telemetry per pass (stderr, never stdout): count
+    // and summed ms of whole-stage/expression codegen compilation, so
+    // a slow first pass can be attributed to (or acquitted of) codegen
+    // cost with numbers instead of guesses. Snapshot sum is
+    // reservoir-approximate past ~1k compilations — fine for a delta.
+    def compileMs(): (Long, Long) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getValues.sum)
+    }
+    def logCompileDelta(pass: String, before: (Long, Long)): Unit = {
+      val now = compileMs()
+      System.err.println(
+        s"[bench] $pass: codegen compiled ${now._1 - before._1} classes, ~${now._2 - before._2} ms")
+    }
     // Paired sweeps: machine drift on this harness reaches +-50% on
     // totals, so a single pass can't tell drift from regression. Pass 1
     // warms every query's own codegen/JIT; pass 2 is the headline
@@ -101,9 +124,13 @@ object Bench {
     // 3dp, because the round-6 artifact proved a full-precision 70-query
     // line gets truncated by the capture and parses as null.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val cg0 = compileMs()
     val run1 = sweep()
+    logCompileDelta("warmup pass", cg0)
     passBoundary()
+    val cg1 = compileMs()
     val run2 = sweep()
+    logCompileDelta("measured pass", cg1)
     // Drift guard: a one-off stall (GC pause, page-cache miss, another
     // process) on a slow query reads as a regression in round-over-round
     // comparison. Re-time the measured pass's 5 slowest a third time and

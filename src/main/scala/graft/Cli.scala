@@ -569,12 +569,21 @@ object Cli {
           val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
           // --residual: faiss-style residual codes — better on
           // clustered corpora, worse on near-uniform ones (measured;
-          // see Similarity.IvfPqIndexMeta.residual).
+          // see Similarity.IvfPqIndexMeta.residual). --residual-auto
+          // measures the corpus instead (mean residual-norm ratio
+          // under the trained quantizer) and records the estimate and
+          // the choice in index.json.
           val residual = m.contains("--residual")
+          val residualAuto = m.contains("--residual-auto")
           graft.similarity.Similarity.writeIvfPqIndex(
-            spark.read.parquet(in), idCol, vecCol, dim, nlist, out, residual = residual)
-          println(s"ivf-pq index ($nlist cells, compressed" +
-            s"${if (residual) " residual" else ""} codes) written to $out")
+            spark.read.parquet(in), idCol, vecCol, dim, nlist, out,
+            residual = residual, residualAuto = residualAuto)
+          val mode =
+            if (residualAuto)
+              (if (graft.similarity.Similarity.readIvfPqIndexMeta(spark, out).residual)
+                " residual (auto)" else " raw (auto)")
+            else if (residual) " residual" else ""
+          println(s"ivf-pq index ($nlist cells, compressed$mode codes) written to $out")
         case other => sys.error(s"ann-index --family must be ivf|lsh|pq|ivfpq, got $other")
       }
       0
@@ -623,7 +632,7 @@ object Cli {
            |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
-           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual]
+           |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

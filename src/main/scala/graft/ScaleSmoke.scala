@@ -68,6 +68,74 @@ object ScaleSmoke {
     }.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** Synthesizes a clinical `cases.json` with the full nested
+    * array-of-struct shape (SURVEY §3 E3's input) at thousands of
+    * cases — ~1000× the 4-case fixture the correctness gate reads.
+    * Everything derives deterministically from the case index: 0–2
+    * annotations, 1–3 diagnoses (each 0–2 treatments, 0–1 pathology
+    * details), 1–4 samples, and every 5th (id+d) age is the GDC's
+    * literal "not reported" so the lenient min-age parse (P13) is
+    * exercised at scale, not just on the fixture. `slice(transform(
+    * sequence(1, max)), 1, n)` builds the variable-length arrays —
+    * `sequence(1, 0)` would yield a DESCENDING [1,0], never empty. */
+  private[graft] def clinicalTenX(spark: SparkSession, outPath: String, nCases: Int): Unit = {
+    val sexes = array(lit("female"), lit("male"), lit("not reported"))
+    // The range column is renamed first: the output aliases one of its
+    // own columns "id" (a string), and Spark's lateral-column-alias
+    // resolution lets lambda bodies capture that alias over the input
+    // long — a cast-to-BIGINT crash at generation time.
+    val cases = spark.range(nCases).select(col("id").as("cid")).select(
+      format_string("case-%06d", col("cid")).as("id"),
+      format_string("TCGA-SC-%06d", col("cid")).as("submitter_id"),
+      element_at(array(lit("Adenomas and Adenocarcinomas"), lit("Gliomas"),
+        lit("Acute Lymphoblastic Leukemia")), pmod(col("cid"), lit(3)).cast("int") + 1)
+        .as("disease_type"),
+      lit("released").as("state"),
+      lit("2021-03-04T00:00:00").as("created_datetime"),
+      struct(format_string("TCGA-P%02d", pmod(col("cid"), lit(7))).as("project_id")).as("project"),
+      struct(
+        element_at(sexes, pmod(col("cid"), lit(3)).cast("int") + 1).as("gender"),
+        element_at(array(lit("Alive"), lit("Dead")), pmod(col("cid"), lit(2)).cast("int") + 1)
+          .as("vital_status"),
+        (lit(1930L) + pmod(col("cid"), lit(60))).as("year_of_birth")).as("demographic"),
+      slice(transform(sequence(lit(1), lit(2)), a =>
+        struct(format_string("category_%d", a).as("category"),
+          lit("Notification").as("classification"))),
+        lit(1), pmod(col("cid"), lit(3)).cast("int")).as("annotations"),
+      slice(transform(sequence(lit(1), lit(3)), d =>
+        struct(
+          when(pmod(col("cid") + d, lit(5)) === 0, lit("not reported"))
+            .otherwise((lit(10000) + pmod(col("cid") * 7 + d, lit(20000))).cast("string"))
+            .as("age_at_diagnosis"),
+          format_string("G%d", d).as("tumor_grade"),
+          slice(transform(sequence(lit(1), lit(2)), t =>
+            struct(format_string("agent_%d", t).as("therapeutic_agents"),
+              element_at(array(lit("Radiation Therapy, NOS"), lit("Chemotherapy")), t)
+                .as("treatment_type"))),
+            lit(1), pmod(col("cid") + d, lit(3)).cast("int")).as("treatments"),
+          slice(transform(sequence(lit(1), lit(2)), p =>
+            struct(pmod(col("cid") * 3 + p, lit(40)).cast("string").as("lymph_nodes_tested"))),
+            lit(1), pmod(col("cid") + d, lit(2)).cast("int")).as("pathology_details"))),
+        lit(1), pmod(col("cid"), lit(3)).cast("int") + 1).as("diagnoses"),
+      slice(transform(sequence(lit(1), lit(4)), sm =>
+        struct(format_string("TCGA-SC-%06d-%02dA", col("cid"), sm).as("submitter_id"),
+          element_at(array(lit("Primary Tumor"), lit("Solid Tissue Normal"),
+            lit("Metastatic"), lit("Blood Derived Normal")), sm).as("sample_type"),
+          element_at(array(lit("Tumor"), lit("Normal"), lit("Tumor"), lit("Normal")), sm)
+            .as("tissue_type"))),
+        lit(1), pmod(col("cid"), lit(4)).cast("int") + 1).as("samples"))
+    cases.repartition(8).write.mode("overwrite").json(outPath)
+  }
+
+  /** Driver-side mirror of `clinicalTenX`'s age formula — the oracle
+    * for the derived min-age spot checks in check 6. */
+  private def expectedMinAge(id: Long): Option[Double] = {
+    val ages = (1 to (id % 3 + 1).toInt).collect {
+      case d if (id + d) % 5 != 0 => (10000 + (id * 7 + d) % 20000).toDouble
+    }
+    if (ages.isEmpty) None else Some(ages.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
@@ -227,6 +295,52 @@ object ScaleSmoke {
     checks += ("persisted IVF-PQ at 10x: pruned probe finds the planted families" ->
       (f"family precision $famPrec%.3f, recall@5 $recallIdx%.3f (near-tie ranks unstable " +
         f"under ADC by construction), build $buildSec%.1f s, PartitionFilters verified"))
+
+    // 6. Clinical E3 at 10×: the nested-JSON pipeline (the survey's
+    // declared stress test) end-to-end on 5k synthesized cases —
+    // ~1000× the correctness fixture. Invariants: (a) output rows ==
+    // exploded sample count (the inner sample fan-out is the only
+    // row-multiplying join; every case has ≥1 sample so none vanish);
+    // (b) schema identical to the fixture-sized q35 run (scale must
+    // not change the column surface); (c) the derived lenient min-age
+    // matches a driver-side oracle on spot cases, including an
+    // all-unparseable one; (d) ≤6 hash exchanges — 4 groupBy
+    // aggregations plus at worst a sort-merge sample join; the
+    // broadcast left joins must not shuffle — and no cartesian.
+    val clinPath = s"$workDir/cases10x.json"
+    val c0 = System.nanoTime()
+    clinicalTenX(spark, clinPath, nCases = 5000)
+    val matrix = graft.transform.Clinical.clinicalMatrix(spark, clinPath)
+    val outRows = matrix.count()
+    val clinSec = (System.nanoTime() - c0) / 1e9
+    val expectedRows = spark.read.schema(graft.transform.Clinical.casesSchema)
+      .json(clinPath).select(explode(col("samples"))).count()
+    assert(outRows == expectedRows,
+      s"clinical fan-out rows $outRows != exploded sample count $expectedRows")
+    val fixtureCols = SparkEntry.queries("q35_clinical")(spark, workDir).columns.toSeq
+    assert(matrix.columns.toSeq == fixtureCols,
+      s"clinical schema drifted at 10x:\n got ${matrix.columns.mkString(",")}\n want ${fixtureCols.mkString(",")}")
+    val ageCol = "age_at_earliest_diagnosis.diagnoses.xena_derived"
+    val spotIds = Seq(24L, 123L, 4999L) // 24: single "not reported" age -> null
+    val got = matrix.filter(col("id").isin(spotIds.map(i => f"case-$i%06d"): _*))
+      .select(col("id"), col(s"`$ageCol`")).distinct().collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    spotIds.foreach { i =>
+      val want = expectedMinAge(i).map(a => math.rint(a * 1e6) / 1e6)
+      assert(got(f"case-$i%06d") == want,
+        s"derived min-age mismatch for case $i: got ${got(f"case-$i%06d")}, want $want")
+    }
+    matrix.queryExecution.executedPlan // finalized by the count above
+    val clinPlan = matrix.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val clinExch = "Exchange hashpartitioning".r.findAllIn(clinPlan).length
+    assert(clinExch <= 6,
+      s"clinical pipeline runs $clinExch hash exchanges at 10x:\n" + clinPlan.take(1500))
+    assert(!clinPlan.contains("CartesianProduct"), "clinical pipeline went cartesian")
+    checks += ("clinical E3 nested-JSON pipeline at 5k cases (~1000x fixture)" ->
+      (f"$outRows rows == exploded samples, schema == fixture run, min-age oracle on " +
+        f"${spotIds.size} spot cases (incl. all-unparseable), $clinExch hash exchanges, " +
+        f"end-to-end $clinSec%.1f s"))
 
     val total = timings.map(_._2).sum
     val md = new StringBuilder

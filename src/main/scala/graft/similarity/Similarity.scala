@@ -987,7 +987,10 @@ object Similarity {
         * synthetic bench embeddings, residuals are as incompressible
         * as the raw vectors and measured recall was strictly worse
         * (full-probe 0.75 vs 0.80, pruned 0.60 vs 0.725). */
-      residual: Boolean = false)
+      residual: Boolean = false,
+      /** The measured residual-norm ratio when the index was built
+        * with `residualAuto` — absent on explicit-mode builds. */
+      residualGain: Option[Double] = None)
 
   /** Exact-integer residual of a quantized vector from its cell's
     * centroid — what residual codebooks train on and codes encode. */
@@ -995,6 +998,37 @@ object Similarity {
     val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
     zip_with(qv, element_at(cLit, cell + 1), (a, b) => a - b)
   }
+
+  /** L2 norm of an integer-quantized vector. Squares stay in long:
+    * scale=1e6 entries square to 1e12, ×64 dims = 6.4e13 << 2^63. */
+  private def quantNorm(v: Column): Column =
+    sqrt(aggregate(v, lit(0L), (acc, x) => acc + x * x).cast("double"))
+
+  /** Quantization-gain estimate that drives `residualAuto`: the ratio
+    * of mean residual norm to mean vector norm under the trained
+    * coarse quantizer. Residual codebooks win exactly when residuals
+    * span a smaller ball than the corpus (clustered data: the r7
+    * measurement was recall 0.775 vs 0.60 pruned), and lose when they
+    * don't (near-uniform data: 0.60 vs 0.725 — residuals as
+    * incompressible as the vectors, but the ADC score now stacks two
+    * quantizers' error). One bounded narrow agg (2 doubles to the
+    * driver) over the already-checkpointed quantized corpus. */
+  private[graft] def residualGainOf(
+      quantized: DataFrame, cellCol: Column, centroids: Seq[Seq[Long]]): Double = {
+    val r = quantized
+      .select(quantNorm(residualOf(col("qv"), cellCol, centroids)).as("rn"),
+        quantNorm(col("qv")).as("vn"))
+      .agg(avg("rn"), avg("vn")).collect()(0)
+    r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** `residualAuto` picks residual codes when the mean residual ball
+    * is under this fraction of the mean vector norm. Measured anchors
+    * (SimilaritySpec): 0.592 on the planted-cluster corpus (24
+    * centers, 0.08 jitter — where residual recall wins) vs 0.932 on
+    * the near-uniform synthetic embeddings (where it loses) — 0.75
+    * sits between them with >0.15 margin on both sides. */
+  private[graft] val ResidualAutoThreshold = 0.75
 
   /** Residual-aware encode of a raw vector against FROZEN IVF-PQ
     * quantizers: `cell` must be the [[graft.functions.IvfNearestCells]]
@@ -1028,7 +1062,8 @@ object Similarity {
       iters: Int = 2,
       pqIters: Int = 3,
       scale: Long = 1000000L,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false,
+      residualAuto: Boolean = false): Unit = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val dsub = dim / m
     val spark = corpus.sparkSession
@@ -1042,7 +1077,15 @@ object Similarity {
     // integer query·centroid term back per probed cell.
     val cellCol =
       element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1)
-    val encCol = if (residual) residualOf(col("qv"), cellCol, centroids) else col("qv")
+    // residualAuto: measure instead of asking the caller to know their
+    // corpus geometry — residual when the trained quantizer shows real
+    // cluster structure, raw otherwise. The estimate and the choice
+    // are recorded in index.json so a build is auditable after the
+    // fact.
+    val gain: Option[Double] =
+      if (residualAuto) Some(residualGainOf(quantized, cellCol, centroids)) else None
+    val useResidual = gain.map(_ < ResidualAutoThreshold).getOrElse(residual)
+    val encCol = if (useResidual) residualOf(col("qv"), cellCol, centroids) else col("qv")
     val cbs = pqCodebooksDeterministic(
       quantized.select(col(idCol), encCol.as("qv")), idCol, m, ksub, dsub, pqIters)
     quantized
@@ -1051,7 +1094,10 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val meta = new StringBuilder
     meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"""
-    meta ++= s""""vecCol":${graft.io.JsonUtil.quote(vecCol)},"residual":$residual,"centroids":["""
+    val gainField = gain.map(g =>
+      s""""residualGain":${String.format(java.util.Locale.ROOT, "%.6f", Double.box(g))},""")
+      .getOrElse("")
+    meta ++= s""""vecCol":${graft.io.JsonUtil.quote(vecCol)},$gainField"residual":$useResidual,"centroids":["""
     meta ++= centroids.map(_.mkString("[", ",", "]")).mkString(",")
     meta ++= """],"codebooks":["""
     meta ++= cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString(",")
@@ -1077,7 +1123,13 @@ object Similarity {
         .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Long]]]]("codebooks")
         .map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq,
       // Pre-residual indexes carry no flag: raw-vector codes.
-      residual = row.schema.fieldNames.contains("residual") && row.getAs[Boolean]("residual"))
+      residual = row.schema.fieldNames.contains("residual") && row.getAs[Boolean]("residual"),
+      // Present only on residualAuto builds: the measured norm ratio
+      // behind the recorded choice.
+      residualGain =
+        if (row.schema.fieldNames.contains("residualGain"))
+          Option(row.getAs[java.lang.Double]("residualGain")).map(_.doubleValue)
+        else None)
   }
 
   /** ANN top-k against a PERSISTED IVF-PQ index: each query's probe

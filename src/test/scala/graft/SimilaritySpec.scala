@@ -151,6 +151,52 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rRes >= 0.7, s"residual recall $rRes < 0.7 on planted clusters")
   }
 
+  test("IVF-PQ residualAuto: picks residual on clustered data, raw on near-uniform, and records the estimate") {
+    // The r7 measurement showed residual strictly wins on clustered
+    // corpora and strictly loses on near-uniform ones — auto mode
+    // measures the corpus (mean residual-norm / mean vector-norm
+    // under the trained quantizer) instead of asking the caller to
+    // know which they have. Both anchor corpora, both recall gates.
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(24)(unit(Array.fill(64)(rnd.nextGaussian())))
+    def member(c: Array[Double]): Seq[Float] =
+      unit(c.map(_ + 0.08 * rnd.nextGaussian())).map(_.toFloat).toSeq
+    val clustered = (0 until 600).map(i => (i.toLong, member(centers(i % 24))))
+      .toDF("vec_id", "embedding")
+    val cqs = (0 until 8).map(i => (1000L + i, member(centers(i * 3 % 24))))
+      .toDF("q_id", "q_vec")
+
+    val tmpC = java.nio.file.Files.createTempDirectory("graft_ivfpq_autoC").toString
+    Similarity.writeIvfPqIndex(clustered, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmpC, residualAuto = true)
+    val metaC = Similarity.readIvfPqIndexMeta(spark, tmpC)
+    info(s"clustered: gain=${metaC.residualGain} residual=${metaC.residual}")
+    assert(metaC.residual, s"auto did not pick residual on clustered data (gain=${metaC.residualGain})")
+    assert(metaC.residualGain.exists(_ < Similarity.ResidualAutoThreshold))
+    val truthC = Similarity.bruteForceTopK(
+      clustered, cqs, "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotC = Similarity.ivfPqTopKIndexed(spark, tmpC, cqs, "q_id", "q_vec", k = 5, nprobe = 24)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rC = gotC.intersect(truthC).size.toDouble / truthC.size
+    assert(rC >= 0.7, s"auto(residual) recall $rC < 0.7 on planted clusters")
+
+    val tmpU = java.nio.file.Files.createTempDirectory("graft_ivfpq_autoU").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmpU, residualAuto = true)
+    val metaU = Similarity.readIvfPqIndexMeta(spark, tmpU)
+    info(s"near-uniform: gain=${metaU.residualGain} residual=${metaU.residual}")
+    assert(!metaU.residual, s"auto picked residual on near-uniform data (gain=${metaU.residualGain})")
+    assert(metaU.residualGain.exists(_ >= Similarity.ResidualAutoThreshold))
+    val prunedU = Similarity.ivfPqTopKIndexed(spark, tmpU, queries, "q_id", "q_vec", k = 5, nprobe = 6)
+    val rU = recallVsBruteForce(prunedU, 5)
+    assert(rU >= 0.65, s"auto(raw) pruned recall $rU < 0.65 on near-uniform data")
+  }
+
   test("IVF-PQ residual score decomposition is exact: engine cos == driver q·c + q·decode(codes)") {
     val tmpR = java.nio.file.Files.createTempDirectory("graft_ivfpq_exact").toString
     Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",

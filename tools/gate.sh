@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Default correctness gate: the local replica of the driver's gate,
+# run BEFORE every commit that touches query surface.
+#
+# Sweeps {sf0.001, sf0.01} x {32, 7} cpus: every SparkEntry query is
+# dumped by graft.Verify (canonical row order, stale-output-proof) and
+# compared against its DuckDB oracle by tools/check_correctness.py —
+# including the dtype-family check that caught the r6 q63/q65 HUGEINT
+# oracle bug before it cost a round. Two CPU counts because partition
+# count is the environment variable most likely to flake a result
+# (row order, float reduction order, AQE plan flips); the driver runs
+# 32-ish, laptops run fewer — both must be green.
+#
+# Usage: tools/gate.sh            (full sweep, ~4 Verify runs)
+#        SFS=/root/testdata/sf0.01 CPUS=32 tools/gate.sh   (one cell)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SFS=${SFS:-"/root/testdata/sf0.001 /root/testdata/sf0.01"}
+CPUS=${CPUS:-"32 7"}
+OUTROOT=${OUTROOT:-/tmp/graft_gate}
+
+sbt -batch compile
+
+for sf in $SFS; do
+  for c in $CPUS; do
+    tag="$(basename "$sf")_cpu$c"
+    out="$OUTROOT/$tag"
+    echo "== gate: $sf @ $c cpus -> $out =="
+    SPARK_GRAFT_CPUS=$c sbt -batch "runMain graft.Verify $sf $out"
+    python3 tools/check_correctness.py "$sf" "$out"
+  done
+done
+echo "GATE GREEN: {$SFS} x {$CPUS} cpus all match their oracles"
