@@ -25,6 +25,16 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Static conf (read once at first codegen): the default 100-entry
+      // generated-class cache evicts completely under a multi-query
+      // workload — the 71-query bench sweep compiles ~919 Janino
+      // classes (~8s) and then recompiles ~917 of them on the very
+      // next pass (measured via CodegenMetrics, r8). A long-lived
+      // analytics session re-running parameterized plans is the normal
+      // case for this engine, so size the cache to hold the whole
+      // workload; ~4k class entries is a few hundred MB of metaspace
+      // at worst, trivial against executor heap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = builder().getOrCreate()
