@@ -575,13 +575,16 @@ object Cli {
           // the choice in index.json.
           val residual = m.contains("--residual")
           val residualAuto = m.contains("--residual-auto")
-          graft.similarity.Similarity.writeIvfPqIndex(
+          if (residual && residualAuto)
+            sys.error("--residual and --residual-auto are mutually exclusive: " +
+              "--residual-auto lets the corpus measurement decide, --residual forces it")
+          val built = graft.similarity.Similarity.writeIvfPqIndex(
             spark.read.parquet(in), idCol, vecCol, dim, nlist, out,
             residual = residual, residualAuto = residualAuto)
           val mode =
             if (residualAuto)
-              (if (graft.similarity.Similarity.readIvfPqIndexMeta(spark, out).residual)
-                " residual (auto)" else " raw (auto)")
+              (if (built.residual) " residual (auto)" else " raw (auto)") +
+                built.residualGain.map(g => f" gain $g%.3f").getOrElse("")
             else if (residual) " residual" else ""
           println(s"ivf-pq index ($nlist cells, compressed$mode codes) written to $out")
         case other => sys.error(s"ann-index --family must be ivf|lsh|pq|ivfpq, got $other")

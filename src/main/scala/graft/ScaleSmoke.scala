@@ -311,7 +311,11 @@ object ScaleSmoke {
     val c0 = System.nanoTime()
     clinicalTenX(spark, clinPath, nCases = 5000)
     val matrix = graft.transform.Clinical.clinicalMatrix(spark, clinPath)
-    val outRows = matrix.count()
+    // toRdd.count() executes the dataset's OWN QueryExecution — a
+    // plain .count() wraps the plan in a fresh aggregate QE and the
+    // matrix's AdaptiveSparkPlanExec would never finalize, so the
+    // exchange assertion below would read the pre-execution plan.
+    val outRows = matrix.queryExecution.toRdd.count()
     val clinSec = (System.nanoTime() - c0) / 1e9
     val expectedRows = spark.read.schema(graft.transform.Clinical.casesSchema)
       .json(clinPath).select(explode(col("samples"))).count()
@@ -330,9 +334,10 @@ object ScaleSmoke {
       assert(got(f"case-$i%06d") == want,
         s"derived min-age mismatch for case $i: got ${got(f"case-$i%06d")}, want $want")
     }
-    matrix.queryExecution.executedPlan // finalized by the count above
     val clinPlan = matrix.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
+    assert(clinPlan.contains("isFinalPlan=true"),
+      "clinical exchange assertion would read a non-finalized AQE plan")
     val clinExch = "Exchange hashpartitioning".r.findAllIn(clinPlan).length
     assert(clinExch <= 6,
       s"clinical pipeline runs $clinExch hash exchanges at 10x:\n" + clinPlan.take(1500))

@@ -121,7 +121,13 @@ object SparkEntry {
       .groupBy(col("segment"), col("sample"))
       .agg(round(sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1)), 6)
         .as("value"))
-    XenaOps.pivotMatrixWide(averaged, "segment", "sample", "value", batchSize = 7)
+    // Explicit value universe (n0..n24, the nation keyspace): the
+    // oracle enumerates the same keyspace in SQL, so the two column
+    // sets cannot drift even if some nationkey has zero customers at
+    // a given scale factor (data-derived columns would drop it here
+    // while the oracle still emits it — a false schema mismatch).
+    XenaOps.pivotMatrixWide(averaged, "segment", "sample", "value", batchSize = 7,
+      values = Some((0 to 24).map(i => s"n$i")))
   }
 
   /** §2.5 V2: wide→long unpivot (melt). */

@@ -80,14 +80,23 @@ object XenaOps {
       rowKey: String,
       sampleCol: String,
       valueCol: String,
-      batchSize: Int = 4000): DataFrame = {
+      batchSize: Int = 4000,
+      values: Option[Seq[String]] = None): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    val sampleRows = long.select(col(sampleCol).cast("string")).distinct().collect()
-    // A null sample id cannot name a matrix column — same contract as
-    // transposeSmall's key column. Fail loud, not a column named "null".
-    require(!sampleRows.exists(_.isNullAt(0)),
-      s"pivotMatrixWide: null value in sample column '$sampleCol' cannot name a column")
-    val samples = sampleRows.map(_.getString(0)).sorted.toIndexedSeq
+    // Callers with a KNOWN sample universe pass it explicitly: the
+    // column set is then a function of the contract, not of which
+    // samples happen to appear in this particular input (a sample
+    // with no rows still gets its all-null column, and a
+    // differently-derived comparison target can't drift on the
+    // column list). Absent that, one distinct pass derives it.
+    val samples = values.map(_.sorted.toIndexedSeq).getOrElse {
+      val sampleRows = long.select(col(sampleCol).cast("string")).distinct().collect()
+      // A null sample id cannot name a matrix column — same contract as
+      // transposeSmall's key column. Fail loud, not a column named "null".
+      require(!sampleRows.exists(_.isNullAt(0)),
+        s"pivotMatrixWide: null value in sample column '$sampleCol' cannot name a column")
+      sampleRows.map(_.getString(0)).sorted.toIndexedSeq
+    }
     if (samples.length <= batchSize)
       pivotMatrix(long, rowKey, sampleCol, valueCol, samples)
     else {

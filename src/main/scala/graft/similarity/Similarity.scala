@@ -992,6 +992,11 @@ object Similarity {
         * with `residualAuto` — absent on explicit-mode builds. */
       residualGain: Option[Double] = None)
 
+  /** What [[writeIvfPqIndex]] decided (same facts it recorded in
+    * index.json) — so callers report the choice without re-reading
+    * and re-parsing the full centroid/codebook JSON. */
+  final case class IvfPqBuildResult(residual: Boolean, residualGain: Option[Double])
+
   /** Exact-integer residual of a quantized vector from its cell's
     * centroid — what residual codebooks train on and codes encode. */
   private def residualOf(qv: Column, cell: Column, centroids: Seq[Seq[Long]]): Column = {
@@ -1063,8 +1068,15 @@ object Similarity {
       pqIters: Int = 3,
       scale: Long = 1000000L,
       residual: Boolean = false,
-      residualAuto: Boolean = false): Unit = {
+      residualAuto: Boolean = false): IvfPqBuildResult = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    // An explicit residual=true alongside residualAuto is a
+    // contradiction — auto's measurement would silently discard the
+    // explicit request when the corpus measures near-uniform. Refuse
+    // rather than guess which the caller meant.
+    require(!(residual && residualAuto),
+      "residual and residualAuto are mutually exclusive: pass residualAuto alone " +
+        "to let the corpus measurement decide, or residual = true to force residual codes")
     val dsub = dim / m
     val spark = corpus.sparkSession
     val quantized = graft.ops.Parallelism.ensure(corpus)
@@ -1107,6 +1119,7 @@ object Similarity {
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.json"), true)
     try out.write(meta.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    IvfPqBuildResult(useResidual, gain)
   }
 
   private[graft] def readIvfPqIndexMeta(

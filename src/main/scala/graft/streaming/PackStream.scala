@@ -218,10 +218,6 @@ object PackStream {
         sys.error(s"pack store $outDir has no pinned _budget; pass an explicit " +
           "--budget matching the budget the store was built with")
     }
-    // Pin the resolved geometry so subsequent maintenance batches are
-    // held to the same budget (recordBudget is a no-op when already
-    // pinned; the conflict case was refused above).
-    recordBudget(f, outDir, budget)
     val data = new Path(s"$outDir/data")
     val tmp = new Path(s"$outDir/data__compacting")
     val old = new Path(s"$outDir/data__old")
@@ -260,6 +256,15 @@ object PackStream {
       sys.error(s"compact: could not activate $tmp; original store restored")
     }
     f.delete(old, true)
+    // Pin the resolved geometry so subsequent maintenance batches are
+    // held to the same budget (recordBudget is a no-op when already
+    // pinned; the conflict case was refused above). Pinned only AFTER
+    // the swap succeeds: a refused or failed compact must not mutate
+    // the store — pinning an unverified --budget override up front
+    // would leave a wrong pin behind on a store whose empty-offsets or
+    // conservation guard then rejected the operation, and the stream's
+    // first legitimate batch would be refused against it.
+    recordBudget(f, outDir, budget)
     // Replay fence: every batch id up to the compaction coverage now
     // lives inside the rewritten store; a crash-replay of one of them
     // would overwrite its partition with colliding arrival-order pack

@@ -594,6 +594,11 @@ class StreamingSpec extends SparkSpecBase {
     assert(e0.getMessage.contains("offsets"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$empty/_compacted")),
       "refused compact must not leave a _compacted watermark")
+    // ...nor a budget pin: the 512 override was never validated against
+    // anything, and pinning it would make the stream's first legitimate
+    // batch (with the real budget) refuse against a guess.
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$empty/_budget")),
+      "refused compact must not pin its unverified --budget override")
 
     // A pre-pin store (simulated by deleting _budget): compact with no
     // override must refuse — guessing 512 would silently rewrite a
