@@ -31,6 +31,11 @@ object Cli {
       Runtime.getRuntime.availableProcessors.toString)
     GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR job scheduling: `etl-batch --parallel` submits
+      // independent dataset jobs from N driver threads; under the
+      // default FIFO they'd queue behind the largest dataset's stages
+      // instead of sharing executors. No-op for single-job verbs.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
   }
 
@@ -196,13 +201,28 @@ object Cli {
       // — a 33-project × 22-dtype run would otherwise hold every raw
       // download on disk simultaneously.
       val deleteRaw = m.contains("--delete-raw")
-      var nOk, nFail = 0
-      pairs.foreach { case (proj, d) =>
+      // `--parallel N` (default 1): N driver threads each submit their
+      // dataset's Spark jobs concurrently — a 33-project × 22-dtype
+      // backfill of mostly-small datasets otherwise leaves the
+      // cluster idle between one dataset's stages and the next's.
+      // Dataset ETLs are independent by construction (distinct raw
+      // dirs, distinct outputs), the ledger is synchronized, and the
+      // CLI session runs the FAIR scheduler so concurrent jobs share
+      // executors instead of queuing FIFO behind the largest one.
+      val parallel = m.get("-j").orElse(m.get("--parallel"))
+        .flatMap(_.headOption).map(_.toInt).getOrElse(1)
+      require(parallel >= 1, s"--parallel must be >= 1, got $parallel")
+      val nOk = new java.util.concurrent.atomic.AtomicInteger
+      val nFail = new java.util.concurrent.atomic.AtomicInteger
+      // First interrupt wins; workers stop pulling new pairs once set.
+      val aborted =
+        new java.util.concurrent.atomic.AtomicReference[graft.gdc.GdcInterrupted](null)
+      def attempt(proj: String, d: String): Unit = {
         val sub = if (proj == ".") d else s"$proj/$d"
         try {
           etlOne(spark, d, s"$root/$sub", s"$outDir/$sub.tsv",
             cohort.getOrElse(if (proj == ".") "GDC " + d else "GDC " + proj))
-          nOk += 1
+          nOk.incrementAndGet()
           ledger.succeeded(proj, d)
           if (deleteRaw) {
             println(s"[etl-batch] $sub: deleting raw data")
@@ -219,24 +239,61 @@ object Cli {
           case e: graft.gdc.GdcInterrupted =>
             println(s"[etl-batch] $sub: interrupted — aborting run " +
               s"(${ledger.recorded.size} pair(s) remain recorded for --resume)")
-            throw e
+            aborted.compareAndSet(null, e)
           // NonFatal only: an OOM/linkage error means the session is
           // no longer trustworthy — quarantining it and "succeeding"
           // the remaining dtypes on a corrupted JVM would report
           // garbage as ok.
           case scala.util.control.NonFatal(e) =>
-            nFail += 1
+            nFail.incrementAndGet()
             ledger.failed(proj, d, e)
             println(s"[etl-batch] $sub: QUARANTINED (${e.getMessage})")
         }
       }
+      if (parallel == 1)
+        pairs.foreach { case (p, d) =>
+          if (aborted.get == null) attempt(p, d)
+        }
+      else {
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+        pairs.foreach(queue.add)
+        // Anything escaping `attempt` is fatal by construction (its
+        // handlers cover GdcInterrupted + NonFatal). Sequential mode
+        // lets a fatal propagate and abort the run; a worker thread
+        // dying silently instead would leave the other workers
+        // "succeeding" datasets on a corrupted JVM — capture it, stop
+        // the pool, and rethrow after the join.
+        val fatal = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+        val workers = (1 to math.min(parallel, pairs.size)).map { i =>
+          val t = new Thread(() => {
+            // FAIR mode fair-shares BETWEEN pools; within a pool the
+            // default is still FIFO. One pool per worker (a thread-local
+            // property, inherited by this thread's jobs) is what makes
+            // concurrent datasets actually share executors.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"etl-$i")
+            try {
+              var next = queue.poll()
+              while (next != null && aborted.get == null && fatal.get == null) {
+                attempt(next._1, next._2)
+                next = queue.poll()
+              }
+            } catch { case e: Throwable => fatal.compareAndSet(null, e) }
+          }, s"etl-batch-$i")
+          t.start(); t
+        }
+        workers.foreach(_.join())
+        Option(fatal.get).foreach(throw _)
+      }
+      // An interrupt aborts the whole run (after in-flight datasets
+      // wound down) with the same semantics as the sequential rethrow.
+      Option(aborted.get).foreach(throw _)
       // Exit code reflects THIS run; the persisted ledger may still
       // hold older pairs this run didn't attempt (printed for resume).
-      println(s"[etl-batch] $nOk/${pairs.size} succeeded")
+      println(s"[etl-batch] ${nOk.get}/${pairs.size} succeeded")
       ledger.recorded.foreach { case (p, d) =>
         println(s"[etl-batch] unfinished: ${if (p == ".") d else s"$p/$d"}")
       }
-      if (nFail == 0) 0 else 1
+      if (nFail.get == 0) 0 else 1
 
     case "merge-xena" :: rest =>
       val m = opts(rest)
@@ -620,7 +677,7 @@ object Cli {
       System.err.println(
         s"""usage: graft.Cli <subcommand> [options]
            |  etl        -t <dtype> -r <raw-dir> -o <out-matrix> [-c <cohort>]
-           |  etl-batch  -t <dtypes...|all> -r <root> -o <out-dir> [-p <projects...|all>] [--not-datatype <d...>] [--not-projects <p...>] [--resume] [--delete-raw] [-c <cohort>]
+           |  etl-batch  -t <dtypes...|all> -r <root> -o <out-dir> [-p <projects...|all>] [--not-datatype <d...>] [--not-projects <p...>] [--resume] [--delete-raw] [-j N|--parallel N] [-c <cohort>]
            |             (quarantines failures to <root>/unfinished.json + etl_<ts>.err; --resume re-attempts exactly those)
            |  merge-xena -f <files...> -t <dtype> -o <out-matrix>
            |  metadata   -t <dtype> -p <matrix-path> [-c <cohort>]

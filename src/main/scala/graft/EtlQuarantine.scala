@@ -38,12 +38,17 @@ final class EtlQuarantine(rootDir: String) {
   }
 
   /** Quarantined (project, dtype) pairs, insertion-ordered. */
-  def recorded: List[(String, String)] =
+  def recorded: List[(String, String)] = synchronized {
     state.iterator.flatMap { case (p, ds) => ds.map(p -> _) }.toList
+  }
 
   /** Record a failure: update `unfinished.json`, append the stack
-    * trace to the per-run `.err` log. */
-  def failed(project: String, dtype: String, e: Throwable): Unit = {
+    * trace to the per-run `.err` log. Synchronized (as is every
+    * state mutator): `etl-batch --parallel` drives the ledger from N
+    * worker threads, and an unsynchronized interleave could rewrite
+    * the resume seed from a half-updated map or tear the .err append
+    * ordering. */
+  def failed(project: String, dtype: String, e: Throwable): Unit = synchronized {
     val ds = state.getOrElse(project, Vector.empty)
     if (!ds.contains(dtype)) state(project) = ds :+ dtype
     rewrite()
@@ -57,12 +62,13 @@ final class EtlQuarantine(rootDir: String) {
   }
 
   /** Clear a recovered pair (a resume re-attempt that worked). */
-  def succeeded(project: String, dtype: String): Unit =
+  def succeeded(project: String, dtype: String): Unit = synchronized {
     state.get(project).filter(_.contains(dtype)).foreach { ds =>
       val rest = ds.filterNot(_ == dtype)
       if (rest.isEmpty) state.remove(project) else state(project) = rest
       rewrite()
     }
+  }
 
   /** Temp-file + atomic rename: a crash mid-write can never leave a
     * torn `unfinished.json` (the resume seed) behind. */

@@ -364,6 +364,41 @@ class DomainSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$tmp/out/mirna.tsv")))
   }
 
+  test("CLI etl-batch --parallel: concurrent datasets, same outputs and quarantine as sequential") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cli_batchpar")
+    val raw = Files.createDirectory(tmp.resolve("raw"))
+    val healthy = Seq("star_counts", "mirna", "protein", "methylation450")
+    healthy.foreach(d => Files.createSymbolicLink(raw.resolve(d),
+      Paths.get(s"/root/repo/fixtures/$d")))
+    val out = tmp.resolve("out").toString
+    // 5 datasets on 3 worker threads — more work than workers, one
+    // failing dtype (no raw dir) interleaving ledger writes with the
+    // successes. The contract is exactly the sequential one: healthy
+    // datasets all complete, the failure quarantines, exit 1.
+    val rc = graft.Cli.run(
+      Array("etl-batch", "-t") ++ healthy ++ Array("segment_cnv_DNAcopy",
+        "-r", raw.toString, "-o", out, "--parallel", "3"))
+    assert(rc == 1, "the quarantined dtype must surface as a nonzero exit")
+    healthy.foreach { d =>
+      assert(Files.exists(Paths.get(s"$out/$d.tsv")), s"$d.tsv missing under --parallel")
+      assert(Files.exists(Paths.get(s"$out/$d.tsv.json")), s"$d metadata missing")
+    }
+    assert(!Files.exists(Paths.get(s"$out/segment_cnv_DNAcopy.tsv")))
+    assert(Files.readString(raw.resolve("unfinished.json"))
+      == """{".": ["segment_cnv_DNAcopy"]}""",
+      "concurrent ledger writes must leave exactly the failed pair recorded")
+    // Parallel run's matrices equal a sequential run's (canonical
+    // matrix equality, the xena-eql contract): spot-check one dtype.
+    val seqOut = tmp.resolve("seq").toString
+    assert(graft.Cli.run(Array("etl-batch", "-t", "star_counts",
+      "-r", raw.toString, "-o", seqOut)) == 0)
+    assert(graft.ops.XenaOps.canonicalEqual(
+      graft.io.XenaTsv.read(spark, s"$out/star_counts.tsv", None),
+      graft.io.XenaTsv.read(spark, s"$seqOut/star_counts.tsv", None)),
+      "parallel and sequential matrices differ")
+  }
+
   test("CLI etl-batch --delete-raw: raw dir dropped after a successful transform") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_cli_delraw")
