@@ -133,17 +133,41 @@ object Bench {
     logCompileDelta("measured pass", cg1)
     // Drift guard: a one-off stall (GC pause, page-cache miss, another
     // process) on a slow query reads as a regression in round-over-round
-    // comparison. Re-time the measured pass's 5 slowest a third time and
-    // take min-of-two as the official per-query number — the minimum of
-    // two steady-state runs is the defensible "what this plan costs".
+    // comparison. The r8 artifact proved a FIXED top-5 re-time is too
+    // narrow on a contended machine (~12 queries were noise-inflated,
+    // only 5 got scrubbed), so the criterion is now evidence-driven:
+    // re-time every query whose measured time exceeds
+    // max(3x its own warm-pass time, warm + 1s). A steady-state run
+    // slower than 3x its OWN warm run (which additionally paid that
+    // query's codegen) is contention, not plan cost; the +1s floor
+    // keeps sub-second jitter from triggering re-runs of the whole
+    // sweep. Official per-query number = min over all passes the query
+    // actually ran (warm, measured, third) — the minimum of real
+    // wall-clock runs is the defensible "what this plan costs", and
+    // the warm pass can only be biased UP (it includes the query's own
+    // codegen), so including it never flatters the result.
     passBoundary()
-    val third = run2.sortBy(-_._2).take(5).map { case (name, _) =>
+    val warmMap = run1.toMap
+    val suspects = run2.collect {
+      case (name, t) if warmMap.get(name).exists(w => t > math.max(3.0 * w, w + 1.0)) => name
+    }
+    val third = suspects.map { name =>
       name -> time(name, SparkEntry.queries(name))
     }
     val thirdMap = third.toMap
     val official = run2.map { case (name, t) =>
-      name -> math.min(t, thirdMap.getOrElse(name, t))
+      name -> math.min(math.min(t, thirdMap.getOrElse(name, t)), warmMap.getOrElse(name, t))
     }
+    // Contention self-report: if the measured pass total blew >1.5x
+    // past the official (min-of-passes) total, or >=3 queries were
+    // individually inflated >3x over their official time, the machine
+    // was contended during this run and the artifact says so — both
+    // bounds sit far outside quiet-machine dispersion (r7/r8 local
+    // paired runs: totals within 20%, singles within 2x).
+    val officialMap = official.toMap
+    val inflated = run2.count { case (n, t) => t > 3.0 * math.max(officialMap(n), 1e-9) }
+    val contentionSuspected =
+      inflated >= 3 || run2.map(_._2).sum > 1.5 * official.map(_._2).sum
     def qjson(rs: Seq[(String, Double)], f: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     def full(v: Double): String = String.format(java.util.Locale.ROOT, "%.9f", Double.box(v))
@@ -154,15 +178,21 @@ object Bench {
     // headline "value" is the official total.
     val (t1, t2) = (run1.map(_._2).sum, run2.map(_._2).sum)
     val tOfficial = official.map(_._2).sum
+    // Per-query noise ratio (measured / official): a contended run is
+    // self-evident from the sidecar — quiet runs sit near 1.0.
+    val ratios = run2.map { case (n, t) => n -> t / math.max(officialMap(n), 1e-9) }
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRED", "BENCH_PAIRED.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar),
       s"""{"sf":"$sfDir","warmup_total":${full(t1)},"measured_total":${full(t2)},"official_total":${full(tOfficial)},
+         |"contention_suspected":$contentionSuspected,"n_retimed":${third.size},"n_inflated":$inflated,
+         |"retimed":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"warmup_queries":${qjson(run1, full)},
          |"measured_queries":${qjson(run2, full)},
          |"third_pass":${qjson(third, full)},
+         |"noise_ratios":${qjson(ratios, fmt)},
          |"official_queries":${qjson(official, full)}}
          |""".stripMargin)
-    println(s"""{"metric":"total","value":${fmt(tOfficial)},"unit":"sec","queries":${qjson(official, fmt)},"warmup_total":${fmt(t1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(tOfficial)},"unit":"sec","queries":${qjson(official, fmt)},"warmup_total":${fmt(t1)},"measured_total":${fmt(t2)},"contention_suspected":$contentionSuspected,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

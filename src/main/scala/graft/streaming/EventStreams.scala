@@ -157,7 +157,10 @@ object EventStreams {
     }
 
     events
-      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      // cast: `unix_micros` rejects TIMESTAMP_NTZ (Spark 4 infers it
+      // from unadjusted parquet micros); the cast is lossless under
+      // the UTC session and a no-op on already-TIMESTAMP input.
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)

@@ -34,9 +34,9 @@ class StreamingSpec extends SparkSpecBase {
     // so batch 2 delivers events OLDER than batch 1's max (disorder
     // bounded by 30 min, inside the 2h watermark delay). This exact
     // shape breaks the immediate-emission sessionizer.
-    val mid = ev.select(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val mid = ev.select(expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")).head().getLong(0)
     val early = ev.filter(expr(
-      s"unix_micros(ts) <= $mid or (unix_micros(ts) <= $mid + 1800000000 and user_id % 3 = 0)"))
+      s"unix_micros(cast(ts as timestamp)) <= $mid or (unix_micros(cast(ts as timestamp)) <= $mid + 1800000000 and user_id % 3 = 0)"))
     val late = ev.exceptAll(early)
     early.coalesce(1).write.parquet(s"$tmp/in")
     late.coalesce(1).write.mode("append").parquet(s"$tmp/in")
@@ -70,6 +70,41 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(batch.nonEmpty)
+  }
+
+  test("sessionization is identical under both parquet inferTimestampNTZ settings") {
+    // Regression for the Spark-4 NTZ drift: events.parquet stores ts
+    // as micros with isAdjustedToUTC=0, which infers as TIMESTAMP_NTZ
+    // when inferTimestampNTZ is on and TIMESTAMP when off.
+    // Tables.events must normalize both to TIMESTAMP, and the
+    // sessionizers must produce byte-identical output either way.
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val orig = spark.conf.getOption(key)
+    def run(flag: Boolean) = {
+      spark.conf.set(key, flag.toString)
+      val ev = Tables.events(spark, sfDir)
+      assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"Tables.events must normalize ts under $key=$flag")
+      (canon(EventStreams.sessionStats(ev, "30 minutes")),
+       canon(EventStreams.sessionizeStateful(spark, ev, 30L)))
+    }
+    try {
+      val (batchNtz, statefulNtz) = run(true)
+      val (batchLtz, statefulLtz) = run(false)
+      assert(batchNtz == batchLtz)
+      assert(statefulNtz == statefulLtz)
+      assert(statefulNtz == batchNtz)
+      assert(batchNtz.nonEmpty)
+      // The stateful path must also tolerate a RAW (un-normalized)
+      // NTZ frame — callers outside Tables.events hit this shape.
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+        assert(canon(EventStreams.sessionizeStateful(spark, raw, 30L)) == statefulNtz)
+    } finally orig match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("streaming exact dedup drops cross-batch re-arrivals within the watermark") {
