@@ -399,6 +399,70 @@ class DomainSpec extends SparkSpecBase {
       "parallel and sequential matrices differ")
   }
 
+  test("CLI etl-batch --parallel: MID-FLIGHT Spark failure quarantines; --resume heals; outputs == sequential") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cli_midflight")
+    val raw = Files.createDirectory(tmp.resolve("raw"))
+    val healthy = Seq("star_counts", "mirna", "protein")
+    healthy.foreach(d => Files.createSymbolicLink(raw.resolve(d),
+      Paths.get(s"/root/repo/fixtures/$d")))
+    // The failing dataset dies MID-JOB, not at setup: one good MAF
+    // plus one file that claims .maf.gz but is not gzip, so the
+    // dataset's Spark job starts (the glob resolves, tasks launch)
+    // and then a task throws inside the codec — the worst-timed
+    // failure for the concurrent ledger, arriving while other
+    // workers' successes interleave writes.
+    val mafDir = Files.createDirectory(raw.resolve("somaticmutation_wxs"))
+    val good = Paths.get("/root/repo/fixtures/somaticmutation_wxs")
+      .toFile.listFiles.head.toPath
+    Files.copy(good, mafDir.resolve(good.getFileName))
+    val badName = "SAMP-03A.1a2b3c4d-0009-4009-8009-aaaaaaaa0009.wxs.aliquot_ensemble_masked.maf.gz"
+    Files.write(mafDir.resolve(badName),
+      "this is not gzip data".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = tmp.resolve("out").toString
+    val all = healthy :+ "somaticmutation_wxs"
+    val rc = graft.Cli.run(
+      Array("etl-batch", "-t") ++ all ++
+        Array("-r", raw.toString, "-o", out, "--parallel", "3"))
+    assert(rc == 1, "a mid-flight Spark failure must surface as a nonzero exit")
+    healthy.foreach { d =>
+      assert(Files.exists(Paths.get(s"$out/$d.tsv")),
+        s"$d.tsv missing: a sibling's mid-flight failure must not sink healthy datasets")
+      assert(Files.exists(Paths.get(s"$out/$d.tsv.json")), s"$d metadata missing")
+    }
+    assert(!Files.exists(Paths.get(s"$out/somaticmutation_wxs.tsv")),
+      "the failed dataset must not leave a partial matrix")
+    assert(Files.readString(raw.resolve("unfinished.json"))
+      == """{".": ["somaticmutation_wxs"]}""",
+      "ledger must record exactly the mid-flight failure")
+    val errs = raw.toFile.listFiles.filter(_.getName.matches("etl_\\d{8}-\\d{6}\\.err"))
+    assert(errs.length == 1 && Files.readString(errs.head.toPath).contains("\tat "),
+      "per-run .err log must carry the mid-flight stack trace")
+    // Heal the corrupt member and --resume under the same
+    // parallelism: exactly the quarantined pair re-runs (the healthy
+    // raw links could be absent for all resume cares), the ledger
+    // clears, and the healed output exists.
+    Files.delete(mafDir.resolve(badName))
+    val rc2 = graft.Cli.run(Array("etl-batch",
+      "-r", raw.toString, "-o", out, "--resume", "--parallel", "3"))
+    assert(rc2 == 0, "resume over the healed dataset must succeed")
+    assert(!Files.exists(raw.resolve("unfinished.json")),
+      "a fully-recovered ledger must delete unfinished.json")
+    assert(Files.exists(Paths.get(s"$out/somaticmutation_wxs.tsv")))
+    // Survivor parity: every output of the parallel+failure+resume
+    // history equals a clean SEQUENTIAL run's matrix (canonical
+    // equality, the xena-eql contract).
+    val seqOut = tmp.resolve("seq").toString
+    assert(graft.Cli.run(Array("etl-batch", "-t") ++ all ++
+      Array("-r", raw.toString, "-o", seqOut)) == 0)
+    all.foreach { d =>
+      assert(graft.ops.XenaOps.canonicalEqual(
+        graft.io.XenaTsv.read(spark, s"$out/$d.tsv", None),
+        graft.io.XenaTsv.read(spark, s"$seqOut/$d.tsv", None)),
+        s"$d: parallel-with-failure+resume matrix differs from sequential")
+    }
+  }
+
   test("CLI etl-batch --delete-raw: raw dir dropped after a successful transform") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_cli_delraw")
