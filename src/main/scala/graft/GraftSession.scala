@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bucketed scans only CLAIM their per-file sort order under this
+      // flag, and even then only when every bucket is exactly one file
+      // (FileSourceScanExec checks) — which XenaOps.writeBucketed
+      // guarantees by pre-repartitioning on the bucket key. Without it
+      // every bucketed merge re-Sorts both sides, re-paying the cost
+      // the bucketed writer exists to hoist out of the read path.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Static conf (read once at first codegen): the default 100-entry
       // generated-class cache evicts completely under a multi-query
       // workload — the 71-query bench sweep compiles ~919 Janino

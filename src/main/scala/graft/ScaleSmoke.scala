@@ -27,8 +27,12 @@ import graft.model.Tables
   * deliberately makes every original a 10-member near-dup family —
   * the worst realistic shape for LSH buckets and clustering.
   *
-  * Usage: `runMain graft.ScaleSmoke [baseSfDir] [workDir]`
-  * (defaults /root/testdata/sf0.1 and /tmp/graft_scale10).
+  * Usage: `SPARK_DRIVER_MEM=96g sbt "runMain graft.ScaleSmoke [baseSfDir] [workDir]"`
+  * (defaults /root/testdata/sf0.1 and /tmp/graft_scale10). The heap
+  * override matters: the pan-cancer pivot check aggregates 240M
+  * (probe, sample) groups per batch — on a cluster that state spreads
+  * across executors; in this single-JVM rehearsal it needs most of
+  * the machine (the sbt default of 8g OOMs in the pivot pre-agg).
   */
 object ScaleSmoke {
 
@@ -347,6 +351,47 @@ object ScaleSmoke {
         f"${spotIds.size} spot cases (incl. all-unparseable), $clinExch hash exchanges, " +
         f"end-to-end $clinSec%.1f s"))
 
+    // 7. Pan-cancer wide pivot at FULL width: 12,500 samples × 60,000
+    // probes (the reference's join_xena.sh assembles ~11k sample
+    // columns over ~60k gene/probe rows — this is that matrix, 750M
+    // long cells). XenaOpsSpec proves value correctness at this width
+    // on 8 probes; this check proves the other axis — that the
+    // two-phase batched plan EXECUTES at full probe depth and keeps
+    // its pinned exchange budget (2 per batch pivot + 1 per
+    // accumulated re-shuffle = 3·batches−2; a regression to per-batch
+    // full-matrix re-shuffles or a cartesian fails here before it
+    // fails on a cluster).
+    val pvS = 12500
+    val pvP = 60000
+    val pv0 = System.nanoTime()
+    val pvLong = spark.range(0, pvS.toLong * pvP)
+      .select(
+        (col("id") % pvP).as("probe"),
+        // floor, not bare division: `/` on longs is DOUBLE division in
+        // Spark SQL, which would mint ~one distinct sample string per
+        // row and turn phase 1's driver collect into the whole table.
+        concat(lit("s"), floor(col("id") / pvP).cast("long").cast("string")).as("sample"),
+        (col("id") % 1001).cast("double").as("value"))
+    val pvWide = graft.ops.XenaOps.pivotMatrixWide(pvLong, "probe", "sample", "value")
+    val pvBatches = math.ceil(pvS / 4000.0).toInt
+    val pvPlan = pvWide.queryExecution.executedPlan.toString
+    val pvExch = "Exchange hashpartitioning".r.findAllIn(pvPlan).length
+    assert(pvExch == 3 * pvBatches - 2,
+      s"wide pivot expected ${3 * pvBatches - 2} exchanges at $pvBatches batches, got $pvExch:\n" +
+        pvPlan.take(2500))
+    assert(!pvPlan.contains("CartesianProduct") && !pvPlan.contains("BroadcastNestedLoopJoin"),
+      "wide pivot plan went non-equi at pan-cancer width")
+    assert(pvWide.columns.length == pvS + 1,
+      s"expected ${pvS + 1} columns, got ${pvWide.columns.length}")
+    // toRdd.count() executes the matrix's own QueryExecution (same
+    // reasoning as check 6) — every cell is materialized.
+    val pvRows = pvWide.queryExecution.toRdd.count()
+    val pvSec = (System.nanoTime() - pv0) / 1e9
+    assert(pvRows == pvP, s"wide pivot produced $pvRows rows, expected $pvP probes")
+    checks += (s"pan-cancer wide pivot ($pvS samples x $pvP probes, 750M cells)" ->
+      (f"$pvExch exchanges == 3·$pvBatches−2 pinned, ${pvS + 1} cols, $pvRows rows " +
+        f"materialized, no cartesian, end-to-end $pvSec%.1f s"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"
@@ -374,6 +419,13 @@ with zero recall loss. The corpus-preparation passes (q61–q65) are
 narrow or bounded-key aggregates and scale linearly; the packing
 prefix sum's driver collect stays one row per shuffle partition at
 any corpus size.
+
+The pan-cancer pivot check dominates the rehearsal's wall clock by
+design: it materializes every cell of the full-width reference matrix
+(750M cells through 4 batched pivots + 3 full-outer merges) in ONE
+JVM. Its pinned invariant is the exchange budget (3·batches−2), which
+is what survives the move to a cluster — the per-stage work spreads
+across executors there, the plan shape does not change.
 """
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

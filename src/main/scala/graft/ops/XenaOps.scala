@@ -293,14 +293,38 @@ object XenaOps {
     */
   def writeBucketed(
       df: DataFrame, table: String, rowKey: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    // repartition by the bucket key FIRST: Spark's repartition hash is
+    // the same Murmur3-pmod the bucketing spec uses, so each task
+    // holds exactly one bucket and each bucket becomes exactly ONE
+    // file. Without it every upstream task writes a sliver of every
+    // bucket (tasks x buckets files), and — decisive for the merge
+    // plan — the scan trusts per-FILE sort order only when a bucket
+    // is a single file (SPARK-24528): multi-file buckets re-Sort on
+    // every merge, which is the cost this writer exists to hoist out
+    // of the read path. Write parallelism = bucket count; size
+    // `buckets` to the cluster's write slots (and to keep each bucket
+    // file near the HDFS/S3 block size at the expected data volume).
+    df.repartition(buckets, col(rowKey))
+      .write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, rowKey)
       .sortBy(rowKey)
       .saveAsTable(table)
 
-  /** Merge previously bucketed matrices (see [[writeBucketed]]) —
-    * exchange-free full-outer sort-merge joins. */
+  /** Merge previously bucketed matrices (see [[writeBucketed]]):
+    * every BUCKETED input streams into its sort-merge join with no
+    * exchange and no sort — that is the cost [[writeBucketed]] paid
+    * once. In a chain of 3+ tables the ACCUMULATED intermediate still
+    * re-shuffles before each later join (a full-outer join's output
+    * partitioning is unknown to Catalyst — either side may inject
+    * nulls — even though the data is in fact still hash-placed), so a
+    * chain runs (n−2) exchanges on intermediate volume vs the
+    * unbucketed chain's 2(n−1) exchanges covering every input too.
+    * For REPEATED pan-cancer assembly, the dominant pattern is
+    * pairwise: keep the accumulated matrix itself bucketed
+    * ([[writeBucketed]] after each merge) and every step is a
+    * zero-exchange, zero-sort join of two bucketed tables.
+    */
   def mergeHorizontalBucketed(
       spark: org.apache.spark.sql.SparkSession,
       tables: Seq[String],

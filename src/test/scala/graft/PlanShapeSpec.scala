@@ -71,6 +71,25 @@ class PlanShapeSpec extends SparkSpecBase {
       val p = merged.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p.take(1200))
       assert(!p.contains("Exchange"), "bucketed merge still shuffles:\n" + p.take(1200))
+      // The zero-SORT half of the claim needs both writer and session
+      // to cooperate: writeBucketed pre-repartitions so each bucket is
+      // ONE sorted file, and GraftSession enables
+      // bucketedTableScan.outputOrdering so the scan may claim that
+      // order. Break either and this line catches it.
+      assert(!"\\bSort\\b".r.findAllIn(p).hasNext,
+        "bucketed merge re-sorts a pre-sorted bucket:\n" + p.take(1200))
+      // One file per bucket is itself the writer's contract (multi-
+      // file buckets silently forfeit the ordering claim).
+      val loc = spark.sql("DESCRIBE FORMATTED bm1")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+        .head().getString(1).stripPrefix("file:")
+      val dataFiles = new java.io.File(loc).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      val bucketIds = dataFiles.flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName))
+        .map(_.group(1))
+      assert(bucketIds.length == dataFiles.length && bucketIds.distinct.length == dataFiles.length,
+        s"writeBucketed must emit at most one file per bucket, got:\n" +
+          dataFiles.map(_.getName).mkString("\n"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS bm1")
       spark.sql("DROP TABLE IF EXISTS bm2")

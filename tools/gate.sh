@@ -30,6 +30,7 @@ OUTROOT=${OUTROOT:-/tmp/graft_gate}
 sbt -batch compile
 
 python3 tools/check_anchors.py
+python3 tools/check_leaks.py
 
 if [ "${SKIP_SBT_TEST:-0}" != "1" ]; then
   echo "== gate: ScalaTest suites =="
