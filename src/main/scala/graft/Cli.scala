@@ -299,16 +299,46 @@ object Cli {
       val m = opts(rest)
       val files = m.getOrElse("-f", m.getOrElse("--files", Nil))
       val dtype = one(m, "-t", "--datatype")
-      val out = one(m, "-o", "--output")
-      require(files.nonEmpty, "merge-xena needs -f <files...>")
       val spark = session()
       val dfs = files.map(f => XenaTsv.read(spark, f, None))
-      val merged =
-        if (isLongShape(dtype)) XenaOps.mergeVertical(dfs)
-        else XenaOps.mergeHorizontal(dfs, dfs.head.columns.head)
-      XenaTsv.write(merged, out, rowKey = Some(merged.columns.head))
-      println(s"merged ${files.size} matrices to $out")
-      0
+      m.get("--bucketed-store").flatMap(_.headOption) match {
+        // Incremental assembly against a persistent bucketed store:
+        // the accumulated pan-cancer matrix stays bucketed+sorted on
+        // the row key BETWEEN runs, so each new cohort merges with the
+        // (dominant) accumulated side streaming shuffle- and sort-free
+        // — vs the reference's join_xena.sh, which re-sorts every
+        // matrix on every assembly. `-o` is optional here: export and
+        // accumulation are separate concerns.
+        case Some(dir) =>
+          require(!isLongShape(dtype),
+            "--bucketed-store is the horizontal (matrix dtype) merge path; " +
+              s"$dtype merges vertically and needs no row-key store")
+          val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(32)
+          val acc =
+            if (!graft.io.BucketedStore.exists(dir)) {
+              require(files.nonEmpty, "initializing a bucketed store needs -f <files...>")
+              graft.io.BucketedStore.init(spark, dir, dfs.head, dfs.head.columns.head, buckets)
+              if (dfs.sizeIs > 1) graft.io.BucketedStore.merge(spark, dir, dfs.tail)
+              else graft.io.BucketedStore.accumulated(spark, dir)
+            } else if (files.nonEmpty) graft.io.BucketedStore.merge(spark, dir, dfs)
+            else graft.io.BucketedStore.accumulated(spark, dir)
+          m.get("-o").orElse(m.get("--output")).flatMap(_.headOption).foreach { out =>
+            XenaTsv.write(acc, out, rowKey = Some(acc.columns.head))
+          }
+          println(s"bucketed store $dir: v${graft.io.BucketedStore.readMeta(dir).version}, " +
+            s"${acc.columns.length - 1} sample columns" +
+            (if (files.nonEmpty) s" (+${files.size} matrices merged)" else ""))
+          0
+        case None =>
+          val out = one(m, "-o", "--output")
+          require(files.nonEmpty, "merge-xena needs -f <files...>")
+          val merged =
+            if (isLongShape(dtype)) XenaOps.mergeVertical(dfs)
+            else XenaOps.mergeHorizontal(dfs, dfs.head.columns.head)
+          XenaTsv.write(merged, out, rowKey = Some(merged.columns.head))
+          println(s"merged ${files.size} matrices to $out")
+          0
+      }
 
     case "metadata" :: rest =>
       val m = opts(rest)

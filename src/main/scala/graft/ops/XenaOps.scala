@@ -292,7 +292,8 @@ object XenaOps {
     * `join_xena.sh` sort|join passes.
     */
   def writeBucketed(
-      df: DataFrame, table: String, rowKey: String, buckets: Int): Unit =
+      df: DataFrame, table: String, rowKey: String, buckets: Int,
+      path: Option[String] = None): Unit = {
     // repartition by the bucket key FIRST: Spark's repartition hash is
     // the same Murmur3-pmod the bucketing spec uses, so each task
     // holds exactly one bucket and each bucket becomes exactly ONE
@@ -304,12 +305,36 @@ object XenaOps {
     // of the read path. Write parallelism = bucket count; size
     // `buckets` to the cluster's write slots (and to keep each bucket
     // file near the HDFS/S3 block size at the expected data volume).
-    df.repartition(buckets, col(rowKey))
+    val w = df.repartition(buckets, col(rowKey))
       .write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, rowKey)
       .sortBy(rowKey)
-      .saveAsTable(table)
+    // With `path` the table is EXTERNAL: data lives at a caller-owned
+    // location that outlives this session's in-memory catalog, and
+    // [[declareBucketedTable]] can re-attach it later.
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
+  }
+
+  /** Re-attach bucketed files written by [[writeBucketed]] (with a
+    * `path`) in a LATER session: the in-memory catalog forgets table
+    * metadata at session end, and bucketing lives in the catalog, not
+    * the files — a plain `read.parquet` over the same files is
+    * correct but re-shuffles and re-sorts on every merge. This DDL is
+    * exactly what a production metastore would persist; declaring it
+    * over files the bucketed writer produced restores the
+    * zero-exchange, zero-sort merge plan.
+    */
+  def declareBucketedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, rowKey: String, buckets: Int): Unit = {
+    val schema = spark.read.parquet(path).schema
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"CREATE TABLE `$table` (${schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY (`$rowKey`) SORTED BY (`$rowKey`) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+  }
 
   /** Merge previously bucketed matrices (see [[writeBucketed]]):
     * every BUCKETED input streams into its sort-merge join with no

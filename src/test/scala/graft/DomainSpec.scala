@@ -247,6 +247,48 @@ class DomainSpec extends SparkSpecBase {
       s"merge lost a repeated -f file: ${merged.columns.mkString(",")}")
   }
 
+  test("CLI merge-xena --bucketed-store: incremental assembly across invocations == one-shot merge") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_bstore").toString
+    val key = "Composite Element REF"
+    def mat(sample: String, cells: (String, Double)*): String = {
+      val path = s"$tmp/$sample.tsv"
+      graft.io.XenaTsv.write(cells.toSeq.toDF(key, sample), path, rowKey = Some(key))
+      path
+    }
+    val m0 = mat("SAMP-01A", "cg01" -> 0.5, "cg02" -> 0.6)
+    val m1 = mat("SAMP-02A", "cg01" -> 0.7, "cg03" -> 0.8)
+    val m2 = mat("SAMP-03A", "cg02" -> 0.9, "cg04" -> 0.4)
+    val store = s"$tmp/store"
+    // Invocation 1 initializes the store from two cohorts; invocation
+    // 2 (a separate Cli.run — the store must re-attach from files +
+    // store.json, never from this session's catalog luck) merges a
+    // third and exports.
+    assert(graft.Cli.run(Array("merge-xena", "--bucketed-store", store,
+      "-f", m0, "-f", m1, "-t", "methylation450")) == 0)
+    assert(graft.Cli.run(Array("merge-xena", "--bucketed-store", store,
+      "-f", m2, "-t", "methylation450", "-o", s"$tmp/acc.tsv")) == 0)
+    // One-shot three-way merge is the oracle.
+    assert(graft.Cli.run(Array("merge-xena", "-f", m0, "-f", m1, "-f", m2,
+      "-t", "methylation450", "-o", s"$tmp/oneshot.tsv")) == 0)
+    assert(graft.ops.XenaOps.canonicalEqual(
+      graft.io.XenaTsv.read(spark, s"$tmp/acc.tsv"),
+      graft.io.XenaTsv.read(spark, s"$tmp/oneshot.tsv")),
+      "incremental bucketed assembly diverged from the one-shot merge")
+    // Export-only invocation: no -f, just read the store out.
+    assert(graft.Cli.run(Array("merge-xena", "--bucketed-store", store,
+      "-t", "methylation450", "-o", s"$tmp/export.tsv")) == 0)
+    assert(graft.ops.XenaOps.canonicalEqual(
+      graft.io.XenaTsv.read(spark, s"$tmp/export.tsv"),
+      graft.io.XenaTsv.read(spark, s"$tmp/oneshot.tsv")))
+    // A long-shape dtype must refuse the store (vertical merges have
+    // no row-key store semantics).
+    val rc = try graft.Cli.run(Array("merge-xena", "--bucketed-store", store,
+      "-f", m0, "-t", "segment_cnv_DNAcopy", "-o", s"$tmp/x.tsv"))
+    catch { case _: IllegalArgumentException => 1 }
+    assert(rc != 0, "long-shape dtype must not use --bucketed-store")
+  }
+
   test("CLI frames: avi and wav frame tables land with sane schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_frames").toString
 

@@ -96,6 +96,35 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed store: accumulated side merges exchange-free across re-declaration") {
+    import spark.implicits._
+    import graft.io.BucketedStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_bstore_plan").toString
+    val m1 = (1 to 60).map(i => (s"p$i", i * 1.0)).toDF("probe", "sA")
+    BucketedStore.init(spark, dir, m1, "probe", 4)
+    // accumulated() re-declares the external table from store.json +
+    // files alone (the in-memory catalog is NOT trusted across runs),
+    // so this is the plan a tomorrow's CLI invocation gets.
+    val acc = BucketedStore.accumulated(spark, dir)
+    val m2 = (30 to 90).map(i => (s"p$i", i * 2.0)).toDF("probe", "sB")
+    val step = acc.join(m2, Seq("probe"), "full_outer")
+    assert(step.count() == 90)
+    val p = step.queryExecution.executedPlan.toString
+    // Exactly the NEW side pays: one exchange + one sort; the
+    // accumulated (at scale, dominant) side streams off its buckets.
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "accumulated side of the incremental merge shuffled:\n" + p.take(1500))
+    assert("\\bSort\\b".r.findAllIn(p).length == 1,
+      "accumulated side of the incremental merge re-sorted:\n" + p.take(1500))
+    // And the committed result is the plain merge, bit for bit.
+    val after = BucketedStore.merge(spark, dir, Seq(m2))
+    assert(graft.ops.XenaOps.canonicalEqual(
+      after, graft.ops.XenaOps.mergeHorizontal(Seq(m1, m2), "probe")))
+    assert(BucketedStore.readMeta(dir).version == 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "acc_v1")),
+      "superseded store version must be swept after commit")
+  }
+
   test("q45: IVF probe join broadcasts the probe table, no cartesian") {
     val p = plan("q45_ivf_ann_topk")
     assert(!p.contains("CartesianProduct"), p.take(2000))
