@@ -678,6 +678,45 @@ object Cli {
       }
       0
 
+    case "semantic-dedup" :: rest =>
+      // SemDeDup over an embeddings parquet: writes one row per vector
+      // (id, cell, cos_centroid, kept 0/1); the kept==1 rows are the
+      // deduplicated corpus. Pairwise work is bounded per k-means cell
+      // — size --nlist to the corpus (cells of ~10³-10⁴ vectors).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
+      val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
+      val dim = m.get("--dim").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+      val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
+      val threshold = m.get("--threshold").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(0.4)
+      val spark = session()
+      graft.similarity.Similarity.semanticDedup(
+        spark.read.parquet(in), idCol, vecCol, dim, nlist, threshold)
+        .write.mode("overwrite").parquet(out)
+      println(s"semantic-dedup (nlist=$nlist, threshold=$threshold) written to $out")
+      0
+
+    case "dup-windows" :: rest =>
+      // Cross-document duplicated token-window report: one row per
+      // document with >= --w tokens — (doc_id, n_windows,
+      // n_dup_windows, dup_frac). The trimming signal of
+      // substring-level dedup; docs with high dup_frac repeat spans
+      // that exist verbatim in other documents.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val w = m.get("--w").flatMap(_.headOption).map(_.toInt).getOrElse(8)
+      val spark = session()
+      graft.dedup.Dedup.dupWindowStats(spark.read.parquet(in), idCol, textCol, w)
+        .write.mode("overwrite").parquet(out)
+      println(s"dup-windows (w=$w) report written to $out")
+      0
+
     case "frames" :: rest =>
       // Multimodal frame extraction: sample frames from every media
       // file under a glob (container parse per-partition, fingerprint
@@ -721,6 +760,8 @@ object Cli {
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
+           |  semantic-dedup -i <embeddings.parquet> -o <out.parquet> [--nlist 24] [--threshold 0.4] [--dim 64] [--id vec_id] [--vec embedding]
+           |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]

@@ -392,6 +392,51 @@ object ScaleSmoke {
       (f"$pvExch exchanges == 3·$pvBatches−2 pinned, ${pvS + 1} cols, $pvRows rows " +
         f"materialized, no cartesian, end-to-end $pvSec%.1f s"))
 
+    // 8. Substring-level + semantic dedup at 10×: the two round-9
+    // operators against the planted copy families. Every copy contains
+    // its base document's text as a PREFIX, so (a) every base window
+    // recurs in 9 sibling docs — dupWindowStats must flag essentially
+    // every reporting doc (the rare exception: a <8-token base whose
+    // copies' single window ends in the per-copy token, globally
+    // unique); and (b) family embeddings sit at cosine ≈ 1, so
+    // semanticDedup must collapse families — kept count near the
+    // family count, far below the corpus. Both plans must stay
+    // equi-join only (the 100 TB contract from PlanShapeSpec,
+    // re-asserted at 10×).
+    val dw0 = System.nanoTime()
+    val dw = Dedup.dupWindowStats(docs, "doc_id", "text", w = 8)
+      .localCheckpoint(false)
+    val dwPlan = dw.queryExecution.executedPlan.toString
+    assert(!dwPlan.contains("CartesianProduct") && !dwPlan.contains("BroadcastNestedLoopJoin"),
+      "dupWindowStats went non-equi at 10x")
+    val dwRow = dw.agg(count(lit(1)), sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)),
+      sum(when(col("n_dup_windows") > col("n_windows"), 1L).otherwise(0L))).collect()(0)
+    val dwSec = (System.nanoTime() - dw0) / 1e9
+    val (dwDocs, dwFlagged) = (dwRow.getLong(0), dwRow.getLong(1))
+    assert(dwRow.getLong(2) == 0, "dup window count exceeded window count")
+    assert(dwFlagged.toDouble / dwDocs >= 0.95,
+      f"planted copy families under-detected: ${dwFlagged.toDouble / dwDocs}%.3f flagged")
+    checks += ("substring dedup (dupWindowStats w=8) flags the planted copy families" ->
+      f"$dwFlagged/$dwDocs reporting docs flagged, no count inversions, $dwSec%.1f s")
+
+    val sd0 = System.nanoTime()
+    val sd = graft.similarity.Similarity.semanticDedup(
+      Tables.embeddings(spark, workDir), "vec_id", "embedding",
+      dim = 64, nlist = 24, threshold = 0.4).localCheckpoint(false)
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct") && !sdPlan.contains("BroadcastNestedLoopJoin"),
+      "semanticDedup went non-equi at 10x")
+    val sdRow = sd.agg(count(lit(1)), sum(col("kept"))).collect()(0)
+    val sdSec = (System.nanoTime() - sd0) / 1e9
+    val (sdTotal, sdKept) = (sdRow.getLong(0), sdRow.getLong(1))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val sdExpected = Tables.embeddings(spark, baseDir).count() * Copies
+    assert(sdTotal == sdExpected, s"semanticDedup lost rows: $sdTotal != $sdExpected")
+    assert(sdKept.toDouble / sdTotal <= 0.25,
+      f"cosine-1 copy families not collapsed: kept ${sdKept.toDouble / sdTotal}%.3f of corpus")
+    checks += ("semantic dedup (SemDeDup threshold=0.4) collapses the cosine~1 copy families" ->
+      f"kept $sdKept of $sdTotal (${100.0 * sdKept / sdTotal}%.1f%%), equi-join plan, $sdSec%.1f s")
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -605,6 +605,19 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster_id"))
   }
 
+  /** SemDeDup semantic dedup over the embedding corpus: the
+    * deterministic-IVF cells (q45's exact quantizer — nlist 24,
+    * iters 2, scale 1e6) bound the pairwise stage to within-cluster
+    * cosines; a vector is dropped when a same-cell neighbor at
+    * cos >= 0.4 sits strictly farther from the centroid (id
+    * tiebreak). Every comparison runs on 6dp-rounded values, so the
+    * DuckDB transcription of the same Lloyd + dominance rule matches
+    * row-for-row — a full value oracle over an ANN-clustered dedup,
+    * not a rows-only check. */
+  def q72SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, nlist = 24, threshold = 0.4)
+
   /** k-NN self-join over the LSH candidate graph: every embedding's
     * top-3 nearest neighbors among its bucketed cosine pairs — the
     * neighbor-list input of semantic dedup / retrieval prep. Ranking
@@ -679,6 +692,14 @@ object SparkEntry {
       .select(col("doc_id"),
         round(graft.functions.TextFunctions.dupNgramFrac(col("toks"), 3), 6)
           .as("dup3_frac"))
+
+  /** Cross-document duplicated 8-token windows (the substring-level
+    * dedup signal document-level dedup misses — near-dup DOCS are
+    * q70's job; this finds verbatim SPANS shared across otherwise
+    * distinct documents). Window hashes stay 60-bit longs end to
+    * end; the dup set is distinct-doc-frequency >= 2 on the hash. */
+  def q73DupWindows(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupWindowStats(Tables.documents(s, dir), "doc_id", "text", w = 8)
 
   /** Multimodal audio: canonical RIFF/PCM WAV header parse
     * per-partition (real, no codec) + declarative duration math. */
@@ -998,6 +1019,8 @@ object SparkEntry {
     "q69_pq_topk" -> (q69PqTopK _),
     "q70_neardup_dedup" -> (q70NearDupDedup _),
     "q71_wide_pivot" -> (q71WidePivot _),
+    "q72_semantic_dedup" -> (q72SemanticDedup _),
+    "q73_dup_windows" -> (q73DupWindows _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1082,8 +1105,13 @@ object SparkEntry {
       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)""".stripMargin
 
-  private val IvfOracleSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared CTE chain of the deterministic integer-Lloyd IVF
+    * quantizer (quantize → orthant init → 2 Lloyd iterations → final
+    * cell assignment `af` under centroids `c2`) — used verbatim by
+    * the q45/q60 ANN oracles and the q72 SemDeDup oracle so the
+    * three transcriptions of the k-means can never diverge. */
+  private val IvfCellCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v,
         |        list_transform(v, x ->
         |          CAST(floor(x / sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT)) AS qv
@@ -1165,7 +1193,10 @@ object SparkEntry {
         |af AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |    FROM df) t WHERE rn = 1),
+        |    FROM df) t WHERE rn = 1)""".stripMargin
+
+  private val IvfOracleSql: String =
+    s"""WITH $IvfCellCtes,
         |pp AS (
         |  SELECT vec_id AS q_id, cell FROM (
         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -1690,6 +1721,53 @@ object SparkEntry {
          |$cols
          |FROM m GROUP BY segment""".stripMargin
     },
+    // SemDeDup transcription: the q45 Lloyd chain supplies cells (af)
+    // and final centroids (c2); centroid cosine and pair cosine both
+    // round to 6dp BEFORE every comparison, mirroring the engine, so
+    // threshold and dominance decisions are bit-identical. The
+    // dominance rule (neighbor at cos >= 0.4 strictly closer to the
+    // centroid, id tiebreak) is order-free, so no iteration order
+    // needs transcribing.
+    "q72_semantic_dedup" ->
+      s"""WITH $IvfCellCtes,
+        |cents AS (
+        |  SELECT cell, list(CAST(cv AS DOUBLE) ORDER BY j) AS cv FROM c2 GROUP BY cell),
+        |asg AS (
+        |  SELECT e.vec_id, af.cell, e.v,
+        |    round(list_dot_product(e.v, c.cv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |      AS cc
+        |  FROM e JOIN af USING (vec_id) JOIN cents c USING (cell)),
+        |dom AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        |    AND (a.cc < b.cc OR (a.cc = b.cc AND a.vec_id < b.vec_id)))
+        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.cc AS cos_centroid,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id""".stripMargin,
+    "q73_dup_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 7),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))
+        |        AS BIGINT)) AS whs
+        |  FROM t WHERE len(toks) >= 8),
+        |occ AS (SELECT doc_id, unnest(whs) AS wh FROM g),
+        |dup AS (
+        |  SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM occ)
+        |  GROUP BY wh HAVING count(*) >= 2),
+        |dc AS (SELECT doc_id, count(*) AS nd FROM occ JOIN dup USING (wh) GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(whs) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_dup_windows,
+        |  round(coalesce(dc.nd, 0) * 1.0 / len(whs), 6) AS dup_frac
+        |FROM g LEFT JOIN dc USING (doc_id)""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

@@ -650,4 +650,54 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_grams"))
   }
+
+  /** Cross-document duplicated token-window statistics — the
+    * detection core of substring-level exact dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022,
+    * arXiv:2107.06499 — their suffix-array pass finds verbatim spans
+    * repeated ACROSS documents, which document-level dedup misses):
+    * every `w`-token sliding window (stride 1) is hashed; a window
+    * VALUE occurring in >= 2 distinct documents marks all of its
+    * occurrences as duplicated. Per document (with >= `w` tokens):
+    * total window positions, positions whose window is cross-doc
+    * duplicated, and the duplicated fraction — the signal a trimming
+    * pass would cut on.
+    *
+    * Scale shape: windows are hashed per-row by the fused
+    * [[graft.functions.WordNgrams]] + [[graft.functions.Md5Prefix64]]
+    * kernels (60-bit hashes — window text never leaves the row), so
+    * the exploded posting list carries (doc_id, hash) only. The
+    * duplicated-hash set comes from one distinct + one count
+    * aggregate keyed by hash (map-side combined; no all-pairs
+    * anything), and rejoins the posting list as a semi-join on the
+    * same hash key — at 100 TB both shuffles are linear in total
+    * window count and partition cleanly by hash. Within-doc repeats
+    * of a window count each position once but never create a dup by
+    * themselves (the doc-frequency count is over DISTINCT docs).
+    */
+  def dupWindowStats(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    // Hash array is materialized as an attribute column before any
+    // per-element work (the winnowing lesson: an inline array subtree
+    // inside a lambda re-evaluates per element), and checkpointed —
+    // it feeds the posting-list explode AND the per-doc totals.
+    val hashed = Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        transform(TextFunctions.wordNgrams(col("toks"), w), g => gramHash(g)).as("whs"))
+      .localCheckpoint(false)
+    val occ = hashed.select(col("doc_id"), explode(col("whs")).as("wh"))
+    val dupSet = occ.distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("wh"))
+    val dupCounts = occ.join(dupSet, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    hashed.select(col("doc_id"), size(col("whs")).cast("long").as("n_windows"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
 }

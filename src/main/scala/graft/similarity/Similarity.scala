@@ -694,6 +694,77 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the
+    * deterministic integer k-means ([[kmeansCellsDeterministic]]),
+    * compute pairwise cosines WITHIN each cluster only, and mark as
+    * dropped every vector that has a same-cluster neighbor at
+    * `cos >= threshold` sitting strictly farther from the centroid
+    * (the paper's keep-the-low-centroid-similarity rule — dedup
+    * keeps "edge" examples, which carry more training signal than
+    * cluster cores), with vector id as the deterministic tiebreak.
+    * The rule is a pure pairwise dominance relation — order-free, so
+    * the output is a function of the data, not of execution order.
+    *
+    * Output: one row per corpus vector — (`idCol`, cell,
+    * cos_centroid rounded 6dp, kept 0/1).
+    *
+    * Scale shape — the SemDeDup trick is exactly that the pairwise
+    * stage never goes corpus-wide: candidates are Σ|cell|² with
+    * |cell| ≈ N/nlist, and nlist grows with the corpus (the paper
+    * runs 11k clusters at 10⁸ vectors), so per-cell work stays
+    * bounded. Here that is a self-join co-partitioned on `cell` (one
+    * exchange per side, no broadcast of the corpus); the centroid
+    * matrix rides as a literal (driver-sized by construction) and
+    * the dominated-id set is a distinct projection of the join
+    * output, rejoined as a skinny anti-side. All cosine arithmetic
+    * is the codegen'd [[graft.functions.DotProduct]] kernel; both
+    * comparisons (threshold and dominance) happen on 6dp-ROUNDED
+    * values so engine/oracle ordering can never disagree in the last
+    * ulp.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      threshold: Double,
+      iters: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    // One checkpoint feeds k-means training, assignment, and both
+    // self-join sides — without it the source scan and quantization
+    // re-run per consumer.
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), col(vecCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false)
+    val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
+    val cLit = array(centroids.map(c => array(c.map(v => lit(v.toDouble)): _*)): _*)
+    val assigned = quantized
+      .withColumn("cell",
+        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
+      .select(col(idCol), col(vecCol), col("cell"),
+        round(cosine(asDouble(col(vecCol)), element_at(cLit, col("cell") + 1)), 6)
+          .as("cos_centroid"))
+      .localCheckpoint(false)
+    val a = assigned.select(col("cell"), col(idCol).as("__id_a"),
+      col(vecCol).as("__v_a"), col("cos_centroid").as("__cc_a"))
+    val b = assigned.select(col("cell"), col(idCol).as("__id_b"),
+      col(vecCol).as("__v_b"), col("cos_centroid").as("__cc_b"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("__id_a") =!= col("__id_b"))
+      .filter(round(cosine(asDouble(col("__v_a")), asDouble(col("__v_b"))), 6)
+        >= threshold)
+      .filter(col("__cc_a") < col("__cc_b") ||
+        (col("__cc_a") === col("__cc_b") && col("__id_a") < col("__id_b")))
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    assigned
+      .join(dominated.withColumn("__dropped", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("cos_centroid"),
+        when(col("__dropped").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
+  }
+
   // -----------------------------------------------------------------
   // Product quantization (PQ) — memory-compressed ANN scan
   // -----------------------------------------------------------------

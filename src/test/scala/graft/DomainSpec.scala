@@ -125,6 +125,36 @@ class DomainSpec extends SparkSpecBase {
     assert(dist == expect, s"distributed path: $dist")
   }
 
+  test("dupWindowStats: cross-doc spans flagged, within-doc repeats and short docs are not") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val docs = Seq(
+      // A and B share the 8-token span verbatim inside longer text →
+      // each has exactly one duplicated window position.
+      (1L, s"unique one two three $span"),
+      (2L, s"$span different tail here now"),
+      // C: 8+ tokens, no cross-doc window → zero dups.
+      (3L, "nothing here matches any other document at all ever"),
+      // D: 7 tokens — below the window width, excluded from output.
+      (4L, "too short to window at seven tokens"),
+      // E: repeats ITS OWN window twice (within-doc repeat) but shares
+      // nothing across docs → its positions must not count as dups.
+      (5L, s"mike november oscar papa quebec romeo sierra tango " +
+        "mike november oscar papa quebec romeo sierra tango")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupWindowStats(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L), s"got $got") // doc 4 excluded
+    // A: 12 tokens → 5 windows; only the final window (the span) dups.
+    assert(got(1L) == ((5L, 1L, 0.2)))
+    // B: 12 tokens → 5 windows; only the first window (the span) dups.
+    assert(got(2L) == ((5L, 1L, 0.2)))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    // E: 16 tokens → 9 windows, all repeats are intra-doc only.
+    assert(got(5L)._2 == 0L, s"within-doc repeat counted as cross-doc dup: ${got(5L)}")
+  }
+
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
@@ -157,6 +187,23 @@ class DomainSpec extends SparkSpecBase {
       .csv(s"$tmp/vocab.tsv")
     assert(vocab.count() == 10)
     assert(vocab.columns.toSeq == Seq("token", "n"))
+
+    assert(graft.Cli.run(Array(
+      "dup-windows", "-i", docs, "-o", s"$tmp/dupwin")) == 0)
+    val dupwin = spark.read.parquet(s"$tmp/dupwin")
+    assert(dupwin.columns.toSeq ==
+      Seq("doc_id", "n_windows", "n_dup_windows", "dup_frac"))
+    // every doc with >= 8 tokens reports; counts are consistent
+    assert(dupwin.filter(col("n_dup_windows") > col("n_windows")).count() == 0)
+    assert(dupwin.count() > 0)
+
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    assert(graft.Cli.run(Array(
+      "semantic-dedup", "-i", emb, "-o", s"$tmp/semdedup")) == 0)
+    val sem = spark.read.parquet(s"$tmp/semdedup")
+    assert(sem.columns.toSeq == Seq("vec_id", "cell", "cos_centroid", "kept"))
+    assert(sem.count() == 500)
+    assert(sem.filter(col("kept") === 0).count() > 0, "default threshold drops nothing")
   }
 
   test("CLI ann: ivf and brute top-k over an embedding parquet") {

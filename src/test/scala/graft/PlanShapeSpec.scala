@@ -49,6 +49,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q72/q73: semantic dedup and dup-window detection stay equi-join only") {
+    // q72's pairwise stage must be the co-partitioned self-join on
+    // `cell` (the SemDeDup scale contract: candidate volume bounded by
+    // cluster size, never |corpus|²); q73's dup-set membership is an
+    // equi-semi-join on the 60-bit window hash. Neither may degrade to
+    // a cartesian or nested-loop shape.
+    for (q <- Seq("q72_semantic_dedup", "q73_dup_windows")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    assert(plan("q73_dup_windows").contains("LeftSemi"),
+      "q73 dup-set membership is not a semi-join")
+  }
+
   test("q28: matrix assembly is scan -> agg -> pivot with no extra shuffles") {
     val p = plan("q28_star_counts")
     assert(!p.contains("CartesianProduct"))

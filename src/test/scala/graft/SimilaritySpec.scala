@@ -335,4 +335,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.cosinePairs(small, "vec_id", "embedding", threshold = -1.0,
       allowExact = true).count() == 6)
   }
+
+  test("semanticDedup: total output, and kept/dropped matches the brute-force dominance rule") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, threshold = 0.4)
+      .select(col("vec_id"), col("cell"), col("cos_centroid"), col("kept"))
+      .localCheckpoint(false)
+    // Every corpus vector appears exactly once, kept or not.
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == emb.count())
+    // Recompute dominance by brute force from the OUTPUT's own cells
+    // and centroid cosines: dropped == "some same-cell neighbor at
+    // rounded cos >= threshold sits strictly closer to the centroid
+    // (id tiebreak)". This re-derives the rule from first principles —
+    // the only shared input is the cell assignment itself.
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val side = out.join(vecs, "vec_id")
+    val a = side.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("va"), col("cos_centroid").as("ca"))
+    val b = side.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("vb"), col("cos_centroid").as("cb"))
+    val expectedDropped = a.join(b, Seq("cell"))
+      .filter(col("ia") =!= col("ib"))
+      .filter(round(Similarity.cosine(col("va").cast("array<double>"),
+        col("vb").cast("array<double>")), 6) >= 0.4)
+      .filter(col("ca") < col("cb") || (col("ca") === col("cb") && col("ia") < col("ib")))
+      .select(col("ib")).distinct().as[Long].collect().toSet
+    val gotDropped = out.filter(col("kept") === 0).select("vec_id").as[Long].collect().toSet
+    assert(gotDropped == expectedDropped,
+      s"dropped sets differ: got ${gotDropped.size}, expected ${expectedDropped.size}")
+    // The gate corpus genuinely exercises the rule (non-degenerate).
+    assert(gotDropped.nonEmpty, "threshold finds no within-cell dups at this SF")
+  }
+
+  test("semanticDedup is invariant to corpus partitioning") {
+    val base = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, threshold = 0.4)
+    val shuffled = Similarity.semanticDedup(emb.repartition(13), "vec_id", "embedding",
+      dim = 64, nlist = 24, threshold = 0.4)
+    val diff = base.exceptAll(shuffled).count() + shuffled.exceptAll(base).count()
+    assert(diff == 0, s"semanticDedup output depends on partitioning: $diff rows differ")
+  }
 }
