@@ -740,20 +740,31 @@ object Similarity {
       .localCheckpoint(false)
     val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
     val cLit = array(centroids.map(c => array(c.map(v => lit(v.toDouble)): _*)): _*)
+    // The double-cast vector and its norm are materialized ONCE here,
+    // not inside the pairwise join condition: a join condition gets no
+    // codegen subexpression elimination, so the naive
+    // `round(cosine(a, b), 6)` form re-ran the float→double cast and
+    // both self-norms per CANDIDATE PAIR — measured 13µs/pair (217s at
+    // the 10× rehearsal's ~17M within-cell pairs). With norms carried
+    // on the row, the per-pair work is one fused DotProduct + one
+    // multiply-divide — same IEEE operations in the same order, so
+    // results (and the oracle) are bit-identical.
+    import graft.functions.VectorFunctions.dot
     val assigned = quantized
       .withColumn("cell",
         element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
-      .select(col(idCol), col(vecCol), col("cell"),
+      .select(col(idCol), asDouble(col(vecCol)).as("__vd"), col("cell"),
         round(cosine(asDouble(col(vecCol)), element_at(cLit, col("cell") + 1)), 6)
           .as("cos_centroid"))
+      .withColumn("__nrm", sqrt(dot(col("__vd"), col("__vd"))))
       .localCheckpoint(false)
     val a = assigned.select(col("cell"), col(idCol).as("__id_a"),
-      col(vecCol).as("__v_a"), col("cos_centroid").as("__cc_a"))
+      col("__vd").as("__v_a"), col("__nrm").as("__n_a"), col("cos_centroid").as("__cc_a"))
     val b = assigned.select(col("cell"), col(idCol).as("__id_b"),
-      col(vecCol).as("__v_b"), col("cos_centroid").as("__cc_b"))
+      col("__vd").as("__v_b"), col("__nrm").as("__n_b"), col("cos_centroid").as("__cc_b"))
     val dominated = a.join(b, Seq("cell"))
       .filter(col("__id_a") =!= col("__id_b"))
-      .filter(round(cosine(asDouble(col("__v_a")), asDouble(col("__v_b"))), 6)
+      .filter(round(dot(col("__v_a"), col("__v_b")) / (col("__n_a") * col("__n_b")), 6)
         >= threshold)
       .filter(col("__cc_a") < col("__cc_b") ||
         (col("__cc_a") === col("__cc_b") && col("__id_a") < col("__id_b")))

@@ -172,6 +172,44 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: dupWindowStats equals brute-force window counting; invariant to partitioning") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // Small vocabulary + short docs force plenty of genuine cross-doc
+    // window collisions without planting them.
+    val vocab = ('a' to 'f').map(_.toString)
+    val w = 3
+    for (trial <- 1 to 3) {
+      val r = new scala.util.Random(70 + trial)
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(r.nextInt(vocab.size))).mkString(" ")
+      // lengths straddle the window width: some docs fall below w
+      val corpus = (0L until 40L).map(i => (i, doc(1 + r.nextInt(8))))
+      def windows(text: String): Seq[String] =
+        text.split("\\s+").filter(_.nonEmpty).sliding(w).filter(_.length == w)
+          .map(_.mkString(" ")).toSeq
+      val docWins = corpus.map { case (id, t) => id -> windows(t) }
+      val dupSet = docWins
+        .flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+        .groupBy(_._1).collect { case (g, occ) if occ.map(_._2).distinct.size >= 2 => g }
+        .toSet
+      val expect = docWins.collect { case (id, ws) if ws.nonEmpty =>
+        val nd = ws.count(dupSet.contains).toLong
+        id -> ((ws.size.toLong, nd, math.rint(nd.toDouble / ws.size * 1e6) / 1e6))
+      }.toMap
+
+      val base = corpus.toDF("doc_id", "text")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Dedup.dupWindowStats(df, "doc_id", "text", w)
+          .as[(Long, Long, Long, Double)].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val got = run(base)
+      assert(got == expect, s"trial $trial: engine != brute force")
+      assert(run(base.repartition(7)) == expect,
+        s"trial $trial: output depends on partitioning")
+    }
+  }
+
   test("property: q63 prefix sum == driver cumsum; invariant to partition count") {
     import graft.SparkEntry
     // Driver-side reference: global cumsum over the q61 chunks in
