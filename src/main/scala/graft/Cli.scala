@@ -717,6 +717,23 @@ object Cli {
       println(s"dup-windows (w=$w) report written to $out")
       0
 
+    case "dedup-trim" :: rest =>
+      // Duplicated-span removal: writes the corpus with every
+      // cross-doc duplicated w-token span cut except in its canonical
+      // (min-doc-id) owner — (doc_id, n_tokens, n_removed,
+      // trimmed_text). The removal twin of dup-windows' report.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val w = m.get("--w").flatMap(_.headOption).map(_.toInt).getOrElse(8)
+      val spark = session()
+      graft.dedup.Dedup.trimDupSpans(spark.read.parquet(in), idCol, textCol, w)
+        .write.mode("overwrite").parquet(out)
+      println(s"dedup-trim (w=$w) corpus written to $out")
+      0
+
     case "frames" :: rest =>
       // Multimodal frame extraction: sample frames from every media
       // file under a glob (container parse per-partition, fingerprint
@@ -762,6 +779,7 @@ object Cli {
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
            |  semantic-dedup -i <embeddings.parquet> -o <out.parquet> [--nlist 24] [--threshold 0.4] [--dim 64] [--id vec_id] [--vec embedding]
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
+           |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]

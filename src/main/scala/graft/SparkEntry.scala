@@ -701,6 +701,16 @@ object SparkEntry {
   def q73DupWindows(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.dupWindowStats(Tables.documents(s, dir), "doc_id", "text", w = 8)
 
+  /** Duplicated-span REMOVAL over the same 8-token windows q73
+    * detects: every cross-doc duplicated window occurrence is cut
+    * except in its canonical (min-doc-id) owner — exactly one copy of
+    * each repeated span survives the corpus. The trimmed text itself
+    * is oracle-compared, so the span-union arithmetic (overlapping
+    * windows, ownership, pass-through of short docs) is value-gated
+    * end to end. */
+  def q74DedupTrim(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.trimDupSpans(Tables.documents(s, dir), "doc_id", "text", w = 8)
+
   /** Multimodal audio: canonical RIFF/PCM WAV header parse
     * per-partition (real, no codec) + declarative duration math. */
   def q50AudioMeta(s: SparkSession, dir: String): DataFrame =
@@ -1021,6 +1031,7 @@ object SparkEntry {
     "q71_wide_pivot" -> (q71WidePivot _),
     "q72_semantic_dedup" -> (q72SemanticDedup _),
     "q73_dup_windows" -> (q73DupWindows _),
+    "q74_dedup_trim" -> (q74DedupTrim _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1768,6 +1779,49 @@ object SparkEntry {
         |  CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_dup_windows,
         |  round(coalesce(dc.nd, 0) * 1.0 / len(whs), 6) AS dup_frac
         |FROM g LEFT JOIN dc USING (doc_id)""".stripMargin,
+    // Span-removal transcription: same tokenize/window/hash chain as
+    // q73, plus ownership (min doc id per duplicated hash) and the
+    // per-doc union of cut token ranges; the kept tokens re-aggregate
+    // in position order. The engine's 0-based positions and this
+    // oracle's 1-based ones are each internally consistent — only the
+    // trimmed text is compared.
+    "q74_dedup_trim" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 8 THEN list_transform(generate_series(1, len(toks) - 7),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))
+        |        AS BIGINT))
+        |    ELSE CAST([] AS BIGINT[]) END AS whs
+        |  FROM t),
+        |occ AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(whs)),
+        |    i -> {'pos': i, 'wh': whs[i]}), recursive := true)
+        |  FROM g),
+        |own AS (SELECT wh, min(doc_id) AS owner, count(DISTINCT doc_id) AS df FROM occ GROUP BY wh),
+        |cov AS (
+        |  SELECT DISTINCT o.doc_id, unnest(generate_series(o.pos, o.pos + 7)) AS idx
+        |  FROM occ o JOIN own w USING (wh)
+        |  WHERE w.df >= 2 AND o.doc_id <> w.owner),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+        |    i -> {'i': i, 'tok': toks[i]}), recursive := true)
+        |  FROM t),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.i, tk.tok
+        |  FROM tok tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.idx = tk.i
+        |  WHERE c.idx IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY i) AS trimmed_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.trimmed_text, '') AS trimmed_text
+        |FROM g LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

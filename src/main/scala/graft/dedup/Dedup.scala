@@ -700,4 +700,55 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 6)
           .as("dup_frac"))
   }
+
+  /** Cross-document duplicated-span REMOVAL — the trimming pass
+    * [[dupWindowStats]] is the detection signal for (Lee et al. 2022's
+    * dedup cuts the repeated span text itself, not whole documents):
+    * every occurrence of a cross-doc duplicated `w`-token window is
+    * cut from its document EXCEPT in the window's canonical owner (the
+    * min doc id containing it — a pure function of the data, so the
+    * trim is deterministic and order-free; exactly one document keeps
+    * each repeated span). Overlapping cut windows union into spans.
+    * Documents with < `w` tokens (or no duplicated windows) pass
+    * through untrimmed.
+    *
+    * Output: one row per non-null-text document — (doc_id, n_tokens,
+    * n_removed, trimmed_text).
+    *
+    * Scale shape: the posting list carries (doc_id, pos, 60-bit hash)
+    * — never window text; ownership is one min/count-distinct
+    * aggregate keyed by hash; the cut-coverage explode is bounded by
+    * w× the duplicated-occurrence count (duplicated positions only,
+    * not the corpus); and the final keep-filter runs per-row against
+    * the doc's own sorted cut set (`filter(toks, (t, i) -> ...)`) —
+    * no token-level shuffle. Every join is keyed (hash or doc id).
+    */
+  def trimDupSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val toked = Parallelism.ensure(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("whs",
+        when(size(col("toks")) >= w,
+          transform(TextFunctions.wordNgrams(col("toks"), w), g => gramHash(g)))
+          .otherwise(array().cast("array<bigint>")))
+      .localCheckpoint(false)
+    val occ = toked.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    val own = occ.groupBy(col("wh"))
+      .agg(min(col("doc_id")).as("owner"), count_distinct(col("doc_id")).as("df"))
+    val covered = occ.join(own.filter(col("df") >= 2), Seq("wh"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("cut"))
+    toked.join(covered, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => !array_contains(
+          coalesce(col("cut"), array().cast("array<int>")), i)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("trimmed_text"))
+  }
 }

@@ -153,6 +153,20 @@ class DomainSpec extends SparkSpecBase {
     assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
     // E: 16 tokens → 9 windows, all repeats are intra-doc only.
     assert(got(5L)._2 == 0L, s"within-doc repeat counted as cross-doc dup: ${got(5L)}")
+
+    // Span REMOVAL over the same fixture: doc 1 (min id) owns the
+    // shared span and keeps every token; doc 2 loses exactly the
+    // 8-token span (its tokens 1-8) and keeps the 4-token tail; docs
+    // 3 and 5 (no cross-doc window) and doc 4 (< w tokens) pass
+    // through untrimmed.
+    val trimmed = Dedup.trimDupSpans(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(trimmed.keySet == Set(1L, 2L, 3L, 4L, 5L)) // trim covers ALL docs
+    assert(trimmed(1L) == ((12L, 0L, s"unique one two three $span")))
+    assert(trimmed(2L) == ((12L, 8L, "different tail here now")))
+    assert(trimmed(3L)._2 == 0L && trimmed(4L)._2 == 0L && trimmed(5L)._2 == 0L)
+    assert(trimmed(4L)._3 == "too short to window at seven tokens")
   }
 
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
@@ -196,6 +210,14 @@ class DomainSpec extends SparkSpecBase {
     // every doc with >= 8 tokens reports; counts are consistent
     assert(dupwin.filter(col("n_dup_windows") > col("n_windows")).count() == 0)
     assert(dupwin.count() > 0)
+
+    assert(graft.Cli.run(Array(
+      "dedup-trim", "-i", docs, "-o", s"$tmp/trimmed")) == 0)
+    val trimmed = spark.read.parquet(s"$tmp/trimmed")
+    assert(trimmed.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_removed", "trimmed_text"))
+    assert(trimmed.filter(col("n_removed") > col("n_tokens")).count() == 0)
+    assert(trimmed.count() == 500) // trim emits every non-null-text doc
 
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     assert(graft.Cli.run(Array(

@@ -55,7 +55,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // cluster size, never |corpus|²); q73's dup-set membership is an
     // equi-semi-join on the 60-bit window hash. Neither may degrade to
     // a cartesian or nested-loop shape.
-    for (q <- Seq("q72_semantic_dedup", "q73_dup_windows")) {
+    for (q <- Seq("q72_semantic_dedup", "q73_dup_windows", "q74_dedup_trim")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
