@@ -440,6 +440,22 @@ object Cli {
             docs.selectExpr(idCol), pairs, idCol)
         case other => sys.error(s"dedup --mode must be exact|near, got $other")
       }
+      // --survivor best-quality additionally writes the quality-aware
+      // survivor table (cluster_id, id, quality) next to the clusters
+      // — the member kept per cluster is the highest-quality one
+      // (min id on ties) instead of the min-id canonical.
+      m.get("--survivor").flatMap(_.headOption) match {
+        case Some("best-quality") =>
+          import org.apache.spark.sql.functions.col
+          val scored = docs.select(col(idCol),
+            graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality"))
+          graft.dedup.Dedup.keepBestPerCluster(clusters, scored, idCol, "quality")
+            .write.mode("overwrite").parquet(s"$out.survivors")
+          println(s"best-quality survivors written to $out.survivors")
+        case Some("min-id") | None => // min-id canonical: doc_id == cluster_id rows
+        case Some(other) =>
+          sys.error(s"dedup --survivor must be min-id|best-quality, got $other")
+      }
       clusters.write.mode("overwrite").parquet(out)
       println(s"dedup ($mode) clusters written to $out")
       0
@@ -603,8 +619,11 @@ object Cli {
       0
 
     case "decontaminate" :: rest =>
-      // Drop corpus docs sharing any word n-gram with the benchmark
-      // set (GPT-3-style decontamination); writes the clean corpus.
+      // Default: drop corpus docs sharing any word n-gram with the
+      // benchmark set (GPT-3-style decontamination); writes the clean
+      // corpus. --trim instead cuts only the contaminated SPANS
+      // (n-token windows present in the benchmark), keeping the rest
+      // of each document: (doc_id, n_tokens, n_removed, trimmed_text).
       val m = opts(rest)
       val in = one(m, "-i", "--input")
       val benchPath = one(m, "-b", "--benchmark")
@@ -615,12 +634,41 @@ object Cli {
       val spark = session()
       import org.apache.spark.sql.functions.col
       val docs = spark.read.parquet(in)
-      val contaminated = graft.dedup.Dedup.crossNgramOverlap(
-        docs, spark.read.parquet(benchPath), idCol, textCol, n)
-        .select(col("doc_id").as(idCol))
-      val clean = docs.join(contaminated, Seq(idCol), "left_anti")
-      clean.write.mode("overwrite").parquet(out)
-      println(s"decontaminated corpus written to $out")
+      val bench = spark.read.parquet(benchPath)
+      if (m.contains("--trim")) {
+        graft.dedup.Dedup.decontaminateTrim(docs, bench, idCol, textCol, n)
+          .write.mode("overwrite").parquet(out)
+        println(s"span-decontaminated corpus written to $out")
+      } else {
+        val contaminated = graft.dedup.Dedup.crossNgramOverlap(
+          docs, bench, idCol, textCol, n)
+          .select(col("doc_id").as(idCol))
+        val clean = docs.join(contaminated, Seq(idCol), "left_anti")
+        clean.write.mode("overwrite").parquet(out)
+        println(s"decontaminated corpus written to $out")
+      }
+      0
+
+    case "budget" :: rest =>
+      // Per-key token-budget sample (the "at most B tokens from each
+      // source" mixture clause): deterministic md5-order take within
+      // each key until the budget is consumed. Writes (id, key,
+      // weight, cum_before) for kept rows.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val budget = one(m, "-B", "--budget").toLong
+      val keyCol = m.get("--key").flatMap(_.headOption).getOrElse("source")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val weighted = spark.read.parquet(in).select(col(idCol), col(keyCol),
+        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0))
+          .as("n_tokens"))
+      graft.ops.Sampling.tokenBudgetPerKey(weighted, keyCol, idCol, "n_tokens", budget)
+        .write.mode("overwrite").parquet(out)
+      println(s"budget sample ($budget tokens per $keyCol) written to $out")
       0
 
     case "ann-index" :: rest =>

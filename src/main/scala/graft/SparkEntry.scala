@@ -711,6 +711,47 @@ object SparkEntry {
   def q74DedupTrim(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.trimDupSpans(Tables.documents(s, dir), "doc_id", "text", w = 8)
 
+  /** Benchmark decontamination by span removal: every occurrence in a
+    * TRAIN-split document of a 5-token window that appears anywhere in
+    * the held-out VALID split is cut (q54 scores this contamination;
+    * this removes it — no ownership, benchmark text must not survive
+    * at all). Same split labels as q53/q54, same trimmed-text value
+    * oracle as q74, so the three stay mutually consistent. */
+  def q75DecontamTrim(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("split", splitLabel)
+    graft.dedup.Dedup.decontaminateTrim(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "valid"),
+      "doc_id", "text", w = 5)
+  }
+
+  /** Quality-aware near-dup survivor selection: q47's clusters +
+    * q49's quality score → keep the highest-quality member of each
+    * cluster (smallest id on ties) — the curation rule that never
+    * discards the best copy. One max_by aggregate per cluster; both
+    * engines compare quality at 6dp so tie-breaks cannot drift. */
+  def q76BestQualityDedup(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    graft.dedup.Dedup.keepBestPerCluster(
+      q47DupClusters(s, dir).select(col("doc_id"), col("cluster_id")),
+      scored, "doc_id", "quality")
+  }
+
+  /** Per-source token-budget sampling (the "at most B tokens from
+    * each source" clause of a mixture spec): documents taken in
+    * md5-hash order within their source until 10k tokens are
+    * consumed. The cumsum is the bucketed two-phase prefix sum of
+    * [[graft.ops.Sampling.tokenBudgetPerKey]] — a dominant source
+    * spreads over 256 sort tasks instead of one. */
+  def q77SourceBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetPerKey(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        // null text weighs 0 — it consumes no budget but stays
+        // samplable, and the oracle coalesces identically
+        coalesce(TextFunctions.tokenCount(col("text")), lit(0)).as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 10000L)
+
   /** Multimodal audio: canonical RIFF/PCM WAV header parse
     * per-partition (real, no codec) + declarative duration math. */
   def q50AudioMeta(s: SparkSession, dir: String): DataFrame =
@@ -1032,6 +1073,9 @@ object SparkEntry {
     "q72_semantic_dedup" -> (q72SemanticDedup _),
     "q73_dup_windows" -> (q73DupWindows _),
     "q74_dedup_trim" -> (q74DedupTrim _),
+    "q75_decontam_trim" -> (q75DecontamTrim _),
+    "q76_best_quality_dedup" -> (q76BestQualityDedup _),
+    "q77_source_budget" -> (q77SourceBudget _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1822,6 +1866,113 @@ object SparkEntry {
         |  CAST(len(toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(a.trimmed_text, '') AS trimmed_text
         |FROM g LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // Decontamination-trim transcription: q53's split buckets, q54's
+    // 5-gram windows (hashed as in q73/q74), cut = any train-doc
+    // window present in the valid split's distinct window set — no
+    // ownership CTE, benchmark text never survives. Output contract
+    // and the kept-token re-aggregation are q74's verbatim.
+    "q75_decontam_trim" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, bucket,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM b),
+        |g AS (
+        |  SELECT doc_id, bucket, toks,
+        |    CASE WHEN len(toks) >= 5 THEN list_transform(generate_series(1, len(toks) - 4),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))
+        |        AS BIGINT))
+        |    ELSE CAST([] AS BIGINT[]) END AS whs
+        |  FROM t),
+        |bg AS (
+        |  SELECT DISTINCT unnest(whs) AS wh FROM g WHERE bucket >= 80 AND bucket < 90),
+        |tr AS (SELECT doc_id, toks, whs FROM g WHERE bucket < 80),
+        |occ AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(whs)),
+        |    i -> {'pos': i, 'wh': whs[i]}), recursive := true)
+        |  FROM tr),
+        |cov AS (
+        |  SELECT DISTINCT o.doc_id, unnest(generate_series(o.pos, o.pos + 4)) AS idx
+        |  FROM occ o JOIN bg USING (wh)),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+        |    i -> {'i': i, 'tok': toks[i]}), recursive := true)
+        |  FROM tr),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.i, tk.tok
+        |  FROM tok tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.idx = tk.i
+        |  WHERE c.idx IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY i) AS trimmed_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tr.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.trimmed_text, '') AS trimmed_text
+        |FROM tr LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // Quality-aware survivor transcription: q47's recursive closure
+    // supplies (doc_id, cluster_id); the quality CTEs are q49's
+    // verbatim (6dp-rounded, so tie-breaks agree bit-for-bit); the
+    // survivor is row_number()=1 under (quality DESC, doc_id).
+    "q76_best_quality_dedup" ->
+      s"""WITH RECURSIVE $NgramPairsCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+        |clu AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qm AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    CASE WHEN len(text) > 0
+        |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g'))) * 1.0 / len(text)
+        |      ELSE 0.0 END AS praw,
+        |    CASE WHEN len(tk) > 0
+        |      THEN len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(tk)
+        |      ELSE 0.0 END AS sraw
+        |  FROM toks JOIN documents USING (doc_id)),
+        |q2 AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 20.0, 1.0) * 0.4
+        |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
+        |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality
+        |  FROM qm),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id)
+        |      AS rk
+        |  FROM clu c JOIN q2 q USING (doc_id))
+        |SELECT cluster_id, doc_id, quality FROM ranked WHERE rk = 1""".stripMargin,
+    // Budget-sample transcription: one window cumsum per source over
+    // (md5 order, doc_id) — the oracle may use the naive single-sort
+    // form the engine's bucketed prefix sum provably equals (bucket =
+    // top bits of the same 60-bit hash, so bucket order IS hash
+    // order; offsets just relocate where each row's sum is computed).
+    "q77_source_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5('budget_' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_before
+        |FROM c WHERE cum < 10000""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

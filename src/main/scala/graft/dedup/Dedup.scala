@@ -724,7 +724,90 @@ object Dedup {
     * no token-level shuffle. Every join is keyed (hash or doc id).
     */
   def trimDupSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val toked = Parallelism.ensure(docs)
+    val toked = tokedWindows(docs, idCol, textCol, w)
+    val occ = toked.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    val own = occ.groupBy(col("wh"))
+      .agg(min(col("doc_id")).as("owner"), count_distinct(col("doc_id")).as("df"))
+    val cutOcc = occ.join(own.filter(col("df") >= 2), Seq("wh"))
+      .filter(col("doc_id") =!= col("owner"))
+    applyCuts(toked, cutOcc, w)
+  }
+
+  /** Benchmark decontamination by span REMOVAL — the trimming
+    * counterpart of [[crossNgramOverlap]] (which only SCORES the
+    * contamination): every occurrence in `corpus` of a `w`-token
+    * window that appears anywhere in `bench` (the held-out eval /
+    * benchmark text) is cut from the corpus document. Unlike
+    * [[trimDupSpans]] there is no canonical owner — benchmark text
+    * must not survive in the training corpus at all, which is the
+    * n-gram-overlap decontamination rule of the GPT-3 appendix
+    * applied at span rather than whole-document granularity.
+    *
+    * Output: one row per non-null-text corpus document — (doc_id,
+    * n_tokens, n_removed, trimmed_text).
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT 60-bit
+    * window hashes (one aggregate; benchmark sets are corpus-tiny, so
+    * AQE broadcasts the semi-join side), the corpus posting list
+    * carries (doc_id, pos, hash) only, the cut-coverage explode is
+    * bounded by w× the CONTAMINATED occurrences, and the final
+    * keep-filter is per-row ([[applyCuts]]) — no token-level shuffle,
+    * all joins keyed on the hash or the doc id.
+    */
+  def decontaminateTrim(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    val toked = tokedWindows(corpus, idCol, textCol, w)
+    val benchSet = tokedWindows(bench, idCol, textCol, w)
+      .select(explode(col("whs")).as("wh"))
+      .distinct()
+    val occ = toked.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    val cutOcc = occ.join(benchSet, Seq("wh"), "left_semi")
+    applyCuts(toked, cutOcc, w)
+  }
+
+  /** Quality-aware survivor selection: given near-dup cluster labels
+    * (from [[dupClusters]]) and a per-document quality score, keep the
+    * highest-quality member of each cluster (smallest id on ties)
+    * instead of [[dupClusters]]' arbitrary min-id canonical — the rule
+    * real curation pipelines use so dedup never discards the best copy.
+    *
+    * `scored` must carry (`idCol`, `qualityCol`); `clusters` is
+    * (`idCol`, cluster_id). Returns one row per cluster: (cluster_id,
+    * `idCol`, `qualityCol`) of the survivor. Quality is compared at
+    * 6dp (the engine/oracle common precision) so tie-breaks are
+    * engine-independent.
+    *
+    * Scale shape: one `max_by` aggregate keyed by cluster_id —
+    * map-side combined, shuffle linear in the labelled rows; no
+    * window sort, no per-cluster explode.
+    */
+  def keepBestPerCluster(
+      clusters: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame =
+    clusters.join(scored, Seq(idCol))
+      .withColumn("q6", round(col(qualityCol).cast("double"), 6))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(
+        struct(col(idCol), col("q6")),
+        // lexicographic (quality, -id): max quality, then smallest id
+        struct(col("q6"), -col(idCol))).as("best"))
+      .select(col("cluster_id"),
+        col(s"best.$idCol"), col("best.q6").as(qualityCol))
+
+  /** Shared head of the span-trimming passes: tokenize, hash every
+    * `w`-token sliding window to a 60-bit long ([[gramHash]] — window
+    * text never leaves its row), empty window list for short docs.
+    * Checkpointed because it feeds both the posting-list explode and
+    * the final per-doc trim. */
+  private def tokedWindows(
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    Parallelism.ensure(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("whs",
@@ -732,11 +815,14 @@ object Dedup {
           transform(TextFunctions.wordNgrams(col("toks"), w), g => gramHash(g)))
           .otherwise(array().cast("array<bigint>")))
       .localCheckpoint(false)
-    val occ = toked.select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
-    val own = occ.groupBy(col("wh"))
-      .agg(min(col("doc_id")).as("owner"), count_distinct(col("doc_id")).as("df"))
-    val covered = occ.join(own.filter(col("df") >= 2), Seq("wh"))
-      .filter(col("doc_id") =!= col("owner"))
+
+  /** Shared tail of the span-trimming passes: union the `w`-wide cut
+    * windows (`cutOcc`: doc_id, pos of each occurrence to remove) into
+    * per-doc token index sets, then drop exactly those tokens with a
+    * per-row filter against the doc's own sorted cut set — no
+    * token-level shuffle. */
+  private def applyCuts(toked: DataFrame, cutOcc: DataFrame, w: Int): DataFrame = {
+    val covered = cutOcc
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
       .distinct()

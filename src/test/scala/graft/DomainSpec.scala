@@ -169,6 +169,69 @@ class DomainSpec extends SparkSpecBase {
     assert(trimmed(4L)._3 == "too short to window at seven tokens")
   }
 
+  test("decontaminateTrim: benchmark spans cut from every corpus occurrence, no ownership") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val span = "alpha bravo charlie delta echo" // 5 tokens
+    val corpus = Seq(
+      // both corpus docs carry the benchmark span — BOTH lose it
+      // (unlike trimDupSpans there is no canonical keeper)
+      (1L, s"head words here $span"),
+      (2L, s"$span tail words"),
+      // clean doc passes through
+      (3L, "completely unrelated clean text stays put"),
+      // short doc (< w tokens) passes through
+      (4L, "four short tokens only")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark question says $span verbatim")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateTrim(corpus, bench, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((8L, 5L, "head words here")))
+    assert(got(2L) == ((7L, 5L, "tail words")))
+    assert(got(3L)._2 == 0L)
+    assert(got(4L) == ((4L, 0L, "four short tokens only")))
+  }
+
+  test("keepBestPerCluster: max quality survives, min id on ties, singletons kept") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1)).toDF("doc_id", "quality")
+    val got = Dedup.keepBestPerCluster(clusters, scored, "doc_id", "quality")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // cluster 1: quality tie 0.9 between ids 2 and 3 -> smaller id 2
+    assert(got == Map(1L -> ((2L, 0.9)), 9L -> ((9L, 0.1))))
+  }
+
+  test("tokenBudgetPerKey equals the naive per-key window cumsum, at any bucket count") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // weights sized so every key hits its budget mid-stream
+    val rows = (1L to 200L).map(i => (i, s"src${i % 3}", 7L + i % 5))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val budget = 300L
+    // reference: the naive single-window formulation
+    val ord = graft.functions.Md5Prefix64(
+      concat(lit("budget_"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(ord, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = df
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(naive.nonEmpty && naive.size < rows.size, "fixture must straddle the budget")
+    for (buckets <- Seq(1, 4, 256)) {
+      val got = Sampling.tokenBudgetPerKey(df, "source", "doc_id", "n_tokens",
+        budget, nBuckets = buckets)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == naive, s"bucketed ($buckets) != naive window cumsum")
+    }
+  }
+
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
@@ -399,6 +462,46 @@ class DomainSpec extends SparkSpecBase {
     assert(clean.count() < 500)
     assert(clean.join(spark.read.parquet(s"$tmp/bench"), Seq("doc_id"), "left_semi").count() == 0,
       "a benchmark doc survived decontamination")
+
+    // --trim: span-level removal over the same corpus/bench — keeps
+    // every doc (trimmed), and agrees with the library call.
+    assert(graft.Cli.run(Array(
+      "decontaminate", "-i", docs, "-b", s"$tmp/bench", "-o", s"$tmp/trimmed",
+      "--trim")) == 0)
+    val trimmed = spark.read.parquet(s"$tmp/trimmed")
+    assert(trimmed.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_removed", "trimmed_text"))
+    val want = graft.dedup.Dedup.decontaminateTrim(
+      spark.read.parquet(docs), spark.read.parquet(s"$tmp/bench"),
+      "doc_id", "text", w = 5).collect().map(_.toSeq).toSet
+    assert(trimmed.collect().map(_.toSeq).toSet == want,
+      "CLI --trim output != decontaminateTrim")
+    assert(trimmed.filter(col("n_removed") > 0).count() > 0,
+      "no spans were trimmed — benchmark overlap fixture is broken")
+  }
+
+  test("CLI budget + dedup --survivor best-quality") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_budget").toString
+
+    assert(graft.Cli.run(Array(
+      "budget", "-i", docs, "-o", s"$tmp/sample", "-B", "1000")) == 0)
+    val sample = spark.read.parquet(s"$tmp/sample")
+    assert(sample.columns.toSeq == Seq("doc_id", "source", "n_tokens", "cum_before"))
+    // every kept row starts under budget; at least one source binds
+    assert(sample.filter(col("cum_before") >= 1000).count() == 0)
+    assert(sample.count() > 0 && sample.count() < 500,
+      s"budget 1000 should bind at sf0.001 (kept ${sample.count()})")
+
+    assert(graft.Cli.run(Array(
+      "dedup", "-i", docs, "-o", s"$tmp/clusters",
+      "--mode", "near", "--survivor", "best-quality")) == 0)
+    val survivors = spark.read.parquet(s"$tmp/clusters.survivors")
+    val clusters = spark.read.parquet(s"$tmp/clusters")
+    assert(survivors.columns.toSeq == Seq("cluster_id", "doc_id", "quality"))
+    // exactly one survivor per cluster label
+    assert(survivors.count() ==
+      clusters.select("cluster_id").distinct().count())
   }
 
   test("CLI pack: batch == gate assignment; --stream over a landing dir agrees") {

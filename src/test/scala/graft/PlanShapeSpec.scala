@@ -64,6 +64,23 @@ class PlanShapeSpec extends SparkSpecBase {
       "q73 dup-set membership is not a semi-join")
   }
 
+  test("q75/q76/q77: decontam trim, best-quality dedup and budget sample stay keyed") {
+    // q75's benchmark-set membership is an equi-semi-join on the
+    // window hash; q76 is one max_by aggregate over cluster labels;
+    // q77 is a bucketed window + broadcast offset join. None may
+    // degrade to a cartesian/nested-loop shape, and q77's offset
+    // join must broadcast (the offsets frame is keys x buckets).
+    for (q <- Seq("q75_decontam_trim", "q76_best_quality_dedup", "q77_source_budget")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    assert(plan("q75_decontam_trim").contains("LeftSemi"),
+      "q75 benchmark membership is not a semi-join")
+    assert(plan("q77_source_budget").contains("BroadcastHashJoin"),
+      "q77 offset join is not broadcast")
+  }
+
   test("q28: matrix assembly is scan -> agg -> pivot with no extra shuffles") {
     val p = plan("q28_star_counts")
     assert(!p.contains("CartesianProduct"))
