@@ -683,6 +683,21 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** q54's decontamination contract through the broadcast
+    * Bloom-prefilter path ([[graft.dedup.Dedup.crossNgramOverlapBloom]]):
+    * the valid split's gram hashes fold into a Bloom filter evaluated
+    * per train document in one narrow codegen'd pass — clean documents
+    * never explode their grams; only filter hits reach the exact
+    * confirm join. Shares q54's oracle SQL verbatim (no false
+    * negatives ⇒ prefilter + exact confirm ≡ exact). */
+  def q78BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("split", splitLabel)
+    graft.dedup.Dedup.crossNgramOverlapBloom(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "valid"),
+      "doc_id", "text", n = 5)
+  }
+
   /** Gopher-style repetition filter: per-document duplicated-3-gram
     * fraction. Tokens are materialized as a column before the n-gram
     * lambda so the tokenizer runs once per row. */
@@ -1076,6 +1091,7 @@ object SparkEntry {
     "q75_decontam_trim" -> (q75DecontamTrim _),
     "q76_best_quality_dedup" -> (q76BestQualityDedup _),
     "q77_source_budget" -> (q77SourceBudget _),
+    "q78_bloom_decontam" -> (q78BloomDecontam _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1159,6 +1175,31 @@ object SparkEntry {
       |  SELECT id_a, id_b,
       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)""".stripMargin
+
+  /** The benchmark-decontamination oracle (train-split docs × their
+    * distinct shared 5-grams with the valid split), shared VERBATIM by
+    * q54 (plain broadcast-join path) and q78 (Bloom-prefilter path):
+    * one contract, two physical strategies — any row the Bloom path
+    * adds or loses against this SQL is a bug, not a tuning choice. */
+  private val DecontamOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, bucket,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM b),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, bucket, g FROM toks, UNNEST(
+      |    CASE WHEN len(tk) >= 5
+      |    THEN list_transform(generate_series(1, len(tk) - 4),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+      |    ELSE [] END) AS t(g)),
+      |bg AS (SELECT DISTINCT g FROM grams WHERE bucket >= 80 AND bucket < 90)
+      |SELECT gr.doc_id, count(*) AS shared_grams
+      |FROM grams gr JOIN bg USING (g) WHERE gr.bucket < 80
+      |GROUP BY 1""".stripMargin
 
   /** Shared CTE chain of the deterministic integer-Lloyd IVF
     * quantizer (quantize → orthant init → 2 Lloyd iterations → final
@@ -2025,25 +2066,11 @@ object SparkEntry {
         |       WHEN bucket < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
-    "q54_decontaminate" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, bucket,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM b),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, bucket, g FROM toks, UNNEST(
-        |    CASE WHEN len(tk) >= 5
-        |    THEN list_transform(generate_series(1, len(tk) - 4),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
-        |    ELSE [] END) AS t(g)),
-        |bg AS (SELECT DISTINCT g FROM grams WHERE bucket >= 80 AND bucket < 90)
-        |SELECT gr.doc_id, count(*) AS shared_grams
-        |FROM grams gr JOIN bg USING (g) WHERE gr.bucket < 80
-        |GROUP BY 1""".stripMargin,
+    "q54_decontaminate" -> DecontamOracleSql,
+    // q78 is the SAME decontamination contract through the Bloom
+    // prefilter path — sharing q54's oracle verbatim IS the test:
+    // the filter may only change the cost model, never the rows.
+    "q78_bloom_decontam" -> DecontamOracleSql,
     "q56_knn_join" ->
       s"""WITH $LshCosinePairsCtes,
         |pairs AS (SELECT id_a, id_b, round(cs, 6) AS cos FROM scored WHERE cs >= 0.2),

@@ -651,6 +651,75 @@ object Dedup {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** [[crossNgramOverlap]] behind a broadcast Bloom-filter prefilter —
+    * the 100-TB shape of benchmark decontamination. Identical output
+    * (same rows, same counts; property-tested in DedupSpec), different
+    * cost model:
+    *
+    *  - [[crossNgramOverlap]] EXPLODES every corpus document into its
+    *    grams before the broadcast join — at 100 TB that multiplies
+    *    the corpus row count by ~document length even though ~all
+    *    documents are clean and contribute nothing;
+    *  - here the benchmark gram-hash set is folded into a Bloom
+    *    filter (built DISTRIBUTED by `DataFrame.stat.bloomFilter`'s
+    *    internal tree-aggregate — gram hashes never collect to the
+    *    driver, only the merged filter does) and evaluated per
+    *    document by the codegen'd [[graft.functions.BloomAnyContain]]
+    *    kernel over the document's materialized gram-hash array: one
+    *    narrow pass, no shuffle, no explode, short-circuit on first
+    *    hit. Only documents the filter flags (true positives + the
+    *    `fpp` sliver of false positives) explode and reach the exact
+    *    confirm join.
+    *
+    * The confirm join is on the gram STRING (not the 60-bit hash), so
+    * the result is collision-proof exact and shares the plain path's
+    * DuckDB oracle verbatim. Bloom filters have no false negatives,
+    * so prefilter + exact confirm ≡ exact; `fpp` trades filter size
+    * (~1.2 bytes/gram at 1%) against wasted confirm probes only.
+    *
+    * The benchmark side is small by contract (10³–10⁵ docs vs the
+    * corpus) — it pays one extra count() action to size the filter,
+    * and is reused for the confirm broadcast.
+    */
+  def crossNgramOverlapBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val benchGrams = docGrams(benchmark, idCol, textCol, n)
+      .select(col("gram")).distinct()
+      .localCheckpoint(false) // two consumers: filter build + confirm broadcast
+    val benchHashes = benchGrams.select(gramHash(col("gram")).as("gh"))
+    val nGrams = benchHashes.count()
+    if (nGrams == 0L) {
+      // Gram-less benchmark: nothing can overlap. Short-circuit —
+      // `stat.bloomFilter` NPEs on an empty input (its internal
+      // aggregate yields null bytes), and scanning the corpus to
+      // prove the obvious would be wasted work anyway.
+      return corpus.select(col(idCol).as("doc_id")).limit(0)
+        .withColumn("shared_grams", lit(0L))
+    }
+    val bloom = benchHashes.stat.bloomFilter("gh", nGrams, fpp)
+    // Tokenize → distinct grams → hashes, each materialized as an
+    // attribute before the next step consumes it (the winnowing
+    // lesson: an inline array subtree referenced per-element
+    // re-evaluates per element).
+    val withGrams = Parallelism.ensure(corpus)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("grams"))
+    val candidates = withGrams
+      .withColumn("ghs", transform(col("grams"), g => gramHash(g)))
+      .filter(graft.functions.BloomAnyContain(col("ghs"), bloom))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    candidates
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Cross-document duplicated token-window statistics — the
     * detection core of substring-level exact dedup ("Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022,

@@ -49,6 +49,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q78: Bloom decontam — one shuffle total, narrow prefilter, broadcast confirm") {
+    // The 100-TB contract of the Bloom path: the corpus side runs
+    // scan → project → bloom-filter → explode with NO exchange (clean
+    // documents die in a narrow stage), the confirm join broadcasts
+    // the benchmark gram set, and the only shuffle in the whole plan
+    // is the final per-doc count aggregate.
+    val p = plan("q78_bloom_decontam")
+    assert(p.contains("bloom_any_contain"), "prefilter missing from the physical plan")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "confirm join fell back to SMJ")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle (final agg), got $shuffles:\n${p.take(3000)}")
+  }
+
   test("q72/q73: semantic dedup and dup-window detection stay equi-join only") {
     // q72's pairwise stage must be the co-partitioned self-join on
     // `cell` (the SemDeDup scale contract: candidate volume bounded by

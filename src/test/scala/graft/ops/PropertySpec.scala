@@ -172,6 +172,48 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: crossNgramOverlapBloom == crossNgramOverlap (Bloom prefilter is lossless)") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // Tiny vocabulary: plenty of genuine overlap AND, at fpp=0.5,
+    // plenty of Bloom false positives — the test proves the exact
+    // confirm join scrubs them (no false negatives is the filter's
+    // own guarantee; both directions together force result equality).
+    val vocab = ('a' to 'h').map(_.toString)
+    for (trial <- 1 to 3) {
+      val r = new scala.util.Random(90 + trial)
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(r.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 40L).map { i =>
+        // include gram-less shorties (< n tokens) — must never surface
+        (i, if (i % 13 == 0) "x" else doc(6 + r.nextInt(14)))
+      }
+      val bench = (100L until 110L).map { i =>
+        if (i % 2 == 0) {
+          val src = corpus(r.nextInt(corpus.size))._2.split(" ")
+          (i, src.slice(0, 4 + r.nextInt(math.max(1, src.length - 4))).mkString(" "))
+        } else (i, doc(5 + r.nextInt(8)))
+      }
+      val n = 3
+      val exact = Dedup.crossNgramOverlap(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", n).as[(Long, Long)].collect().toMap
+      for (fpp <- Seq(0.5, 0.01)) {
+        val got = Dedup.crossNgramOverlapBloom(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "doc_id", "text", n, fpp = fpp).as[(Long, Long)].collect().toMap
+        assert(got == exact, s"trial $trial fpp=$fpp")
+      }
+    }
+    // Gram-less benchmark (every doc shorter than n tokens): the
+    // filter is built over zero hashes and must flag nothing.
+    val empty = Dedup.crossNgramOverlapBloom(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      Seq((9L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).count()
+    assert(empty == 0L)
+  }
+
   test("property: dupWindowStats equals brute-force window counting; invariant to partitioning") {
     import spark.implicits._
     import graft.dedup.Dedup
