@@ -554,6 +554,51 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** End-to-end curation pipeline — the flagship COMPOSITION query: a
+    * training corpus assembled by chaining the individually-gated
+    * operators in their production order, value-checked end to end by
+    * one oracle so the seams (column contracts, rounding, null flow)
+    * are tested, not just the stages:
+    *
+    *  1. near-dup clusters over the corpus (q47's inverted-index
+    *     Jaccard edges + connected components);
+    *  2. best-quality survivor per cluster (q76's max_by keeper);
+    *  3. quality >= 0.5 and 5..1000-token gates (q49's thresholds);
+    *  4. benchmark decontamination of the survivors against the valid
+    *     hash-split via the Bloom prefilter path (q78) — valid-split
+    *     members flag themselves and drop, as decontamination must;
+    *  5. a 10k-token per-source budget over what remains (q77's
+    *     bucketed prefix sum).
+    *
+    * Scale shape: every stage is the already-audited one — the only
+    * new work is three keyed joins on `doc_id`, each either broadcast
+    * (survivor set) or short-key equi-join.
+    */
+  def q79CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val survivors = Dedup.keepBestPerCluster(
+      q47DupClusters(s, dir).select(col("doc_id"), col("cluster_id")),
+      scored, "doc_id", "quality")
+      .select(col("doc_id"), col("quality"))
+    val gated = survivors
+      .join(docs.select(col("doc_id"), col("text"), col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
+    val bench = docs.withColumn("split", splitLabel)
+      .filter(col("split") === "valid").select("doc_id", "text")
+    val flagged = graft.dedup.Dedup.crossNgramOverlapBloom(
+      gated.select("doc_id", "text"), bench, "doc_id", "text", n = 5)
+      .select("doc_id")
+    val clean = gated.join(flagged, Seq("doc_id"), "left_anti")
+    graft.ops.Sampling.tokenBudgetPerKey(
+      clean.select("doc_id", "source", "n_tokens"),
+      "source", "doc_id", "n_tokens", budget = 10000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(clean.select(col("doc_id"), col("lang"), col("quality")), Seq("doc_id"))
+  }
+
   /** Corpus vocabulary top-k by frequency (BPE-vocab precursor):
     * explode tokens → partial-agg counts → TakeOrdered top 100 with a
     * deterministic (count desc, token) tiebreak. The top-k never
@@ -1092,6 +1137,7 @@ object SparkEntry {
     "q76_best_quality_dedup" -> (q76BestQualityDedup _),
     "q77_source_budget" -> (q77SourceBudget _),
     "q78_bloom_decontam" -> (q78BloomDecontam _),
+    "q79_curation_pipeline" -> (q79CurationPipeline _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1145,6 +1191,46 @@ object SparkEntry {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain from Jaccard-0.8 pairs through per-cluster
+    * quality ranking (`pairs` → `edges` → recursive `reach` → `clu` →
+    * quality `qm`/`q2` → `ranked`), on top of [[NgramPairsCtes]] —
+    * used verbatim by q76 (keeper per cluster) and q79 (the curation
+    * pipeline built on those keepers) so the two transcriptions of
+    * clustering + quality can never diverge. Requires WITH RECURSIVE. */
+  private val NearDupQualityCtes: String =
+    """pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+      |clu AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |qm AS (
+      |  SELECT doc_id, len(tk) AS n_tokens,
+      |    CASE WHEN len(text) > 0
+      |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g'))) * 1.0 / len(text)
+      |      ELSE 0.0 END AS praw,
+      |    CASE WHEN len(tk) > 0
+      |      THEN len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(tk)
+      |      ELSE 0.0 END AS sraw
+      |  FROM toks JOIN documents USING (doc_id)),
+      |q2 AS (
+      |  SELECT doc_id,
+      |    round(least(n_tokens / 20.0, 1.0) * 0.4
+      |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
+      |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality
+      |  FROM qm),
+      |ranked AS (
+      |  SELECT c.cluster_id, c.doc_id, q.quality,
+      |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id)
+      |      AS rk
+      |  FROM clu c JOIN q2 q USING (doc_id))""".stripMargin
 
   /** Shared CTE body of the deterministic hyperplane-LSH cosine pair
     * set (8-bit signatures, Hamming-1 probing, exact cosine scoring) —
@@ -1961,39 +2047,41 @@ object SparkEntry {
     // survivor is row_number()=1 under (quality DESC, doc_id).
     "q76_best_quality_dedup" ->
       s"""WITH RECURSIVE $NgramPairsCtes,
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8),
-        |edges AS (
-        |  SELECT doc_a AS s, doc_b AS d FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
-        |clu AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |qm AS (
-        |  SELECT doc_id, len(tk) AS n_tokens,
-        |    CASE WHEN len(text) > 0
-        |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g'))) * 1.0 / len(text)
-        |      ELSE 0.0 END AS praw,
-        |    CASE WHEN len(tk) > 0
-        |      THEN len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(tk)
-        |      ELSE 0.0 END AS sraw
-        |  FROM toks JOIN documents USING (doc_id)),
-        |q2 AS (
-        |  SELECT doc_id,
-        |    round(least(n_tokens / 20.0, 1.0) * 0.4
-        |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
-        |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality
-        |  FROM qm),
-        |ranked AS (
-        |  SELECT c.cluster_id, c.doc_id, q.quality,
-        |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id)
-        |      AS rk
-        |  FROM clu c JOIN q2 q USING (doc_id))
+        |$NearDupQualityCtes
         |SELECT cluster_id, doc_id, quality FROM ranked WHERE rk = 1""".stripMargin,
+    // The pipeline oracle composes the stage oracles verbatim: the
+    // q76 keeper chain, q49's gates, q54/q78's 5-gram decontam (from
+    // the shared `toks`), q77's per-source budget window — so any
+    // drift between a stage and its use inside the pipeline is a
+    // hash mismatch here even while the stage's own row stays green.
+    "q79_curation_pipeline" ->
+      s"""WITH RECURSIVE $NgramPairsCtes,
+        |$NearDupQualityCtes,
+        |surv AS (SELECT doc_id, quality FROM ranked WHERE rk = 1),
+        |gated AS (
+        |  SELECT s.doc_id, s.quality, d.source, d.lang, CAST(len(t.tk) AS BIGINT) AS n_tokens
+        |  FROM surv s JOIN documents d USING (doc_id) JOIN toks t USING (doc_id)
+        |  WHERE s.quality >= 0.5 AND len(t.tk) BETWEEN 5 AND 1000),
+        |g5 AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 5
+        |    THEN list_transform(generate_series(1, len(tk) - 4),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+        |    ELSE [] END) AS t(g)),
+        |bg5 AS (
+        |  SELECT DISTINCT g FROM g5
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |    BETWEEN 80 AND 89),
+        |contam AS (SELECT DISTINCT doc_id FROM g5 JOIN bg5 USING (g)),
+        |clean AS (
+        |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cw AS (
+        |  SELECT doc_id, source, lang, n_tokens, quality,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5('budget_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM clean)
+        |SELECT doc_id, source, lang, n_tokens, quality FROM cw WHERE cum < 10000""".stripMargin,
     // Budget-sample transcription: one window cumsum per source over
     // (md5 order, doc_id) — the oracle may use the naive single-sort
     // form the engine's bucketed prefix sum provably equals (bucket =
