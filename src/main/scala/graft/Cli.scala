@@ -640,12 +640,50 @@ object Cli {
           .write.mode("overwrite").parquet(out)
         println(s"span-decontaminated corpus written to $out")
       } else {
-        val contaminated = graft.dedup.Dedup.crossNgramOverlap(
-          docs, bench, idCol, textCol, n)
+        // --bloom: broadcast Bloom-prefilter path — same rows (no
+        // false negatives + exact confirm), clean docs never explode
+        // their grams. The default for large corpora with rare
+        // contamination; the plain path wins only when most documents
+        // are contaminated anyway.
+        val contaminated = (if (m.contains("--bloom"))
+          graft.dedup.Dedup.crossNgramOverlapBloom(docs, bench, idCol, textCol, n)
+        else
+          graft.dedup.Dedup.crossNgramOverlap(docs, bench, idCol, textCol, n))
           .select(col("doc_id").as(idCol))
         val clean = docs.join(contaminated, Seq(idCol), "left_anti")
         clean.write.mode("overwrite").parquet(out)
         println(s"decontaminated corpus written to $out")
+      }
+      0
+
+    case "fp-store" :: rest =>
+      // Incremental exact-dedup store: --create persists the corpus
+      // fingerprint set bucketed-by-fp; --ingest dedups a new batch
+      // against it (batch-side-only shuffle), writes the accepted
+      // rows, and appends their fingerprints — so re-ingesting the
+      // same batch accepts zero rows (idempotent re-delivery).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      if (m.contains("--create")) {
+        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        val docs = spark.read.parquet(in)
+        graft.dedup.FingerprintStore.createAt(spark, docs, idCol, textCol, store, buckets)
+        println(s"fingerprint store created at $store ($buckets buckets)")
+      } else {
+        val out = one(m, "-o", "--output")
+        val (table, buckets) = graft.dedup.FingerprintStore.attach(spark, store)
+        val batch = spark.read.parquet(in)
+        val accepted = graft.dedup.FingerprintStore
+          .dedupeNew(spark, table, batch, idCol, textCol)
+          .localCheckpoint(false) // consumed twice: sink + fp append
+        accepted.write.mode("overwrite").parquet(out)
+        graft.dedup.FingerprintStore.append(
+          spark, table, accepted, idCol, textCol, buckets)
+        println(s"accepted ${accepted.count()} of ${batch.count()} batch rows -> $out; store updated")
       }
       0
 
@@ -824,7 +862,8 @@ object Cli {
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
-           |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--id doc_id] [--text text]
+           |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--bloom] [--trim] [--id doc_id] [--text text]
+           |  fp-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --ingest -i <batch.parquet> -s <store-dir> -o <accepted.parquet>   [--id doc_id] [--text text]
            |  semantic-dedup -i <embeddings.parquet> -o <out.parquet> [--nlist 24] [--threshold 0.4] [--dim 64] [--id vec_id] [--vec embedding]
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]

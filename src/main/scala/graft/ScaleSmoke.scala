@@ -404,9 +404,11 @@ object ScaleSmoke {
     // equi-join only (the 100 TB contract from PlanShapeSpec,
     // re-asserted at 10×).
     val dw0 = System.nanoTime()
-    val dw = Dedup.dupWindowStats(docs, "doc_id", "text", w = 8)
-      .localCheckpoint(false)
-    val dwPlan = dw.queryExecution.executedPlan.toString
+    // Plan captured BEFORE localCheckpoint (which truncates lineage to
+    // an RDD scan and would make the assertion vacuous).
+    val dwDf = Dedup.dupWindowStats(docs, "doc_id", "text", w = 8)
+    val dwPlan = dwDf.queryExecution.executedPlan.toString
+    val dw = dwDf.localCheckpoint(false)
     assert(!dwPlan.contains("CartesianProduct") && !dwPlan.contains("BroadcastNestedLoopJoin"),
       "dupWindowStats went non-equi at 10x")
     val dwRow = dw.agg(count(lit(1)), sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)),
@@ -420,10 +422,11 @@ object ScaleSmoke {
       f"$dwFlagged/$dwDocs reporting docs flagged, no count inversions, $dwSec%.1f s")
 
     val sd0 = System.nanoTime()
-    val sd = graft.similarity.Similarity.semanticDedup(
+    val sdDf = graft.similarity.Similarity.semanticDedup(
       Tables.embeddings(spark, workDir), "vec_id", "embedding",
-      dim = 64, nlist = 24, threshold = 0.4).localCheckpoint(false)
-    val sdPlan = sd.queryExecution.executedPlan.toString
+      dim = 64, nlist = 24, threshold = 0.4)
+    val sdPlan = sdDf.queryExecution.executedPlan.toString
+    val sd = sdDf.localCheckpoint(false)
     assert(!sdPlan.contains("CartesianProduct") && !sdPlan.contains("BroadcastNestedLoopJoin"),
       "semanticDedup went non-equi at 10x")
     val sdRow = sd.agg(count(lit(1)), sum(col("kept"))).collect()(0)
@@ -436,6 +439,81 @@ object ScaleSmoke {
       f"cosine-1 copy families not collapsed: kept ${sdKept.toDouble / sdTotal}%.3f of corpus")
     checks += ("semantic dedup (SemDeDup threshold=0.4) collapses the cosine~1 copy families" ->
       f"kept $sdKept of $sdTotal (${100.0 * sdKept / sdTotal}%.1f%%), equi-join plan, $sdSec%.1f s")
+
+    // Bloom-prefilter decontamination at 10×: the two physical
+    // strategies of the same contract must agree row-for-row, the
+    // bloom plan must stay one-shuffle (scan → bloom filter → explode
+    // candidates → broadcast confirm → final agg), and the rehearsal
+    // records the measured prefilter selectivity + paired wall times
+    // — the evidence that the narrow path actually pays off when the
+    // corpus side is 10× and ~all documents are clean.
+    val bd0 = System.nanoTime()
+    val bdSplit = graft.functions.TextFunctions.hashSplit(col("doc_id"))
+    val bdDocs = docs.withColumn("split", bdSplit)
+    val bdTrain = bdDocs.filter(col("split") === "train").select("doc_id", "text")
+    val bdBench = bdDocs.filter(col("split") === "valid").select("doc_id", "text")
+    // Plan captured BEFORE localCheckpoint: checkpointing truncates
+    // the lineage to an RDD scan, which would make any plan assertion
+    // vacuous (it bit exactly that way the first time this ran).
+    val bloomDf = Dedup.crossNgramOverlapBloom(bdTrain, bdBench, "doc_id", "text", n = 5)
+    val bloomPlan = bloomDf.queryExecution.executedPlan.toString
+    val bloomRes = bloomDf.localCheckpoint(false)
+    assert(bloomPlan.contains("bloom_any_contain") && !bloomPlan.contains("SortMergeJoin"),
+      "bloom decontam lost its prefilter or broadcast shape at 10x")
+    assert("Exchange hashpartitioning".r.findAllIn(bloomPlan).size == 1,
+      "bloom decontam plan grew extra shuffles at 10x")
+    val bloomN = bloomRes.count()
+    val bdBloomSec = (System.nanoTime() - bd0) / 1e9
+    val bd1 = System.nanoTime()
+    val plainRes = Dedup.crossNgramOverlap(bdTrain, bdBench, "doc_id", "text", n = 5)
+      .localCheckpoint(false)
+    val plainN = plainRes.count()
+    val bdPlainSec = (System.nanoTime() - bd1) / 1e9
+    assert(bloomRes.exceptAll(plainRes).isEmpty && plainRes.exceptAll(bloomRes).isEmpty,
+      s"bloom and plain decontamination disagree at 10x ($bloomN vs $plainN rows)")
+    val bdTrainN = bdTrain.count()
+    checks += ("bloom decontam == plain decontam at 10x, one-shuffle plan" ->
+      f"$bloomN contaminated of $bdTrainN train docs (${100.0 * bloomN / bdTrainN}%.2f%% candidate rate), bloom $bdBloomSec%.1f s vs explode+join $bdPlainSec%.1f s")
+    // Same pair under REALISTIC contamination: this corpus's planted
+    // 10-copy families make the full valid split contaminate ~70% of
+    // train (every benchmark member drags its 9 near-copies in), which
+    // is the bloom prefilter's worst case — flagged docs pay explode
+    // AND the filter. A 1/10th benchmark slice (hash bucket 80)
+    // restores the production shape (contamination rare), where the
+    // narrow fast path carries ~all documents.
+    val bdBucket = pmod(
+      graft.functions.Md5Prefix64(col("doc_id").cast("string")), lit(100L))
+    val bdBenchSparse = bdDocs.filter(bdBucket === 80).select("doc_id", "text")
+    val sp0 = System.nanoTime()
+    val sparseBloom = Dedup.crossNgramOverlapBloom(
+      bdTrain, bdBenchSparse, "doc_id", "text", n = 5).localCheckpoint(false)
+    val sparseBloomN = sparseBloom.count()
+    val spBloomSec = (System.nanoTime() - sp0) / 1e9
+    val sp1 = System.nanoTime()
+    val sparsePlain = Dedup.crossNgramOverlap(
+      bdTrain, bdBenchSparse, "doc_id", "text", n = 5).localCheckpoint(false)
+    val sparsePlainN = sparsePlain.count()
+    val spPlainSec = (System.nanoTime() - sp1) / 1e9
+    assert(sparseBloom.exceptAll(sparsePlain).isEmpty
+        && sparsePlain.exceptAll(sparseBloom).isEmpty,
+      s"sparse-benchmark bloom and plain decontamination disagree ($sparseBloomN vs $sparsePlainN)")
+    // Wall times at rehearsal scale are a wash (the filter build is a
+    // fixed ~0.3 s and per-gram probe costs are similar); the scale
+    // argument the rehearsal CAN measure is executor memory — the
+    // exact path broadcasts every benchmark gram STRING, the bloom
+    // path ~9.6 bits per gram at fpp=1%. Record both footprints.
+    val fullGramBytes = bdDocs.filter(col("split") === "valid")
+      .select(explode(array_distinct(graft.functions.TextFunctions.wordNgrams(
+        graft.functions.TextFunctions.tokens(col("text")), 5))).as("g"))
+      .distinct().agg(sum(length(col("g")))).collect()(0).getLong(0)
+    val fullGramCount = bdDocs.filter(col("split") === "valid")
+      .select(explode(array_distinct(graft.functions.TextFunctions.wordNgrams(
+        graft.functions.TextFunctions.tokens(col("text")), 5))).as("g"))
+      .distinct().count()
+    val bloomKb = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(1L, fullGramCount), 0.01).bitSize() / 8 / 1024
+    checks += ("bloom decontam, sparse benchmark (1 hash bucket): results equal, prefilter pays" ->
+      f"$sparseBloomN contaminated of $bdTrainN (${100.0 * sparseBloomN / bdTrainN}%.2f%% candidate rate), bloom $spBloomSec%.1f s vs explode+join $spPlainSec%.1f s; full-valid-bench broadcast: $bloomKb KB bloom vs ${fullGramBytes / 1024} KB raw gram strings (${fullGramCount} grams)")
 
     val total = timings.map(_._2).sum
     val md = new StringBuilder

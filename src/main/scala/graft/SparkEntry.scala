@@ -871,6 +871,24 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Incremental dedup against a persisted fingerprint store — the
+    * corpus-growth shape: even-id docs are the already-ingested corpus
+    * (deduped once, fingerprints persisted bucketed-by-fp), odd-id
+    * docs are the arriving batch. Returns the batch docs that are
+    * globally new (first of their fingerprint in the batch AND absent
+    * from the store). The store side scans bucketed with no exchange;
+    * only the batch shuffles (DedupStoreSpec pins that plan). */
+  def q80IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_fp_store")
+    val docs = Tables.documents(s, dir)
+    val table = s"fp_store_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    graft.dedup.FingerprintStore.create(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", table, s"$tmp/store")
+    graft.dedup.FingerprintStore.dedupeNew(
+      s, table, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   def q60IvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val tmp = tempDirCleanedOnExit("graft_ivf_idx")
     val emb = Tables.embeddings(s, dir)
@@ -1138,6 +1156,7 @@ object SparkEntry {
     "q77_source_budget" -> (q77SourceBudget _),
     "q78_bloom_decontam" -> (q78BloomDecontam _),
     "q79_curation_pipeline" -> (q79CurationPipeline _),
+    "q80_incremental_dedup" -> (q80IncrementalDedup _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2102,6 +2121,21 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_before
         |FROM c WHERE cum < 10000""".stripMargin,
+    // Incremental-dedup transcription: the store's NULL-FREE
+    // fingerprint (null text folds to the empty token stream via
+    // coalesce BEFORE the hash — the design that keeps the anti-join
+    // on the raw bucket column), even ids as the persisted store, odd
+    // ids as the arriving batch.
+    "q80_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0), ' '), '')) AS fp
+        |  FROM documents),
+        |store AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+        |batch AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE doc_id % 2 = 1 GROUP BY fp)
+        |SELECT b.doc_id, d.source, d.lang
+        |FROM batch b JOIN documents d USING (doc_id)
+        |WHERE b.fp NOT IN (SELECT fp FROM store)""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

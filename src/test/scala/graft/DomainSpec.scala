@@ -480,6 +480,55 @@ class DomainSpec extends SparkSpecBase {
       "no spans were trimmed — benchmark overlap fixture is broken")
   }
 
+  test("CLI fp-store: create, ingest accepts only new, re-ingest is idempotent; --bloom == plain") {
+    import spark.implicits._
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_fp").toString
+    spark.read.parquet(docs).filter(col("doc_id") % 2 === 0)
+      .write.parquet(s"$tmp/corpus")
+    spark.read.parquet(docs).filter(col("doc_id") % 2 === 1)
+      .write.parquet(s"$tmp/batch")
+
+    assert(graft.Cli.run(Array(
+      "fp-store", "--create", "-i", s"$tmp/corpus", "-s", s"$tmp/store")) == 0)
+    assert(graft.Cli.run(Array(
+      "fp-store", "--ingest", "-i", s"$tmp/batch", "-s", s"$tmp/store",
+      "-o", s"$tmp/accepted1")) == 0)
+    val accepted = spark.read.parquet(s"$tmp/accepted1")
+    // Ground truth: batch docs whose (null-free) fingerprint is new.
+    val fp = org.apache.spark.sql.functions.md5(coalesce(
+      org.apache.spark.sql.functions.array_join(
+        graft.functions.TextFunctions.tokens(col("text")), " "), lit("")))
+    val corpusFps = spark.read.parquet(s"$tmp/corpus").select(fp.as("fp")).distinct()
+    val want = spark.read.parquet(s"$tmp/batch").withColumn("fp", fp)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted.select("doc_id").as[Long].collect().toSet == want)
+    assert(want.nonEmpty, "fixture produced no new docs — test is vacuous")
+
+    // Idempotent re-delivery: the same batch again accepts ZERO rows
+    // (its fingerprints were appended on the first ingest).
+    assert(graft.Cli.run(Array(
+      "fp-store", "--ingest", "-i", s"$tmp/batch", "-s", s"$tmp/store",
+      "-o", s"$tmp/accepted2")) == 0)
+    assert(spark.read.parquet(s"$tmp/accepted2").count() == 0)
+
+    // decontaminate --bloom: identical clean corpus to the plain path.
+    spark.read.parquet(docs).filter(col("doc_id") % 10 === 7)
+      .write.parquet(s"$tmp/bench")
+    assert(graft.Cli.run(Array(
+      "decontaminate", "-i", docs, "-b", s"$tmp/bench", "-o", s"$tmp/clean_plain")) == 0)
+    assert(graft.Cli.run(Array(
+      "decontaminate", "-i", docs, "-b", s"$tmp/bench", "-o", s"$tmp/clean_bloom",
+      "--bloom")) == 0)
+    val plainIds = spark.read.parquet(s"$tmp/clean_plain").select("doc_id").as[Long].collect().toSet
+    val bloomIds = spark.read.parquet(s"$tmp/clean_bloom").select("doc_id").as[Long].collect().toSet
+    assert(plainIds == bloomIds, "--bloom changed the decontaminated corpus")
+  }
+
   test("CLI budget + dedup --survivor best-quality") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_budget").toString
