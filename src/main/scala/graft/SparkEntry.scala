@@ -1067,6 +1067,53 @@ object SparkEntry {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** DSIR-style importance weights against an English target subset
+    * (hashed unigrams, 64 buckets, Laplace smoothing): the data-
+    * SELECTION score of a mixing pipeline. See
+    * [[graft.ops.Quality.importanceWeights]] for the plan shape
+    * (bounded histogram → broadcast log-ratio → one doc-keyed
+    * exchange, ordered per-doc fold). */
+  def q81ImportanceWeights(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.importanceWeights(
+      Tables.documents(s, dir), isTarget = col("lang") === "en")
+
+  /** Corpus unigram-LM mean log-probability per document — the
+    * perplexity-proxy quality score. Vocab-bounded LM aggregate,
+    * token-keyed co-partitioned join, hash-ordered per-doc fold
+    * ([[graft.ops.Quality.unigramLogprob]]). */
+  def q82UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.unigramLogprob(Tables.documents(s, dir))
+
+  /** kNN label propagation over embeddings: every 50th vector is an
+    * unlabeled query classified by majority vote of its 10 nearest
+    * labeled neighbors (cosine; rank ties → neighbor id, vote ties →
+    * smaller label). Integer-only output — the ranking floats never
+    * reach the result. [[graft.similarity.Similarity.knnClassify]].
+    */
+  def q83KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnClassify(
+      seeds = emb.filter(col("vec_id") % 50 =!= 0),
+      queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+      queryIdCol = "q_id", queryVecCol = "q_vec", k = 10)
+  }
+
+  /** First-iteration BPE merge candidates: top-20 adjacent character
+    * pairs by frequency-weighted count, computed on the vocabulary
+    * (corpus-size-independent after the count pass).
+    * [[graft.ops.Quality.bpePairStats]]. */
+  def q84BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.bpePairStats(Tables.documents(s, dir), topK = 20)
+
+  /** Per-document trigram novelty (fraction of distinct grams with
+    * corpus document-frequency 1) — the cross-document boilerplate
+    * signal pairwise dedup can't see.
+    * [[graft.ops.Quality.ngramNovelty]]. */
+  def q85NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.ngramNovelty(Tables.documents(s, dir), n = 3)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1157,6 +1204,11 @@ object SparkEntry {
     "q78_bloom_decontam" -> (q78BloomDecontam _),
     "q79_curation_pipeline" -> (q79CurationPipeline _),
     "q80_incremental_dedup" -> (q80IncrementalDedup _),
+    "q81_importance_weights" -> (q81ImportanceWeights _),
+    "q82_unigram_logprob" -> (q82UnigramLogprob _),
+    "q83_knn_classify" -> (q83KnnClassify _),
+    "q84_bpe_pairs" -> (q84BpePairs _),
+    "q85_ngram_novelty" -> (q85NgramNovelty _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2136,6 +2188,99 @@ object SparkEntry {
         |SELECT b.doc_id, d.source, d.lang
         |FROM batch b JOIN documents d USING (doc_id)
         |WHERE b.fp NOT IN (SELECT fp FROM store)""".stripMargin,
+    // q81/q82 transcribe the ordered per-doc folds exactly: DuckDB's
+    // `sum(x ORDER BY k)` is a sequential left fold in k order, the
+    // same IEEE reduction as the Spark side's sorted-array aggregate
+    // (the q25 dot-product identity). ln() is the one transcendental —
+    // handled by the round(_, 6) convention.
+    "q81_importance_weights" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, lang = 'en' AS is_target,
+        |    CAST(concat('0x', substr(md5('dsir_' || tok), 1, 15)) AS BIGINT) % 64 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |    FROM documents WHERE text IS NOT NULL)),
+        |hist AS (
+        |  SELECT b, count(*) AS raw_cnt, count(*) FILTER (is_target) AS tgt_cnt
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM hist),
+        |lr AS (
+        |  SELECT b,
+        |    ln((tgt_cnt + 1) * 1.0 / (tgt_total + 64)) - ln((raw_cnt + 1) * 1.0 / (raw_total + 64)) AS lr
+        |  FROM hist, tot),
+        |pd AS (SELECT doc_id, lang, b, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(sum(cnt * lr ORDER BY b), 6) AS logweight
+        |FROM pd JOIN lr USING (b)
+        |GROUP BY doc_id, lang""".stripMargin,
+    "q82_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM vocab),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pd.doc_id, pd.cnt,
+        |    CAST(concat('0x', substr(md5('lm_' || pd.tok), 1, 15)) AS BIGINT) AS h,
+        |    pd.cnt * ln(vocab.c * 1.0 / t) AS term
+        |  FROM pd JOIN vocab USING (tok), tot)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(sum(term ORDER BY h, cnt) / sum(cnt), 6) AS avg_logprob
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // q83's cosine is the same sequential list_dot_product identity
+    // the q22 oracle validates; ranks therefore agree bit-for-bit and
+    // the voted output is integer-only.
+    "q83_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q_id, s.vec_id AS nid, s.label,
+        |    list_dot_product(s.v, qv) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(qv, qv))) AS c
+        |  FROM e s CROSS JOIN q WHERE s.vec_id % 50 <> 0),
+        |top AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nid) AS rnk
+        |    FROM scored) t
+        |  WHERE rnk <= 10),
+        |votes AS (SELECT q_id, label, count(*) AS n_votes FROM top GROUP BY 1, 2)
+        |SELECT q_id AS query_id, label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS r
+        |  FROM votes) t
+        |WHERE r = 1""".stripMargin,
+    "q84_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, c
+        |  FROM vocab, unnest(generate_series(1, len(tok) - 1)) g(i)
+        |  WHERE len(tok) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q85_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, g FROM t, UNNEST(
+        |    CASE WHEN len(tk) >= 3
+        |    THEN list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS u(g)),
+        |df AS (SELECT g, count(*) AS df FROM dg GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (df = 1) AS BIGINT) AS n_unique,
+        |  round(count(*) FILTER (df = 1) * 1.0 / count(*), 6) AS uniq_frac
+        |FROM dg JOIN df USING (g)
+        |GROUP BY doc_id""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

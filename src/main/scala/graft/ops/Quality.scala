@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Md5Prefix64, TextFunctions}
+
+/** Corpus-level quality / data-selection operators for training-data
+  * pipelines: hashed-n-gram importance weighting (the DSIR recipe),
+  * a corpus unigram-LM log-probability score (the cheap perplexity
+  * proxy quality filter), BPE first-merge pair statistics (the
+  * tokenizer-training inner loop), and per-document n-gram novelty
+  * (a boilerplate detector).
+  *
+  * All four are pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs — and every float aggregate is a SEQUENTIAL
+  * fold over a deterministically-ordered array, so results are
+  * bit-reproducible across partitionings and exactly transcribable
+  * to a DuckDB oracle (`sum(x ORDER BY k)` on the SQL side).
+  *
+  * Scale notes (100 TB):
+  *  - [[importanceWeights]] reduces the corpus to a `buckets`-row
+  *    histogram (map-side combined), broadcasts the log-ratio table,
+  *    and shuffles only (doc, bucket) partial counts — one exchange
+  *    keyed by doc_id, state bounded by `buckets` per doc.
+  *  - [[unigramLogprob]]'s only unbounded state is the vocabulary
+  *    histogram, which is |vocab|-bounded (Heaps' law: ≪ corpus
+  *    size); the doc↔vocab join is hash-keyed on the token, so both
+  *    sides co-partition and nothing is broadcast.
+  *  - [[bpePairStats]] runs entirely on the VOCABULARY (word types ×
+  *    their counts), not the token stream — the standard trick that
+  *    makes BPE training corpus-size-independent after one count
+  *    pass.
+  *  - [[ngramNovelty]]'s document-frequency join is keyed on the
+  *    gram — co-partitioned, skew-bounded because `array_distinct`
+  *    caps each doc's contribution at its distinct-gram count.
+  */
+object Quality {
+
+  /** Sequential left-fold sum of `term` over rows of a group, in
+    * ascending `key` order: collect the (key, term) pairs, sort by
+    * the struct (key first — ties fall to the raw term bits, which
+    * identical values make order-irrelevant), then fold doubles left
+    * to right. IEEE-deterministic under any partitioning; the SQL
+    * transcription is `sum(term ORDER BY key)`.
+    *
+    * Group-size contract: callers pass BOUNDED groups (hash buckets,
+    * per-doc distinct tokens) — the collected array lives in one
+    * aggregation buffer, so an unbounded group would be the q64
+    * percentile OOM shape. All uses here are ≤ |doc vocabulary|.
+    */
+  private def orderedSum(key: Column, term: Column): Column =
+    aggregate(
+      array_sort(collect_list(struct(key.as("k"), term.as("t")))),
+      lit(0.0),
+      (acc, x) => acc + x.getField("t"))
+
+  /** DSIR-style hashed-unigram importance log-weights (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * 2023): score every document by how much more likely its token
+    * stream is under the TARGET distribution than under the raw
+    * corpus distribution, with tokens hashed into `buckets` feature
+    * buckets and Laplace (+1) smoothing on both histograms.
+    *
+    *   logweight(d) = Σ_b cnt_d(b) · [ln p̂_tgt(b) − ln p̂_raw(b)]
+    *
+    * `isTarget` marks the rows whose token distribution defines the
+    * target (e.g. a trusted high-quality subset). Documents sample
+    * proportionally to exp(logweight) in the full recipe; emitting
+    * the log-weight keeps the operator composable with [[Sampling]].
+    *
+    * Plan: explode → bucket hash → two bounded aggregates (the
+    * `buckets`-row histogram and its 1-row total, both broadcast) →
+    * one exchange keyed by (doc_id, bucket) → per-doc ordered fold.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 64): DataFrame = {
+    val b = lit(buckets.toLong)
+    val bucketed = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), isTarget.as("is_target"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), col("is_target"),
+        pmod(Md5Prefix64(concat(lit("dsir_"), col("tok"))), b).as("b"))
+    val hist = bucketed.groupBy("b").agg(
+      count(lit(1)).as("raw_cnt"),
+      count(when(col("is_target"), 1)).as("tgt_cnt"))
+    val totals = hist.agg(
+      sum("raw_cnt").as("raw_total"), sum("tgt_cnt").as("tgt_total"))
+    val lr = hist.crossJoin(broadcast(totals)).select(col("b"),
+      (log((col("tgt_cnt") + 1).cast("double") / (col("tgt_total") + b).cast("double")) -
+        log((col("raw_cnt") + 1).cast("double") / (col("raw_total") + b).cast("double"))).as("lr"))
+    bucketed
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        round(orderedSum(col("b"), col("cnt").cast("double") * col("lr")), 6)
+          .as("logweight"))
+  }
+
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram LM — the cheap perplexity-proxy quality score (low
+    * values = rare-token-heavy gibberish/boilerplate; the filter a
+    * pipeline applies before spending real LM perplexity on the
+    * survivors). No smoothing: every scored token is in the vocab by
+    * construction (the LM is fit on the same corpus).
+    *
+    *   avg_logprob(d) = Σ_t cnt_d(t) · ln(cnt(t)/T) / n_tokens(d)
+    *
+    * The per-doc fold is ordered by the 64-bit token hash (not the
+    * token string — engine collation differences never enter the
+    * comparison).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("t"))
+    toks
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("cnt"),
+        Md5Prefix64(concat(lit("lm_"), col("tok"))).as("h"),
+        (col("cnt").cast("double") *
+          log(col("c").cast("double") / col("t").cast("double"))).as("term"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        // fold key (h, cnt): a 64-bit hash collision between two of a
+        // doc's tokens must still order identically to the oracle's
+        // ORDER BY h, cnt
+        round(orderedSum(struct(col("h"), col("cnt")), col("term")) /
+          sum("cnt").cast("double"), 6).as("avg_logprob"))
+  }
+
+  /** First-iteration BPE merge statistics: the `topK` most frequent
+    * adjacent character pairs across the corpus, weighted by word
+    * frequency — exactly the candidate table the first BPE merge
+    * selects from (Sennrich et al. 2016). Runs on the VOCABULARY
+    * (one row per word type carrying its corpus count), so the pair
+    * explosion costs |vocab| · word-length regardless of corpus
+    * size. Pure integer counts; (cnt desc, pair asc) makes the
+    * `topK` cut deterministic.
+    */
+  def bpePairStats(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val vocab = docs
+      .filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(
+        explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"),
+        col("c"))
+      .groupBy("pair")
+      .agg(sum("c").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Per-document n-gram novelty: of a document's DISTINCT word
+    * `n`-grams, the fraction that occur in no other document
+    * (document frequency 1). Low novelty marks template/boilerplate
+    * text that repeats across the corpus even when no single pair of
+    * documents is a near-duplicate — the signal the dedup pass
+    * (pairwise by construction) cannot see. Documents shorter than
+    * `n` tokens have no grams and drop out, mirroring the dedup
+    * operators' convention.
+    *
+    * Integer-only aggregates plus one exact double division — no
+    * float ordering concerns.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val docGrams = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), n))).as("gram"))
+    val df = docGrams.groupBy("gram").agg(count(lit(1)).as("df"))
+    docGrams
+      .join(df, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
+          .as("uniq_frac"))
+  }
+}

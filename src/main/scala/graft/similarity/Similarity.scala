@@ -97,6 +97,52 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** kNN label propagation: classify each query vector by majority
+    * vote among its `k` nearest labeled neighbors (cosine), the
+    * label-spreading step a curation pipeline uses to extend a small
+    * trusted annotation set (quality tiers, topic tags) across an
+    * unlabeled corpus.
+    *
+    * Same plan shape as [[bruteForceTopK]] — the labeled seed set is
+    * scanned once against broadcast queries, only (query, k) rows
+    * survive into the vote — so the scale path is identical: swap the
+    * scored CTE for an ANN candidate set ([[lshTopK]]/[[ivfTopK]])
+    * when the seed pool is too large to scan per query batch.
+    * Deterministic end to end: ranking ties break on neighbor id,
+    * vote ties on the smaller label; the output is integer-only (no
+    * float column survives to the result).
+    */
+  def knnClassify(
+      seeds: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val scored = graft.ops.Parallelism.ensure(seeds)
+      .join(broadcast(queries), col(idCol) =!= col(queryIdCol))
+      .select(
+        col(queryIdCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        col(labelCol).as("label"),
+        cosine(asDouble(col(vecCol)), asDouble(col(queryVecCol))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val votes = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("r", row_number().over(vw))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("n_votes"))
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
     *
     * One native codegen'd plan node ([[graft.functions.HyperplaneSignature]])

@@ -376,6 +376,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"), "wide pivot single-partitioned")
   }
 
+  test("q81/q82/q85: bounded stat tables broadcast; heavy joins stay key-equi") {
+    // q81: the 64-row log-ratio table must join the per-doc bucket
+    // counts as a broadcast hash join — never shuffle the doc side
+    // against a 64-row dimension
+    val p81 = plan("q81_importance_weights")
+    assert(p81.contains("BroadcastHashJoin"), p81.take(2000))
+    assert(!p81.contains("CartesianProduct"), "q81 has a cartesian product")
+    // q82: doc↔vocab join is token-keyed (equi); only the 1-row total
+    // may plan as a broadcast nested loop
+    val p82 = plan("q82_unigram_logprob")
+    assert(!p82.contains("CartesianProduct"), "q82 has a cartesian product")
+    // q85: the df join is gram-keyed equi — a cartesian or nested loop
+    // here is quadratic in the corpus
+    val p85 = plan("q85_ngram_novelty")
+    assert(!p85.contains("CartesianProduct") && !p85.contains("BroadcastNestedLoopJoin"),
+      p85.take(2000))
+  }
+
+  test("q84: BPE pair stats never shuffle more than vocabulary-bounded aggregates") {
+    val p = plan("q84_bpe_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // two hash aggs (vocab count, pair sum) + the global topK sort:
+    // no join at all in this plan
+    assert(!p.contains("Join"), "q84 should be join-free:\n" + p.take(1500))
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

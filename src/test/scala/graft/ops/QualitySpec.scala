@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.similarity.Similarity
+
+/** Behavior tests for the data-selection / quality operators: planted
+  * corpora with a known right answer, not oracle replication (the
+  * DuckDB gate covers value parity at q81–q85). */
+class QualitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // target-like docs: the "good" token distribution
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (1L, "the quick brown fox naps under the old tree", "en", "web"),
+    (2L, "a quick brown dog jumps over the lazy fox", "en", "books"),
+    // off-target docs: disjoint vocabulary
+    (3L, "zzz qqq xxx vvv kkk zzz qqq xxx", "zz", "spam"),
+    (4L, "qqq kkk vvv zzz xxx kkk qqq vvv", "zz", "spam"),
+    (5L, "the fox and the dog and the tree", "en", "web")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("importanceWeights ranks target-like docs above off-target docs") {
+    val w = Quality
+      .importanceWeights(corpus, isTarget = col("lang") === "en", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w.size == 6)
+    // every English doc outscores every spam doc: their tokens live in
+    // buckets the target histogram dominates
+    val en = Seq(0L, 1L, 2L, 5L).map(w)
+    val zz = Seq(3L, 4L).map(w)
+    assert(en.min > zz.max,
+      s"target docs $en should all outweigh off-target $zz")
+  }
+
+  test("importanceWeights is invariant to partitioning (ordered fold)") {
+    val a = Quality.importanceWeights(corpus.repartition(1), col("lang") === "en")
+      .orderBy("doc_id").collect().map(_.getDouble(3)).toSeq
+    val b = Quality.importanceWeights(corpus.repartition(13), col("lang") === "en")
+      .orderBy("doc_id").collect().map(_.getDouble(3)).toSeq
+    assert(a == b)
+  }
+
+  test("unigramLogprob scores common-token docs above rare-token docs") {
+    val lp = Quality.unigramLogprob(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 5 is all high-frequency tokens ("the" x3, "and" x2, fox/dog/
+    // tree); docs 3-4 are tokens that appear only in the two spam docs
+    assert(lp(5L) > lp(3L) && lp(5L) > lp(4L))
+    // log-probs are always negative (no token has p = 1)
+    assert(lp.values.forall(_ < 0.0))
+  }
+
+  test("unigramLogprob n_tokens matches the tokenizer") {
+    val n = Quality.unigramLogprob(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(0L) == 9 && n(3L) == 8)
+  }
+
+  test("bpePairStats counts frequency-weighted adjacent char pairs") {
+    val docs = Seq((0L, "aaab aaab ab", "en", "w")).toDF("doc_id", "text", "lang", "source")
+    val pairs = Quality.bpePairStats(docs, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab: "aaab" x2 -> pairs aa,aa,ab each occurrence; "ab" x1
+    // aa: 2 per "aaab" * 2 = 4; ab: 1 * 2 + 1 = 3
+    assert(pairs("aa") == 4)
+    assert(pairs("ab") == 3)
+  }
+
+  test("bpePairStats topK cut is deterministic under count ties") {
+    val docs = Seq((0L, "ab cd ab cd ef", "en", "w")).toDF("doc_id", "text", "lang", "source")
+    val top2 = Quality.bpePairStats(docs, topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    // ab=2, cd=2, ef=1 -> tie on 2 broken by pair asc
+    assert(top2 == Seq("ab", "cd"))
+  }
+
+  test("ngramNovelty: repeated boilerplate grams score low, unique docs high") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "w"),
+      (1L, "shared header line one two three", "en", "w"),
+      (2L, "shared header line four five six", "en", "w")
+    ).toDF("doc_id", "text", "lang", "source")
+    val nov = Quality.ngramNovelty(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .map { case (id, g, u) => id -> ((g, u)) }.toMap
+    // doc 0: 3 grams, all unique
+    assert(nov(0L) == ((3L, 3L)))
+    // docs 1-2 share the gram "shared header line" (df=2): 4 grams, 3 unique
+    assert(nov(1L) == ((4L, 3L)) && nov(2L) == ((4L, 3L)))
+  }
+
+  test("knnClassify recovers planted cluster labels by majority vote") {
+    // two well-separated clusters on orthogonal axes; queries are
+    // unlabeled points inside each cluster
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(4)(0.05f * jitter)
+      v(axis) = 1.0f
+      v
+    }
+    val seeds = (0 until 20).map { i =>
+      val axis = i % 2
+      (i.toLong + 100L, vec(axis, (i % 5).toFloat), axis)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (0L, vec(0, 2.0f)), (1L, vec(1, 3.0f))
+    ).toDF("q_id", "q_vec")
+    val got = Similarity.knnClassify(
+      seeds, queries, "vec_id", "embedding", "label", "q_id", "q_vec", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(0L) == ((0, 5L)), s"query 0 should vote 5/5 for label 0, got ${got(0L)}")
+    assert(got(1L) == ((1, 5L)), s"query 1 should vote 5/5 for label 1, got ${got(1L)}")
+  }
+
+  test("knnClassify vote ties break to the smaller label") {
+    // 2 seeds of label 1 and 2 of label 7, all equidistant from the query
+    val seeds = Seq(
+      (10L, Array(1.0f, 0.0f), 7),
+      (11L, Array(1.0f, 0.0f), 7),
+      (12L, Array(1.0f, 0.0f), 1),
+      (13L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val got = Similarity.knnClassify(
+      seeds, queries, "vec_id", "embedding", "label", "q_id", "q_vec", k = 4)
+      .collect()
+    assert(got.length == 1 && got(0).getInt(1) == 1 && got(0).getLong(2) == 2L)
+  }
+}
