@@ -168,7 +168,9 @@ object ScaleSmoke {
       "q60_ivf_indexed",
       "q61_chunking", "q62_stratified_sample", "q63_pack",
       "q64_length_quantiles", "q65_pack_materialize", "q66_redact",
-      "q67_mixture", "q68_shuffle_order", "q69_pq_topk", "q70_neardup_dedup")
+      "q67_mixture", "q68_shuffle_order", "q69_pq_topk", "q70_neardup_dedup",
+      "q81_importance_weights", "q82_unigram_logprob", "q83_knn_classify",
+      "q84_bpe_pairs", "q85_ngram_novelty")
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       val s = System.nanoTime()
@@ -514,6 +516,48 @@ object ScaleSmoke {
       .create(math.max(1L, fullGramCount), 0.01).bitSize() / 8 / 1024
     checks += ("bloom decontam, sparse benchmark (1 hash bucket): results equal, prefilter pays" ->
       f"$sparseBloomN contaminated of $bdTrainN (${100.0 * sparseBloomN / bdTrainN}%.2f%% candidate rate), bloom $spBloomSec%.1f s vs explode+join $spPlainSec%.1f s; full-valid-bench broadcast: $bloomKb KB bloom vs ${fullGramBytes / 1024} KB raw gram strings (${fullGramCount} grams)")
+
+    // 9. Data-selection operators at 10×: the quality/selection scores
+    // must keep their SEMANTIC properties as the corpus grows, not
+    // just execute. (a) q81 importance weights: the corpus-level
+    // target/off-target ordering must survive — mean log-weight of the
+    // target (en) documents above the rest (the separation is small by
+    // construction: the synthetic langs share a bulk vocabulary and 64
+    // buckets blur further, but its SIGN is the operator's contract);
+    // the 64-row log-ratio table must still broadcast. (b) q85 n-gram
+    // novelty: the planted copy families make ~every trigram recur in
+    // 10 sibling docs, so novelty must collapse — only the ≤2 grams
+    // touching a copy's per-copy suffix token can be unique; a mean
+    // uniq_frac drifting up means the df join silently degraded.
+    val iw0 = System.nanoTime()
+    val iwDf = SparkEntry.queries("q81_importance_weights")(spark, workDir)
+    val iwPlan = iwDf.queryExecution.executedPlan.toString
+    assert(iwPlan.contains("BroadcastHashJoin") && !iwPlan.contains("CartesianProduct"),
+      "q81 log-ratio table stopped broadcasting at 10x")
+    val iwRows = iwDf.groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg("logweight").as("m"), count(lit(1)).as("n")).collect()
+      .map(r => r.getBoolean(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val iwSec = (System.nanoTime() - iw0) / 1e9
+    assert(iwRows(true)._1 > iwRows(false)._1,
+      f"importance weights lost target separation at 10x: en ${iwRows(true)._1}%.4f " +
+        f"vs rest ${iwRows(false)._1}%.4f")
+    checks += ("DSIR importance weights keep target/off-target separation at 10x" ->
+      (f"mean logweight en ${iwRows(true)._1}%.4f (${iwRows(true)._2} docs) > " +
+        f"rest ${iwRows(false)._1}%.4f (${iwRows(false)._2} docs), broadcast log-ratio plan, $iwSec%.1f s"))
+
+    val nv0 = System.nanoTime()
+    val nvDf = SparkEntry.queries("q85_ngram_novelty")(spark, workDir)
+    val nvPlan = nvDf.queryExecution.executedPlan.toString
+    assert(!nvPlan.contains("CartesianProduct") && !nvPlan.contains("BroadcastNestedLoopJoin"),
+      "q85 df join went non-equi at 10x")
+    val nvRow = nvDf.agg(count(lit(1)), avg("uniq_frac"),
+      sum(when(col("n_unique") > col("n_grams"), 1L).otherwise(0L))).collect()(0)
+    val nvSec = (System.nanoTime() - nv0) / 1e9
+    assert(nvRow.getLong(2) == 0, "n_unique exceeded n_grams")
+    assert(nvRow.getDouble(1) <= 0.1,
+      f"planted copy families should crush novelty at 10x, mean uniq_frac ${nvRow.getDouble(1)}%.3f")
+    checks += ("n-gram novelty collapses under the planted copy families at 10x" ->
+      f"mean uniq_frac ${nvRow.getDouble(1)}%.4f over ${nvRow.getLong(0)} docs (≤2 suffix grams per copy can be unique), equi-join plan, $nvSec%.1f s")
 
     val total = timings.map(_._2).sum
     val md = new StringBuilder

@@ -1114,6 +1114,20 @@ object SparkEntry {
   def q85NgramNovelty(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.ngramNovelty(Tables.documents(s, dir), n = 3)
 
+  /** Cross-corpus fuzzy join: link the odd-id docs (the "arriving
+    * batch") against the even-id docs (the "reference corpus") by
+    * near-duplicate text — MinHash band-bucket candidates between the
+    * two tables, exact-Jaccard verified, q19's signature parameters
+    * (so the oracle's exact cross-parity pair set is fully recalled).
+    * [[graft.dedup.Dedup.minHashLshJoin]]. */
+  def q86FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Dedup.minHashLshJoin(
+      left = docs.filter(col("doc_id") % 2 === 0),
+      right = docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 2, threshold = 0.8, numHashes = 64, bands = 16)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1209,6 +1223,7 @@ object SparkEntry {
     "q83_knn_classify" -> (q83KnnClassify _),
     "q84_bpe_pairs" -> (q84BpePairs _),
     "q85_ngram_novelty" -> (q85NgramNovelty _),
+    "q86_fuzzy_join" -> (q86FuzzyJoin _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2281,6 +2296,28 @@ object SparkEntry {
         |  round(count(*) FILTER (df = 1) * 1.0 / count(*), 6) AS uniq_frac
         |FROM dg JOIN df USING (g)
         |GROUP BY doc_id""".stripMargin,
+    // q86's oracle is the EXACT cross-parity pair set (no banding): at
+    // q19's signature parameters the banded join recalls it fully on
+    // the gate corpora, the same contract q19's oracle encodes for the
+    // self-join.
+    "q86_fuzzy_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

@@ -227,14 +227,33 @@ object Dedup {
     * [[minHashLshPairs]], exposed so the streaming keyed-state path
     * can be checked equal to it.
     */
-  def minHashCandidates(
+  /** The capped MinHash band table of a corpus: one (doc_id, band,
+    * bucket) row per band per document, hot buckets dropped whole.
+    *
+    * Band key: hash of the concatenated signature slice. One explode
+    * over an array of (band, bucket) structs — NOT a bands-way union,
+    * which would recompute the signature aggregate once per band per
+    * join side. One row per doc × numHashes longs — small;
+    * materialized once so the shingle+min-agg subplan doesn't run
+    * once per join side.
+    *
+    * Hot-bucket skew guard — the band-level sibling of the gram
+    * maxDocFreq cap and the streaming maxBucketSize: a degenerate
+    * bucket (mass-duplicated boilerplate hashing identically in one
+    * band) contributes O(size²) candidate pairs. Buckets above the
+    * cap are dropped whole; their members' true near-dups still
+    * surface through the other bands (and exact duplicates through
+    * exact dedup). The cap check is one count over the (small) band
+    * table — never over the corpus.
+    */
+  private def cappedBandTable(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Long): DataFrame = {
     val grams = docGrams(docs, idCol, textCol, n)
       .withColumn("h", pmod(gramHash(col("gram")), lit(1L << 32)))
 
@@ -247,34 +266,31 @@ object Dedup {
       .agg(graft.functions.MinHashSketchAgg
         .minhashSketch(col("h"), numHashes).as("sig"))
 
-    // Band key: hash of the concatenated signature slice. One explode
-    // over an array of (band, bucket) structs — NOT a bands-way union,
-    // which would recompute the signature aggregate once per band per
-    // join side. One row per doc × numHashes longs — small;
-    // materialized once so the shingle+min-agg subplan doesn't run
-    // once per self-join side.
     val bandTable = sigs
       .select(col("doc_id"), explode(bandBuckets(col("sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint(false)
 
-    // Hot-bucket skew guard — the band-level sibling of the gram
-    // maxDocFreq cap and the streaming maxBucketSize: a degenerate
-    // bucket (mass-duplicated boilerplate hashing identically in one
-    // band) contributes O(size²) candidate pairs. Buckets above the
-    // cap are dropped whole; their members' true near-dups still
-    // surface through the other bands (and exact duplicates through
-    // exact dedup). The cap check is one count over the (small) band
-    // table — never over the corpus.
-    val capped =
-      if (maxBucketSize == Long.MaxValue) bandTable
-      else {
-        val ok = bandTable.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") <= maxBucketSize)
-          .select("band", "bucket")
-        bandTable.join(ok, Seq("band", "bucket"), "left_semi")
-      }
+    if (maxBucketSize == Long.MaxValue) bandTable
+    else {
+      val ok = bandTable.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucketSize)
+        .select("band", "bucket")
+      bandTable.join(ok, Seq("band", "bucket"), "left_semi")
+    }
+  }
+
+  def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val capped = cappedBandTable(
+      docs, idCol, textCol, n, numHashes, bands, maxBucketSize)
     val ca = capped.withColumnRenamed("doc_id", "doc_a")
     val cb = capped.withColumnRenamed("doc_id", "doc_b")
     ca.join(cb, Seq("band", "bucket"))
@@ -295,6 +311,79 @@ object Dedup {
     verifyCandidates(docs,
       minHashCandidates(docs, idCol, textCol, n, numHashes, bands, maxBucketSize),
       idCol, textCol, n, threshold)
+
+  /** Cross-corpus MinHash fuzzy join (the entity-resolution / record-
+    * linkage shape): every (left, right) pair whose exact n-gram
+    * Jaccard clears `threshold`, found through band-bucket collisions
+    * between the two corpora's signature tables — never a text
+    * comparison across the full cross product.
+    *
+    * This is the "link an arriving batch against a reference corpus by
+    * near-duplicate text" primitive: unlike [[minHashLshPairs]] (self-
+    * join, `doc_a < doc_b` dedup), the two sides are distinct tables
+    * joined (band, bucket)-keyed — each side's signature aggregate
+    * runs once over its own corpus, the bucket join is equi-keyed and
+    * co-partitioned, and verification work is proportional to the
+    * candidate count. `maxBucketSize` caps each side's bucket
+    * membership independently (bounding any bucket's pair
+    * contribution at cap²).
+    *
+    * Output: (doc_a ∈ left, doc_b ∈ right, jaccard). Ids may overlap
+    * between the corpora — a (x, x) self-pair is reported if both
+    * sides contain the same near-identical document.
+    */
+  def minHashLshJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val ba = cappedBandTable(left, idCol, textCol, n, numHashes, bands, maxBucketSize)
+      .withColumnRenamed("doc_id", "doc_a")
+    val bb = cappedBandTable(right, idCol, textCol, n, numHashes, bands, maxBucketSize)
+      .withColumnRenamed("doc_id", "doc_b")
+    val candidates = ba.join(bb, Seq("band", "bucket"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyCandidatesCross(left, right, candidates, idCol, textCol, n, threshold)
+  }
+
+  /** Two-corpus twin of [[verifyCandidates]]: doc_a grams come from
+    * `left`, doc_b grams from `right`. Same scale contract — each
+    * side tokenizes only documents that appear in some candidate
+    * pair (semi-join first), per-pair verification is
+    * O(|grams_a| + |grams_b|). */
+  private def verifyCandidatesCross(
+      left: DataFrame,
+      right: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val cands = candidates.localCheckpoint(false)
+    def sideGrams(docs: DataFrame, side: String): DataFrame =
+      Parallelism.ensure(docs).select(
+        col(idCol).as(side),
+        array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))
+          .as(s"grams_$side"))
+        .join(cands.select(side).distinct(), Seq(side), "left_semi")
+        .localCheckpoint(false)
+    cands
+      .join(sideGrams(left, "doc_a"), Seq("doc_a"))
+      .join(sideGrams(right, "doc_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("grams_doc_a"), col("grams_doc_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("grams_doc_a")) + size(col("grams_doc_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** 60-bit SimHash signatures: per-token md5-derived hash; signature
     * bit j = sign of the sum over tokens of ±1 at bit j.

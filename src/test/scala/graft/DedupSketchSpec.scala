@@ -145,4 +145,47 @@ class DedupSketchSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(defaulted == uncapped)
   }
+
+  test("minHashLshJoin links cross-corpus near-dups, never intra-corpus pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(
+      (0L, "the amazon river flows through the dense south american rainforest canopy"),
+      (2L, "completely unrelated text about compiler optimization passes and registers"),
+      // intra-left near-dup of doc 0: must NOT be reported
+      (4L, "the amazon river flows through the dense south american rainforest basin"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      // near-dup of left 0 (one token differs)
+      (1L, "the amazon river flows through the dense south american rainforest floor"),
+      (3L, "a totally different document describing spark shuffle partitioning")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.minHashLshJoin(left, right, "doc_id", "text",
+      n = 2, threshold = 0.6, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((4L, 1L)),
+      s"cross-corpus near-dups missed: $got")
+    assert(!got.exists { case (a, b) => a % 2 == b % 2 },
+      s"intra-corpus pair leaked into the cross join: $got")
+  }
+
+  test("minHashLshJoin matches exact cross-Jaccard on a planted corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 20).map { i =>
+      (i.toLong, s"document family $i with a unique payload token tok$i plus shared filler words")
+    }
+    // odd ids: near-copies of the even family (swap one trailing word)
+    val docs = base.map { case (id, t) => (id * 2, t) } ++
+      base.map { case (id, t) => (id * 2 + 1, t.replace("filler words", "filler terms")) }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.minHashLshJoin(
+      df.filter(col("doc_id") % 2 === 0), df.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 2, threshold = 0.7, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact truth: each even doc pairs with its own odd copy only
+    // (families differ by the unique tok$i gram pair)
+    val truth = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(got == truth, s"got $got\nwant $truth")
+  }
 }
