@@ -709,6 +709,99 @@ object Cli {
       println(s"budget sample ($budget tokens per $keyCol) written to $out")
       0
 
+    case "quality" :: rest =>
+      // Per-document quality / data-selection scores over a documents
+      // parquet: --mode heuristic (length/stopword/punctuation
+      // composite), unigram-lm (mean token log-prob under the corpus's
+      // own unigram LM), importance (DSIR hashed-unigram log-weights
+      // against --target-where rows), novelty (fraction of distinct
+      // n-grams unique to the doc).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val mode = m.get("--mode").flatMap(_.headOption).getOrElse("heuristic")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, expr}
+      val docsIn = spark.read.parquet(in)
+      // The Quality operators address doc_id/text/lang by name;
+      // normalize the configured columns onto that contract once.
+      val docs0 = docsIn
+        .withColumn("doc_id", col(idCol))
+        .withColumn("text", col(textCol))
+      val scored = mode match {
+        case "heuristic" =>
+          docs0.select(col("doc_id"),
+            graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        case "unigram-lm" =>
+          graft.ops.Quality.unigramLogprob(docs0)
+        case "importance" =>
+          val targetWhere = one(m, "--target-where")
+          val buckets = m.get("--buckets").flatMap(_.headOption)
+            .map(_.toInt).getOrElse(64)
+          val withLang =
+            if (docs0.columns.contains("lang")) docs0
+            else docs0.withColumn("lang", org.apache.spark.sql.functions.lit(""))
+          graft.ops.Quality.importanceWeights(withLang, expr(targetWhere), buckets)
+        case "novelty" =>
+          val n = m.get("-n").orElse(m.get("--ngram")).flatMap(_.headOption).map(_.toInt).getOrElse(3)
+          graft.ops.Quality.ngramNovelty(docs0, n)
+        case other =>
+          sys.error(s"quality --mode must be heuristic|unigram-lm|importance|novelty, got $other")
+      }
+      scored.write.mode("overwrite").parquet(out)
+      println(s"quality scores ($mode) written to $out")
+      0
+
+    case "link" :: rest =>
+      // Cross-corpus fuzzy join (record linkage by near-duplicate
+      // text): writes (doc_a from --input, doc_b from --reference,
+      // jaccard) for every pair clearing --threshold.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val ref = one(m, "-r", "--reference")
+      val out = one(m, "-o", "--output")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val n = m.get("-n").orElse(m.get("--ngram")).flatMap(_.headOption).map(_.toInt).getOrElse(2)
+      val threshold = m.get("--threshold").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(0.8)
+      val maxBucket = m.get("--max-bucket").flatMap(_.headOption)
+        .map(_.toLong).getOrElse(10000L)
+      val spark = session()
+      graft.dedup.Dedup.minHashLshJoin(
+        spark.read.parquet(in), spark.read.parquet(ref), idCol, textCol,
+        n = n, threshold = threshold, numHashes = 64, bands = 16,
+        maxBucketSize = maxBucket)
+        .write.mode("overwrite").parquet(out)
+      println(s"fuzzy links (threshold $threshold) written to $out")
+      0
+
+    case "classify" :: rest =>
+      // kNN label propagation: classify --queries-where rows of the
+      // embedding parquet by majority vote of their k nearest labeled
+      // neighbors (the remaining rows with a non-null label).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
+      val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
+      val labelCol = m.get("--label").flatMap(_.headOption).getOrElse("label")
+      val where = one(m, "--queries-where")
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, not, expr}
+      val corpus = spark.read.parquet(in)
+      val queries = corpus.filter(where)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      val seeds = corpus.filter(not(expr(where))).filter(col(labelCol).isNotNull)
+      graft.similarity.Similarity.knnClassify(
+        seeds, queries, idCol, vecCol, labelCol, "q_id", "q_vec", k)
+        .write.mode("overwrite").parquet(out)
+      println(s"knn labels (k=$k) written to $out")
+      0
+
     case "ann-index" :: rest =>
       // Build a persisted ANN index (probe-time partition pruning):
       // --family ivf -> vectors partitioned by cell + quantizer JSON;
@@ -867,6 +960,9 @@ object Cli {
            |  semantic-dedup -i <embeddings.parquet> -o <out.parquet> [--nlist 24] [--threshold 0.4] [--dim 64] [--id vec_id] [--vec embedding]
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
+           |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|importance|novelty] [--target-where '<pred>'] [--buckets 64] [-n 3] [--id doc_id] [--text text]
+           |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]
+           |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]

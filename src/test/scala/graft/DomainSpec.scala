@@ -291,6 +291,55 @@ class DomainSpec extends SparkSpecBase {
     assert(sem.filter(col("kept") === 0).count() > 0, "default threshold drops nothing")
   }
 
+  test("CLI quality/link/classify: data-selection subcommands produce sane outputs") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_sel").toString
+
+    assert(graft.Cli.run(Array(
+      "quality", "-i", docs, "-o", s"$tmp/lm", "--mode", "unigram-lm")) == 0)
+    val lm = spark.read.parquet(s"$tmp/lm")
+    assert(lm.columns.toSeq == Seq("doc_id", "n_tokens", "avg_logprob"))
+    assert(lm.count() == 500)
+    assert(lm.filter(col("avg_logprob") >= 0).count() == 0, "log-probs must be negative")
+
+    assert(graft.Cli.run(Array(
+      "quality", "-i", docs, "-o", s"$tmp/iw",
+      "--mode", "importance", "--target-where", "lang = 'en'")) == 0)
+    val iw = spark.read.parquet(s"$tmp/iw")
+    assert(iw.columns.toSeq == Seq("doc_id", "lang", "n_tokens", "logweight"))
+    assert(iw.count() == 500)
+
+    assert(graft.Cli.run(Array(
+      "quality", "-i", docs, "-o", s"$tmp/nov", "--mode", "novelty")) == 0)
+    val nov = spark.read.parquet(s"$tmp/nov")
+    assert(nov.columns.toSeq == Seq("doc_id", "n_grams", "n_unique", "uniq_frac"))
+    assert(nov.filter(col("n_unique") > col("n_grams")).count() == 0)
+
+    // link: batch (odd ids) vs reference (even ids) — matches the
+    // q86 contract: only cross-parity pairs, jaccard >= threshold
+    val odd = s"$tmp/odd"
+    val even = s"$tmp/even"
+    spark.read.parquet(docs).filter(col("doc_id") % 2 === 1)
+      .write.parquet(odd)
+    spark.read.parquet(docs).filter(col("doc_id") % 2 === 0)
+      .write.parquet(even)
+    assert(graft.Cli.run(Array(
+      "link", "-i", even, "-r", odd, "-o", s"$tmp/links")) == 0)
+    val links = spark.read.parquet(s"$tmp/links")
+    assert(links.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    assert(links.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 1).count() == 0)
+    assert(links.filter(col("jaccard") < 0.8).count() == 0)
+
+    assert(graft.Cli.run(Array(
+      "classify", "-i", emb, "-o", s"$tmp/labels",
+      "--queries-where", "vec_id % 50 = 0", "-k", "10")) == 0)
+    val labels = spark.read.parquet(s"$tmp/labels")
+    assert(labels.columns.toSeq == Seq("query_id", "predicted_label", "n_votes"))
+    assert(labels.count() == 10)
+    assert(labels.filter(col("n_votes") < 1 || col("n_votes") > 10).count() == 0)
+  }
+
   test("CLI ann: ivf and brute top-k over an embedding parquet") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_ann").toString
