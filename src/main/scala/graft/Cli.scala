@@ -756,26 +756,71 @@ object Cli {
 
     case "link" :: rest =>
       // Cross-corpus fuzzy join (record linkage by near-duplicate
-      // text): writes (doc_a from --input, doc_b from --reference,
-      // jaccard) for every pair clearing --threshold.
+      // text): writes (doc_a from --reference, doc_b from --input,
+      // jaccard) for every pair clearing --threshold. With --store,
+      // the reference's persisted band table (see `band-store
+      // --create`) supplies the candidate side — the reference is
+      // signed once, not per link run; its text is read only for
+      // candidate verification.
       val m = opts(rest)
       val in = one(m, "-i", "--input")
       val ref = one(m, "-r", "--reference")
       val out = one(m, "-o", "--output")
       val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
       val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
-      val n = m.get("-n").orElse(m.get("--ngram")).flatMap(_.headOption).map(_.toInt).getOrElse(2)
       val threshold = m.get("--threshold").flatMap(_.headOption)
         .map(_.toDouble).getOrElse(0.8)
       val maxBucket = m.get("--max-bucket").flatMap(_.headOption)
         .map(_.toLong).getOrElse(10000L)
       val spark = session()
-      graft.dedup.Dedup.minHashLshJoin(
-        spark.read.parquet(in), spark.read.parquet(ref), idCol, textCol,
-        n = n, threshold = threshold, numHashes = 64, bands = 16,
-        maxBucketSize = maxBucket)
-        .write.mode("overwrite").parquet(out)
+      val links = m.get("-s").orElse(m.get("--store")).flatMap(_.headOption) match {
+        case Some(store) =>
+          val (table, (sn, snh, sb, _)) = graft.dedup.BandStore.attach(spark, store)
+          graft.dedup.BandStore.linkNew(
+            spark, table, spark.read.parquet(in), spark.read.parquet(ref),
+            idCol, textCol, threshold, n = sn, numHashes = snh, bands = sb,
+            maxBucketSize = maxBucket)
+        case None =>
+          val n = m.get("-n").orElse(m.get("--ngram")).flatMap(_.headOption)
+            .map(_.toInt).getOrElse(2)
+          // reference as doc_a, batch as doc_b — same orientation as
+          // the store path
+          graft.dedup.Dedup.minHashLshJoin(
+            spark.read.parquet(ref), spark.read.parquet(in), idCol, textCol,
+            n = n, threshold = threshold, numHashes = 64, bands = 16,
+            maxBucketSize = maxBucket)
+      }
+      links.write.mode("overwrite").parquet(out)
       println(s"fuzzy links (threshold $threshold) written to $out")
+      0
+
+    case "band-store" :: rest =>
+      // Persist a reference corpus's MinHash band table for
+      // incremental linkage: --create signs the corpus once; `link
+      // --store` then links arriving batches without re-signing it.
+      // --ingest appends NEW reference docs' band rows (sign only the
+      // new docs).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      if (m.contains("--create")) {
+        val n = m.get("-n").orElse(m.get("--ngram")).flatMap(_.headOption)
+          .map(_.toInt).getOrElse(2)
+        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        graft.dedup.BandStore.createAt(
+          spark, spark.read.parquet(in), idCol, textCol, store,
+          n = n, numHashes = 64, bands = 16, buckets = buckets)
+        println(s"band store created at $store ($buckets buckets)")
+      } else {
+        val (table, (sn, snh, sb, sbk)) = graft.dedup.BandStore.attach(spark, store)
+        graft.dedup.BandStore.append(
+          spark, table, spark.read.parquet(in), idCol, textCol,
+          n = sn, numHashes = snh, bands = sb, buckets = sbk)
+        println(s"band rows appended to $store")
+      }
       0
 
     case "classify" :: rest =>
@@ -961,7 +1006,8 @@ object Cli {
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|importance|novelty] [--target-where '<pred>'] [--buckets 64] [-n 3] [--id doc_id] [--text text]
-           |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]
+           |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
+           |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]
            |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]

@@ -1128,6 +1128,26 @@ object SparkEntry {
       "doc_id", "text", n = 2, threshold = 0.8, numHashes = 64, bands = 16)
   }
 
+  /** q86 through a PERSISTED band store: the even-id reference corpus
+    * is signed once into a bucketed band table (per-run temp dir),
+    * then the odd-id batch links against the store — same rows as
+    * q86 by construction (equal (band, bucket) always hash to equal
+    * bkey; extra bkey collisions only add candidates, which exact
+    * verification rejects), different physical plan (store side scans
+    * bucketed, no exchange — DedupStoreSpec pins it).
+    * [[graft.dedup.BandStore]]. */
+  def q87IncrementalLink(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_band_store")
+    val docs = Tables.documents(s, dir)
+    val reference = docs.filter(col("doc_id") % 2 === 0)
+    val table = graft.dedup.BandStore.createAt(
+      s, reference, "doc_id", "text", s"$tmp/store",
+      n = 2, numHashes = 64, bands = 16)
+    graft.dedup.BandStore.linkNew(
+      s, table, docs.filter(col("doc_id") % 2 === 1), reference,
+      "doc_id", "text", threshold = 0.8, n = 2, numHashes = 64, bands = 16)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1224,6 +1244,7 @@ object SparkEntry {
     "q84_bpe_pairs" -> (q84BpePairs _),
     "q85_ngram_novelty" -> (q85NgramNovelty _),
     "q86_fuzzy_join" -> (q86FuzzyJoin _),
+    "q87_incremental_link" -> (q87IncrementalLink _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1347,6 +1368,29 @@ object SparkEntry {
       |  SELECT id_a, id_b,
       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)""".stripMargin
+
+  /** The cross-corpus fuzzy-join oracle: the EXACT cross-parity
+    * Jaccard pair set (even-id reference × odd-id batch, no banding).
+    * Shared verbatim by q86 (in-memory band join) and q87 (persisted
+    * band store): one contract, two physical strategies. */
+  private val FuzzyJoinOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+      |    CASE WHEN len(tk) >= 2
+      |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+      |    ELSE [] END) AS t(g)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM grams a JOIN grams b ON a.g = b.g
+      |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin
 
   /** The benchmark-decontamination oracle (train-split docs × their
     * distinct shared 5-grams with the valid split), shared VERBATIM by
@@ -2299,25 +2343,10 @@ object SparkEntry {
     // q86's oracle is the EXACT cross-parity pair set (no banding): at
     // q19's signature parameters the banded join recalls it fully on
     // the gate corpora, the same contract q19's oracle encodes for the
-    // self-join.
-    "q86_fuzzy_join" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
-        |    CASE WHEN len(tk) >= 2
-        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
-        |    ELSE [] END) AS t(g)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.g = b.g
-        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    // self-join. q87 (the persisted band store) shares it VERBATIM:
+    // the store round-trip must change the physical plan, never a row.
+    "q86_fuzzy_join" -> FuzzyJoinOracleSql,
+    "q87_incremental_link" -> FuzzyJoinOracleSql,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

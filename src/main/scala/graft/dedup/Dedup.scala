@@ -246,7 +246,7 @@ object Dedup {
     * exact dedup). The cap check is one count over the (small) band
     * table — never over the corpus.
     */
-  private def cappedBandTable(
+  private[dedup] def cappedBandTable(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -357,7 +357,7 @@ object Dedup {
     * side tokenizes only documents that appear in some candidate
     * pair (semi-join first), per-pair verification is
     * O(|grams_a| + |grams_b|). */
-  private def verifyCandidatesCross(
+  private[dedup] def verifyCandidatesCross(
       left: DataFrame,
       right: DataFrame,
       candidates: DataFrame,

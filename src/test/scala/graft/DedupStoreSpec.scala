@@ -82,4 +82,86 @@ class DedupStoreSpec extends SparkSpecBase {
         s"store scan is not bucketed:\n$storeSide")
     } finally spark.conf.set(thresholdKey, orig)
   }
+
+  test("band store: persisted link == in-memory fuzzy join; attach + append grow it") {
+    val docs = model.Tables.documents(spark, sfDir)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val path = s"${tmpPath("band_store")}/s"
+    val table = graft.dedup.BandStore.createAt(
+      spark, even, "doc_id", "text", path, n = 2, numHashes = 64, bands = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val viaStore = canon(graft.dedup.BandStore.linkNew(
+      spark, table, odd, even, "doc_id", "text",
+      threshold = 0.8, n = 2, numHashes = 64, bands = 16))
+    val inMemory = canon(graft.dedup.Dedup.minHashLshJoin(
+      even, odd, "doc_id", "text", n = 2, threshold = 0.8,
+      numHashes = 64, bands = 16))
+    assert(viaStore == inMemory,
+      s"store round-trip diverged: ${viaStore.size} vs ${inMemory.size} links")
+
+    // attach in the same session (fresh catalog declaration) + append
+    // a doc that near-dups an odd batch doc: the link must appear
+    // WITHOUT re-signing the original reference
+    val (table2, (n2, nh2, b2, bk2)) = graft.dedup.BandStore.attach(spark, path)
+    assert((n2, nh2, b2, bk2) == ((2, 64, 16, 64)))
+    val oddOne = odd.limit(1).collect()(0)
+    val newRef = Seq((oddOne.getLong(0) + 1000000L,
+      oddOne.getString(1))).toDF("doc_id", "text")
+    graft.dedup.BandStore.append(spark, table2, newRef, "doc_id", "text",
+      n = n2, numHashes = nh2, bands = b2, buckets = bk2)
+    val extendedRef = even.select(col("doc_id"), col("text")).unionByName(newRef)
+    val after = graft.dedup.BandStore.linkNew(
+      spark, table2, odd, extendedRef, "doc_id", "text",
+      threshold = 0.8, n = n2, numHashes = nh2, bands = b2)
+    val planted = after.filter(col("doc_a") === oddOne.getLong(0) + 1000000L
+      && col("doc_b") === oddOne.getLong(0))
+    assert(planted.count() == 1, "appended reference doc did not link its near-dup")
+    assert(after.count() >= viaStore.size.toLong, "append lost existing links")
+  }
+
+  test("band-store link scans the store bucketed: zero exchanges on the store side") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val docs = model.Tables.documents(spark, sfDir)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val table = graft.dedup.BandStore.createAt(
+        spark, even, "doc_id", "text", s"${tmpPath("band_plan")}/s",
+        n = 2, numHashes = 64, bands = 16, buckets = 32)
+      // Pin the plan on the CANDIDATE stage — linkNew's verify stage
+      // checkpoints the candidates, so the store join never appears in
+      // the end-to-end query's executed plan.
+      val cands = graft.dedup.BandStore.linkCandidates(
+        spark, table, odd, "doc_id", "text", n = 2, numHashes = 64, bands = 16)
+      cands.queryExecution.toRdd.count()
+      val finalPlan = cands.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = finalPlan.toString
+      assert(scans.contains("Bucketed: true"),
+        s"band-store scan is not bucketed:\n${scans.take(3000)}")
+      // TreeNode.collect stops at QueryStageExec boundaries (the stage
+      // wraps its subtree in a `plan` member, not `children`) — flatten
+      // through them to reach the bkey join.
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case other => other.children.flatMap(flatten)
+      })
+      val joins = flatten(finalPlan).collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, s"no join in the candidate plan:\n${scans.take(2000)}")
+      // The store is the right side of the bkey join: zero exchanges
+      // above its bucketed scan — only the batch side repartitions.
+      val storeSide = joins.head.children.last
+      val storeShuffles = flatten(storeSide).collect { case e: ShuffleExchangeExec => e }
+      assert(storeShuffles.isEmpty,
+        s"store side of the band join reshuffles:\n$storeSide")
+    } finally spark.conf.set(thresholdKey, orig)
+  }
 }

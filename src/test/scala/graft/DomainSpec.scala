@@ -317,7 +317,8 @@ class DomainSpec extends SparkSpecBase {
     assert(nov.filter(col("n_unique") > col("n_grams")).count() == 0)
 
     // link: batch (odd ids) vs reference (even ids) — matches the
-    // q86 contract: only cross-parity pairs, jaccard >= threshold
+    // q86 contract: doc_a from the reference, doc_b from the batch,
+    // jaccard >= threshold
     val odd = s"$tmp/odd"
     val even = s"$tmp/even"
     spark.read.parquet(docs).filter(col("doc_id") % 2 === 1)
@@ -325,11 +326,21 @@ class DomainSpec extends SparkSpecBase {
     spark.read.parquet(docs).filter(col("doc_id") % 2 === 0)
       .write.parquet(even)
     assert(graft.Cli.run(Array(
-      "link", "-i", even, "-r", odd, "-o", s"$tmp/links")) == 0)
+      "link", "-i", odd, "-r", even, "-o", s"$tmp/links")) == 0)
     val links = spark.read.parquet(s"$tmp/links")
     assert(links.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
     assert(links.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 1).count() == 0)
     assert(links.filter(col("jaccard") < 0.8).count() == 0)
+
+    // the same link THROUGH a persisted band store: identical rows
+    assert(graft.Cli.run(Array(
+      "band-store", "--create", "-i", even, "-s", s"$tmp/bstore")) == 0)
+    assert(graft.Cli.run(Array(
+      "link", "-i", odd, "-r", even, "-s", s"$tmp/bstore",
+      "-o", s"$tmp/links2")) == 0)
+    val links2 = spark.read.parquet(s"$tmp/links2")
+    assert(links2.exceptAll(links).isEmpty && links.exceptAll(links2).isEmpty,
+      "store-backed link diverged from the in-memory join")
 
     assert(graft.Cli.run(Array(
       "classify", "-i", emb, "-o", s"$tmp/labels",
