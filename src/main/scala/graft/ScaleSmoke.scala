@@ -170,7 +170,8 @@ object ScaleSmoke {
       "q64_length_quantiles", "q65_pack_materialize", "q66_redact",
       "q67_mixture", "q68_shuffle_order", "q69_pq_topk", "q70_neardup_dedup",
       "q81_importance_weights", "q82_unigram_logprob", "q83_knn_classify",
-      "q84_bpe_pairs", "q85_ngram_novelty")
+      "q84_bpe_pairs", "q85_ngram_novelty", "q86_fuzzy_join",
+      "q87_incremental_link")
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       val s = System.nanoTime()

@@ -78,23 +78,28 @@ object Quality {
       isTarget: Column,
       buckets: Int = 64): DataFrame = {
     val b = lit(buckets.toLong)
-    val bucketed = docs
+    // ONE tokenize pass: the per-(doc, bucket) counts are materialized
+    // first (≤ `buckets` rows per doc — orders of magnitude smaller
+    // than the token stream) and BOTH histograms derive from them;
+    // re-deriving the corpus histogram from a second explode would
+    // scan 100 TB of text twice for a 64-row table.
+    val perDoc = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), isTarget.as("is_target"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"), col("is_target"),
+      .groupBy(col("doc_id"), col("lang"), col("is_target"),
         pmod(Md5Prefix64(concat(lit("dsir_"), col("tok"))), b).as("b"))
-    val hist = bucketed.groupBy("b").agg(
-      count(lit(1)).as("raw_cnt"),
-      count(when(col("is_target"), 1)).as("tgt_cnt"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val hist = perDoc.groupBy("b").agg(
+      sum("cnt").as("raw_cnt"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tgt_cnt"))
     val totals = hist.agg(
       sum("raw_cnt").as("raw_total"), sum("tgt_cnt").as("tgt_total"))
     val lr = hist.crossJoin(broadcast(totals)).select(col("b"),
       (log((col("tgt_cnt") + 1).cast("double") / (col("tgt_total") + b).cast("double")) -
         log((col("raw_cnt") + 1).cast("double") / (col("raw_total") + b).cast("double"))).as("lr"))
-    bucketed
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+    perDoc
       .join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(
@@ -117,14 +122,18 @@ object Quality {
     * comparison).
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // ONE tokenize pass (the importanceWeights argument): per-doc
+    // token counts materialize first, the vocabulary LM derives from
+    // them by a second-stage sum — never a second corpus explode.
+    val pd = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum("c").as("t"))
-    toks
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val vocab = pd.groupBy("tok").agg(sum("cnt").as("c"))
+    val total = vocab.agg(sum("c").as("t"))
+    pd
       .join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("cnt"),
@@ -181,11 +190,15 @@ object Quality {
     * float ordering concerns.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    // Materialized once: the posting list feeds both the df aggregate
+    // and the join side — without the checkpoint the tokenize+shingle
+    // subplan runs twice (the Dedup.ngramJaccardPairs lesson).
     val docGrams = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), n))).as("gram"))
+      .localCheckpoint(false)
     val df = docGrams.groupBy("gram").agg(count(lit(1)).as("df"))
     docGrams
       .join(df, Seq("gram"))
