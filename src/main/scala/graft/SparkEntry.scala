@@ -1148,6 +1148,43 @@ object SparkEntry {
       "doc_id", "text", threshold = 0.8, n = 2, numHashes = 64, bands = 16)
   }
 
+  /** BM25 top-10 retrieval: every 25th document is a query retrieving
+    * from the rest of the corpus (document-as-query similar-doc
+    * retrieval). One-pass postings build, broadcast query terms,
+    * hash-ordered per-(q,d) score fold, rounded-score rank cut.
+    * [[graft.ops.Retrieval.bm25TopK]]. */
+  def q88Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Retrieval.bm25TopK(
+      corpus = docs.filter(col("doc_id") % 25 =!= 0),
+      queries = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      k = 10)
+  }
+
+  /** Exact heavy hitters (corpus count ≥ 500) behind a Count–Min
+    * sketch prefilter: the sketch bounds the exact-confirm groupBy's
+    * keyspace to the candidate fringe; CMS never under-counts, so the
+    * result equals the plain exact aggregate the oracle runs.
+    * [[graft.ops.CorpusStats.heavyHitters]]. */
+  def q89HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.heavyHitters(Tables.documents(s, dir), minCount = 500L)
+
+  /** Windowed PMI collocations: top-20 unordered token pairs
+    * co-occurring within 3 positions (count ≥ 5) by pointwise mutual
+    * information — per-row HOF pair generation, no positional
+    * self-join. [[graft.ops.CorpusStats.pmiPairs]]. */
+  def q90PmiPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.pmiPairs(
+      Tables.documents(s, dir), window = 3, minPairCount = 5L, topK = 20)
+
+  /** CCNet-style head/middle/tail quality buckets: per-language
+    * ntile(3) over the unigram-LM score with a deterministic
+    * (rounded score, doc_id) order, per-bucket summary via
+    * doc_id-ordered folds. [[graft.ops.Quality.qualityBuckets]]. */
+  def q91QualityBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.qualityBuckets(Tables.documents(s, dir), nBuckets = 3)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1245,6 +1282,10 @@ object SparkEntry {
     "q85_ngram_novelty" -> (q85NgramNovelty _),
     "q86_fuzzy_join" -> (q86FuzzyJoin _),
     "q87_incremental_link" -> (q87IncrementalLink _),
+    "q88_bm25_topk" -> (q88Bm25TopK _),
+    "q89_heavy_hitters" -> (q89HeavyHitters _),
+    "q90_pmi_pairs" -> (q90PmiPairs _),
+    "q91_quality_buckets" -> (q91QualityBuckets _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2347,6 +2388,101 @@ object SparkEntry {
     // the store round-trip must change the physical plan, never a row.
     "q86_fuzzy_join" -> FuzzyJoinOracleSql,
     "q87_incremental_link" -> FuzzyJoinOracleSql,
+    // q88's float path is transcribed operator-for-operator (same
+    // parenthesization, same left-assoc * and /), the per-(q,d) sum
+    // folds in the same h-order, and the rank cut compares ROUNDED
+    // scores — no engine-dependent float order anywhere.
+    "q88_bm25_topk" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+        |pd AS (
+        |  SELECT doc_id, len(tk) AS dl, tok AS term, count(*) AS tf
+        |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |  FROM (SELECT DISTINCT doc_id, dl FROM pd)),
+        |qt AS (
+        |  SELECT DISTINCT doc_id AS q_id, tok AS term
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)),
+        |terms AS (
+        |  SELECT qt.q_id, pd.doc_id,
+        |    CAST(concat('0x', substr(md5('bm_' || pd.term), 1, 15)) AS BIGINT) AS h,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS term_score
+        |  FROM pd JOIN qt USING (term) JOIN dfreq USING (term), stats),
+        |scored AS (
+        |  SELECT q_id, doc_id, round(sum(term_score ORDER BY h, term_score), 6) AS score
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin,
+    // q89's oracle is the plain exact aggregate: the CMS prefilter
+    // never under-counts, so prefilter + exact confirm ≡ exact.
+    "q89_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT token, count(*) AS cnt FROM toks
+        |GROUP BY token HAVING count(*) >= 500""".stripMargin,
+    "q90_pmi_pairs" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |pr AS (
+        |  SELECT least(tk[i], t2) AS x, greatest(tk[i], t2) AS y
+        |  FROM t, unnest(generate_series(1, len(tk) - 1)) g(i), unnest(tk[i + 1 : i + 3]) u(t2)
+        |  WHERE len(tk) >= 2),
+        |pc AS (SELECT x, y, count(*) AS pair_cnt FROM pr GROUP BY 1, 2),
+        |ug AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT sum(pair_cnt) FROM pc) AS p_total,
+        |         (SELECT sum(c) FROM ug) AS t_total)
+        |SELECT pc.x, pc.y, pair_cnt,
+        |  round(ln((CAST(pair_cnt AS DOUBLE) / CAST(p_total AS DOUBLE)) /
+        |    ((CAST(ux.c AS DOUBLE) / CAST(t_total AS DOUBLE)) *
+        |     (CAST(uy.c AS DOUBLE) / CAST(t_total AS DOUBLE)))), 6) AS pmi
+        |FROM pc
+        |JOIN ug ux ON ux.tok = pc.x
+        |JOIN ug uy ON uy.tok = pc.y, tot
+        |WHERE pair_cnt >= 5
+        |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
+    // q91 reuses q82's scored CTE verbatim (same fold order, same
+    // rounding), then buckets on the ROUNDED score with a doc_id
+    // tie-break — ntile assignment is order-determined in both
+    // engines, and the per-bucket mean folds in doc_id order.
+    "q91_quality_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM vocab),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pd.doc_id, pd.cnt,
+        |    CAST(concat('0x', substr(md5('lm_' || pd.tok), 1, 15)) AS BIGINT) AS h,
+        |    pd.cnt * ln(vocab.c * 1.0 / t) AS term
+        |  FROM pd JOIN vocab USING (tok), tot),
+        |scored AS (
+        |  SELECT doc_id, round(sum(term ORDER BY h, cnt) / sum(cnt), 6) AS avg_logprob
+        |  FROM j GROUP BY doc_id),
+        |sl AS (
+        |  SELECT s.doc_id, d.lang, s.avg_logprob,
+        |    ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_logprob, s.doc_id) AS bucket
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  round(sum(avg_logprob ORDER BY doc_id) / count(*), 6) AS mean_logprob,
+        |  round(min(avg_logprob), 6) AS min_logprob,
+        |  round(max(avg_logprob), 6) AS max_logprob
+        |FROM sl GROUP BY 1, 2""".stripMargin,
     "q48_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token

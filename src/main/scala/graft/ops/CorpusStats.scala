@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.functions.{CmsAtLeast, Md5Prefix64, TextFunctions}
+
+/** Corpus-level lexical statistics for training-data pipelines:
+  * sketch-prefiltered heavy hitters (the boilerplate-token detector)
+  * and windowed PMI collocations (the multi-word-expression miner a
+  * tokenizer-training pass reads).
+  *
+  * Scale notes (100 TB):
+  *  - [[heavyHitters]] never shuffles the vocabulary: the Count–Min
+  *    sketch reduces the token stream to `depth × width` counters
+  *    (map-side partials, one merged row on the driver), the
+  *    codegen'd [[CmsAtLeast]] prefilter drops every certifiably
+  *    light token in a narrow pass, and only the candidate fringe —
+  *    bounded by the true heavy-hitter count plus the sketch's
+  *    tunable overcount — reaches the exact-confirm `groupBy`. CMS
+  *    only over-counts, so prefilter + exact confirm ≡ exact.
+  *  - [[pmiPairs]] generates co-occurrence pairs PER ROW with
+  *    higher-order functions (no positional self-join — a join on
+  *    (doc, position-range) would shuffle the token stream twice and
+  *    rebuild it as join state); only (pair, count) partials shuffle,
+  *    a keyspace bounded by |vocab|·window, further cut by the
+  *    `minPairCount` filter before the unigram joins.
+  */
+object CorpusStats {
+
+  /** Exact corpus heavy hitters (tokens with count ≥ `minCount`),
+    * computed with a Count–Min-sketch prefilter so the exact
+    * aggregation only ever sees candidate tokens.
+    *
+    * Two passes over the token stream, both narrow until their final
+    * bounded exchange:
+    *   1. build the sketch — Spark's `count_min_sketch` typed
+    *      aggregate, partials merged map-side, one `depth×width`
+    *      result row;
+    *   2. probe each token against the broadcast sketch
+    *      ([[CmsAtLeast]] rides in the task binary) and exact-count
+    *      only the survivors, then keep the truly-heavy
+    *      (`HAVING count ≥ minCount` — the confirm step that makes
+    *      the result independent of sketch error).
+    *
+    * Output: (token, cnt), one row per heavy hitter.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      minCount: Long,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val keyed = toks.select(col("token"),
+      Md5Prefix64(concat(lit("hh_"), col("token"))).as("h"))
+    val cmsBytes = keyed
+      .agg(expr(s"count_min_sketch(h, ${eps}d, ${confidence}d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    keyed
+      .filter(CmsAtLeast.fromBytes(col("h"), cmsBytes, minCount))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Windowed PMI collocations: unordered token pairs co-occurring
+    * within `window` positions, restricted to pairs seen at least
+    * `minPairCount` times, ranked by pointwise mutual information
+    *
+    *   pmi(x,y) = ln( (c_xy / P) / ((c_x / T) · (c_y / T)) )
+    *
+    * with P = total co-occurrence pairs and T = total tokens. High
+    * PMI at sufficient count marks multi-word expressions ("new
+    * york") worth atomizing before tokenizer training; the
+    * `minPairCount` floor is the standard guard against PMI's
+    * low-frequency bias.
+    *
+    * Pair generation is a pure per-row HOF composition (flatten ∘
+    * transform over the token array) — narrow, codegen'd, no
+    * positional self-join. The unordered orientation (least,
+    * greatest) is applied per occurrence so "b a" and "a b" pool
+    * their counts, matching the symmetric-window PMI definition.
+    *
+    * Output: (x, y, pair_cnt, pmi) — top `topK` by
+    * (pmi desc, x, y), PMI rounded to 6 places so the rank cut is
+    * engine-portable.
+    */
+  def pmiPairs(
+      docs: DataFrame,
+      window: Int = 3,
+      minPairCount: Long = 5,
+      topK: Int = 20): DataFrame = {
+    val toksCol = TextFunctions.tokens(col("text"))
+    // One tokenize pass feeding both the pair stream and the unigram
+    // histogram (the importanceWeights argument: never explode 100 TB
+    // of text twice when the first pass's output is strictly smaller).
+    val tk = docs
+      .filter(col("text").isNotNull)
+      .select(toksCol.as("tk"))
+      .localCheckpoint(false)
+
+    val pairsCol = when(
+      size(col("tk")) >= 2,
+      flatten(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => transform(
+          slice(col("tk"), i + 1, lit(window)),
+          t2 => struct(
+            least(element_at(col("tk"), i), t2).as("x"),
+            greatest(element_at(col("tk"), i), t2).as("y"))))))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))
+
+    val pairCnt = tk
+      .select(explode(pairsCol).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .localCheckpoint(false)
+    val unigram = tk
+      .select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+
+    val totals = pairCnt.agg(sum("pair_cnt").as("p_total"))
+      .crossJoin(unigram.agg(sum("c").as("t_total")))
+
+    // The float expression below is transcribed verbatim into the
+    // DuckDB oracle — identical operator tree, so the IEEE result is
+    // bit-equal and round(…, 6) is a formality for ln()'s 1-ulp play.
+    pairCnt
+      .filter(col("pair_cnt") >= minPairCount)
+      .join(unigram.withColumnRenamed("token", "x").withColumnRenamed("c", "cx"), Seq("x"))
+      .join(unigram.withColumnRenamed("token", "y").withColumnRenamed("c", "cy"), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("pair_cnt"),
+        round(log(
+          (col("pair_cnt").cast("double") / col("p_total").cast("double")) /
+            ((col("cx").cast("double") / col("t_total").cast("double")) *
+              (col("cy").cast("double") / col("t_total").cast("double")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+}

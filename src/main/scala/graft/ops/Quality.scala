@@ -49,7 +49,7 @@ object Quality {
     * aggregation buffer, so an unbounded group would be the q64
     * percentile OOM shape. All uses here are ≤ |doc vocabulary|.
     */
-  private def orderedSum(key: Column, term: Column): Column =
+  private[graft] def orderedSum(key: Column, term: Column): Column =
     aggregate(
       array_sort(collect_list(struct(key.as("k"), term.as("t")))),
       lit(0.0),
@@ -175,6 +175,46 @@ object Quality {
       .agg(sum("c").cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
+  }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    * document by its [[unigramLogprob]] perplexity proxy WITHIN its
+    * language and cut each language into `nBuckets` equal-frequency
+    * buckets (1 = lowest scores = "tail", `nBuckets` = "head") — the
+    * standard head/middle/tail stratification a curation pipeline
+    * samples from with per-bucket rates instead of a hard threshold.
+    *
+    * Determinism: the ntile runs over (rounded score, doc_id) — no
+    * float-order ambiguity — and the per-bucket mean is a sequential
+    * doc_id-ordered fold, so the summary is bit-reproducible and
+    * exactly transcribable (`sum(x ORDER BY doc_id) / count(*)`).
+    *
+    * Scale: the scored table is one row per document; the ntile's
+    * per-language sort is the only added exchange, keyed by a
+    * low-cardinality column — the classic skew shape, but the window
+    * carries just (doc_id, score), ~16 bytes/row, and a production
+    * run would swap ntile for approx-quantile cutpoints; the exact
+    * ntile is the oracle-checkable reference semantics.
+    *
+    * Output: (lang, bucket, n_docs, mean_logprob, min_logprob,
+    * max_logprob), one row per (language, bucket).
+    */
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    scored
+      .withColumn("bucket",
+        ntile(nBuckets).over(
+          Window.partitionBy("lang").orderBy(col("avg_logprob"), col("doc_id")))
+          .cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(orderedSum(col("doc_id"), col("avg_logprob")) /
+          count(lit(1)).cast("double"), 6).as("mean_logprob"),
+        round(min(col("avg_logprob")), 6).as("min_logprob"),
+        round(max(col("avg_logprob")), 6).as("max_logprob"))
   }
 
   /** Per-document n-gram novelty: of a document's DISTINCT word

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Md5Prefix64, TextFunctions}
+
+/** Sparse lexical retrieval over the corpus: BM25 scoring of a query
+  * set against an inverted-index-shaped posting table. This is the
+  * retrieval half of a RAG / hard-negative-mining pipeline — the
+  * dense half is [[graft.similarity.Similarity]]'s ANN surface.
+  *
+  * Scale notes (100 TB): the posting table (doc, term, tf, dl) is the
+  * only corpus-sized intermediate and it is built in ONE tokenize
+  * pass with map-side-combined counts; document frequency and the
+  * corpus stats reduce it further (|vocab| rows and 1 row). The query
+  * side is small by contract (a query batch, not a corpus) and is
+  * BROADCAST to the postings — the corpus-sized side never
+  * re-shuffles for the probe; the only exchange after the postings
+  * build is the (query, doc) partial-score aggregation, whose
+  * keyspace is bounded by matched postings, not |corpus|·|queries|.
+  */
+object Retrieval {
+
+  /** BM25 top-`k` retrieval (Robertson–Spärck Jones idf in the
+    * Lucene "+1 inside the log" form, so idf > 0 always):
+    *
+    *   idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *   score(q,d)  = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+    *                   (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * `corpus` needs (doc_id, text); `queries` needs (q_id, text) —
+    * each query's DISTINCT tokens form its term set (document-as-
+    * query, the similar-document-retrieval shape; a keyword query is
+    * just a short text).
+    *
+    * Determinism contract (the oracle transcribes this exactly): the
+    * per-(q,d) score is a SEQUENTIAL fold of term scores ordered by
+    * the 64-bit term hash, rounded to 6 places, and the top-k cut
+    * ranks by (rounded score desc, doc_id) — no engine-dependent
+    * float ordering anywhere.
+    *
+    * Output: (query_id, doc_id, rank, score).
+    */
+  def bm25TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // Postings in one pass: dl = |tokens(doc)| rides the groupBy as a
+    // (functionally doc_id-dependent) grouping column instead of
+    // costing a second doc_id-keyed exchange or window.
+    val postings = corpus
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and avgdl from the distinct (doc_id, dl) projection of the
+    // postings — bounded by |corpus| rows, 2 columns.
+    val stats = postings
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+
+    val qterms = queries
+      .filter(col("text").isNotNull)
+      .select(col("q_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfDouble = col("tf").cast("double")
+    val termScore = idf * (tfDouble * lit(k1 + 1.0)) /
+      (tfDouble + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq.join(qterms.select("term").distinct(), Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        Md5Prefix64(concat(lit("bm_"), col("term"))).as("h"),
+        termScore.as("term_score"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(
+        Quality.orderedSum(col("h"), col("term_score")), 6).as("score"))
+
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+}

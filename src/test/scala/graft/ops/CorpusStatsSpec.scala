@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.SparkSpecBase
+import graft.functions.{CmsAtLeast, Md5Prefix64}
+
+/** Behavior tests for the corpus-statistics and retrieval operators:
+  * planted corpora with a known right answer (the DuckDB gate covers
+  * value parity at q88–q91). */
+class CorpusStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "new york is a big city and new york never sleeps"),
+    (1L, "new york has the best pizza in the city"),
+    (2L, "the dog sleeps and the dog barks and the dog runs"),
+    (3L, "a cat naps while the dog sleeps near the city"),
+    (4L, "new york new york new york new york")
+  ).toDF("doc_id", "text")
+
+  // ---- heavy hitters -------------------------------------------------
+
+  test("heavyHitters equals the exact aggregate (sketch has no false negatives)") {
+    val exact = corpus
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = CorpusStats.heavyHitters(corpus, minCount = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == exact)
+    assert(hh.contains("the") && hh.contains("new") && hh.contains("york"))
+    assert(!hh.contains("pizza"))
+  }
+
+  test("heavyHitters survives a deliberately collision-prone sketch (exact confirm)") {
+    // eps 0.5 → width 4: massive over-counting, so the prefilter
+    // passes nearly everything — the exact confirm must still cut to
+    // precisely the true heavy set.
+    val loose = CorpusStats.heavyHitters(corpus, minCount = 4L, eps = 0.5)
+      .collect().map(_.getString(0)).toSet
+    val tight = CorpusStats.heavyHitters(corpus, minCount = 4L)
+      .collect().map(_.getString(0)).toSet
+    assert(loose == tight)
+  }
+
+  test("CmsAtLeast probe agrees with the sketch library's estimateCount") {
+    val cms = CountMinSketch.create(1e-3, 0.99, 42)
+    (1L to 50L).foreach(i => cms.add(java.lang.Long.valueOf(i % 5), 1))
+    val df = (0L to 9L).toDF("k")
+    val hits = df.filter(CmsAtLeast(col("k"), cms, 10L)).collect().map(_.getLong(0)).toSet
+    // keys 0..4 were each added 10 times; 5..9 never — CMS may
+    // over-count but never under-counts, so 0..4 must all pass
+    assert(Set(0L, 1L, 2L, 3L, 4L).subsetOf(hits))
+    hits.foreach(k => assert(cms.estimateCount(java.lang.Long.valueOf(k)) >= 10L))
+  }
+
+  test("CmsAtLeast null key propagates null (row filtered out)") {
+    val cms = CountMinSketch.create(1e-3, 0.99, 42)
+    cms.add(java.lang.Long.valueOf(7L), 100)
+    val df = Seq(Some(7L), None, Some(8L)).toDF("k")
+    val kept = df.filter(CmsAtLeast(col("k"), cms, 1L)).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  // ---- PMI collocations ---------------------------------------------
+
+  test("pmiPairs surfaces the planted collocation at the top") {
+    // "new york" co-occurs every time either token appears — the
+    // classic MWE signature: high pair count AND high PMI.
+    val top = CorpusStats.pmiPairs(corpus, window = 3, minPairCount = 4L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(top.nonEmpty)
+    val newYork = top.find(t => t._1 == "new" && t._2 == "york")
+    assert(newYork.isDefined, s"expected (new, york) in $top")
+    // (the, dog) co-occurs often but 'the' is everywhere → lower PMI
+    val theDog = top.find(t => t._1 == "dog" && t._2 == "the")
+    theDog.foreach(td => assert(newYork.get._4 > td._4))
+  }
+
+  test("pmiPairs pools both orientations into one unordered pair") {
+    val df = Seq((0L, "a b"), (1L, "b a"), (2L, "a b"), (3L, "b a"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val rows = CorpusStats.pmiPairs(df, window = 3, minPairCount = 1L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows == Map(("a", "b") -> 5L))
+  }
+
+  test("pmiPairs window bounds co-occurrence distance") {
+    val df = Seq((0L, "x p q r y")).toDF("doc_id", "text")
+    val pairs = CorpusStats.pmiPairs(df, window = 2, minPairCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // x..y are 4 apart — beyond window 2
+    assert(!pairs.contains(("x", "y")))
+    assert(pairs.contains(("p", "x")) && pairs.contains(("q", "x")))
+  }
+
+  test("pmiPairs is invariant to partitioning") {
+    val a = CorpusStats.pmiPairs(corpus.repartition(1), topK = 50, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = CorpusStats.pmiPairs(corpus.repartition(13), topK = 50, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(a == b)
+  }
+
+  // ---- BM25 retrieval ------------------------------------------------
+
+  test("bm25TopK retrieves the lexically-matching doc first") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple banana"),
+      (3L, "dog cat mouse"),
+      (4L, "banana split dessert")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana")).toDF("q_id", "text")
+    val hits = Retrieval.bm25TopK(docs, queries, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hits.nonEmpty)
+    // docs 1 and 2 match both terms; doc 3 matches nothing and must
+    // be absent; scores strictly ordered by rank
+    assert(!hits.map(_._1).contains(3L))
+    assert(hits.map(_._2).toSeq == (1L to hits.length).toSeq)
+    assert(hits.sliding(2).forall {
+      case Array(a, b) => a._3 >= b._3
+      case _ => true
+    })
+  }
+
+  test("bm25TopK idf downweights ubiquitous terms") {
+    // 'common' is in every doc, 'rare' in one: a query with both must
+    // rank the rare-term doc first even though tf('common') is higher
+    // elsewhere.
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare"),
+      (3L, "common common"),
+      (4L, "common filler words")
+    ).toDF("doc_id", "text")
+    val queries = Seq((9L, "rare common")).toDF("q_id", "text")
+    val top = Retrieval.bm25TopK(docs, queries, k = 1).collect()
+    assert(top.head.getLong(1) == 2L, s"rare-term doc should win: ${top.toSeq}")
+  }
+
+  test("bm25TopK is invariant to partitioning (ordered score fold)") {
+    val docs = Tables()
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def run(parts: Int) = Retrieval
+      .bm25TopK(docs.filter(col("doc_id") % 25 =!= 0).repartition(parts), queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(1) == run(13))
+  }
+
+  private def Tables() =
+    graft.model.Tables.documents(spark, sfDir).select("doc_id", "text")
+}

@@ -127,4 +127,39 @@ class QualitySpec extends SparkSpecBase {
       .collect()
     assert(got.length == 1 && got(0).getInt(1) == 1 && got(0).getLong(2) == 2L)
   }
+
+  test("qualityBuckets cuts each language into equal-frequency buckets") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val rows = Quality.qualityBuckets(docs, nBuckets = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val langs = rows.keys.map(_._1).toSet
+    langs.foreach { lang =>
+      val perLang = (1L to 3L).flatMap(b => rows.get(lang -> b))
+      assert(perLang.length == 3, s"$lang should have 3 buckets")
+      // ntile: bucket sizes differ by at most one
+      val sizes = perLang.map(_._1)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // buckets ordered by score: bucket b's max <= bucket b+1's min
+      perLang.sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo._4 <= hi._3 + 1e-9,
+          s"$lang bucket overlap: ${lo._4} > ${hi._3}")
+        case _ =>
+      }
+      // mean lies within [min, max]
+      perLang.foreach { case (_, mean, mn, mx) =>
+        assert(mean >= mn - 1e-9 && mean <= mx + 1e-9)
+      }
+    }
+  }
+
+  test("qualityBuckets is invariant to partitioning (ordered mean fold)") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    def run(parts: Int) = Quality.qualityBuckets(docs.repartition(parts), 3)
+      .orderBy("lang", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(1) == run(13))
+  }
 }
