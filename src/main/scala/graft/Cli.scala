@@ -747,11 +747,109 @@ object Cli {
         case "novelty" =>
           val n = m.get("-n").orElse(m.get("--ngram")).flatMap(_.headOption).map(_.toInt).getOrElse(3)
           graft.ops.Quality.ngramNovelty(docs0, n)
+        case "buckets" =>
+          val nb = m.get("--n-buckets").flatMap(_.headOption).map(_.toInt).getOrElse(3)
+          val withLang =
+            if (docs0.columns.contains("lang")) docs0
+            else docs0.withColumn("lang", org.apache.spark.sql.functions.lit(""))
+          graft.ops.Quality.qualityBuckets(withLang, nb)
         case other =>
-          sys.error(s"quality --mode must be heuristic|unigram-lm|importance|novelty, got $other")
+          sys.error(s"quality --mode must be heuristic|unigram-lm|importance|novelty|buckets, got $other")
       }
       scored.write.mode("overwrite").parquet(out)
       println(s"quality scores ($mode) written to $out")
+      0
+
+    case "retrieve" :: rest =>
+      // BM25 top-k lexical retrieval: score a query parquet (or a
+      // --queries-where subset of the corpus) against a corpus
+      // parquet; writes (query_id, doc_id, rank, score).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, expr, not}
+      val all = spark.read.parquet(in)
+        .withColumn("doc_id", col(idCol)).withColumn("text", col(textCol))
+      val (corpus, queries) =
+        (m.get("-q").orElse(m.get("--queries")).flatMap(_.headOption),
+          m.get("--queries-where").flatMap(_.headOption)) match {
+          case (Some(qPath), _) =>
+            (all, spark.read.parquet(qPath)
+              .select(col(idCol).as("q_id"), col(textCol).as("text")))
+          case (None, Some(where)) =>
+            (all.filter(not(expr(where))),
+              all.filter(expr(where)).select(col("doc_id").as("q_id"), col("text")))
+          case (None, None) =>
+            sys.error("retrieve needs -q <queries.parquet> or --queries-where '<pred>'")
+        }
+      // --store: probe a persisted posting store (see `posting-store
+      // --create`) instead of tokenizing the corpus in this run; -i
+      // still names the query source when --queries-where selects
+      // from it.
+      val hits = m.get("-s").orElse(m.get("--store")).flatMap(_.headOption) match {
+        case Some(store) => graft.ops.PostingStore.retrieve(spark, store, queries, k)
+        case None => graft.ops.Retrieval.bm25TopK(corpus, queries, k)
+      }
+      hits.write.mode("overwrite").parquet(out)
+      println(s"bm25 top-$k written to $out")
+      0
+
+    case "posting-store" :: rest =>
+      // Persisted BM25 posting store: --create tokenizes + counts the
+      // corpus once into a term-bucket-partitioned posting table;
+      // --ingest appends NEW docs (dedup upstream). Probe with
+      // `retrieve --store`.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      if (m.contains("--create")) {
+        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        graft.ops.PostingStore.create(docs, store, buckets)
+        println(s"posting store created at $store")
+      } else if (m.contains("--ingest")) {
+        graft.ops.PostingStore.append(docs, store)
+        println(s"posting store at $store grown with $in")
+      } else sys.error("posting-store needs --create or --ingest")
+      0
+
+    case "corpus-stats" :: rest =>
+      // Corpus-level lexical statistics: --mode hitters (exact heavy
+      // hitters behind a Count-Min prefilter) or pmi (windowed PMI
+      // collocations).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val mode = m.get("--mode").flatMap(_.headOption).getOrElse("hitters")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in).withColumn("text", col(textCol))
+      val res = mode match {
+        case "hitters" =>
+          val minCount = m.get("--min-count").flatMap(_.headOption)
+            .map(_.toLong).getOrElse(1000L)
+          graft.ops.CorpusStats.heavyHitters(docs, minCount)
+        case "pmi" =>
+          val w = m.get("--window").flatMap(_.headOption).map(_.toInt).getOrElse(3)
+          val minPair = m.get("--min-pair").flatMap(_.headOption)
+            .map(_.toLong).getOrElse(5L)
+          val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(20)
+          graft.ops.CorpusStats.pmiPairs(docs, w, minPair, k)
+        case other =>
+          sys.error(s"corpus-stats --mode must be hitters|pmi, got $other")
+      }
+      res.write.mode("overwrite").parquet(out)
+      println(s"corpus stats ($mode) written to $out")
       0
 
     case "link" :: rest =>
@@ -1005,7 +1103,10 @@ object Cli {
            |  semantic-dedup -i <embeddings.parquet> -o <out.parquet> [--nlist 24] [--threshold 0.4] [--dim 64] [--id vec_id] [--vec embedding]
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
-           |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|importance|novelty] [--target-where '<pred>'] [--buckets 64] [-n 3] [--id doc_id] [--text text]
+           |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
+           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [-k 10] [--id doc_id] [--text text]
+           |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir>   [--id doc_id] [--text text]
+           |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]
            |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]

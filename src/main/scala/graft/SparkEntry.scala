@@ -1178,6 +1178,27 @@ object SparkEntry {
     graft.ops.CorpusStats.pmiPairs(
       Tables.documents(s, dir), window = 3, minPairCount = 5L, topK = 20)
 
+  /** q88 through a PERSISTED posting store: the corpus is tokenized
+    * and counted once into a term-bucket-partitioned posting table
+    * (per-run temp dir), then the query batch probes the store with a
+    * static bucket-pruned scan — same rows as q88 by construction
+    * (one shared scoring expression; stored (total_dl, n_docs)
+    * reproduces avg(dl) exactly), different physical plan
+    * (PartitionFilters on tb, no corpus tokenize —
+    * CorpusStatsSpec pins it). [[graft.ops.PostingStore]]. */
+  def q92Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_posting_store")
+    val docs = Tables.documents(s, dir)
+    graft.ops.PostingStore.create(
+      docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text"),
+      s"$tmp/store")
+    graft.ops.PostingStore.retrieve(
+      s, s"$tmp/store",
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      k = 10)
+  }
+
   /** CCNet-style head/middle/tail quality buckets: per-language
     * ntile(3) over the unigram-LM score with a deterministic
     * (rounded score, doc_id) order, per-bucket summary via
@@ -1286,6 +1307,7 @@ object SparkEntry {
     "q89_heavy_hitters" -> (q89HeavyHitters _),
     "q90_pmi_pairs" -> (q90PmiPairs _),
     "q91_quality_buckets" -> (q91QualityBuckets _),
+    "q92_bm25_indexed" -> (q92Bm25Indexed _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1414,6 +1436,41 @@ object SparkEntry {
     * Jaccard pair set (even-id reference × odd-id batch, no banding).
     * Shared verbatim by q86 (in-memory band join) and q87 (persisted
     * band store): one contract, two physical strategies. */
+  // q88/q92 shared oracle: the BM25 float path transcribed operator-
+  // for-operator (same parenthesization, same left-assoc * and /), the
+  // per-(q,d) sum folded in the same h-order, rank cut on ROUNDED
+  // scores - no engine-dependent float order anywhere.
+  private val Bm25OracleSql: String =
+    """WITH corpus AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+        |pd AS (
+        |  SELECT doc_id, len(tk) AS dl, tok AS term, count(*) AS tf
+        |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |  FROM (SELECT DISTINCT doc_id, dl FROM pd)),
+        |qt AS (
+        |  SELECT DISTINCT doc_id AS q_id, tok AS term
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)),
+        |terms AS (
+        |  SELECT qt.q_id, pd.doc_id,
+        |    CAST(concat('0x', substr(md5('bm_' || pd.term), 1, 15)) AS BIGINT) AS h,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS term_score
+        |  FROM pd JOIN qt USING (term) JOIN dfreq USING (term), stats),
+        |scored AS (
+        |  SELECT q_id, doc_id, round(sum(term_score ORDER BY h, term_score), 6) AS score
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin
+
   private val FuzzyJoinOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
@@ -2392,36 +2449,10 @@ object SparkEntry {
     // parenthesization, same left-assoc * and /), the per-(q,d) sum
     // folds in the same h-order, and the rank cut compares ROUNDED
     // scores — no engine-dependent float order anywhere.
-    "q88_bm25_topk" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
-        |pd AS (
-        |  SELECT doc_id, len(tk) AS dl, tok AS term, count(*) AS tf
-        |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
-        |stats AS (
-        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl
-        |  FROM (SELECT DISTINCT doc_id, dl FROM pd)),
-        |qt AS (
-        |  SELECT DISTINCT doc_id AS q_id, tok AS term
-        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
-        |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)),
-        |terms AS (
-        |  SELECT qt.q_id, pd.doc_id,
-        |    CAST(concat('0x', substr(md5('bm_' || pd.term), 1, 15)) AS BIGINT) AS h,
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS term_score
-        |  FROM pd JOIN qt USING (term) JOIN dfreq USING (term), stats),
-        |scored AS (
-        |  SELECT q_id, doc_id, round(sum(term_score ORDER BY h, term_score), 6) AS score
-        |  FROM terms GROUP BY 1, 2)
-        |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 10""".stripMargin,
+    "q88_bm25_topk" -> Bm25OracleSql,
+    // q92 (the persisted posting store) shares q88's oracle VERBATIM:
+    // the store round-trip must change the physical plan, never a row.
+    "q92_bm25_indexed" -> Bm25OracleSql,
     // q89's oracle is the plain exact aggregate: the CMS prefilter
     // never under-counts, so prefilter + exact confirm ≡ exact.
     "q89_heavy_hitters" ->

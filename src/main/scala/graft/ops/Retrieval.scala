@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,8 +20,77 @@ import graft.functions.{Md5Prefix64, TextFunctions}
   * re-shuffles for the probe; the only exchange after the postings
   * build is the (query, doc) partial-score aggregation, whose
   * keyspace is bounded by matched postings, not |corpus|·|queries|.
+  * For REPEATED query batches over a stable corpus, [[PostingStore]]
+  * persists the postings so the tokenize pass is paid once.
   */
 object Retrieval {
+
+  /** One-pass posting build: (doc_id, dl, term, tf). `dl` (document
+    * length in tokens) rides the count aggregate as a functionally
+    * doc_id-dependent grouping column instead of costing a second
+    * doc_id-keyed exchange or window. */
+  private[ops] def buildPostings(corpus: DataFrame): DataFrame =
+    corpus
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Distinct (q_id, term) pairs of the query batch. */
+  private[ops] def queryTerms(queries: DataFrame): DataFrame =
+    queries
+      .filter(col("text").isNotNull)
+      .select(col("q_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+
+  /** Shared scoring/ranking tail of the in-memory and store-backed
+    * paths — ONE expression tree, so the two are bit-identical and
+    * the oracle transcription covers both.
+    *
+    * `postings` must carry (doc_id, dl, term, tf); `dfreq` (term, df)
+    * may be the full vocabulary or pre-restricted (it is re-restricted
+    * to query terms before broadcasting either way); `withStats` must
+    * attach `n_docs` (long) and `avgdl` (double) columns — a 1-row
+    * broadcast cross in the in-memory path, literals from store
+    * metadata in the persisted path (equal by construction: the avg
+    * of integer-valued doubles is exactly total/count in IEEE, so
+    * the stored (total_dl, n_docs) pair reproduces `avg(dl)` bit-
+    * for-bit).
+    */
+  private[ops] def scoreTopK(
+      postings: DataFrame,
+      qterms: DataFrame,
+      dfreq: DataFrame,
+      withStats: DataFrame => DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfDouble = col("tf").cast("double")
+    val termScore = idf * (tfDouble * lit(k1 + 1.0)) /
+      (tfDouble + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+
+    val scored = withStats(
+      postings
+        .join(broadcast(qterms), Seq("term"))
+        .join(broadcast(dfreq.join(qterms.select("term").distinct(), Seq("term"))), Seq("term")))
+      .select(col("q_id"), col("doc_id"),
+        Md5Prefix64(concat(lit("bm_"), col("term"))).as("h"),
+        termScore.as("term_score"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(
+        Quality.orderedSum(col("h"), col("term_score")), 6).as("score"))
+
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
 
   /** BM25 top-`k` retrieval (Robertson–Spärck Jones idf in the
     * Lucene "+1 inside the log" form, so idf > 0 always):
@@ -49,52 +118,17 @@ object Retrieval {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    // Postings in one pass: dl = |tokens(doc)| rides the groupBy as a
-    // (functionally doc_id-dependent) grouping column instead of
-    // costing a second doc_id-keyed exchange or window.
-    val postings = corpus
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
-
+    // Locally checkpointed: three consumers (probe, df, stats).
+    val postings = buildPostings(corpus).localCheckpoint(false)
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // N and avgdl from the distinct (doc_id, dl) projection of the
     // postings — bounded by |corpus| rows, 2 columns.
     val stats = postings
       .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
-
-    val qterms = queries
-      .filter(col("text").isNotNull)
-      .select(col("q_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-      .distinct()
-
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-    val tfDouble = col("tf").cast("double")
-    val termScore = idf * (tfDouble * lit(k1 + 1.0)) /
-      (tfDouble + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-
-    val scored = postings
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfreq.join(qterms.select("term").distinct(), Seq("term"))), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("q_id"), col("doc_id"),
-        Md5Prefix64(concat(lit("bm_"), col("term"))).as("h"),
-        termScore.as("term_score"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(round(
-        Quality.orderedSum(col("h"), col("term_score")), 6).as("score"))
-
-    scored
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id").as("query_id"), col("doc_id"),
-        col("rank").cast("long").as("rank"), col("score"))
+    scoreTopK(
+      postings, queryTerms(queries), dfreq,
+      withStats = _.crossJoin(broadcast(stats)),
+      k = k, k1 = k1, b = b)
   }
 }

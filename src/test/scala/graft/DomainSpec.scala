@@ -351,6 +351,63 @@ class DomainSpec extends SparkSpecBase {
     assert(labels.filter(col("n_votes") < 1 || col("n_votes") > 10).count() == 0)
   }
 
+  test("CLI retrieve/corpus-stats/quality-buckets: corpus-analysis subcommands") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_corpus").toString
+
+    // retrieve --queries-where: CLI output == the q88 operator run
+    assert(graft.Cli.run(Array(
+      "retrieve", "-i", docs, "-o", s"$tmp/hits",
+      "--queries-where", "doc_id % 25 = 0", "-k", "10")) == 0)
+    val hits = spark.read.parquet(s"$tmp/hits")
+    assert(hits.columns.toSeq == Seq("query_id", "doc_id", "rank", "score"))
+    val direct = SparkEntry.queries("q88_bm25_topk")(spark, "/root/testdata/sf0.001")
+    assert(hits.exceptAll(direct).isEmpty && direct.exceptAll(hits).isEmpty,
+      "CLI retrieve diverged from the q88 operator")
+    // query docs are excluded from their own corpus
+    assert(hits.filter(col("doc_id") % 25 === 0).count() == 0)
+
+    // the same retrieval THROUGH a persisted posting store: identical
+    // rows, no corpus re-tokenize at probe time
+    val corpusOnly = s"$tmp/corpus"
+    spark.read.parquet(docs).filter(col("doc_id") % 25 =!= 0)
+      .write.parquet(corpusOnly)
+    assert(graft.Cli.run(Array(
+      "posting-store", "--create", "-i", corpusOnly, "-s", s"$tmp/pstore")) == 0)
+    val queriesOnly = s"$tmp/queries"
+    spark.read.parquet(docs).filter(col("doc_id") % 25 === 0)
+      .write.parquet(queriesOnly)
+    assert(graft.Cli.run(Array(
+      "retrieve", "-i", corpusOnly, "-q", queriesOnly,
+      "-s", s"$tmp/pstore", "-o", s"$tmp/hits2", "-k", "10")) == 0)
+    val hits2 = spark.read.parquet(s"$tmp/hits2")
+    assert(hits2.exceptAll(hits).isEmpty && hits.exceptAll(hits2).isEmpty,
+      "store-backed retrieve diverged from the in-memory scoring")
+
+    assert(graft.Cli.run(Array(
+      "corpus-stats", "-i", docs, "-o", s"$tmp/hh",
+      "--mode", "hitters", "--min-count", "500")) == 0)
+    val hh = spark.read.parquet(s"$tmp/hh")
+    assert(hh.columns.toSeq == Seq("token", "cnt"))
+    assert(hh.filter(col("cnt") < 500).count() == 0)
+    assert(hh.count() > 0)
+
+    assert(graft.Cli.run(Array(
+      "corpus-stats", "-i", docs, "-o", s"$tmp/pmi",
+      "--mode", "pmi", "--window", "3", "--min-pair", "5", "-k", "20")) == 0)
+    val pmi = spark.read.parquet(s"$tmp/pmi")
+    assert(pmi.columns.toSeq == Seq("x", "y", "pair_cnt", "pmi"))
+    assert(pmi.count() <= 20)
+    assert(pmi.filter(col("x") > col("y")).count() == 0, "pairs must be unordered (x <= y)")
+
+    assert(graft.Cli.run(Array(
+      "quality", "-i", docs, "-o", s"$tmp/qb", "--mode", "buckets")) == 0)
+    val qb = spark.read.parquet(s"$tmp/qb")
+    assert(qb.columns.toSeq ==
+      Seq("lang", "bucket", "n_docs", "mean_logprob", "min_logprob", "max_logprob"))
+    assert(qb.filter(col("bucket") < 1 || col("bucket") > 3).count() == 0)
+  }
+
   test("CLI ann: ivf and brute top-k over an embedding parquet") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_ann").toString

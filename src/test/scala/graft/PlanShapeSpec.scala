@@ -402,6 +402,46 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "q84 should be join-free:\n" + p.take(1500))
   }
 
+  test("q88: BM25 broadcasts query terms and df; postings build once") {
+    val p = plan("q88_bm25_topk")
+    // the corpus-sized postings probe joins the (small) query-term and
+    // df tables as broadcasts — the postings never re-shuffle for them
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "q88 has a cartesian product")
+    // the 1-row corpus stats are the only nested-loop (broadcast cross)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    // top-k per query uses the group-limit pushdown, not a full
+    // global sort of all (query, doc) scores
+    assert(p.contains("WindowGroupLimit"), "q88 rank cut lost the group-limit pushdown")
+    // postings materialize once: every posting consumer reads the
+    // checkpointed RDD, so exactly one tokenize+count of the corpus
+    // (the two parquet scans visible are the corpus and query SIDES)
+    assert(p.contains("Scan ExistingRDD"), "postings should come from the checkpoint")
+  }
+
+  test("q89: heavy hitters — CMS prefilter is narrow, one confirm exchange") {
+    val p = plan("q89_heavy_hitters")
+    // no join anywhere: sketch rides in the task binary
+    assert(!p.contains("Join"), "q89 should be join-free:\n" + p.take(1500))
+    // the cms_at_least filter sits UNDER the aggregate (narrow
+    // prefilter before the shuffle), and only one exchange exists —
+    // the candidate-token confirm
+    assert(p.contains("cms_at_least"), "CMS prefilter missing from the plan")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "q89 should shuffle exactly once (the exact confirm):\n" + p.take(1500))
+  }
+
+  test("q90: PMI pair generation is per-row — no positional self-join") {
+    val p = plan("q90_pmi_pairs")
+    assert(!p.contains("CartesianProduct"), "q90 has a cartesian product")
+    // pairs come from a Generate (explode of the per-row HOF), never
+    // from a join of the token stream against itself; the only joins
+    // are pair↔unigram (keyed; may broadcast at test scale) and the
+    // 1-row totals crosses
+    assert(!p.contains("SortMergeJoin"),
+      "q90 should not sort-merge the token stream:\n" + p.take(1500))
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -157,4 +157,54 @@ class CorpusStatsSpec extends SparkSpecBase {
 
   private def Tables() =
     graft.model.Tables.documents(spark, sfDir).select("doc_id", "text")
+
+  // ---- persisted posting store ----------------------------------------
+
+  test("PostingStore.retrieve == bm25TopK on the same corpus (bit-identical)") {
+    val docs = Tables()
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pstore").toString
+    PostingStore.create(corpus, s"$tmp/store")
+    val viaStore = PostingStore.retrieve(spark, s"$tmp/store", queries, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = Retrieval.bm25TopK(corpus, queries, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaStore == direct)
+  }
+
+  test("PostingStore probe scan is bucket-pruned (PartitionFilters on tb)") {
+    val docs = Tables()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_plan").toString
+    PostingStore.create(docs, s"$tmp/store", nBuckets = 8)
+    // single-token query: only that term's bucket may be read
+    val queries = Seq((0L, "the")).toDF("q_id", "text")
+    val df = PostingStore.retrieve(spark, s"$tmp/store", queries, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      "posting scan not partition-pruned:\n" + plan.take(2000))
+    // and the store path never tokenizes the corpus: no Generate over
+    // a corpus-text scan in the probe plan (the only Generate allowed
+    // is the query batch's own tokenize)
+    assert("Generate explode".r.findAllIn(plan).length <= 1,
+      "store probe re-tokenized the corpus:\n" + plan.take(2000))
+  }
+
+  test("PostingStore.append: create(half) + append(half) == create(full)") {
+    val docs = Tables()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_append").toString
+    PostingStore.create(docs.filter(col("doc_id") % 2 === 0), s"$tmp/grown")
+    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/grown")
+    PostingStore.create(docs, s"$tmp/full")
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def run(p: String) = PostingStore.retrieve(spark, p, queries, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(s"$tmp/grown") == run(s"$tmp/full"),
+      "grown store diverged from a from-scratch build")
+  }
 }
