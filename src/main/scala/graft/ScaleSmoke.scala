@@ -171,7 +171,18 @@ object ScaleSmoke {
       "q67_mixture", "q68_shuffle_order", "q69_pq_topk", "q70_neardup_dedup",
       "q81_importance_weights", "q82_unigram_logprob", "q83_knn_classify",
       "q84_bpe_pairs", "q85_ngram_novelty", "q86_fuzzy_join",
-      "q87_incremental_link")
+      "q87_incremental_link", "q89_heavy_hitters",
+      "q90_pmi_pairs", "q91_quality_buckets")
+    // q88 (BM25) is EXCLUDED from the sweep for the same class of
+    // reason as q23: the synthetic corpus has a ~31-token vocabulary,
+    // so every one of the sweep's 2,000 query docs lexically matches
+    // ALL ~48k corpus docs — the zero-selectivity regime where
+    // "inverted index" degenerates to all-pairs (2k × 48k ≈ 10⁸
+    // scored groups in one JVM). Real text obeys Zipf: a query's
+    // terms select a sliver of the corpus and BM25's cost is
+    // Σ_t df(t) over query terms, not |Q|·|corpus|. Check 10 below
+    // exercises the operator at 10× with a bounded query batch —
+    // the shape a retrieval pass actually runs.
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       val s = System.nanoTime()
@@ -560,12 +571,105 @@ object ScaleSmoke {
     checks += ("n-gram novelty collapses under the planted copy families at 10x" ->
       f"mean uniq_frac ${nvRow.getDouble(1)}%.4f over ${nvRow.getLong(0)} docs (≤2 suffix grams per copy can be unique), equi-join plan, $nvSec%.1f s")
 
+    // 10. BM25 retrieval against PLANTED truth at 50k docs. The
+    // testdata corpus cannot gate retrieval PRECISION: its ~31-token
+    // vocabulary gives zero lexical selectivity (see the q88 sweep
+    // exclusion above) — every doc matches every query, idf is
+    // uniform, tf saturates, and ranking degenerates to length
+    // normalization. Real retrieval lives on idf selectivity, so this
+    // check synthesizes the Zipf shape the testdata lacks: 50k docs
+    // in 5k families, each doc = shared filler vocabulary (the
+    // zero-signal bulk) + its family's RARE term (df = 10 of 50k →
+    // high idf). A family query must rank its own family's other
+    // members first — precision here measures exactly the idf
+    // mechanism that makes the 100 TB cost model work (score work
+    // proportional to Σ_t df(t), not |Q|·|corpus|).
+    val bm0 = System.nanoTime()
+    val bmFiller = Array("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "runs", "far", "away", "home", "again", "soon")
+    val bmDocs = spark.range(0, 50000).select(
+      col("id").as("doc_id"),
+      concat(
+        // per-doc filler slice: deterministic, varies length 5..14 so
+        // dl normalization is exercised
+        expr(s"array_join(slice(array(${bmFiller.map("'" + _ + "'").mkString(",")})," +
+          " 1 + cast(id % 5 as int), 5 + cast(id % 10 as int)), ' ')"),
+        lit(" fam"), (col("id") % 5000).cast("string"),
+        lit(" fam"), (col("id") % 5000).cast("string")).as("text"))
+      .localCheckpoint(false)
+    val bmQueries = bmDocs.filter(col("doc_id") < 5000 && col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val bmCorpus = bmDocs.filter(col("doc_id") >= 5000)
+    val bmDf = graft.ops.Retrieval.bm25TopK(bmCorpus, bmQueries, k = 5)
+    val bmPlan = bmDf.queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("CartesianProduct"), "bm25 went cartesian at 10x")
+    val bmHits = bmDf.select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bmSec = (System.nanoTime() - bm0) / 1e9
+    val bmTop1 = bmHits.filter(_._3 == 1L)
+    val bmPrec = bmTop1.count { case (q, d, _) => d % 5000 == q }
+      .toDouble / bmTop1.length
+    assert(bmTop1.length == 20, s"expected 20 queries, got ${bmTop1.length}")
+    assert(bmPrec >= 0.95,
+      f"BM25 lost the planted families: top-1 family precision $bmPrec%.3f")
+    // every family has 9 other members in the corpus; all 5 hits of
+    // every query should be within-family (the rare term dominates)
+    val bmAllPrec = bmHits.count { case (q, d, _) => d % 5000 == q }
+      .toDouble / bmHits.length
+    assert(bmAllPrec >= 0.95,
+      f"BM25 top-5 family precision degraded: $bmAllPrec%.3f")
+    // The SAME retrieval through the persisted posting store: the 10×
+    // corpus is signed once, the probe must be bucket-pruned
+    // (PartitionFilters), and the rows must match the in-memory path
+    // bit-for-bit — plan changes, rows never.
+    val ps0 = System.nanoTime()
+    val psPath = s"$workDir/posting_store"
+    graft.ops.PostingStore.create(bmCorpus, psPath)
+    val psBuildSec = (System.nanoTime() - ps0) / 1e9
+    val psDf = graft.ops.PostingStore.retrieve(spark, psPath, bmQueries, k = 5)
+    val psPlan = psDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(psPlan).isDefined,
+      "posting-store probe not bucket-pruned at 10x")
+    val psRows = psDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val bmRows = bmDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val psSec = (System.nanoTime() - ps0) / 1e9
+    assert(psRows == bmRows,
+      "posting-store retrieval diverged from the in-memory path at 10x")
+    checks += ("BM25 retrieval finds the planted families (50k docs, idf-selective corpus)" ->
+      (f"top-1 family precision $bmPrec%.3f, top-5 $bmAllPrec%.3f over " +
+        f"${bmTop1.length} queries, no cartesian, $bmSec%.1f s"))
+    checks += ("persisted posting store at 50k docs: pruned probe == in-memory rows" ->
+      (f"${psRows.length} hit rows bit-identical, PartitionFilters verified, " +
+        f"build $psBuildSec%.1f s, build+probe $psSec%.1f s"))
+
+    // 11. CMS heavy hitters ≡ exact at 10× (the no-false-negative
+    // contract under 10× token counts): the sketch-prefiltered result
+    // must match a direct exact aggregate bit-for-bit.
+    val hh0 = System.nanoTime()
+    val hhGot = graft.ops.CorpusStats.heavyHitters(docs, minCount = 5000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hhWant = docs.filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hhSec = (System.nanoTime() - hh0) / 1e9
+    assert(hhGot == hhWant,
+      s"CMS-prefiltered heavy hitters diverged from exact at 10x: " +
+        s"${hhGot.size} vs ${hhWant.size} tokens")
+    checks += ("CMS heavy hitters ≡ exact aggregate at 10x token counts" ->
+      f"${hhGot.size} hitters at minCount=5000, sketch+confirm == exact, $hhSec%.1f s")
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"
     md ++= s"Base: `$baseDir` ×$Copies duplicate-with-noise (generation ${f"$genSec%.1f"} s). "
     md ++= "Tables: documents 50k, embeddings 20k, events 1M rows. "
-    md ++= s"Harness: local[$cpus], noop sink, one shot per query (first-run codegen included).\n\n"
+    md ++= s"Harness: local[$cpus], ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")} heap " +
+      "(the rehearsal holds the 750M-cell pivot and the 50k-doc retrieval corpus in one " +
+      "JVM — run with SPARK_DRIVER_MEM=48g; a cluster spreads this across executors), " +
+      "noop sink, one shot per query (first-run codegen included).\n\n"
     md ++= "| query | seconds |\n|---|---|\n"
     timings.foreach { case (n, t) => md ++= f"| $n | $t%.2f |\n" }
     md ++= f"| **total** | **$total%.2f** |\n\n"
