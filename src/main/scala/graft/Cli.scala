@@ -817,8 +817,12 @@ object Cli {
         graft.ops.PostingStore.create(docs, store, buckets)
         println(s"posting store created at $store")
       } else if (m.contains("--ingest")) {
-        graft.ops.PostingStore.append(docs, store)
-        println(s"posting store at $store grown with $in")
+        // --tag names this ingest's ledger entry: re-running with the
+        // same tag REPLACES it (the crash-retry idempotence lever),
+        // a new tag appends a new batch.
+        val tag = one(m, "--tag")
+        graft.ops.PostingStore.append(docs, store, tag)
+        println(s"posting store at $store grown with $in (tag $tag)")
       } else sys.error("posting-store needs --create or --ingest")
       0
 
@@ -1105,7 +1109,7 @@ object Cli {
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
            |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [-k 10] [--id doc_id] [--text text]
-           |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir>   [--id doc_id] [--text text]
+           |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]

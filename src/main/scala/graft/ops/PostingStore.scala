@@ -12,28 +12,40 @@ import graft.functions.Md5Prefix64
   * store WITHOUT re-reading — let alone re-tokenizing — the corpus
   * text.
   *
+  * The store is a BATCH LEDGER: every ingest (the initial [[create]],
+  * each [[append]], each streaming micro-batch via
+  * [[graft.streaming.PostingStream]]) writes three pieces under its
+  * own batch tag — `postings/batch=<tag>/tb=*`,
+  * `dfreq/batch=<tag>/tb=*` (that batch's df DELTAS), and
+  * `stats/<tag>.json` (that batch's exact (n_docs, total_dl)
+  * counters) — all with OVERWRITE semantics on the tag. A
+  * crash-retried ingest therefore replaces its own output and can
+  * never double-count: exactly-once without a transactional sink,
+  * the [[graft.streaming.PackStream]] recipe. Derived state that
+  * would need a read-merge-overwrite (a global df table) does not
+  * exist on disk at all; [[retrieve]] re-derives it from the deltas
+  * of the PROBED BUCKETS only — a |query vocab|-bounded aggregate.
+  *
   * Scale shape of [[retrieve]]: the query batch's distinct term
   * buckets (bounded by the batch's vocabulary, collected once on the
   * driver) become a STATIC `tb IN (...)` predicate on the partition
-  * column, so the posting scan reads only the buckets that can
+  * column, so the posting and df scans read only buckets that can
   * contain query terms — `PartitionFilters` in the plan, the same
   * pruning contract as the persisted IVF index. Everything joined to
-  * the postings is broadcast (query terms; df restricted to query
-  * terms); corpus stats come from `store.json` as literals. Per-batch
-  * cost: O(batch) tokenize + O(matched postings) scan/score, never
-  * O(corpus).
+  * the postings is broadcast (query terms; summed df restricted to
+  * query terms); corpus stats come from the ledger as literals.
+  * Per-batch cost: O(batch) tokenize + O(matched postings)
+  * scan/score, never O(corpus).
   *
-  * [[append]] keeps the store authoritative as the corpus grows:
-  * new docs' postings land in their term-bucket partitions, the
-  * |vocab|-bounded df table is merged, and the stats counters update
-  * arithmetically. Batches must carry only NEW doc_ids (the
-  * [[graft.dedup.FingerprintStore]] contract — dedup upstream).
+  * Ingested doc_ids must be NEW across the ledger (the
+  * [[graft.dedup.FingerprintStore]] contract — dedup upstream); a
+  * re-ingested doc would legitimately double-count its postings.
   *
-  * Equality contract: [[retrieve]] over a store created from `corpus`
-  * returns BIT-IDENTICAL rows to [[Retrieval.bm25TopK]] on the same
-  * inputs (one shared scoring expression; `avg(dl)` of integer-valued
-  * doubles is exactly `total_dl / n_docs` in IEEE, so the stored
-  * counter pair reproduces the in-memory average). The driver gate
+  * Equality contract: [[retrieve]] over any ledger returns
+  * BIT-IDENTICAL rows to [[Retrieval.bm25TopK]] on the union of the
+  * ingested batches (one shared scoring expression; integer df/stat
+  * sums are order-independent, and `avg(dl)` of integer-valued
+  * doubles is exactly `total_dl / n_docs` in IEEE). The driver gate
   * runs the store path against the in-memory oracle verbatim.
   */
 object PostingStore {
@@ -41,57 +53,99 @@ object PostingStore {
   private def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(Md5Prefix64(concat(lit("bm_"), term)), lit(nBuckets.toLong)).cast("int")
 
-  private def writeText(spark: SparkSession, path: String, body: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+  private def fs(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+
+  private def writeText(spark: SparkSession, path: String, body: String): Unit = {
+    val f = fs(spark, path)
+    // temp-then-rename: a stats file is either absent or complete,
+    // never a torn read for a concurrent retrieve.
+    val tmp = new org.apache.hadoop.fs.Path(path + "._tmp")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    f.delete(new org.apache.hadoop.fs.Path(path), false)
+    if (!f.rename(tmp, new org.apache.hadoop.fs.Path(path)))
+      sys.error(s"rename failed for $path")
   }
 
-  private final case class StoreMeta(nDocs: Long, totalDl: Long, nBuckets: Int)
-
-  private def readMeta(spark: SparkSession, path: String): StoreMeta = {
-    val row = spark.read.json(s"$path/store.json").collect()(0)
-    StoreMeta(
-      nDocs = row.getAs[Long]("n_docs"),
-      totalDl = row.getAs[Long]("total_dl"),
-      nBuckets = row.getAs[Long]("n_buckets").toInt)
+  private def readText(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
-  private def writeMeta(spark: SparkSession, path: String, m: StoreMeta): Unit =
-    writeText(spark, s"$path/store.json",
-      s"""{"n_docs":${m.nDocs},"total_dl":${m.totalDl},"n_buckets":${m.nBuckets}}""")
+  /** Ledger-wide metadata: bucket count from `store.json`, counters
+    * summed over every batch's stats file (driver-side; one small
+    * file per ingest). */
+  private def readMeta(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val nBuckets = {
+      val s = readText(spark, s"$path/store.json")
+      "\"n_buckets\":(\\d+)".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"malformed $path/store.json: $s")).group(1).toInt
+    }
+    val f = fs(spark, path)
+    val statFiles = f.globStatus(new org.apache.hadoop.fs.Path(s"$path/stats/*.json"))
+    var nDocs = 0L
+    var totalDl = 0L
+    statFiles.foreach { st =>
+      val s = readText(spark, st.getPath.toString)
+      nDocs += "\"n_docs\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+      totalDl += "\"total_dl\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    }
+    (nDocs, totalDl, nBuckets)
+  }
 
-  /** Tokenize + count `corpus` (doc_id, text) into `path`:
-    * `postings/` (doc_id, dl, term, tf) partitioned by term bucket,
-    * `dfreq/` (term, df) partitioned the same way, and `store.json`
-    * with the exact (n_docs, total_dl) counters.
-    */
-  def create(corpus: DataFrame, path: String, nBuckets: Int = 64): Unit = {
-    val spark = corpus.sparkSession
-    val postings = Retrieval.buildPostings(Parallelism.ensure(corpus))
+  /** Write one batch's ledger entry under `tag`: its postings and df
+    * deltas (each `partitionBy(tb)` under `batch=<tag>`), then its
+    * stats file LAST — a retrieve only counts a batch once its stats
+    * commit, and the data writes it gates are already complete. All
+    * three overwrite their tag: a replay replaces, never duplicates. */
+  private def writeBatch(
+      docs: DataFrame, path: String, tag: String, nBuckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val postings = Retrieval.buildPostings(Parallelism.ensure(docs))
       .localCheckpoint(false)
-    // repartition by bucket before the partitioned write: one task's
-    // output per bucket, not tasks × buckets sliver files.
     postings
       .withColumn("tb", termBucket(col("term"), nBuckets))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings/batch=$tag")
     postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("tb", termBucket(col("term"), nBuckets))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dfreq")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/dfreq/batch=$tag")
     val st = postings.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("total_dl"))
       .collect()(0)
-    writeMeta(spark, path, StoreMeta(st.getLong(0), st.getLong(1), nBuckets))
+    writeText(spark, s"$path/stats/$tag.json",
+      s"""{"n_docs":${st.getLong(0)},"total_dl":${st.getLong(1)}}""")
   }
 
-  /** BM25 top-`k` of `queries` (q_id, text) against the store —
-    * [[Retrieval.bm25TopK]]'s result, with the corpus-sized tokenize
-    * replaced by a bucket-pruned posting scan. */
+  /** Create the store at `path` from `corpus` (doc_id, text) as the
+    * ledger's `base` batch. */
+  def create(corpus: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    writeText(corpus.sparkSession, s"$path/store.json", s"""{"n_buckets":$nBuckets}""")
+    writeBatch(corpus, path, "base", nBuckets)
+  }
+
+  /** Grow the store with `newDocs` (doc_id, text) under `tag` —
+    * distinct per ingest (a reused tag OVERWRITES that ingest, the
+    * replay-idempotence lever the streaming maintainer relies on). */
+  def append(newDocs: DataFrame, path: String, tag: String): Unit = {
+    require(tag != "base", "tag 'base' is reserved for create")
+    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a plain token, got '$tag'")
+    val spark = newDocs.sparkSession
+    val (_, _, nBuckets) = readMeta(spark, path)
+    writeBatch(newDocs, path, tag, nBuckets)
+  }
+
+  /** BM25 top-`k` of `queries` (q_id, text) against the ledger —
+    * [[Retrieval.bm25TopK]]'s result on the union of ingested
+    * batches, with the corpus-sized tokenize replaced by a
+    * bucket-pruned posting scan. */
   def retrieve(
       spark: SparkSession,
       path: String,
@@ -99,58 +153,28 @@ object PostingStore {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val meta = readMeta(spark, path)
+    val (nDocs, totalDl, nBuckets) = readMeta(spark, path)
     // Materialized once: feeds the driver-side bucket collect and the
     // two broadcast joins — a re-evaluated source could otherwise
     // probe buckets the static partition filter never admitted.
     val qterms = Retrieval.queryTerms(queries)
-      .withColumn("tb", termBucket(col("term"), meta.nBuckets))
+      .withColumn("tb", termBucket(col("term"), nBuckets))
       .localCheckpoint(false)
     val buckets = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(buckets: _*))
+    // Global df re-derived from the probed buckets' deltas: integer
+    // sums are order-independent, so this equals the df a single
+    // whole-corpus build would have written.
     val dfreq = spark.read.parquet(s"$path/dfreq")
       .filter(col("tb").isin(buckets: _*))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
     // avg(dl) over integer-valued doubles == total/count exactly.
-    val avgdl = meta.totalDl.toDouble / meta.nDocs.toDouble
+    val avgdl = totalDl.toDouble / nDocs.toDouble
     Retrieval.scoreTopK(
       postings.select("doc_id", "dl", "term", "tf"),
-      qterms.select("q_id", "term"), dfreq.select("term", "df"),
-      withStats = _.withColumn("n_docs", lit(meta.nDocs)).withColumn("avgdl", lit(avgdl)),
+      qterms.select("q_id", "term"), dfreq,
+      withStats = _.withColumn("n_docs", lit(nDocs)).withColumn("avgdl", lit(avgdl)),
       k = k, k1 = k1, b = b)
-  }
-
-  /** Grow the store with `newDocs` (doc_id, text) — doc_ids must be
-    * NEW (dedup upstream; a re-appended doc would double-count its
-    * postings). New postings append into their bucket partitions; the
-    * df table merges (|vocab|-bounded); the stats counters advance
-    * arithmetically, preserving the exact-average contract. */
-  def append(newDocs: DataFrame, path: String): Unit = {
-    val spark = newDocs.sparkSession
-    val meta = readMeta(spark, path)
-    val postings = Retrieval.buildPostings(Parallelism.ensure(newDocs))
-      .localCheckpoint(false)
-    postings
-      .withColumn("tb", termBucket(col("term"), meta.nBuckets))
-      .repartition(col("tb"))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    // Merge df: old + new per term. The merged table is eagerly
-    // checkpointed BEFORE the overwrite — it reads from the path it
-    // is about to replace.
-    val newDf = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val merged = spark.read.parquet(s"$path/dfreq").select("term", "df")
-      .unionByName(newDf)
-      .groupBy("term").agg(sum("df").cast("long").as("df"))
-      .withColumn("tb", termBucket(col("term"), meta.nBuckets))
-      .localCheckpoint(true)
-    merged
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/dfreq")
-    val st = postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("total_dl"))
-      .collect()(0)
-    writeMeta(spark, path,
-      meta.copy(nDocs = meta.nDocs + st.getLong(0), totalDl = meta.totalDl + st.getLong(1)))
   }
 }

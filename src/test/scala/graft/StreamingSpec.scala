@@ -692,6 +692,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("budget"), "compact must re-pin the resolved budget")
   }
 
+  test("streamed posting-store ingests == one-shot build == in-memory BM25") {
+    import graft.ops.{PostingStore, Retrieval}
+    import graft.streaming.PostingStream
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+
+    val docs = graft.model.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = Files.createTempDirectory("graft_posting_stream").toString
+    val store = s"$tmp/store"
+    PostingStore.create(seed, store)
+
+    // Land two parquet drops, stream them in across two maintainer
+    // lifetimes (checkpoint carries source progress between them).
+    val landing = s"$tmp/landing"
+    docs.filter(col("doc_id") % 3 === 1).write.mode("append").parquet(landing)
+    val q1 = PostingStream.maintain(spark, landing, store, s"$tmp/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    docs.filter(col("doc_id") % 3 === 2).write.mode("append").parquet(landing)
+    val q2 = PostingStream.maintain(spark, landing, store, s"$tmp/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val streamed = rows(PostingStore.retrieve(spark, store, queries, k = 10))
+
+    // == a one-shot store over the full corpus
+    PostingStore.create(docs, s"$tmp/oneshot")
+    assert(streamed == rows(PostingStore.retrieve(spark, s"$tmp/oneshot", queries, k = 10)),
+      "streamed ledger != one-shot build")
+    // == the in-memory scorer on the same corpus
+    assert(streamed == rows(Retrieval.bm25TopK(docs, queries, k = 10)),
+      "streamed ledger != in-memory BM25")
+
+    // Crash-retry idempotence: re-writing a batch's ledger entry under
+    // its tag (what a foreachBatch replay does) must not change a row.
+    PostingStore.append(docs.filter(col("doc_id") % 3 === 1), store, "s0")
+    assert(streamed == rows(PostingStore.retrieve(spark, store, queries, k = 10)),
+      "replayed ledger entry changed retrieval rows")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so

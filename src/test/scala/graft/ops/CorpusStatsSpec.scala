@@ -197,7 +197,7 @@ class CorpusStatsSpec extends SparkSpecBase {
     val docs = Tables()
     val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_append").toString
     PostingStore.create(docs.filter(col("doc_id") % 2 === 0), s"$tmp/grown")
-    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/grown")
+    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/grown", "b1")
     PostingStore.create(docs, s"$tmp/full")
     val queries = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("q_id"), col("text"))
@@ -206,5 +206,10 @@ class CorpusStatsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(run(s"$tmp/grown") == run(s"$tmp/full"),
       "grown store diverged from a from-scratch build")
+    // replaying an ingest under its tag REPLACES it (crash-retry
+    // idempotence): same rows after a verbatim re-append
+    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/grown", "b1")
+    assert(run(s"$tmp/grown") == run(s"$tmp/full"),
+      "re-appending the same tag double-counted the batch")
   }
 }
