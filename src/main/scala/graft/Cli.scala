@@ -736,6 +736,8 @@ object Cli {
             graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
         case "unigram-lm" =>
           graft.ops.Quality.unigramLogprob(docs0)
+        case "bigram-lm" =>
+          graft.ops.Quality.bigramLogprob(docs0)
         case "importance" =>
           val targetWhere = one(m, "--target-where")
           val buckets = m.get("--buckets").flatMap(_.headOption)
@@ -754,7 +756,7 @@ object Cli {
             else docs0.withColumn("lang", org.apache.spark.sql.functions.lit(""))
           graft.ops.Quality.qualityBuckets(withLang, nb)
         case other =>
-          sys.error(s"quality --mode must be heuristic|unigram-lm|importance|novelty|buckets, got $other")
+          sys.error(s"quality --mode must be heuristic|unigram-lm|bigram-lm|importance|novelty|buckets, got $other")
       }
       scored.write.mode("overwrite").parquet(out)
       println(s"quality scores ($mode) written to $out")
@@ -949,6 +951,30 @@ object Cli {
       println(s"knn labels (k=$k) written to $out")
       0
 
+    case "negatives" :: rest =>
+      // Hard-negative mining for contrastive training: for each
+      // --anchors-where row, the k most cosine-similar DIFFERENT-label
+      // vectors from the rest of the embedding parquet.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(5)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
+      val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
+      val labelCol = m.get("--label").flatMap(_.headOption).getOrElse("label")
+      val where = one(m, "--anchors-where")
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, expr, not}
+      val all = spark.read.parquet(in).filter(col(labelCol).isNotNull)
+      graft.similarity.Similarity.hardNegatives(
+        corpus = all.filter(not(expr(where))),
+        anchors = all.filter(expr(where)).select(col(idCol).as("a_id"),
+          col(vecCol).as("a_vec"), col(labelCol).as("a_label")),
+        idCol, vecCol, labelCol, "a_id", "a_vec", "a_label", k)
+        .write.mode("overwrite").parquet(out)
+      println(s"hard negatives (k=$k) written to $out")
+      0
+
     case "ann-index" :: rest =>
       // Build a persisted ANN index (probe-time partition pruning):
       // --family ivf -> vectors partitioned by cell + quantizer JSON;
@@ -1107,13 +1133,14 @@ object Cli {
            |  semantic-dedup -i <embeddings.parquet> -o <out.parquet> [--nlist 24] [--threshold 0.4] [--dim 64] [--id vec_id] [--vec embedding]
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
-           |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
+           |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|bigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
            |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [-k 10] [--id doc_id] [--text text]
            |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]
            |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]
+           |  negatives  -i <embeddings.parquet> -o <out.parquet> --anchors-where '<pred>' [-k 5] [--label label] [--id vec_id] [--vec embedding]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]

@@ -1206,6 +1206,31 @@ object SparkEntry {
   def q91QualityBuckets(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.qualityBuckets(Tables.documents(s, dir), nBuckets = 3)
 
+  /** Corpus bigram-LM mean log-probability per document — the
+    * word-order-sensitive quality score unigram scoring can't see
+    * (common tokens in nonsense order score low here). Bigram-vocab-
+    * bounded LM aggregates, two key-equi joins, hash-ordered fold.
+    * [[graft.ops.Quality.bigramLogprob]]. */
+  def q93BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.bigramLogprob(Tables.documents(s, dir))
+
+  /** Hard-negative mining over embeddings: every 50th+1 vector is an
+    * anchor; its 5 most cosine-similar DIFFERENT-label vectors are
+    * its contrastive negatives (rank ties → smaller id; ranked on
+    * the bit-identical unrounded cosine, exposed rounded).
+    * [[graft.similarity.Similarity.hardNegatives]]. */
+  def q94HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(
+      corpus = emb.filter(col("vec_id") % 50 =!= 1 && col("label").isNotNull),
+      anchors = emb.filter(col("vec_id") % 50 === 1 && col("label").isNotNull)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+          col("label").as("a_label")),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+      anchorIdCol = "a_id", anchorVecCol = "a_vec", anchorLabelCol = "a_label",
+      k = 5)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1308,6 +1333,8 @@ object SparkEntry {
     "q90_pmi_pairs" -> (q90PmiPairs _),
     "q91_quality_buckets" -> (q91QualityBuckets _),
     "q92_bm25_indexed" -> (q92Bm25Indexed _),
+    "q93_bigram_logprob" -> (q93BigramLogprob _),
+    "q94_hard_negatives" -> (q94HardNegatives _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2485,6 +2512,49 @@ object SparkEntry {
         |JOIN ug uy ON uy.tok = pc.y, tot
         |WHERE pair_cnt >= 5
         |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
+    // q93 mirrors q82's fold contract on bigrams: integer count
+    // tables, one ln per joined row with the same operand shapes,
+    // h-ordered per-doc fold. Sub-2-token docs drop out identically
+    // (no bigrams on either side).
+    "q93_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |bgs AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS bg
+        |  FROM t),
+        |pd AS (SELECT doc_id, bg, count(*) AS cnt FROM bgs GROUP BY 1, 2),
+        |bgc AS (SELECT bg, sum(cnt) AS c FROM pd GROUP BY 1),
+        |pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cp FROM bgc GROUP BY 1),
+        |j AS (
+        |  SELECT pd.doc_id, pd.cnt,
+        |    CAST(concat('0x', substr(md5('blm_' || pd.bg), 1, 15)) AS BIGINT) AS h,
+        |    pd.cnt * ln(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)) AS term
+        |  FROM pd JOIN bgc USING (bg)
+        |  JOIN pre ON pre.w1 = split_part(pd.bg, ' ', 1))
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  round(sum(term ORDER BY h, cnt) / sum(cnt), 6) AS avg_logprob
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // q94 ranks on the same sequential-fold cosine the q22/q83
+    // oracles validate; only the rank cut and a rounded cosine reach
+    // the output.
+    "q94_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE label IS NOT NULL),
+        |a AS (SELECT vec_id AS a_id, label AS a_label, v AS av FROM e WHERE vec_id % 50 = 1),
+        |scored AS (
+        |  SELECT a_id, s.vec_id AS negative_id, s.label AS negative_label,
+        |    list_dot_product(s.v, av) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(av, av))) AS c
+        |  FROM e s CROSS JOIN a
+        |  WHERE s.vec_id % 50 <> 1 AND s.label <> a_label)
+        |SELECT a_id AS anchor_id, negative_id, negative_label,
+        |  CAST(rnk AS BIGINT) AS rank, round(c, 6) AS cosine
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, negative_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
     // q91 reuses q82's scored CTE verbatim (same fold order, same
     // rounding), then buckets on the ROUNDED score with a doc_id
     // tie-break — ntile assignment is order-determined in both

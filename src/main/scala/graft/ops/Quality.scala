@@ -150,6 +150,53 @@ object Quality {
           sum("cnt").cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Per-document mean BIGRAM log-probability under the corpus's own
+    * bigram LM — the next step up from [[unigramLogprob]]'s quality
+    * proxy: a document of individually-common tokens in nonsense
+    * ORDER ("the of and the of") scores high on unigrams but low
+    * here, which is exactly the word-salad signature a quality filter
+    * wants. Conditional probability, no smoothing (LM fit on the
+    * scoring corpus, so every scored bigram exists):
+    *
+    *   avg_logprob(d) = Σ_g cnt_d(g) · ln(c(g) / cp(first(g)))
+    *                      / n_bigrams(d)
+    *
+    * where cp(w) sums the counts of all bigrams starting with w.
+    * Documents shorter than 2 tokens have no bigrams and drop out.
+    *
+    * Plan: one tokenize+shingle pass into per-doc bigram counts; the
+    * bigram LM and its prefix marginal both derive from that table
+    * (|bigram vocab|-bounded, ≤ |vocab|² but Zipf-sparse in
+    * practice); both joins are key-equi (bg, then first-token); the
+    * per-doc fold orders by the bigram hash as usual.
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val pd = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordNgrams(
+          TextFunctions.tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val bgc = pd.groupBy("bg").agg(sum("cnt").as("c"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .localCheckpoint(false)
+    val pre = bgc.groupBy("w1").agg(sum("c").as("cp"))
+    pd
+      .join(bgc, Seq("bg"))
+      .join(pre, Seq("w1"))
+      .select(col("doc_id"), col("cnt"),
+        Md5Prefix64(concat(lit("blm_"), col("bg"))).as("h"),
+        (col("cnt").cast("double") *
+          log(col("c").cast("double") / col("cp").cast("double"))).as("term"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast("long").as("n_bigrams"),
+        round(orderedSum(struct(col("h"), col("cnt")), col("term")) /
+          sum("cnt").cast("double"), 6).as("avg_logprob"))
+  }
+
   /** First-iteration BPE merge statistics: the `topK` most frequent
     * adjacent character pairs across the corpus, weighted by word
     * frequency — exactly the candidate table the first BPE merge

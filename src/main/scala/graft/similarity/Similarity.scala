@@ -143,6 +143,49 @@ object Similarity {
       .select(col("query_id"), col("label").as("predicted_label"), col("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for
+    * each labeled anchor, the `k` most cosine-similar corpus vectors
+    * with a DIFFERENT label — the near-miss examples a contrastive
+    * loss learns the most from (easy negatives are already far away;
+    * same-label neighbors are positives, not negatives).
+    *
+    * Same plan shape as [[knnClassify]]: anchors broadcast against
+    * one labeled-corpus scan (the brute-force reference path; at
+    * cluster scale swap the candidate generator for an ANN probe and
+    * keep the label-inequality filter + rank cut). Rank ties break to
+    * the smaller negative id; the cosine is exposed rounded, ranked
+    * unrounded (both engines compute the sequential dot product
+    * bit-identically — the q22/q83 contract).
+    *
+    * Output: (anchor_id, negative_id, negative_label, rank, cosine).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      anchorLabelCol: String,
+      k: Int): DataFrame = {
+    val scored = graft.ops.Parallelism.ensure(corpus)
+      .join(broadcast(anchors),
+        col(idCol) =!= col(anchorIdCol) && col(labelCol) =!= col(anchorLabelCol))
+      .select(
+        col(anchorIdCol).as("anchor_id"),
+        col(idCol).as("negative_id"),
+        col(labelCol).as("negative_label"),
+        cosine(asDouble(col(vecCol)), asDouble(col(anchorVecCol))).as("cos"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("negative_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("negative_id"), col("negative_label"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(v · plane_i).
     *
     * One native codegen'd plan node ([[graft.functions.HyperplaneSignature]])

@@ -406,6 +406,26 @@ class DomainSpec extends SparkSpecBase {
     assert(qb.columns.toSeq ==
       Seq("lang", "bucket", "n_docs", "mean_logprob", "min_logprob", "max_logprob"))
     assert(qb.filter(col("bucket") < 1 || col("bucket") > 3).count() == 0)
+
+    assert(graft.Cli.run(Array(
+      "quality", "-i", docs, "-o", s"$tmp/blm", "--mode", "bigram-lm")) == 0)
+    val blm = spark.read.parquet(s"$tmp/blm")
+    assert(blm.columns.toSeq == Seq("doc_id", "n_bigrams", "avg_logprob"))
+    assert(blm.filter(col("avg_logprob") > 0).count() == 0, "bigram log-probs must be <= 0")
+
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    assert(graft.Cli.run(Array(
+      "negatives", "-i", emb, "-o", s"$tmp/negs",
+      "--anchors-where", "vec_id % 50 = 1", "-k", "5")) == 0)
+    val negs = spark.read.parquet(s"$tmp/negs")
+    assert(negs.columns.toSeq ==
+      Seq("anchor_id", "negative_id", "negative_label", "rank", "cosine"))
+    // no negative may carry its anchor's label
+    val anchorLabels = spark.read.parquet(emb)
+      .filter(col("vec_id") % 50 === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(negs.collect().forall(r =>
+      anchorLabels(r.getLong(0)) != r.getInt(2)), "same-label negative leaked")
   }
 
   test("CLI ann: ivf and brute top-k over an embedding parquet") {

@@ -128,6 +128,66 @@ class QualitySpec extends SparkSpecBase {
     assert(got.length == 1 && got(0).getInt(1) == 1 && got(0).getLong(2) == 2L)
   }
 
+  test("bigramLogprob penalizes word-salad that unigram scoring can't see") {
+    // docs 0-2 share a fixed phrase (high bigram probability); doc 3
+    // uses the SAME tokens shuffled into an order never seen elsewhere
+    val df = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps high"),
+      (3L, "fox the jumps quick high brown")
+    ).toDF("doc_id", "text")
+    val uni = Quality.unigramLogprob(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = Quality.bigramLogprob(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unigram LM: identical token multiset -> identical score
+    assert(uni(3L) == uni(0L))
+    // bigram LM: the shuffled doc scores strictly below the phrase docs
+    assert(bi(3L) < bi(0L),
+      s"word salad ${bi(3L)} should score below phrase ${bi(0L)}")
+  }
+
+  test("bigramLogprob drops sub-2-token docs and counts bigrams") {
+    val df = Seq((0L, "one"), (1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Quality.bigramLogprob(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("bigramLogprob is invariant to partitioning (ordered fold)") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    def run(parts: Int) = Quality.bigramLogprob(docs.repartition(parts))
+      .orderBy("doc_id").collect().map(_.getDouble(2)).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("hardNegatives excludes same-label vectors and ranks by cosine") {
+    import graft.similarity.Similarity
+    def vec(axis: Int, scale: Float) = {
+      val a = Array.fill(4)(0.0f); a(axis) = scale; a
+    }
+    // anchor points along axis 0 with label 0; same-label near-twin
+    // must NOT appear; different-label vectors rank by cosine to the
+    // anchor (axis-0-ish first)
+    val corpus = Seq(
+      (10L, vec(0, 1.0f), 0),               // same label -> excluded
+      (11L, Array(1.0f, 0.2f, 0f, 0f), 1),  // closest different-label
+      (12L, Array(1.0f, 0.9f, 0f, 0f), 1),
+      (13L, vec(1, 1.0f), 2)                // orthogonal
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = Seq((0L, vec(0, 2.0f), 0))
+      .toDF("a_id", "a_vec", "a_label")
+    val got = Similarity.hardNegatives(
+      corpus, anchors, "vec_id", "embedding", "label",
+      "a_id", "a_vec", "a_label", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((11L, 1L), (12L, 2L), (13L, 3L)),
+      s"got ${got.toSeq}")
+  }
+
   test("qualityBuckets cuts each language into equal-frequency buckets") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val rows = Quality.qualityBuckets(docs, nBuckets = 3)
