@@ -1464,9 +1464,10 @@ object SparkEntry {
     * Shared verbatim by q86 (in-memory band join) and q87 (persisted
     * band store): one contract, two physical strategies. */
   // q88/q92 shared oracle: the BM25 float path transcribed operator-
-  // for-operator (same parenthesization, same left-assoc * and /), the
-  // per-(q,d) sum folded in the same h-order, rank cut on ROUNDED
-  // scores - no engine-dependent float order anywhere.
+  // for-operator (same parenthesization, same left-assoc * and /);
+  // per-term scores quantize to nano-scaled longs, so the per-(q,d)
+  // sum is associative integer addition (no fold order at all) and
+  // the rank cut compares ROUNDED scores - nothing engine-dependent.
   private val Bm25OracleSql: String =
     """WITH corpus AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
@@ -1484,13 +1485,12 @@ object SparkEntry {
         |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)),
         |terms AS (
         |  SELECT qt.q_id, pd.doc_id,
-        |    CAST(concat('0x', substr(md5('bm_' || pd.term), 1, 15)) AS BIGINT) AS h,
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    CAST(round((ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
         |      * (CAST(tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS term_score
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) * 1000000000.0, 0) AS BIGINT) AS ts9
         |  FROM pd JOIN qt USING (term) JOIN dfreq USING (term), stats),
         |scored AS (
-        |  SELECT q_id, doc_id, round(sum(term_score ORDER BY h, term_score), 6) AS score
+        |  SELECT q_id, doc_id, round(CAST(sum(ts9) AS DOUBLE) / 1000000000.0, 6) AS score
         |  FROM terms GROUP BY 1, 2)
         |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
         |FROM (

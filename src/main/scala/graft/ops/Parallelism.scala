@@ -26,6 +26,23 @@ object Parallelism {
     if (estimatedSplits(df) < target) df.repartition(target) else df
   }
 
+  /** Post-materialization twin of [[ensure]] for locally-checkpointed
+    * intermediates. AQE rightly coalesces a small aggregate's exchange
+    * to one partition — but `localCheckpoint` FREEZES that
+    * partitioning, so every downstream narrow stage (including a
+    * broadcast-join fan-out that multiplies the rows 100×) inherits
+    * ONE task (measured: q88's 29M-row score fan-out serialized on a
+    * single core, 11 of its 13 seconds). Restoring parallelism on the
+    * frozen checkpoint shuffles only the checkpoint's own (small)
+    * rows; a big checkpoint keeps its many post-AQE partitions and
+    * this no-ops. `df.rdd` on a checkpointed frame returns the frozen
+    * RDD — no re-planning, no extra job.
+    */
+  def ensureCheckpointed(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Estimate how many partitions the scan will plan, WITHOUT physical
     * planning (`df.rdd` would plan the subtree — thrown away whenever we
     * then wrap in repartition — and observes the pre-AQE count anyway).

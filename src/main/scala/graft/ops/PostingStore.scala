@@ -161,8 +161,12 @@ object PostingStore {
       .withColumn("tb", termBucket(col("term"), nBuckets))
       .localCheckpoint(false)
     val buckets = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("tb").isin(buckets: _*))
+    // Parallelism.ensure: a physically-small posting store packs into
+    // one file split, and the probe's query fan-out would serialize on
+    // it (the q88 lesson); structurally a no-op once the store is big.
+    val postings = Parallelism.ensure(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(buckets: _*)))
     // Global df re-derived from the probed buckets' deltas: integer
     // sums are order-independent, so this equals the df a single
     // whole-corpus build would have written.

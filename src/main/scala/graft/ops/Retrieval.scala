@@ -57,6 +57,19 @@ object Retrieval {
     * of integer-valued doubles is exactly total/count in IEEE, so
     * the stored (total_dl, n_docs) pair reproduces `avg(dl)` bit-
     * for-bit).
+    *
+    * Determinism WITHOUT a buffered fold: each term score quantizes
+    * to a nano-scaled LONG (round(·×10⁹), exact — BM25 terms are
+    * bounded by idf·(k1+1) ≈ tens, so Σ stays far under 2⁶³), and
+    * integer addition is associative, so a plain codegen'd
+    * `sum(long)` is partition-order-independent and engine-portable.
+    * The collect-and-sort fold the Quality scores use would be an
+    * ObjectHashAggregate here, and past its few-hundred-group
+    * fallback threshold that SORTS every matched posting row —
+    * measured 4× slower on a zero-selectivity corpus and strictly
+    * worse at scale. Fixed-point keeps the aggregate in the fast
+    * hash path with map-side combine: matched postings reduce to one
+    * row per (query, doc) BEFORE the only exchange.
     */
   private[ops] def scoreTopK(
       postings: DataFrame,
@@ -73,16 +86,22 @@ object Retrieval {
     val termScore = idf * (tfDouble * lit(k1 + 1.0)) /
       (tfDouble + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
 
-    val scored = withStats(
+    // The term score is QUERY-INDEPENDENT (idf and the tf/length
+    // normalization only read posting-side columns), so it is
+    // computed once per matched POSTING — before the query fan-out —
+    // and the per-(q,d) stage reduces to hash-probe + integer sum.
+    // Scoring after the fan-out would re-evaluate ln() and three
+    // divisions per (posting × matching query) row: measured 3× on a
+    // zero-selectivity corpus, and pure waste at any selectivity.
+    val postingScores = withStats(
       postings
-        .join(broadcast(qterms), Seq("term"))
         .join(broadcast(dfreq.join(qterms.select("term").distinct(), Seq("term"))), Seq("term")))
-      .select(col("q_id"), col("doc_id"),
-        Md5Prefix64(concat(lit("bm_"), col("term"))).as("h"),
-        termScore.as("term_score"))
+      .select(col("term"), col("doc_id"),
+        round(termScore * lit(1.0e9), 0).cast("long").as("ts9"))
+    val scored = postingScores
+      .join(broadcast(qterms), Seq("term"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(round(
-        Quality.orderedSum(col("h"), col("term_score")), 6).as("score"))
+      .agg(round(sum(col("ts9")).cast("double") / lit(1.0e9), 6).as("score"))
 
     scored
       .withColumn("rank",
@@ -118,8 +137,12 @@ object Retrieval {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    // Locally checkpointed: three consumers (probe, df, stats).
-    val postings = buildPostings(corpus).localCheckpoint(false)
+    // Locally checkpointed: three consumers (probe, df, stats). The
+    // parallelism guard undoes AQE's coalesce-to-one on the frozen
+    // checkpoint — the score fan-out below multiplies these rows by
+    // matching queries and must not inherit a single partition.
+    val postings = Parallelism.ensureCheckpointed(
+      buildPostings(corpus).localCheckpoint(false))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // N and avgdl from the distinct (doc_id, dl) projection of the
     // postings — bounded by |corpus| rows, 2 columns.
