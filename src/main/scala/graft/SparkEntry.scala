@@ -1079,7 +1079,7 @@ object SparkEntry {
 
   /** Corpus unigram-LM mean log-probability per document — the
     * perplexity-proxy quality score. Vocab-bounded LM aggregate,
-    * token-keyed co-partitioned join, hash-ordered per-doc fold
+    * token-keyed co-partitioned join, fixed-point per-doc sum
     * ([[graft.ops.Quality.unigramLogprob]]). */
   def q82UnigramLogprob(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.unigramLogprob(Tables.documents(s, dir))
@@ -1151,7 +1151,7 @@ object SparkEntry {
   /** BM25 top-10 retrieval: every 25th document is a query retrieving
     * from the rest of the corpus (document-as-query similar-doc
     * retrieval). One-pass postings build, broadcast query terms,
-    * hash-ordered per-(q,d) score fold, rounded-score rank cut.
+    * fixed-point per-(q,d) score sum, rounded-score rank cut.
     * [[graft.ops.Retrieval.bm25TopK]]. */
   def q88Bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1202,14 +1202,14 @@ object SparkEntry {
   /** CCNet-style head/middle/tail quality buckets: per-language
     * ntile(3) over the unigram-LM score with a deterministic
     * (rounded score, doc_id) order, per-bucket summary via
-    * doc_id-ordered folds. [[graft.ops.Quality.qualityBuckets]]. */
+    * exact fixed-point sums. [[graft.ops.Quality.qualityBuckets]]. */
   def q91QualityBuckets(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.qualityBuckets(Tables.documents(s, dir), nBuckets = 3)
 
   /** Corpus bigram-LM mean log-probability per document — the
     * word-order-sensitive quality score unigram scoring can't see
     * (common tokens in nonsense order score low here). Bigram-vocab-
-    * bounded LM aggregates, two key-equi joins, hash-ordered fold.
+    * bounded LM aggregates, two key-equi joins, fixed-point sum.
     * [[graft.ops.Quality.bigramLogprob]]. */
   def q93BigramLogprob(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.bigramLogprob(Tables.documents(s, dir))
@@ -2395,7 +2395,7 @@ object SparkEntry {
         |  FROM hist, tot),
         |pd AS (SELECT doc_id, lang, b, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
         |SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-        |  round(sum(cnt * lr ORDER BY b), 6) AS logweight
+        |  round(CAST(sum(CAST(round(cnt * lr * 1000000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000000.0, 6) AS logweight
         |FROM pd JOIN lr USING (b)
         |GROUP BY doc_id, lang""".stripMargin,
     "q82_unigram_logprob" ->
@@ -2408,11 +2408,10 @@ object SparkEntry {
         |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
         |j AS (
         |  SELECT pd.doc_id, pd.cnt,
-        |    CAST(concat('0x', substr(md5('lm_' || pd.tok), 1, 15)) AS BIGINT) AS h,
-        |    pd.cnt * ln(vocab.c * 1.0 / t) AS term
+        |    CAST(round(pd.cnt * ln(vocab.c * 1.0 / t) * 1000000000.0, 0) AS BIGINT) AS ts9
         |  FROM pd JOIN vocab USING (tok), tot)
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-        |  round(sum(term ORDER BY h, cnt) / sum(cnt), 6) AS avg_logprob
+        |  round(CAST(sum(ts9) AS DOUBLE) / 1000000000.0 / CAST(sum(cnt) AS DOUBLE), 6) AS avg_logprob
         |FROM j GROUP BY doc_id""".stripMargin,
     // q83's cosine is the same sequential list_dot_product identity
     // the q22 oracle validates; ranks therefore agree bit-for-bit and
@@ -2512,10 +2511,10 @@ object SparkEntry {
         |JOIN ug uy ON uy.tok = pc.y, tot
         |WHERE pair_cnt >= 5
         |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
-    // q93 mirrors q82's fold contract on bigrams: integer count
-    // tables, one ln per joined row with the same operand shapes,
-    // h-ordered per-doc fold. Sub-2-token docs drop out identically
-    // (no bigrams on either side).
+    // q93 mirrors q82's fixed-point contract on bigrams: integer
+    // count tables, one ln per joined row with the same operand
+    // shapes, nano-quantized associative per-doc sum. Sub-2-token
+    // docs drop out identically (no bigrams on either side).
     "q93_bigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
@@ -2531,12 +2530,11 @@ object SparkEntry {
         |pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cp FROM bgc GROUP BY 1),
         |j AS (
         |  SELECT pd.doc_id, pd.cnt,
-        |    CAST(concat('0x', substr(md5('blm_' || pd.bg), 1, 15)) AS BIGINT) AS h,
-        |    pd.cnt * ln(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)) AS term
+        |    CAST(round(pd.cnt * ln(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS ts9
         |  FROM pd JOIN bgc USING (bg)
         |  JOIN pre ON pre.w1 = split_part(pd.bg, ' ', 1))
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |  round(sum(term ORDER BY h, cnt) / sum(cnt), 6) AS avg_logprob
+        |  round(CAST(sum(ts9) AS DOUBLE) / 1000000000.0 / CAST(sum(cnt) AS DOUBLE), 6) AS avg_logprob
         |FROM j GROUP BY doc_id""".stripMargin,
     // q94 ranks on the same sequential-fold cosine the q22/q83
     // oracles validate; only the rank cut and a rounded cosine reach
@@ -2555,10 +2553,11 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, negative_id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 5""".stripMargin,
-    // q91 reuses q82's scored CTE verbatim (same fold order, same
-    // rounding), then buckets on the ROUNDED score with a doc_id
-    // tie-break — ntile assignment is order-determined in both
-    // engines, and the per-bucket mean folds in doc_id order.
+    // q91 reuses q82's scored CTE verbatim (same fixed-point
+    // accumulation, same rounding), then buckets on the ROUNDED score
+    // with a doc_id tie-break — ntile assignment is order-determined
+    // in both engines, and the per-bucket mean sums the exact x1e6
+    // longs of the 6-dp scores.
     "q91_quality_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2569,18 +2568,17 @@ object SparkEntry {
         |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
         |j AS (
         |  SELECT pd.doc_id, pd.cnt,
-        |    CAST(concat('0x', substr(md5('lm_' || pd.tok), 1, 15)) AS BIGINT) AS h,
-        |    pd.cnt * ln(vocab.c * 1.0 / t) AS term
+        |    CAST(round(pd.cnt * ln(vocab.c * 1.0 / t) * 1000000000.0, 0) AS BIGINT) AS ts9
         |  FROM pd JOIN vocab USING (tok), tot),
         |scored AS (
-        |  SELECT doc_id, round(sum(term ORDER BY h, cnt) / sum(cnt), 6) AS avg_logprob
+        |  SELECT doc_id, round(CAST(sum(ts9) AS DOUBLE) / 1000000000.0 / CAST(sum(cnt) AS DOUBLE), 6) AS avg_logprob
         |  FROM j GROUP BY doc_id),
         |sl AS (
         |  SELECT s.doc_id, d.lang, s.avg_logprob,
         |    ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_logprob, s.doc_id) AS bucket
         |  FROM scored s JOIN documents d USING (doc_id))
         |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
-        |  round(sum(avg_logprob ORDER BY doc_id) / count(*), 6) AS mean_logprob,
+        |  round(CAST(sum(CAST(round(avg_logprob * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_logprob,
         |  round(min(avg_logprob), 6) AS min_logprob,
         |  round(max(avg_logprob), 6) AS max_logprob
         |FROM sl GROUP BY 1, 2""".stripMargin,

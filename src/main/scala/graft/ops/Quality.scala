@@ -12,11 +12,13 @@ import graft.functions.{Md5Prefix64, TextFunctions}
   * tokenizer-training inner loop), and per-document n-gram novelty
   * (a boilerplate detector).
   *
-  * All four are pure `org.apache.spark.sql.functions` compositions —
-  * codegen'd, no UDFs — and every float aggregate is a SEQUENTIAL
-  * fold over a deterministically-ordered array, so results are
-  * bit-reproducible across partitionings and exactly transcribable
-  * to a DuckDB oracle (`sum(x ORDER BY k)` on the SQL side).
+  * All are pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs — and every float aggregate accumulates in
+  * FIXED POINT ([[fixedPoint9]]): quantized-long addition is
+  * associative, so results are bit-reproducible across partitionings
+  * and exactly transcribable to a DuckDB oracle
+  * (`sum(CAST(round(x * 1e9, 0) AS BIGINT))` on the SQL side) while
+  * staying in the fast codegen'd hash-aggregate path.
   *
   * Scale notes (100 TB):
   *  - [[importanceWeights]] reduces the corpus to a `buckets`-row
@@ -37,23 +39,27 @@ import graft.functions.{Md5Prefix64, TextFunctions}
   */
 object Quality {
 
-  /** Sequential left-fold sum of `term` over rows of a group, in
-    * ascending `key` order: collect the (key, term) pairs, sort by
-    * the struct (key first — ties fall to the raw term bits, which
-    * identical values make order-irrelevant), then fold doubles left
-    * to right. IEEE-deterministic under any partitioning; the SQL
-    * transcription is `sum(term ORDER BY key)`.
+  /** Fixed-point term accumulator: quantize a (bounded-magnitude)
+    * float term to a nano-scaled long. Integer addition is
+    * associative, so `sum(fixedPoint9(term))` is partition-order-
+    * independent, engine-portable (`sum(CAST(round(term * 1e9, 0) AS
+    * BIGINT))` in the oracle), and stays a plain codegen'd
+    * HashAggregate with map-side combine. The earlier collect-and-
+    * sort fold had the same determinism but planned as an
+    * ObjectHashAggregate, whose sort-based fallback re-sorts every
+    * input row past a few hundred groups per partition — the q88
+    * lesson, measured 3× on retrieval group counts.
     *
-    * Group-size contract: callers pass BOUNDED groups (hash buckets,
-    * per-doc distinct tokens) — the collected array lives in one
-    * aggregation buffer, so an unbounded group would be the q64
-    * percentile OOM shape. All uses here are ≤ |doc vocabulary|.
+    * Magnitude contract: |term| · 10⁹ · group-size must stay far
+    * under 2⁶³. All uses here are per-token log-probability terms
+    * (|ln p| ≲ 40) times bounded counts — ≤ ~10¹⁵ per group-sum.
     */
-  private[graft] def orderedSum(key: Column, term: Column): Column =
-    aggregate(
-      array_sort(collect_list(struct(key.as("k"), term.as("t")))),
-      lit(0.0),
-      (acc, x) => acc + x.getField("t"))
+  private[graft] def fixedPoint9(term: Column): Column =
+    round(term * lit(1.0e9), 0).cast("long")
+
+  /** Read a [[fixedPoint9]] sum back to a double score. */
+  private[graft] def fromFixedPoint9(sum9: Column): Column =
+    sum9.cast("double") / lit(1.0e9)
 
   /** DSIR-style hashed-unigram importance log-weights (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
@@ -71,7 +77,7 @@ object Quality {
     *
     * Plan: explode → bucket hash → two bounded aggregates (the
     * `buckets`-row histogram and its 1-row total, both broadcast) →
-    * one exchange keyed by (doc_id, bucket) → per-doc ordered fold.
+    * one exchange keyed by (doc_id, bucket) → per-doc fixed-point sum.
     */
   def importanceWeights(
       docs: DataFrame,
@@ -104,7 +110,8 @@ object Quality {
       .groupBy(col("doc_id"), col("lang"))
       .agg(
         sum("cnt").cast("long").as("n_tokens"),
-        round(orderedSum(col("b"), col("cnt").cast("double") * col("lr")), 6)
+        round(fromFixedPoint9(
+          sum(fixedPoint9(col("cnt").cast("double") * col("lr")))), 6)
           .as("logweight"))
   }
 
@@ -117,9 +124,8 @@ object Quality {
     *
     *   avg_logprob(d) = Σ_t cnt_d(t) · ln(cnt(t)/T) / n_tokens(d)
     *
-    * The per-doc fold is ordered by the 64-bit token hash (not the
-    * token string — engine collation differences never enter the
-    * comparison).
+    * The per-doc sum accumulates in fixed point ([[fixedPoint9]]) —
+    * no fold order, no collation, nothing engine-dependent.
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
     // ONE tokenize pass (the importanceWeights argument): per-doc
@@ -137,16 +143,12 @@ object Quality {
       .join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("cnt"),
-        Md5Prefix64(concat(lit("lm_"), col("tok"))).as("h"),
-        (col("cnt").cast("double") *
-          log(col("c").cast("double") / col("t").cast("double"))).as("term"))
+        fixedPoint9(col("cnt").cast("double") *
+          log(col("c").cast("double") / col("t").cast("double"))).as("ts9"))
       .groupBy("doc_id")
       .agg(
         sum("cnt").cast("long").as("n_tokens"),
-        // fold key (h, cnt): a 64-bit hash collision between two of a
-        // doc's tokens must still order identically to the oracle's
-        // ORDER BY h, cnt
-        round(orderedSum(struct(col("h"), col("cnt")), col("term")) /
+        round(fromFixedPoint9(sum(col("ts9"))) /
           sum("cnt").cast("double"), 6).as("avg_logprob"))
   }
 
@@ -168,7 +170,7 @@ object Quality {
     * bigram LM and its prefix marginal both derive from that table
     * (|bigram vocab|-bounded, ≤ |vocab|² but Zipf-sparse in
     * practice); both joins are key-equi (bg, then first-token); the
-    * per-doc fold orders by the bigram hash as usual.
+    * per-doc sum accumulates in fixed point ([[fixedPoint9]]).
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
     val pd = docs
@@ -187,13 +189,12 @@ object Quality {
       .join(bgc, Seq("bg"))
       .join(pre, Seq("w1"))
       .select(col("doc_id"), col("cnt"),
-        Md5Prefix64(concat(lit("blm_"), col("bg"))).as("h"),
-        (col("cnt").cast("double") *
-          log(col("c").cast("double") / col("cp").cast("double"))).as("term"))
+        fixedPoint9(col("cnt").cast("double") *
+          log(col("c").cast("double") / col("cp").cast("double"))).as("ts9"))
       .groupBy("doc_id")
       .agg(
         sum("cnt").cast("long").as("n_bigrams"),
-        round(orderedSum(struct(col("h"), col("cnt")), col("term")) /
+        round(fromFixedPoint9(sum(col("ts9"))) /
           sum("cnt").cast("double"), 6).as("avg_logprob"))
   }
 
@@ -232,9 +233,9 @@ object Quality {
     * samples from with per-bucket rates instead of a hard threshold.
     *
     * Determinism: the ntile runs over (rounded score, doc_id) — no
-    * float-order ambiguity — and the per-bucket mean is a sequential
-    * doc_id-ordered fold, so the summary is bit-reproducible and
-    * exactly transcribable (`sum(x ORDER BY doc_id) / count(*)`).
+    * float-order ambiguity — and the per-bucket mean accumulates the
+    * (exact) ×10⁶ longs of the 6-dp scores, so the summary is
+    * bit-reproducible and exactly transcribable.
     *
     * Scale: the scored table is one row per document; the ntile's
     * per-language sort is the only added exchange, keyed by a
@@ -258,8 +259,11 @@ object Quality {
       .groupBy(col("lang"), col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(orderedSum(col("doc_id"), col("avg_logprob")) /
-          count(lit(1)).cast("double"), 6).as("mean_logprob"),
+        // avg_logprob is already a 6-dp decimal, so the ×10⁶ long is
+        // EXACT — the mean is integer arithmetic until one final
+        // division, associative under any partitioning.
+        round(sum(round(col("avg_logprob") * lit(1.0e6), 0).cast("long")).cast("double") /
+          lit(1.0e6) / count(lit(1)).cast("double"), 6).as("mean_logprob"),
         round(min(col("avg_logprob")), 6).as("min_logprob"),
         round(max(col("avg_logprob")), 6).as("max_logprob"))
   }
