@@ -125,9 +125,17 @@ object PostingStore {
   }
 
   /** Create the store at `path` from `corpus` (doc_id, text) as the
-    * ledger's `base` batch. */
+    * ledger's `base` batch. A pre-existing store at `path` is
+    * REPLACED — its ledger dirs are cleared first, so a create over
+    * stale data (or an older layout) can never leave mixed partition
+    * trees behind for a later read to trip on. */
   def create(corpus: DataFrame, path: String, nBuckets: Int = 64): Unit = {
-    writeText(corpus.sparkSession, s"$path/store.json", s"""{"n_buckets":$nBuckets}""")
+    val spark = corpus.sparkSession
+    val f = fs(spark, path)
+    Seq("postings", "dfreq", "stats").foreach { d =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+    }
+    writeText(spark, s"$path/store.json", s"""{"n_buckets":$nBuckets}""")
     writeBatch(corpus, path, "base", nBuckets)
   }
 

@@ -25,7 +25,9 @@ object ProfMain {
         if (dt > 0.15) println(f"[stage] ${si.stageId} ${si.name.takeWhile(_ != '\n').take(60)} $dt%.2f s tasks=${si.numTasks}")
       }
     })
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // documents exists in every profiled dir (incl. the 10x workdir,
+    // which carries only the text/vector/event tables)
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
     for (i <- 0 until reps) {
       val t0 = System.nanoTime()
       println(s"[rep] $i start")
