@@ -442,6 +442,35 @@ class PlanShapeSpec extends SparkSpecBase {
       "q90 should not sort-merge the token stream:\n" + p.take(1500))
   }
 
+  test("q93: bigram LM joins stay key-equi; one ln per posting row") {
+    val p = plan("q93_bigram_logprob")
+    assert(!p.contains("CartesianProduct"),
+      "q93 has a cartesian product:\n" + p.take(1500))
+    // the bigram↔LM and prefix-marginal joins are equi-keyed (may
+    // broadcast at test scale, keyed hash at cluster scale) — never a
+    // nested loop over the bigram stream
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "q93 went nested-loop beyond the 1-row total:\n" + p.take(1500))
+    // fixed-point accumulation keeps the per-doc score in the fast
+    // hash-aggregate path — no Object(collect_list) aggregate anywhere
+    assert(!p.contains("ObjectHashAggregate"),
+      "q93 regressed to a buffered-fold aggregate:\n" + p.take(1500))
+  }
+
+  test("q94: hard negatives broadcast the anchors, never the corpus") {
+    val p = plan("q94_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the label-inequality join is non-equi by design, so it plans as
+    // a broadcast nested loop — the ANCHOR batch must be the build
+    // (broadcast) side, the labeled corpus the streamed side
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty, p.take(2000))
+    // per-anchor top-k uses the group-limit pushdown
+    assert(p.contains("WindowGroupLimit"),
+      "q94 rank cut lost the group-limit pushdown:\n" + p.take(1500))
+  }
+
   test("q62: rate table broadcasts; corpus never shuffles") {
     val p = plan("q62_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
