@@ -212,4 +212,27 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(run(s"$tmp/grown") == run(s"$tmp/full"),
       "re-appending the same tag double-counted the batch")
   }
+
+  test("PostingStore guards: reserved/invalid tags refused; create replaces a dirty store") {
+    val docs = Tables()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_guard").toString
+    PostingStore.create(docs.filter(col("doc_id") % 2 === 0), s"$tmp/s")
+    // 'base' is create's tag; a path-traversal-shaped tag must refuse
+    intercept[IllegalArgumentException](
+      PostingStore.append(docs.limit(1), s"$tmp/s", "base"))
+    intercept[IllegalArgumentException](
+      PostingStore.append(docs.limit(1), s"$tmp/s", "../evil"))
+    // create over an existing (grown) store replaces it wholesale —
+    // no stale ledger entries survive to inflate df or stats
+    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/s", "b1")
+    PostingStore.create(docs.filter(col("doc_id") % 2 === 0), s"$tmp/s")
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    PostingStore.create(docs.filter(col("doc_id") % 2 === 0), s"$tmp/fresh")
+    def run(p: String) = PostingStore.retrieve(spark, p, queries, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(s"$tmp/s") == run(s"$tmp/fresh"),
+      "re-created store still sees the pre-create ledger")
+  }
 }

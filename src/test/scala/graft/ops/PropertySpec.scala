@@ -333,4 +333,71 @@ class PropertySpec extends SparkSpecBase {
     val mutated = permuted.withColumn("b", col("b") + lit(1.0))
     assert(!XenaOps.canonicalEqual(df, mutated))
   }
+
+  /** Independent in-memory BM25 (plain Scala, no Spark): the textbook
+    * formulation with the same constants, fixed-point quantization and
+    * rank rule as [[Retrieval.bm25TopK]]'s contract — a second
+    * implementation, not a transcription of the first. */
+  private def referenceBm25(
+      corpus: Seq[(Long, String)],
+      queries: Seq[(Long, String)],
+      k: Int): Seq[(Long, Long, Long, Double)] = {
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }.filter(_._2.nonEmpty)
+    val n = docToks.size
+    val avgdl = docToks.map(_._2.size).sum.toDouble / n
+    val df = docToks.flatMap(_._2.distinct).groupBy(identity).map { case (t, v) => t -> v.size }
+    val (k1, b) = (1.2, 0.75)
+    // HALF_UP like Spark's round(); math.rint would be HALF_EVEN
+    def roundHalfUp(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    queries.flatMap { case (qid, qt) =>
+      val qTerms = toks(qt).distinct.toSet
+      val scored = docToks.flatMap { case (did, dts) =>
+        val dl = dts.size
+        val tf = dts.groupBy(identity).map { case (t, v) => t -> v.size }
+        val matched = qTerms.toSeq.filter(tf.contains)
+        if (matched.isEmpty) None
+        else {
+          val s9 = matched.map { t =>
+            val f = tf(t)
+            val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+            val term = idf * (f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * dl / avgdl))
+            roundHalfUp(term * 1.0e9, 0).toLong
+          }.sum
+          Some((did, roundHalfUp(s9.toDouble / 1.0e9, 6)))
+        }
+      }
+      scored.sortBy { case (did, s) => (-s, did) }.take(k).zipWithIndex
+        .map { case ((did, s), i) => (qid, did, (i + 1).toLong, s) }
+    }
+  }
+
+  test("property: bm25TopK == independent in-memory reference (10 seeded trials)") {
+    import spark.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "rare1", "rare2", "rare3")
+    for (trial <- 1 to 10) {
+      val corpus = (0L until 40L).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        // skew toward the head of the list so df varies widely;
+        // occasionally an empty doc (whitespace only)
+        val text =
+          if (rnd.nextInt(20) == 0) "  "
+          else (0 until len).map(_ => words(math.min(rnd.nextInt(13), rnd.nextInt(13)))).mkString(" ")
+        (i, text)
+      }
+      val queries = (100L until 105L).map { i =>
+        (i, (0 until 3).map(_ => words(rnd.nextInt(13))).mkString(" "))
+      }
+      val got = Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text"),
+        queries.toDF("q_id", "text"), k = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val want = referenceBm25(corpus, queries, k = 5)
+        .sortBy(t => (t._1, t._3))
+      assert(got == want, s"trial $trial:\n got $got\nwant $want")
+    }
+  }
 }
