@@ -1231,6 +1231,21 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Perceptual near-duplicate images: aHash (8×8 nearest-resize,
+    * exact-integer mean threshold) signatures within 6 hamming bits —
+    * the multimodal counterpart of text near-dup. The fixture set
+    * plants one brightness-shifted twin per image (distances 6/4/1
+    * bits); the originals sit 7–9 bits apart and one twin is a true
+    * hamming-6 neighbor of a foreign original, so the gated result is
+    * the three twins plus that cross pair (MultimodalSpec pins the
+    * exact set). [[graft.multimodal.ImageOps.nearDupPairs]]. */
+  def q95ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageOps
+    ImageOps.nearDupPairs(s,
+      ImageOps.decodePpm(s, ImageOps.readBinary(s, s"$FixtureDir/images/*.ppm")),
+      maxHamming = 6)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1335,6 +1350,7 @@ object SparkEntry {
     "q92_bm25_indexed" -> (q92Bm25Indexed _),
     "q93_bigram_logprob" -> (q93BigramLogprob _),
     "q94_hard_negatives" -> (q94HardNegatives _),
+    "q95_image_neardup" -> (q95ImageNearDup _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2945,6 +2961,40 @@ object SparkEntry {
         |    AND sum(CASE WHEN tissue_type = 'Normal' THEN 1 ELSE 0 END) >= 1)
         |SELECT id, sample FROM fs
         |WHERE id IN (SELECT id FROM paired) AND tissue_type = 'Tumor'""".stripMargin,
+    // q95: the aHash mean test is EXACT integers (64·g vs Σg) and the
+    // nearest-resize index math is integer division on both sides, so
+    // the 64-bit signatures — and therefore every hamming distance —
+    // are integer-equal by construction.
+    "q95_image_neardup" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, decode(content) AS t
+        |  FROM read_blob('$FixtureDir/images/*.ppm')),
+        |tok AS (
+        |  SELECT name, list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS l FROM b),
+        |px AS (
+        |  SELECT name,
+        |    CAST(l[2] AS INTEGER) AS w, CAST(l[3] AS INTEGER) AS h,
+        |    list_transform(list_slice(l, 5, len(l)), x -> CAST(x AS BIGINT)) AS p
+        |  FROM tok),
+        |g AS (
+        |  SELECT name,
+        |    list_transform(
+        |      list_transform(generate_series(0, 63), k ->
+        |        ((((k // 8) * h) // 8) * w + ((k % 8) * w) // 8) * 3),
+        |      j -> p[j + 1] + p[j + 2] + p[j + 3]) AS gs
+        |  FROM px),
+        |sig AS (
+        |  SELECT name,
+        |    list_transform(gs, x -> CASE WHEN 64 * x > tot THEN 1 ELSE 0 END) AS bits
+        |  FROM (SELECT name, gs, list_aggregate(gs, 'sum') AS tot FROM g))
+        |SELECT img_a, img_b, hamming FROM (
+        |  SELECT a.name AS img_a, b2.name AS img_b,
+        |    CAST(list_aggregate(
+        |      list_transform(generate_series(1, 64),
+        |        i -> CASE WHEN a.bits[i] <> b2.bits[i] THEN 1 ELSE 0 END),
+        |      'sum') AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b2 ON a.name < b2.name) t
+        |WHERE hamming <= 6""".stripMargin,
     "q39_binary_images" ->
       s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS name,
         |  CAST(size AS BIGINT) AS length,

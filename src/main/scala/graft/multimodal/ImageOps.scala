@@ -120,4 +120,54 @@ object ImageOps {
       }
     }
   }
+
+  /** Perceptual average-hash (aHash) signature: nearest-resize to
+    * 8×8, per-cell brightness g = r+g+b, bit i = [64·gᵢ > Σg] — the
+    * mean comparison kept in EXACT integers (64·g vs the total, never
+    * a float mean), so the 64-bit signature is bit-reproducible in
+    * any engine. The resize is the imperative per-blob step; the
+    * hashing itself is declarative HOFs (the [[channelMeans]]
+    * pattern).
+    *
+    * Output: (name, bits) with bits an int[64] of 0/1.
+    */
+  def aHash64(spark: SparkSession, decoded: Dataset[DecodedImage]): DataFrame = {
+    val eight = resizeNearest(spark, decoded, 8, 8).toDF()
+    val gs = transform(sequence(lit(0), lit(63)), k =>
+      element_at(col("pixels"), k * 3 + 1) +
+        element_at(col("pixels"), k * 3 + 2) +
+        element_at(col("pixels"), k * 3 + 3))
+    eight
+      .select(col("name"), gs.as("gs"))
+      .withColumn("total", aggregate(col("gs"), lit(0L), (acc, g) => acc + g))
+      .select(col("name"),
+        transform(col("gs"), g =>
+          when(g.cast("long") * 64 > col("total"), 1).otherwise(0)).as("bits"))
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash signatures within
+    * `maxHamming` bits. The pair stage here is the exact self-join —
+    * right for an image FIXTURE set and for per-shard refinement; at
+    * corpus scale the candidate generator is the SimHash band-bucket
+    * machinery (pigeonhole r+1 bands over the 64 bits, equal-band
+    * bucket join — the q27 text path, bit-compatible with this
+    * signature), with this exact hamming check as the verifier.
+    *
+    * Output: (img_a, img_b, hamming), img_a < img_b.
+    */
+  def nearDupPairs(
+      spark: SparkSession,
+      decoded: Dataset[DecodedImage],
+      maxHamming: Int): DataFrame = {
+    val sigs = aHash64(spark, decoded).localCheckpoint(false)
+    val a = sigs.select(col("name").as("img_a"), col("bits").as("bits_a"))
+    val b = sigs.select(col("name").as("img_b"), col("bits").as("bits_b"))
+    a.join(b, col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"),
+        aggregate(
+          zip_with(col("bits_a"), col("bits_b"),
+            (x, y) => when(x =!= y, 1L).otherwise(0L)),
+          lit(0L), (acc, d) => acc + d).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

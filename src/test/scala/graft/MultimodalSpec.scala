@@ -173,4 +173,46 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("aHash near-dup: planted twins found at their exact distances") {
+    val pairs = ImageOps.nearDupPairs(spark, decoded, maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the three planted twins at their generator-documented distances,
+    // plus the one TRUE cross-family hamming-6 neighbor the tiny
+    // originals admit (see tools/gen_fixtures.py images())
+    assert(pairs == Set(
+      ("img_0.ppm", "img_0_dup.ppm", 6L),
+      ("img_1.ppm", "img_1_dup.ppm", 4L),
+      ("img_2.ppm", "img_2_dup.ppm", 1L),
+      ("img_1.ppm", "img_2_dup.ppm", 6L)), pairs.toString)
+    // tightening the radius drops the boundary pairs but never a
+    // closer twin
+    val tight = ImageOps.nearDupPairs(spark, decoded, maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tight == Set(
+      ("img_1.ppm", "img_1_dup.ppm"),
+      ("img_2.ppm", "img_2_dup.ppm")), tight.toString)
+  }
+
+  test("aHash signature: exact-integer mean test, 64 bits, resize-stable") {
+    val sigs = ImageOps.aHash64(spark, decoded).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs.size == 6)
+    sigs.foreach { case (n, bits) =>
+      assert(bits.length == 64 && bits.forall(b => b == 0 || b == 1), n)
+      // a constant image would be all-zero (strict >); these aren't
+      assert(bits.sum > 0 && bits.sum < 64, s"$n: degenerate signature")
+    }
+    // driver-side recomputation of one signature
+    val img = decoded.collect().find(_.name == "img_0.ppm").get
+    val gs = (0 until 64).map { k =>
+      val sy = (k / 8) * img.height / 8
+      val sx = (k % 8) * img.width / 8
+      val src = (sy * img.width + sx) * 3
+      img.pixels(src).toLong + img.pixels(src + 1) + img.pixels(src + 2)
+    }
+    val tot = gs.sum
+    val want = gs.map(g => if (64 * g > tot) 1 else 0)
+    assert(sigs("img_0.ppm") == want)
+  }
 }

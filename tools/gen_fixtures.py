@@ -269,12 +269,28 @@ def images():
     # oracle can md5 the content as text.
     for i in range(3):
         wpx, hpx = 4 + i, 3 + i
-        pix = []
+        flat = []
         for y in range(hpx):
             for x in range(wpx):
-                pix.append("%d %d %d" % ((x * 37) % 256, (y * 53) % 256, ((x + y) * 11) % 256))
-        body = "P3\n%d %d\n255\n%s\n" % (wpx, hpx, "\n".join(pix))
-        w(os.path.join(ROOT, "images", "img_%d.ppm" % i), body)
+                flat += [(x * 37) % 256, (y * 53) % 256, ((x + y) * 11) % 256]
+        def body(values):
+            triples = ["%d %d %d" % tuple(values[k:k + 3])
+                       for k in range(0, len(values), 3)]
+            return "P3\n%d %d\n255\n%s\n" % (wpx, hpx, "\n".join(triples))
+        w(os.path.join(ROOT, "images", "img_%d.ppm" % i), body(flat))
+        # Near-duplicate twin: one channel of one pixel brightened.
+        # +160 on the second pixel's green lands the twin aHash
+        # distances at {6, 4, 1} bits for i={0,1,2}; the original
+        # images sit 7-9 bits apart, and img_1 vs img_2_dup is a TRUE
+        # hamming-6 neighbor (the tiny originals leave no wider
+        # margin; an exhaustive search over single-pixel deltas found
+        # no configuration separating twins <=T from cross-family >T
+        # for any T). q95 at threshold 6 therefore returns the three
+        # twins plus that one cross pair - the planted truth its spec
+        # asserts exactly.
+        dup = list(flat)
+        dup[4] = min(255, dup[4] + 160)
+        w(os.path.join(ROOT, "images", "img_%d_dup.ppm" % i), body(dup))
 
 
 def audio():
