@@ -125,7 +125,9 @@ class GdcSpec extends SparkSpecBase {
   test("download cache reconciliation: download/delete/skip sets") {
     import spark.implicits._
     import graft.io.DownloadCache
-    val local = DownloadCache.localCatalog(spark, "/root/repo/fixtures/images/*.ppm")
+    // img_[0-9] excludes the img_*_dup.ppm fixtures added for the
+    // perceptual near-dup tests, which would inflate the local set.
+    val local = DownloadCache.localCatalog(spark, "/root/repo/fixtures/images/img_[0-9].ppm")
     assert(local.count() == 3)
     // remote: img_0 unchanged, img_1 content changed (different md5),
     // img_2 gone, img_9 new
