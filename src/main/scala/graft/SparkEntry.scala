@@ -1246,6 +1246,50 @@ object SparkEntry {
       maxHamming = 6)
   }
 
+  /** As-of join: each purchase event attaches the same user's most
+    * recent prior-or-simultaneous 'view' event (null when none) —
+    * attribution alignment, the canonical as-of shape. Right side is
+    * pre-reduced to one row per (user, ts) so ties are deterministic.
+    * [[graft.ops.Joins.asofJoin]] — union+window, one shuffle, no
+    * inequality join; oracle is DuckDB's native ASOF LEFT JOIN. */
+  def q96AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.ops.Joins.asofJoin(purchases, views,
+      leftKey = "user_id", leftTime = "ts",
+      rightKey = "v_user", rightTime = "v_ts",
+      payload = Seq("view_id", "v_ts"))
+      .select(col("event_id").as("purchase_id"), col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** Range join: clicks landing inside [purchase, purchase+1h) per
+    * (user, purchase), zero-preserving. [[graft.ops.Joins
+    * .rangeJoinBinned]] — hour-bin equi-join (each interval covers ≤2
+    * bins) + exact residual, never a nested-loop join; the oracle is
+    * the plain inequality join DuckDB can afford at oracle scale. */
+  def q97RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val pairs = graft.ops.Joins.rangeJoinBinned(
+      points = clicks, intervals = purchases,
+      pointKey = "c_user", pointTime = "c_ts",
+      intervalKey = "p_user", intervalStart = "p_ts", intervalEnd = "p_end",
+      binUs = 3600L * 1000000L)
+    val counts = pairs.groupBy("purchase_id").agg(count(lit(1)).as("__n"))
+    purchases.join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), coalesce(col("__n"), lit(0L)).as("n_clicks"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1351,6 +1395,8 @@ object SparkEntry {
     "q93_bigram_logprob" -> (q93BigramLogprob _),
     "q94_hard_negatives" -> (q94HardNegatives _),
     "q95_image_neardup" -> (q95ImageNearDup _),
+    "q96_asof_join" -> (q96AsofJoin _),
+    "q97_range_join" -> (q97RangeJoin _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2965,6 +3011,32 @@ object SparkEntry {
     // nearest-resize index math is integer division on both sides, so
     // the 64-bit signatures — and therefore every hamming distance —
     // are integer-equal by construction.
+    // q96: DuckDB's native ASOF LEFT JOIN is the independent oracle
+    // for the union+window formulation; the right side is reduced to
+    // one row per (user, ts) in BOTH engines so ties cannot differ.
+    "q96_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id AS purchase_id, v.view_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
+    // q97: the oracle uses the plain inequality join (affordable at
+    // oracle scale); the engine's hour-binned equi-join must agree.
+    "q97_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(c.ts) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |  AND c.ts < p.ts + INTERVAL 1 HOUR
+        |GROUP BY 1""".stripMargin,
     "q95_image_neardup" ->
       s"""WITH b AS (
         |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, decode(content) AS t
