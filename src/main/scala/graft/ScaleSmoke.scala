@@ -662,6 +662,61 @@ object ScaleSmoke {
     checks += ("CMS heavy hitters ≡ exact aggregate at 10x token counts" ->
       f"${hhGot.size} hitters at minCount=5000, sketch+confirm == exact, $hhSec%.1f s")
 
+    // 12. Temporal joins over the 1M-row events table: the as-of must
+    // hold its union+window shape (ONE hash exchange, no join node —
+    // the inequality-join form would fan out per-user history), the
+    // salt hatch must be a results no-op at saltBuckets=8, and the
+    // binned range join must stay an equi hash join whose rows match
+    // the naive inequality join on a sampled user slice.
+    val tj0 = System.nanoTime()
+    val ev10 = spark.read.parquet(s"$workDir/events.parquet")
+    val purch10 = ev10.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views10 = ev10.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    def asofChecksum(salt: Int): (Long, Long, String) = {
+      val df = graft.ops.Joins.asofJoin(purch10, views10,
+        "user_id", "ts", "v_user", "v_ts", Seq("view_id", "v_ts"),
+        saltBuckets = salt)
+      val plan = df.queryExecution.executedPlan.toString
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("event_id"), col("view_id"), col("v_ts")))).collect()(0)
+      (r.getLong(0), r.getLong(1), plan)
+    }
+    val (aN, aH, aPlan) = asofChecksum(1)
+    assert(aPlan.contains("Window") && !aPlan.contains("Join"),
+      "as-of join lost its union+window shape at 10x:\n" + aPlan.take(1500))
+    val (sN, sH, _) = asofChecksum(8)
+    assert((aN, aH) == (sN, sH),
+      s"saltBuckets=8 changed the as-of result at 10x: ($aN,$aH) vs ($sN,$sH)")
+    val clicks10 = ev10.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val intervals10 = purch10.withColumn("i_end", col("ts") + expr("INTERVAL 1 HOUR"))
+    val HourUs = 3600L * 1000000L
+    val rjDf = graft.ops.Joins.rangeJoinBinned(clicks10, intervals10,
+      "c_user", "c_ts", "user_id", "ts", "i_end", HourUs)
+    val rjPlan = rjDf.queryExecution.executedPlan.toString
+    assert(!rjPlan.contains("CartesianProduct") && !rjPlan.contains("BroadcastNestedLoopJoin"),
+      "range join degraded to a nested loop at 10x:\n" + rjPlan.take(1500))
+    val rjN = rjDf.count()
+    // sampled-slice ground truth via the naive inequality join
+    val uSamp = pmod(col("user_id"), lit(101)) === 0
+    val naiveN = intervals10.filter(uSamp)
+      .join(clicks10, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts") && col("c_ts") < col("i_end"))
+      .count()
+    val binnedSampN = graft.ops.Joins.rangeJoinBinned(
+      clicks10, intervals10.filter(uSamp),
+      "c_user", "c_ts", "user_id", "ts", "i_end", HourUs).count()
+    assert(binnedSampN == naiveN,
+      s"binned range join != inequality join on the sampled slice: $binnedSampN vs $naiveN")
+    val tjSec = (System.nanoTime() - tj0) / 1e9
+    checks += ("as-of join at 1M events: union+window plan, salt hatch result-invariant" ->
+      f"$aN matched purchases, checksum equal at saltBuckets ∈ {1, 8}, no join node")
+    checks += ("range join at 1M events: equi-hash plan, rows == inequality join on sample" ->
+      f"$rjN%d (purchase, click) rows, sampled slice $binnedSampN%d == naive, both joins $tjSec%.1f s")
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -3021,7 +3021,7 @@ object SparkEntry {
         |  SELECT user_id AS v_user, ts AS v_ts, max(event_id) AS view_id
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT p.event_id AS purchase_id, v.view_id,
-        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |  epoch_us(p.ts) - epoch_us(v.v_ts) AS gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
     // q97: the oracle uses the plain inequality join (affordable at

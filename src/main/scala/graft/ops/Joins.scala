@@ -43,8 +43,21 @@ object Joins {
     * order; pass a unique column for a deterministic result.
     *
     * At cluster scale the window's per-key sort spills gracefully
-    * (ExternalSorter); skewed keys are the caller's salt-and-merge
-    * decision, same as any keyed window.
+    * (ExternalSorter); for a SKEWED key (one user holding a large
+    * fraction of all rows) pass `saltBuckets > 1`: the left side
+    * salts into that many sub-partitions (deterministically, by a
+    * hash of the left timestamp) and the right side replicates into
+    * every salt, so each window partition carries ~1/saltBuckets of
+    * the hot key's left rows plus one full copy of its right rows.
+    * Result is provably identical for any saltBuckets (each left row
+    * still sees every right row of its key) — JoinsSpec pins equality
+    * at saltBuckets ∈ {1, 8}.
+    *
+    * Null semantics match ANSI `ASOF LEFT JOIN` (and DuckDB): right
+    * rows with a null key or null timestamp can never match and are
+    * filtered before the union; left rows always survive (null-key /
+    * null-time left rows get a null payload, since no right row
+    * precedes them).
     */
   def asofJoin(
       left: DataFrame,
@@ -54,27 +67,37 @@ object Joins {
       rightKey: String,
       rightTime: String,
       payload: Seq[String],
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       s"payload columns ${payload.intersect(leftCols).mkString(",")} collide with left side — alias them first")
 
-    val taggedRight = right.select(
-      col(rightKey).as("__asof_k"),
-      col(rightTime).as("__asof_t"),
-      tieBreak.map(col).getOrElse(lit(0L)).as("__asof_tie"),
-      struct(payload.map(col): _*).as("__asof_payload"))
+    val taggedRight = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__asof_k"),
+        col(rightTime).as("__asof_t"),
+        tieBreak.map(col).getOrElse(lit(0L)).as("__asof_tie"),
+        struct(payload.map(col): _*).as("__asof_payload"))
       .withColumn("__asof_tag", lit(0))
+      .withColumn("__asof_salt",
+        if (saltBuckets == 1) lit(0)
+        else explode(sequence(lit(0), lit(saltBuckets - 1))))
 
     val taggedLeft = left.select(
       (col(leftKey).as("__asof_k") +:
         col(leftTime).as("__asof_t") +:
         leftCols.map(col)): _*)
       .withColumn("__asof_tag", lit(1))
+      .withColumn("__asof_salt",
+        if (saltBuckets == 1) lit(0)
+        else pmod(xxhash64(col("__asof_t")), lit(saltBuckets)).cast("int"))
 
     val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
 
-    val w = Window.partitionBy("__asof_k")
+    val w = Window.partitionBy("__asof_k", "__asof_salt")
       .orderBy(col("__asof_t"), col("__asof_tag"), col("__asof_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -96,6 +119,16 @@ object Joins {
     *
     * Columns: all interval columns, then all point columns — caller
     * guarantees disjoint names (alias before the call).
+    *
+    * Degenerate inputs fail fast, not silently: the top bin is
+    * clamped with `greatest` so an empty interval (end <= start) emits
+    * ONE bin and dies at the residual filter — without the clamp the
+    * two-arg `sequence()` would auto-step -1 and explode a spurious
+    * DESCENDING bin range. An interval spanning more than
+    * `maxBinsPerInterval` bins (a mis-sized `binUs` — the explode is
+    * only bounded when binUs is near the typical interval length)
+    * raises a sized error naming the knob instead of hitting Spark's
+    * opaque sequence-length cap mid-job.
     */
   def rangeJoinBinned(
       points: DataFrame,
@@ -105,16 +138,22 @@ object Joins {
       intervalKey: String,
       intervalStart: String,
       intervalEnd: String,
-      binUs: Long): DataFrame = {
+      binUs: Long,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binUs > 0, "binUs must be positive")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
     val p = points
       .withColumn("__rj_bin", floor(unix_micros(col(pointTime)) / binUs))
     // end is exclusive: a zero-length or end-on-boundary interval must
     // not claim the next bin, hence (end - 1us) for the top bin.
+    val startBin = floor(unix_micros(col(intervalStart)) / binUs)
+    val endBin = greatest(startBin, floor((unix_micros(col(intervalEnd)) - 1) / binUs))
     val i = intervals
-      .withColumn("__rj_bin", explode(sequence(
-        floor(unix_micros(col(intervalStart)) / binUs),
-        floor((unix_micros(col(intervalEnd)) - 1) / binUs))))
+      .withColumn("__rj_bin", explode(
+        when(endBin - startBin >= maxBinsPerInterval, raise_error(concat(
+          lit("rangeJoinBinned: interval spans "), endBin - startBin + 1,
+          lit(s" bins > maxBinsPerInterval=$maxBinsPerInterval — increase binUs"))))
+          .otherwise(sequence(startBin, endBin))))
     i.join(p,
         i("__rj_bin") === p("__rj_bin") &&
           col(intervalKey) === col(pointKey) &&

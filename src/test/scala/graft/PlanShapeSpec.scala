@@ -478,4 +478,24 @@ class PlanShapeSpec extends SparkSpecBase {
       !"Exchange hashpartitioning".r.findAllIn(p).hasNext,
       "stratified sampling must be a map-only pass over the corpus")
   }
+
+  test("q96: as-of join is union+window — no join node, one window exchange") {
+    // The scale contract of `Joins.asofJoin`: never the inequality-
+    // join + argmax form (quadratic per-key history fan-out). The
+    // union of tagged sides shuffles ONCE on the key for the window;
+    // the pre-reduction of the view side adds its own aggregate
+    // exchange, so the pin is "no join, has window", not a count.
+    val p = plan("q96_asof_join")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"),
+      "as-of regressed from union+window to a join:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q97: range join is an equi hash join on (bin, key) — never BNLJ/cartesian") {
+    val p = plan("q97_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join degraded to a nested loop:\n" + p.take(2000))
+  }
 }
