@@ -717,6 +717,60 @@ object ScaleSmoke {
     checks += ("range join at 1M events: equi-hash plan, rows == inequality join on sample" ->
       f"$rjN%d (purchase, click) rows, sampled slice $binnedSampN%d == naive, both joins $tjSec%.1f s")
 
+    // 13. Image near-dup at corpus scale: a generated 800-image set
+    // (400 LCG-pixel originals + one few-pixel-brightened twin each)
+    // through the BANDED pair path must equal the brute-force
+    // all-pairs truth exactly (the banded generator's recall contract
+    // for maxHamming <= 2*bands-1), with no cartesian in the plan —
+    // the fixture gate (6 images) can't see a recall loss that only a
+    // populated signature space exposes.
+    val im0 = System.nanoTime()
+    import spark.implicits._
+    import graft.multimodal.ImageOps
+    val imgCorpus = spark.range(400).as[Long].flatMap { i =>
+      def lcgPixels(seed: Long): Array[Int] = {
+        var x = seed
+        Array.fill(16 * 16 * 3) {
+          x = (6364136223846793005L * x + 1442695040888963407L)
+          ((x >>> 33) & 0xff).toInt
+        }
+      }
+      val base = lcgPixels(i * 7919L + 1)
+      val twin = base.clone()
+      // brighten a few 8x8 cells so the twin lands a few hamming
+      // bits away (3 cells measured: ~315 of 400 twins within 6
+      // bits — the rest drift past via the total-sum shift)
+      var c = 0
+      while (c < 3) {
+        val cell = ((i + c * 83) % 64).toInt
+        val sy = (cell / 8) * 2; val sx = (cell % 8) * 2
+        val p = (sy * 16 + sx) * 3
+        twin(p) = 255; twin(p + 1) = 255; twin(p + 2) = 255
+        c += 1
+      }
+      Seq(ImageOps.DecodedImage(f"img_$i%04d", 16, 16, base),
+        ImageOps.DecodedImage(f"img_$i%04d_twin", 16, 16, twin))
+    }
+    val bandedPairs = ImageOps.nearDupPairs(spark, imgCorpus, maxHamming = 6)
+    val imPlan = bandedPairs.queryExecution.executedPlan.toString
+    assert(!imPlan.contains("CartesianProduct") && !imPlan.contains("BroadcastNestedLoopJoin"),
+      "image near-dup went cartesian at 800 images:\n" + imPlan.take(1500))
+    val imGot = bandedPairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val imSigs = ImageOps.aHash64Packed(spark, imgCorpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val imWant = (for {
+      (na, sa) <- imSigs; (nb, sb) <- imSigs if na < nb
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (na, nb, d.toLong)).toSet
+    assert(imGot == imWant,
+      s"banded image pairs diverged from brute force: ${imGot.size} vs ${imWant.size}")
+    assert(imWant.size >= 250,
+      s"twin corpus should be near-dup heavy, got only ${imWant.size} true pairs")
+    val imSec = (System.nanoTime() - im0) / 1e9
+    checks += ("image near-dup banded == brute force over 800 generated images" ->
+      f"${imGot.size}%d pairs identical at maxHamming=6, no cartesian, $imSec%.1f s")
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -1233,12 +1233,18 @@ object SparkEntry {
 
   /** Perceptual near-duplicate images: aHash (8×8 nearest-resize,
     * exact-integer mean threshold) signatures within 6 hamming bits —
-    * the multimodal counterpart of text near-dup. The fixture set
-    * plants one brightness-shifted twin per image (distances 6/4/1
-    * bits); the originals sit 7–9 bits apart and one twin is a true
-    * hamming-6 neighbor of a foreign original, so the gated result is
-    * the three twins plus that cross pair (MultimodalSpec pins the
-    * exact set). [[graft.multimodal.ImageOps.nearDupPairs]]. */
+    * the multimodal counterpart of text near-dup. The pair stage is
+    * the banded candidate generator (packed 64-bit signature → 4
+    * 16-bit band buckets + Hamming-1 probes, exact recall for
+    * distance <= 7 by pigeonhole) with xor+popcount as the verifier —
+    * never a cartesian; the DuckDB oracle runs the brute-force
+    * self-join, so the gate IS the banded==exact equality check. The
+    * fixture set plants one brightness-shifted twin per image
+    * (distances 6/4/1 bits); the originals sit 7–9 bits apart and one
+    * twin is a true hamming-6 neighbor of a foreign original, so the
+    * gated result is the three twins plus that cross pair
+    * (MultimodalSpec pins the exact set).
+    * [[graft.multimodal.ImageOps.nearDupPairs]]. */
   def q95ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.ImageOps
     ImageOps.nearDupPairs(s,

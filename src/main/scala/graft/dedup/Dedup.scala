@@ -437,25 +437,72 @@ object Dedup {
       threshold: Double,
       bands: Int = 6,
       maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    require(60 % bands == 0, "bands must divide 60")
-    val bandBits = 60 / bands
-    val mask = (1L << bandBits) - 1
-    // One (doc_id, sig) row per document — materialized once; both the
-    // exact and probe sides explode from it, which would otherwise run
-    // the 60-column vote aggregate twice.
-    val sigs = simHashGramSignatures(docs, idCol, textCol, n).localCheckpoint(false)
+    val sigs = simHashGramSignatures(docs, idCol, textCol, n)
+    val candidates = bandedHammingPairs(sigs, "doc_id", "sig",
+        sigBits = 60, bands = bands, maxDist = 2 * bands - 1,
+        maxBucketSize = maxBucketSize)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    verifyCandidates(docs, candidates, idCol, textCol, n, threshold)
+  }
+
+  /** Banded near-neighbor pairs over PACKED long signatures — the
+    * signature-type-agnostic candidate machinery behind
+    * [[simHashPairs]] (60-bit text SimHash) and the image aHash path
+    * ([[graft.multimodal.ImageOps.nearDupPairs]], 64-bit): all pairs
+    * at signature Hamming distance <= `maxDist`, found by bucketing
+    * `bands` equal slices of the signature and probing each band's
+    * bucket AND its Hamming-1 flips on one join side.
+    *
+    * Recall is EXACT, not approximate, when `maxDist <= 2*bands - 1`
+    * (enforced): by pigeonhole, a pair within that distance has some
+    * band where the slices differ by <= 1 bit, so the probe always
+    * collides — the bucket join is a superset of the true pair set
+    * and the `bit_count` filter on the collision row (one
+    * xor+popcount each) trims it to exactly the pairs within
+    * `maxDist`. No cartesian, no nested loop: candidate volume is
+    * bounded by bucket sizes, never corpus².
+    *
+    * `maxBucketSize` is the same hot-bucket skew guard as
+    * [[minHashCandidates]]: a degenerate bucket (mass-identical
+    * signatures) still emits O(size²) collision rows; capped buckets
+    * drop WHOLE, and the recall guarantee then holds only for pairs
+    * outside them.
+    *
+    * Input: one (`idCol`, `sigCol`) row per item, signature in the
+    * low `sigBits` bits of a long (bit 63 may be set when
+    * sigBits=64 — band extraction shifts unsigned). Output:
+    * (id_a, id_b, hamming), id_a < id_b, hamming <= maxDist.
+    */
+  def bandedHammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      sigBits: Int,
+      bands: Int,
+      maxDist: Int,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64, "sigBits must be in [1, 64]")
+    require(sigBits % bands == 0, s"bands must divide $sigBits")
+    require(maxDist >= 0 && maxDist <= 2 * bands - 1,
+      s"recall guarantee needs maxDist <= 2*bands-1 = ${2 * bands - 1} (got $maxDist) — raise bands")
+    val bandBits = sigBits / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    // One (id, sig) row per item — materialized once; both the exact
+    // and probe sides explode from it, which would otherwise run the
+    // upstream signature aggregate twice.
+    val s = sigs.select(col(idCol).as("__bh_id"), col(sigCol).as("__bh_sig"))
+      .localCheckpoint(false)
     def bucketCol(b: Int): Column =
-      shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))
+      shiftrightunsigned(col("__bh_sig"), b * bandBits).bitwiseAND(lit(mask))
 
     // Exact side: one (band, bucket) row per band. Probe side: the
     // bucket plus each 1-bit flip. Both are a single explode over the
-    // signature row — the signature aggregate runs once per side. The
-    // full signature rides along so collisions can be Hamming-filtered
-    // before the expensive gram verification.
-    val exact = sigs
-      .select(col("doc_id"), col("sig"), explode(array((0 until bands).map(b =>
+    // signature row. The full signature rides along so collisions can
+    // be Hamming-filtered without a lookup join.
+    val exact = s
+      .select(col("__bh_id"), col("__bh_sig"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bucketCol(b).as("bucket"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("__bh_id"), col("__bh_sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val probeStructs = for {
       b <- 0 until bands
       flip <- -1 until bandBits
@@ -463,25 +510,10 @@ object Dedup {
       val bucket = if (flip < 0) bucketCol(b) else bucketCol(b).bitwiseXOR(lit(1L << flip))
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    val probes = sigs
-      .select(col("doc_id"), col("sig"), explode(array(probeStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val probes = s
+      .select(col("__bh_id"), col("__bh_sig"), explode(array(probeStructs: _*)).as("bb"))
+      .select(col("__bh_id"), col("__bh_sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // Bucket collision is only a COARSE candidate signal: on a
-    // small-vocab corpus signatures cluster and hot buckets go
-    // quadratic (measured: 5k docs -> 1M band collisions, 256 true
-    // pairs). The pigeonhole guarantee only ever promised pairs within
-    // signature Hamming distance 2*bands-1, so an exact `bit_count`
-    // check on the collision row keeps recall identical while cutting
-    // the verification input by orders of magnitude — one xor+popcount
-    // per collision vs a gram-array intersection per pair.
-    val maxDist = 2 * bands - 1
-    // Same hot-bucket skew guard as [[minHashCandidates]]: the
-    // bit_count prefilter below bounds VERIFICATION, but the bucket
-    // join itself still emits O(size²) collision rows for a
-    // degenerate bucket (mass-identical signatures). Capped buckets
-    // drop whole; the documented pigeonhole recall guarantee then
-    // holds only for pairs outside them.
     val exactCapped =
       if (maxBucketSize == Long.MaxValue) exact
       else {
@@ -491,17 +523,16 @@ object Dedup {
           .select("band", "bucket")
         exact.join(ok, Seq("band", "bucket"), "left_semi")
       }
-    val candidates = probes
-      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+    probes
+      .select(col("__bh_id").as("id_a"), col("__bh_sig").as("sig_a"),
         col("band"), col("bucket"))
-      .join(exactCapped.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      .join(exactCapped.select(col("__bh_id").as("id_b"), col("__bh_sig").as("sig_b"),
         col("band"), col("bucket")), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b") &&
+      .filter(col("id_a") < col("id_b") &&
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
-      .select("doc_a", "doc_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
-
-    verifyCandidates(docs, candidates, idCol, textCol, n, threshold)
   }
 
   /** Connected components over an undirected edge set — the step that

@@ -145,29 +145,40 @@ object ImageOps {
           when(g.cast("long") * 64 > col("total"), 1).otherwise(0)).as("bits"))
   }
 
+  /** [[aHash64]] with the 64 bits PACKED into one long — bit k of the
+    * array at long bit (63 - k), so two packed signatures xor+popcount
+    * to exactly the array hamming distance. This is the signature the
+    * band-bucket candidate machinery keys on; bit 63 may be set
+    * (negative long), which is why the banding shifts unsigned.
+    */
+  def aHash64Packed(spark: SparkSession, decoded: Dataset[DecodedImage]): DataFrame =
+    aHash64(spark, decoded).select(col("name"),
+      aggregate(col("bits"), lit(0L),
+        (acc, b) => shiftleft(acc, 1).bitwiseOR(b.cast("long"))).as("sig"))
+
   /** Perceptual near-duplicate image pairs: aHash signatures within
-    * `maxHamming` bits. The pair stage here is the exact self-join —
-    * right for an image FIXTURE set and for per-shard refinement; at
-    * corpus scale the candidate generator is the SimHash band-bucket
-    * machinery (pigeonhole r+1 bands over the 64 bits, equal-band
-    * bucket join — the q27 text path, bit-compatible with this
-    * signature), with this exact hamming check as the verifier.
+    * `maxHamming` bits — (img_a, img_b, hamming), img_a < img_b.
     *
-    * Output: (img_a, img_b, hamming), img_a < img_b.
+    * Scale shape: NOT a self-join. The packed signature feeds the
+    * same band-bucket candidate generator as text SimHash
+    * ([[graft.dedup.Dedup.bandedHammingPairs]] — `bands` 16-bit
+    * slices of the 64-bit signature, equal-band bucket join plus
+    * Hamming-1 probes), with the exact xor+popcount hamming check as
+    * the verifier on collision rows only. Recall is exact for
+    * `maxHamming <= 2*bands - 1` (enforced there); candidate volume
+    * is bounded by bucket sizes, never corpus². `maxBucketSize` caps
+    * degenerate buckets (mass-identical images) at the documented
+    * recall trade-off.
     */
   def nearDupPairs(
       spark: SparkSession,
       decoded: Dataset[DecodedImage],
-      maxHamming: Int): DataFrame = {
-    val sigs = aHash64(spark, decoded).localCheckpoint(false)
-    val a = sigs.select(col("name").as("img_a"), col("bits").as("bits_a"))
-    val b = sigs.select(col("name").as("img_b"), col("bits").as("bits_b"))
-    a.join(b, col("img_a") < col("img_b"))
-      .select(col("img_a"), col("img_b"),
-        aggregate(
-          zip_with(col("bits_a"), col("bits_b"),
-            (x, y) => when(x =!= y, 1L).otherwise(0L)),
-          lit(0L), (acc, d) => acc + d).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+        aHash64Packed(spark, decoded), "name", "sig",
+        sigBits = 64, bands = bands, maxDist = maxHamming,
+        maxBucketSize = maxBucketSize)
+      .select(col("id_a").as("img_a"), col("id_b").as("img_b"), col("hamming"))
 }

@@ -194,6 +194,39 @@ class MultimodalSpec extends SparkSpecBase {
       ("img_2.ppm", "img_2_dup.ppm")), tight.toString)
   }
 
+  test("aHash banded pairs == brute-force exact pairs at the recall edge") {
+    // the banded candidate generator must lose NOTHING vs the
+    // all-pairs self-join, including at maxHamming = 2*bands-1 = 7
+    // (the pigeonhole boundary) — compute the truth driver-side from
+    // the packed signatures (6 images, 15 pairs)
+    val sigs = ImageOps.aHash64Packed(spark, decoded).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    for (radius <- Seq(1, 4, 6, 7)) {
+      val want = (for {
+        (na, sa) <- sigs; (nb, sb) <- sigs if na < nb
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= radius
+      } yield (na, nb, d.toLong)).toSet
+      val got = ImageOps.nearDupPairs(spark, decoded, maxHamming = radius)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"radius $radius: $got vs $want")
+    }
+  }
+
+  test("aHash packed signature matches the bit array; pair plan has no cartesian") {
+    val bits = ImageOps.aHash64(spark, decoded).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val packed = ImageOps.aHash64Packed(spark, decoded).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bits.keySet == packed.keySet)
+    bits.foreach { case (n, bs) =>
+      assert(packed(n) == bs.foldLeft(0L)((acc, b) => (acc << 1) | b), n)
+    }
+    val p = ImageOps.nearDupPairs(spark, decoded, maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "image near-dup pair stage must be the banded equi join:\n" + p.take(1500))
+  }
+
   test("aHash signature: exact-integer mean test, 64 bits, resize-stable") {
     val sigs = ImageOps.aHash64(spark, decoded).collect()
       .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap

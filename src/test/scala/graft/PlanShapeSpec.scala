@@ -479,6 +479,13 @@ class PlanShapeSpec extends SparkSpecBase {
       "stratified sampling must be a map-only pass over the corpus")
   }
 
+  test("q95: image near-dup pair stage is the banded equi join — no cartesian") {
+    val p = plan("q95_image_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "image near-dup regressed to the all-pairs self-join:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q96: as-of join is union+window — no join node, one window exchange") {
     // The scale contract of `Joins.asofJoin`: never the inequality-
     // join + argmax form (quadratic per-key history fan-out). The
