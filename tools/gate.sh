@@ -44,6 +44,23 @@ for sf in $SFS; do
     echo "== gate: $sf @ $c cpus -> $out =="
     SPARK_GRAFT_CPUS=$c sbt -batch "runMain graft.Verify $sf $out"
     python3 tools/check_correctness.py "$sf" "$out"
+    LAST_OUT="$out"
   done
 done
 echo "GATE GREEN: {$SFS} x {$CPUS} cpus all match their oracles"
+
+# Certify the tree ONLY for a full run (suites + default sweep): the
+# stamp is what tools/check_gate_fresh.sh compares against before a
+# snapshot commit, so a narrowed or suite-skipping run must not issue
+# one (the r9 q96 oracle typo shipped exactly through that gap).
+if [ "${SKIP_SBT_TEST:-0}" != "1" ] && \
+   [ "$SFS" = "/root/testdata/sf0.001 /root/testdata/sf0.01" ] && \
+   [ "$CPUS" = "32 7" ]; then
+  nq=$(find "$LAST_OUT" -maxdepth 1 -name 'q*' -type d | wc -l)
+  cat > .gate_stamp.json <<EOF
+{"tree_md5": "$(tools/tree_state.sh)", "head": "$(git rev-parse HEAD)", "queries": $nq, "utc": "$(date -u +%FT%TZ)"}
+EOF
+  echo "GATE CERTIFIED: $(cat .gate_stamp.json)"
+else
+  echo "(partial gate run — stamp NOT updated; full default run certifies)"
+fi
