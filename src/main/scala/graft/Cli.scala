@@ -927,6 +927,58 @@ object Cli {
       }
       0
 
+    case "image-store" :: rest =>
+      // Persisted image near-dup signatures ([[SigBandStore]] over
+      // packed aHash64): --create decodes and signs a PPM corpus ONCE;
+      // --ingest links an arriving image batch against the store
+      // (exchange-free bucket join + popcount verify), writes the
+      // (img_a, img_b, hamming) pairs, and appends the batch's
+      // signatures; --stream runs the same link-then-append per
+      // micro-batch over a landing directory.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val spark = session()
+      if (m.contains("--create")) {
+        val bands = m.get("--bands").flatMap(_.headOption).map(_.toInt).getOrElse(4)
+        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        val sigs = graft.multimodal.ImageOps.aHash64Packed(spark,
+          graft.multimodal.ImageOps.decodePpm(spark,
+            graft.multimodal.ImageOps.readBinary(spark, in)))
+        graft.dedup.SigBandStore.createAt(spark, sigs, "name", "sig", store,
+          sigBits = 64, bands = bands, buckets = buckets)
+        println(s"image signature store created at $store ($bands bands, $buckets buckets)")
+      } else if (m.contains("--stream")) {
+        val out = one(m, "-o", "--output")
+        val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+          .getOrElse(sys.error("image-store --stream needs --checkpoint <dir>"))
+        val maxHamming = m.get("--max-hamming").flatMap(_.headOption).map(_.toInt).getOrElse(6)
+        val q = graft.streaming.ImageSigStream.maintain(
+          spark, in, store, out, ckpt, maxHamming)
+        q.processAllAvailable(); q.stop()
+        println(s"streamed image links -> $out; store updated")
+      } else {
+        import org.apache.spark.sql.functions.{col, greatest, least}
+        val out = one(m, "-o", "--output")
+        val maxHamming = m.get("--max-hamming").flatMap(_.headOption).map(_.toInt).getOrElse(6)
+        val (table, (sigBits, bands, buckets)) = graft.dedup.SigBandStore.attach(spark, store)
+        val sigs = graft.multimodal.ImageOps.aHash64Packed(spark,
+          graft.multimodal.ImageOps.decodePpm(spark,
+            graft.multimodal.ImageOps.readBinary(spark, in)))
+          .localCheckpoint(false) // consumed twice: link + append
+        graft.dedup.SigBandStore.linkNew(spark, table, sigs, "name", "sig",
+            maxDist = maxHamming, sigBits = sigBits, bands = bands)
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("img_a"),
+            greatest(col("id_a"), col("id_b")).as("img_b"),
+            col("hamming"))
+          .write.mode("overwrite").parquet(out)
+        graft.dedup.SigBandStore.append(spark, table, sigs, "name", "sig",
+          sigBits = sigBits, bands = bands, buckets = buckets)
+        println(s"image links (max hamming $maxHamming) -> $out; store updated")
+      }
+      0
+
     case "classify" :: rest =>
       // kNN label propagation: classify --queries-where rows of the
       // embedding parquet by majority vote of their k nearest labeled
@@ -1139,6 +1191,7 @@ object Cli {
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]
+           |  image-store --create -i <ppm-glob> -s <store-dir> [--bands 4] [--buckets 64] | --ingest -i <ppm-glob> -s <store-dir> -o <pairs.parquet> [--max-hamming 6] | --stream -i <landing-dir> -s <store-dir> -o <pairs-dir> --checkpoint <dir> [--max-hamming 6]
            |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]
            |  negatives  -i <embeddings.parquet> -o <out.parquet> --anchors-where '<pred>' [-k 5] [--label label] [--id vec_id] [--vec embedding]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']

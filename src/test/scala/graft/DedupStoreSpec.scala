@@ -164,4 +164,92 @@ class DedupStoreSpec extends SparkSpecBase {
         s"store side of the band join reshuffles:\n$storeSide")
     } finally spark.conf.set(thresholdKey, orig)
   }
+
+  test("sig band store: persisted link == in-memory banded pairs; attach + append grow it") {
+    import graft.dedup.SigBandStore
+    import graft.multimodal.ImageOps
+    val decoded = ImageOps.decodePpm(
+      spark, ImageOps.readBinary(spark, "/root/repo/fixtures/images/*.ppm"))
+    val sigs = ImageOps.aHash64Packed(spark, decoded).localCheckpoint(false)
+    val sigMap = sigs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference = originals, batch = the _dup twins
+    val ref = sigs.filter(!col("name").contains("_dup"))
+    val batch = sigs.filter(col("name").contains("_dup"))
+    val path = s"${tmpPath("sig_band")}/s"
+    val table = SigBandStore.createAt(spark, ref, "name", "sig", path,
+      sigBits = 64, bands = 4, buckets = 4)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val viaStore = canon(SigBandStore.linkNew(spark, table, batch, "name", "sig",
+      maxDist = 6, sigBits = 64, bands = 4))
+    // brute-force cross truth from the collected signatures
+    val want = (for {
+      (na, sa) <- sigMap.toSeq if !na.contains("_dup")
+      (nb, sb) <- sigMap.toSeq if nb.contains("_dup")
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (na, nb, d.toLong)).sorted
+    assert(viaStore == want, s"store link diverged: $viaStore vs $want")
+    assert(viaStore.nonEmpty, "fixture twins should link")
+
+    // attach (fresh catalog declaration) + append the batch: now the
+    // batch's own twins link against the GROWN store without the
+    // originals ever being re-signed
+    val (table2, (sb2, b2, bk2)) = SigBandStore.attach(spark, path)
+    assert((sb2, b2, bk2) == ((64, 4, 4)))
+    SigBandStore.append(spark, table2, batch, "name", "sig",
+      sigBits = sb2, bands = b2, buckets = bk2)
+    val after = canon(SigBandStore.linkNew(spark, table2, batch, "name", "sig",
+      maxDist = 6, sigBits = sb2, bands = b2))
+    // self-links (x, x, 0) are documented behavior when the same item
+    // sits on both sides — consumers filter, the store reports
+    val wantAfter = (for {
+      (na, sa) <- sigMap.toSeq
+      (nb, sb) <- sigMap.toSeq if nb.contains("_dup")
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (na, nb, d.toLong)).sorted
+    assert(after == wantAfter, s"grown-store link diverged: $after vs $wantAfter")
+  }
+
+  test("sig-band-store link scans the store bucketed: zero exchanges on the store side") {
+    import graft.dedup.SigBandStore
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      // synthetic packed signatures stand in for image hashes (the
+      // plan shape is signature-source-agnostic); odd ids are 1-bit
+      // twins of the preceding even id so the link is non-empty and
+      // AQE cannot collapse the join to an EmptyRelation
+      val all = spark.range(2000).select(
+        concat(lit("img_"), col("id")).as("name"),
+        xxhash64(floor(col("id") / 2)).bitwiseXOR(pmod(col("id"), lit(2))).as("sig"),
+        col("id"))
+      val ref = all.filter(col("id") % 2 === 0).drop("id")
+      val batch = all.filter(col("id") % 2 === 1).drop("id")
+      val table = SigBandStore.createAt(spark, ref, "name", "sig",
+        s"${tmpPath("sig_band_plan")}/s", sigBits = 64, bands = 4, buckets = 32)
+      val linked = SigBandStore.linkNew(spark, table, batch, "name", "sig",
+        maxDist = 6, sigBits = 64, bands = 4)
+      linked.queryExecution.toRdd.count()
+      val finalPlan = linked.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      assert(finalPlan.toString.contains("Bucketed: true"),
+        s"sig-band-store scan is not bucketed:\n${finalPlan.toString.take(3000)}")
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case other => other.children.flatMap(flatten)
+      })
+      val joins = flatten(finalPlan).collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, s"no join in the link plan:\n${finalPlan.toString.take(2000)}")
+      val storeSide = joins.head.children.last
+      val storeShuffles = flatten(storeSide).collect { case e: ShuffleExchangeExec => e }
+      assert(storeShuffles.isEmpty,
+        s"store side of the sig band join reshuffles:\n$storeSide")
+    } finally spark.conf.set(thresholdKey, orig)
+  }
 }

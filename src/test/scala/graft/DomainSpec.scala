@@ -938,4 +938,33 @@ class DomainSpec extends SparkSpecBase {
     assert(catted == singleLines.tail.sorted,
       "concatenated shards != sorted single-file body")
   }
+
+  test("CLI image-store: create originals, ingest twins links the planted pairs") {
+    val fixDir = "/root/repo/fixtures/images"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_imgstore").toString
+    // split fixtures: originals become the store corpus, twins the batch
+    val orig = s"$tmp/orig"; val batch = s"$tmp/batch"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(orig))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(batch))
+    new java.io.File(fixDir).listFiles().filter(_.getName.endsWith(".ppm")).foreach { f =>
+      val dst = if (f.getName.contains("_dup")) batch else orig
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dst/${f.getName}"))
+    }
+    assert(graft.Cli.run(Array(
+      "image-store", "--create", "-i", s"$orig/*.ppm", "-s", s"$tmp/store",
+      "--buckets", "4")) == 0)
+    assert(graft.Cli.run(Array(
+      "image-store", "--ingest", "-i", s"$batch/*.ppm", "-s", s"$tmp/store",
+      "-o", s"$tmp/pairs")) == 0)
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the planted twins at their generator-documented distances plus
+    // the one true cross-family hamming-6 neighbor (MultimodalSpec's
+    // pinned set — every pinned pair crosses the orig/twin split)
+    assert(pairs == Set(
+      ("img_0.ppm", "img_0_dup.ppm", 6L),
+      ("img_1.ppm", "img_1_dup.ppm", 4L),
+      ("img_2.ppm", "img_2_dup.ppm", 1L),
+      ("img_1.ppm", "img_2_dup.ppm", 6L)), pairs.toString)
+  }
 }

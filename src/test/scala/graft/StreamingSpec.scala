@@ -736,6 +736,60 @@ class StreamingSpec extends SparkSpecBase {
       "replayed ledger entry changed retrieval rows")
   }
 
+  test("streamed image near-dup over the sig band store == batch nearDupPairs") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.dedup.SigBandStore
+    import graft.multimodal.ImageOps
+    import graft.streaming.ImageSigStream
+
+    val fixDir = "/root/repo/fixtures/images"
+    val tmp = Files.createTempDirectory("graft_imgsig_stream").toString
+    val landing = s"$tmp/landing"; Files.createDirectories(Paths.get(landing))
+    val storePath = s"$tmp/store"
+    val pairsDir = s"$tmp/pairs"
+
+    // The corpus (originals) is decoded and signed ONCE, at store
+    // creation; streamed twins link against it without re-hashing.
+    val all = ImageOps.decodePpm(spark, ImageOps.readBinary(spark, s"$fixDir/*.ppm"))
+    val origSigs = ImageOps.aHash64Packed(spark,
+      all.filter(!col("name").contains("_dup")))
+    SigBandStore.createAt(spark, origSigs, "name", "sig", storePath,
+      sigBits = 64, bands = 4, buckets = 4)
+
+    def land(names: String*): Unit = names.foreach { n =>
+      Files.copy(Paths.get(s"$fixDir/$n"), Paths.get(s"$landing/$n"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    land("img_0_dup.ppm", "img_1_dup.ppm")
+    val q1 = ImageSigStream.maintain(spark, landing, storePath, pairsDir,
+      s"$tmp/ckpt", maxHamming = 6)
+    try q1.processAllAvailable() finally q1.stop()
+    land("img_2_dup.ppm")
+    val q2 = ImageSigStream.maintain(spark, landing, storePath, pairsDir,
+      s"$tmp/ckpt", maxHamming = 6)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(pairsDir).dropDuplicates()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = ImageOps.nearDupPairs(spark, all, maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // every batch pair involves a twin (originals sit 7-9 bits apart),
+    // so the streamed union (cross-store + within-batch) must equal
+    // the full batch pair set exactly
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed.size == 4, streamed.toString) // the pinned fixture set
+
+    // a third arrival of an already-linked twin re-links idempotently
+    // (pairs dedup on read) and never self-links
+    land("img_2_dup.ppm")
+    val q3 = ImageSigStream.maintain(spark, landing, storePath, pairsDir,
+      s"$tmp/ckpt2", maxHamming = 6) // fresh checkpoint: re-delivery
+    try q3.processAllAvailable() finally q3.stop()
+    val replayed = spark.read.parquet(pairsDir).dropDuplicates()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(replayed == batch, s"re-delivery changed the pair set: $replayed")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
