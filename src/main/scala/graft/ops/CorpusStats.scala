@@ -97,10 +97,12 @@ object CorpusStats {
     // One tokenize pass feeding both the pair stream and the unigram
     // histogram (the importanceWeights argument: never explode 100 TB
     // of text twice when the first pass's output is strictly smaller).
-    val tk = docs
+    // Corpus-sized and reused → pluggable storage (Parallelism.stage):
+    // default localCheckpoint for single-JVM speed, `disk` on clusters
+    // where executor loss must recompute instead of killing the job.
+    val tk = Parallelism.stage(docs
       .filter(col("text").isNotNull)
-      .select(toksCol.as("tk"))
-      .localCheckpoint(false)
+      .select(toksCol.as("tk")))
 
     val pairsCol = when(
       size(col("tk")) >= 2,

@@ -43,6 +43,38 @@ object Parallelism {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Materialization point for a REUSED corpus-sized intermediate
+    * (the tokenized corpus feeding PMI's pair and unigram aggregates,
+    * BM25's posting table feeding probe + df + stats). The default —
+    * `localCheckpoint` — is the right single-JVM/bench answer: no
+    * re-tokenize per consumer, lineage truncated. Its cluster trade
+    * is real, though: blocks pin to executor storage and are LOST on
+    * executor failure (lineage is gone, the job dies), which is the
+    * wrong default for a 1000-executor run where some executor loss
+    * is routine. `spark.graft.stage.storage` picks the strategy:
+    *
+    *  - `local-checkpoint` (default): fastest, non-resilient;
+    *  - `disk`: `persist(DISK_ONLY)` — keeps lineage, so a lost
+    *    block recomputes from source instead of failing the job
+    *    (the cluster answer; costs lineage growth, fine for these
+    *    non-iterative plans);
+    *  - `none`: no materialization — every consumer recomputes
+    *    (spot-instance fleets where storage churn beats recompute).
+    *
+    * NOT for iterative loops ([[graft.dedup.Dedup.dupClusters]]):
+    * those need the lineage TRUNCATION, not just the caching, and
+    * keep their explicit `localCheckpoint`.
+    */
+  def stage(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.stage.storage")
+      .getOrElse("local-checkpoint") match {
+      case "local-checkpoint" => df.localCheckpoint(false)
+      case "disk" => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "none" => df
+      case other => sys.error(
+        s"unknown spark.graft.stage.storage '$other' (local-checkpoint|disk|none)")
+    }
+
   /** Estimate how many partitions the scan will plan, WITHOUT physical
     * planning (`df.rdd` would plan the subtree — thrown away whenever we
     * then wrap in repartition — and observes the pre-AQE count anyway).

@@ -76,9 +76,13 @@ object PostingStore {
   }
 
   /** Ledger-wide metadata: bucket count from `store.json`, counters
-    * summed over every batch's stats file (driver-side; one small
-    * file per ingest). */
-  private def readMeta(spark: SparkSession, path: String): (Long, Long, Int) = {
+    * summed over every COMMITTED batch's stats file (driver-side; one
+    * small file per ingest), plus the committed tag set itself — the
+    * visibility gate: a batch exists for readers exactly when its
+    * stats file does (it commits LAST in [[writeBatch]]), so retrieve
+    * must scan only `batch IN committed` or it would score a racing
+    * append's postings with missing df deltas and stale counters. */
+  private def readMeta(spark: SparkSession, path: String): (Long, Long, Int, Seq[String]) = {
     val nBuckets = {
       val s = readText(spark, s"$path/store.json")
       "\"n_buckets\":(\\d+)".r.findFirstMatchIn(s)
@@ -93,7 +97,8 @@ object PostingStore {
       nDocs += "\"n_docs\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
       totalDl += "\"total_dl\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
     }
-    (nDocs, totalDl, nBuckets)
+    val tags = statFiles.map(_.getPath.getName.stripSuffix(".json")).toSeq
+    (nDocs, totalDl, nBuckets, tags)
   }
 
   /** Write one batch's ledger entry under `tag`: its postings and df
@@ -146,7 +151,7 @@ object PostingStore {
     require(tag != "base", "tag 'base' is reserved for create")
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a plain token, got '$tag'")
     val spark = newDocs.sparkSession
-    val (_, _, nBuckets) = readMeta(spark, path)
+    val (_, _, nBuckets, _) = readMeta(spark, path)
     writeBatch(newDocs, path, tag, nBuckets)
   }
 
@@ -161,7 +166,7 @@ object PostingStore {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val (nDocs, totalDl, nBuckets) = readMeta(spark, path)
+    val (nDocs, totalDl, nBuckets, committed) = readMeta(spark, path)
     // Materialized once: feeds the driver-side bucket collect and the
     // two broadcast joins — a re-evaluated source could otherwise
     // probe buckets the static partition filter never admitted.
@@ -169,17 +174,24 @@ object PostingStore {
       .withColumn("tb", termBucket(col("term"), nBuckets))
       .localCheckpoint(false)
     val buckets = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    // Both scans are gated on the COMMITTED tag set (batch is a
+    // partition column, so this prunes statically): a concurrent
+    // append/micro-batch's postings become file-visible the moment
+    // their parquet commit finishes, BEFORE its dfreq deltas and
+    // stats land — without the gate a racing retrieve would score
+    // those postings with missing df and stale (n_docs, total_dl).
+    // With it, read visibility is atomic at the stats-file commit.
     // Parallelism.ensure: a physically-small posting store packs into
     // one file split, and the probe's query fan-out would serialize on
     // it (the q88 lesson); structurally a no-op once the store is big.
     val postings = Parallelism.ensure(
       spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(buckets: _*)))
+        .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*)))
     // Global df re-derived from the probed buckets' deltas: integer
     // sums are order-independent, so this equals the df a single
     // whole-corpus build would have written.
     val dfreq = spark.read.parquet(s"$path/dfreq")
-      .filter(col("tb").isin(buckets: _*))
+      .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*))
       .groupBy("term").agg(sum("df").cast("long").as("df"))
     // avg(dl) over integer-valued doubles == total/count exactly.
     val avgdl = totalDl.toDouble / nDocs.toDouble

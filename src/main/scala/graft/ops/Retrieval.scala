@@ -137,12 +137,15 @@ object Retrieval {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    // Locally checkpointed: three consumers (probe, df, stats). The
-    // parallelism guard undoes AQE's coalesce-to-one on the frozen
-    // checkpoint — the score fan-out below multiplies these rows by
-    // matching queries and must not inherit a single partition.
+    // Materialized once for three consumers (probe, df, stats) —
+    // corpus-sized, so the storage strategy is pluggable
+    // (Parallelism.stage: localCheckpoint default, DISK_ONLY persist
+    // for executor-loss resilience on clusters). The parallelism
+    // guard undoes AQE's coalesce-to-one on the frozen checkpoint —
+    // the score fan-out below multiplies these rows by matching
+    // queries and must not inherit a single partition.
     val postings = Parallelism.ensureCheckpointed(
-      buildPostings(corpus).localCheckpoint(false))
+      Parallelism.stage(buildPostings(corpus)))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     // N and avgdl from the distinct (doc_id, dl) projection of the
     // postings — bounded by |corpus| rows, 2 columns.

@@ -18,8 +18,12 @@ import graft.ops.PostingStore
   * construction: a batch's tag is its (checkpoint-pinned) batch id
   * and every piece of its entry OVERWRITES that tag, so a
   * crash-retried batch replaces — never duplicates — its own output;
-  * the batch's stats file commits LAST, so a concurrent retrieve
-  * either counts the whole batch or none of it. Cross-batch state on
+  * the batch's stats file commits LAST, and
+  * [[PostingStore.retrieve]] scans only `batch` partitions whose
+  * stats file exists — so a concurrent retrieve either counts the
+  * whole batch or none of it (a batch's postings are file-visible
+  * before its df deltas and stats land; the reader-side tag gate is
+  * what makes visibility atomic). Cross-batch state on
   * the driver: none (each entry is a pure function of its batch's
   * content) — the [[PackStream]] recipe without even an offset chain,
   * because ledger entries are independent.

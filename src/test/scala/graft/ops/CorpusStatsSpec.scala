@@ -235,4 +235,56 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(run(s"$tmp/s") == run(s"$tmp/fresh"),
       "re-created store still sees the pre-create ledger")
   }
+
+  test("stage storage modes (local-checkpoint/disk/none) agree: pmi and bm25 bit-identical") {
+    val docs = Tables()
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def pmiRows() = CorpusStats.pmiPairs(docs, topK = 10).collect().map(_.toSeq).toSeq
+    def bmRows() = Retrieval.bm25TopK(docs, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val key = "spark.graft.stage.storage"
+    val base = (pmiRows(), bmRows()) // default: local-checkpoint
+    try {
+      for (mode <- Seq("disk", "none")) {
+        spark.conf.set(key, mode)
+        assert((pmiRows(), bmRows()) == base, s"mode $mode diverged")
+      }
+      spark.conf.set(key, "bogus")
+      intercept[RuntimeException](bmRows())
+    } finally spark.conf.unset(key)
+  }
+
+  test("PostingStore.retrieve ignores an uncommitted batch (no stats file = invisible)") {
+    // The visibility contract: a batch exists for readers exactly when
+    // its stats file does (it commits LAST). Simulate a retrieve
+    // racing an in-flight append — postings and dfreq landed, stats
+    // not yet — by appending and then deleting the stats file: the
+    // rows must equal the pre-append store bit-for-bit, not a mix of
+    // new postings with stale counters.
+    val docs = Tables()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_race").toString
+    PostingStore.create(docs.filter(col("doc_id") % 2 === 0), s"$tmp/s")
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def run() = PostingStore.retrieve(spark, s"$tmp/s", queries, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val before = run()
+    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/s", "inflight")
+    val statsFile = new java.io.File(s"$tmp/s/stats/inflight.json")
+    assert(statsFile.exists)
+    assert(statsFile.delete())
+    assert(run() == before,
+      "retrieve saw an uncommitted batch's postings")
+    // restoring the stats commit makes the batch visible atomically
+    PostingStore.append(docs.filter(col("doc_id") % 2 === 1), s"$tmp/s", "inflight")
+    PostingStore.create(docs, s"$tmp/full")
+    def runP(p: String) = PostingStore.retrieve(spark, p, queries, k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(runP(s"$tmp/s") == runP(s"$tmp/full"),
+      "committed batch not fully visible")
+  }
 }
