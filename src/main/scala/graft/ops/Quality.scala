@@ -225,6 +225,72 @@ object Quality {
       .limit(topK)
   }
 
+  /** One recorded BPE merge: `left + right -> merged` chosen at
+    * `step` with corpus-weighted pair count `cnt`. */
+  final case class BpeMerge(step: Int, left: String, right: String, merged: String, cnt: Long)
+
+  /** Iterative BPE tokenizer training (Sennrich et al. 2016): the
+    * ordered list of the first `nMerges` merges. [[bpePairStats]] is
+    * this loop's first candidate table; here the loop actually runs —
+    * pick the most frequent adjacent symbol pair, fuse it across the
+    * vocabulary, re-count, repeat.
+    *
+    * Scale shape: ONE corpus-sized pass (token counts); every
+    * iteration after that is VOCABULARY-sized — pair explosion costs
+    * |vocab| · word-length, the argmax is a 1-row collect, and the
+    * merge application is a per-word array fold. The driver holds
+    * only the bounded merge list; the vocab stays a DataFrame,
+    * locally checkpointed per iteration so lineage cannot grow with
+    * `nMerges`. Stops early (returns fewer merges) when no adjacent
+    * pair remains.
+    *
+    * Determinism: argmax orders (cnt desc, left asc, right asc);
+    * merge application is the standard greedy left-to-right fold
+    * ("aaa" under (a,a) -> [aa, a]), while pair COUNTING counts every
+    * adjacent occurrence including overlaps (the reference
+    * `get_stats` semantics — so step 1's counts equal
+    * [[bpePairStats]] exactly).
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 0, "nMerges must be >= 0")
+    def applyMerge(syms: Column, x: String, y: String): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, s) =>
+        when(get(acc, size(acc) - 1) === lit(x) && s === lit(y),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+          .otherwise(concat(acc, array(s))))
+    var vocab = docs
+      .filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(filter(split(col("tok"), ""), s => s =!= "").as("syms"), col("c"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("x"),
+            element_at(col("syms"), i + 1).as("y")))).as("p"), col("c"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum("c").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (x, y, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(step, x, y, x + y, cnt)
+        vocab = vocab
+          .select(applyMerge(col("syms"), x, y).as("syms"), col("c"))
+          .localCheckpoint(false)
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020): rank every
     * document by its [[unigramLogprob]] perplexity proxy WITHIN its
     * language and cut each language into `nBuckets` equal-frequency

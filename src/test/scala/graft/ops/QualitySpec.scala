@@ -222,4 +222,43 @@ class QualitySpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(run(1) == run(13))
   }
+
+  test("bpeMerges matches a hand-computed 3-merge example; stops when exhausted") {
+    import spark.implicits._
+    // corpus words: abab x2, abc x1
+    // step 1 pairs: (a,b)=5 [2 per 'abab' x2 + 1 in 'abc'], (b,a)=2,
+    //   (b,c)=1 -> merge (a,b) cnt 5; vocab: [ab,ab] x2, [ab,c] x1
+    // step 2: (ab,ab)=2, (ab,c)=1 -> merge (ab,ab) cnt 2
+    // step 3: (ab,c)=1 -> merge (ab,c) cnt 1; then nothing remains
+    val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = graft.ops.Quality.bpeMerges(docs, nMerges = 10)
+    assert(merges.map(m => (m.step, m.left, m.right, m.merged, m.cnt)) == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "ab", "abab", 2L),
+      (3, "ab", "c", "abc", 1L)),
+      merges.toString) // also proves early stop: 10 asked, 3 possible
+  }
+
+  test("bpeMerges greedy application: 'aaa' under (a,a) folds to [aa, a]") {
+    import spark.implicits._
+    // words: aaa x3, aab x1
+    // step 1: (a,a): 'aaa' has 2 adjacent occurrences x3 = 6, 'aab' 1
+    //   -> 7; (a,b) = 1 -> merge (a,a) cnt 7
+    // after greedy fold: aaa -> [aa, a]; aab -> [aa, b]
+    // step 2: (aa,a)=3, (aa,b)=1 -> merge (aa,a) cnt 3
+    val docs = Seq((1L, "aaa aaa aaa aab")).toDF("doc_id", "text")
+    val merges = graft.ops.Quality.bpeMerges(docs, nMerges = 2)
+    assert(merges.map(m => (m.step, m.left, m.right, m.cnt)) == Seq(
+      (1, "a", "a", 7L),
+      (2, "aa", "a", 3L)),
+      merges.toString)
+  }
+
+  test("bpeMerges step 1 equals bpePairStats' top candidate on real docs") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val top = graft.ops.Quality.bpePairStats(docs, topK = 1).collect()(0)
+    val m1 = graft.ops.Quality.bpeMerges(docs, nMerges = 1).head
+    assert((m1.merged, m1.cnt) == ((top.getString(0), top.getLong(1))),
+      s"first merge ${m1} != bpePairStats top ${top}")
+  }
 }
