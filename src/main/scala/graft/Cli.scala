@@ -482,6 +482,49 @@ object Cli {
       println(s"curated corpus written to $out")
       0
 
+    case "curate-pipeline" :: rest =>
+      // Full curation pipeline (q79's composition via ops/Curation):
+      // near-dup clusters -> best-quality survivor -> quality/length
+      // gates -> benchmark decontamination -> per-source token budget.
+      // Writes the curated corpus parquet plus the per-stage row-count
+      // ledger (ledger.json) a production curation run ships with its
+      // output. --bench points at a held-out (doc_id, text) parquet;
+      // without it the corpus's own hash-split valid slice is the
+      // benchmark (the q79 contract).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      def dOpt(k: String, dflt: Double) =
+        m.get(k).flatMap(_.headOption).map(_.toDouble).getOrElse(dflt)
+      def lOpt(k: String, dflt: Long) =
+        m.get(k).flatMap(_.headOption).map(_.toLong).getOrElse(dflt)
+      val cfg = graft.ops.Curation.Config(
+        jaccardThreshold = dOpt("--jaccard", 0.8),
+        minQuality = dOpt("--min-quality", 0.5),
+        minTokens = lOpt("--min-tokens", 5L).toInt,
+        maxTokens = lOpt("--max-tokens", 1000L).toInt,
+        budgetPerSource = lOpt("--budget", 10000L))
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in)
+      val bench = m.get("--bench").flatMap(_.headOption) match {
+        case Some(p) => spark.read.parquet(p).select("doc_id", "text")
+        case None => docs
+          .filter(graft.functions.TextFunctions.hashSplit(col("doc_id")) === "valid")
+          .select("doc_id", "text")
+      }
+      val (curatedOut, ledger) = graft.ops.Curation.withLedger(docs, bench, cfg)
+      curatedOut.write.mode("overwrite").parquet(s"$out/corpus")
+      val ledgerJson = ledger.map(s => s"""  {"stage": "${s.stage}", "rows": ${s.rows}}""")
+        .mkString("[\n", ",\n", "\n]")
+      val ledgerPath = java.nio.file.Paths.get(out, "ledger.json")
+      java.nio.file.Files.createDirectories(ledgerPath.getParent)
+      java.nio.file.Files.write(ledgerPath,
+        ledgerJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ledger.foreach(s => println(f"${s.stage}%-16s ${s.rows}%d"))
+      println(s"curated corpus + ledger written to $out")
+      0
+
     case "ann" :: rest =>
       // Approximate (or exact) nearest neighbors over an embedding
       // parquet: writes (query_id, neighbor_id, cos, rank). Queries

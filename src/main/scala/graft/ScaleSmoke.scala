@@ -771,6 +771,41 @@ object ScaleSmoke {
     checks += ("image near-dup banded == brute force over 800 generated images" ->
       f"${imGot.size}%d pairs identical at maxHamming=6, no cartesian, $imSec%.1f s")
 
+    // 14. Full curation pipeline with ledger at 50k docs (the CLI
+    // `curate-pipeline` path): stages may only shrink the corpus, the
+    // per-source token budget must hold, and the ledger counts must
+    // agree with the shipped output — the operational artifact a
+    // curation run produces, rehearsed at 10×.
+    val cu0 = System.nanoTime()
+    val cuBench = docs
+      .filter(graft.functions.TextFunctions.hashSplit(col("doc_id")) === "valid")
+      .select("doc_id", "text")
+    val (cuOut, cuLedger) = graft.ops.Curation.withLedger(
+      docs.select("doc_id", "text", "source", "lang"), cuBench)
+    val cuCounts = cuLedger.map(s => s.stage -> s.rows).toMap
+    val cuSec = (System.nanoTime() - cu0) / 1e9
+    assert(cuCounts("input") == 50000L, cuCounts.toString)
+    assert(cuCounts("dedup_survivors") <= cuCounts("input") &&
+      cuCounts("quality_gated") <= cuCounts("dedup_survivors") &&
+      cuCounts("decontaminated") <= cuCounts("quality_gated") &&
+      cuCounts("token_budgeted") <= cuCounts("decontaminated"),
+      s"curation ledger not monotone: $cuCounts")
+    // the 10× corpus is 90% near-dups by construction — dedup must bite
+    assert(cuCounts("dedup_survivors") <= cuCounts("input") / 5,
+      s"near-dup stage barely deduped a 10-copy corpus: $cuCounts")
+    assert(cuCounts("token_budgeted") > 0, cuCounts.toString)
+    val cuBySource = cuOut.groupBy("source")
+      .agg(sum(col("n_tokens")).as("t")).collect()
+    cuBySource.foreach(r =>
+      assert(r.getLong(1) <= 10000L, s"source ${r.getString(0)} over budget"))
+    assert(cuCounts("final_tokens") == cuBySource.map(_.getLong(1)).sum,
+      "ledger token total != shipped corpus tokens")
+    checks += ("curation pipeline + ledger at 50k docs (CLI curate-pipeline path)" ->
+      (f"${cuCounts("input")}%d -> ${cuCounts("dedup_survivors")}%d -> " +
+        f"${cuCounts("quality_gated")}%d -> ${cuCounts("decontaminated")}%d -> " +
+        f"${cuCounts("token_budgeted")}%d rows (${cuCounts("final_tokens")}%d tokens), " +
+        f"budget held, $cuSec%.1f s"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

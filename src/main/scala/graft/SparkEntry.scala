@@ -576,27 +576,12 @@ object SparkEntry {
     */
   def q79CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val scored = docs.select(col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality"))
-    val survivors = Dedup.keepBestPerCluster(
-      q47DupClusters(s, dir).select(col("doc_id"), col("cluster_id")),
-      scored, "doc_id", "quality")
-      .select(col("doc_id"), col("quality"))
-    val gated = survivors
-      .join(docs.select(col("doc_id"), col("text"), col("source"), col("lang"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
-      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
     val bench = docs.withColumn("split", splitLabel)
       .filter(col("split") === "valid").select("doc_id", "text")
-    val flagged = graft.dedup.Dedup.crossNgramOverlapBloom(
-      gated.select("doc_id", "text"), bench, "doc_id", "text", n = 5)
-      .select("doc_id")
-    val clean = gated.join(flagged, Seq("doc_id"), "left_anti")
-    graft.ops.Sampling.tokenBudgetPerKey(
-      clean.select("doc_id", "source", "n_tokens"),
-      "source", "doc_id", "n_tokens", budget = 10000L)
-      .select(col("doc_id"), col("source"), col("n_tokens"))
-      .join(clean.select(col("doc_id"), col("lang"), col("quality")), Seq("doc_id"))
+    // The composition lives in ops/Curation so this oracle-gated
+    // query, the `curate-pipeline` CLI verb and the 10× rehearsal
+    // can never diverge; defaults are the gate-pinned thresholds.
+    graft.ops.Curation.pipeline(docs, bench)
   }
 
   /** Corpus vocabulary top-k by frequency (BPE-vocab precursor):

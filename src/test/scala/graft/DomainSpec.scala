@@ -232,6 +232,43 @@ class DomainSpec extends SparkSpecBase {
     }
   }
 
+  test("CLI curate-pipeline: output == q79, ledger is consistent") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString
+    assert(graft.Cli.run(Array("curate-pipeline", "-i", docs, "-o", tmp)) == 0)
+
+    // The verb (default thresholds, hash-split valid benchmark) must
+    // reproduce the oracle-gated q79 row set exactly — one code path.
+    val got = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id", "source", "n_tokens", "lang", "quality")
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.q79CurationPipeline(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "n_tokens", "lang", "quality")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"CLI rows ${got.size} != q79 rows ${want.size}")
+
+    val ledgerJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "ledger.json")), "UTF-8")
+    val counts = """"stage": "([a-z_]+)", "rows": (\d+)""".r
+      .findAllMatchIn(ledgerJson).map(m => m.group(1) -> m.group(2).toLong).toMap
+    assert(counts.keySet == Set("input", "dedup_survivors", "quality_gated",
+      "decontaminated", "token_budgeted", "final_tokens"), counts.toString)
+    // pipeline stages only ever shrink the corpus, and the parquet
+    // row count is the ledger's final stage count
+    assert(counts("input") == 500L)
+    assert(counts("dedup_survivors") <= counts("input"))
+    assert(counts("quality_gated") <= counts("dedup_survivors"))
+    assert(counts("decontaminated") <= counts("quality_gated"))
+    assert(counts("token_budgeted") <= counts("decontaminated"))
+    assert(counts("token_budgeted") == got.size.toLong)
+    // budget: no source exceeds its 10k-token allowance
+    val bySource = spark.read.parquet(s"$tmp/corpus")
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    bySource.foreach { case (s, t) => assert(t <= 10000L, s"$s over budget: $t") }
+    assert(counts("final_tokens") == bySource.map(_._2).sum)
+  }
+
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
