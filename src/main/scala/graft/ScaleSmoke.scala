@@ -644,6 +644,24 @@ object ScaleSmoke {
     checks += ("persisted posting store at 50k docs: pruned probe == in-memory rows" ->
       (f"${psRows.length} hit rows bit-identical, PartitionFilters verified, " +
         f"build $psBuildSec%.1f s, build+probe $psSec%.1f s"))
+    // TF-IDF cosine over the SAME idf-selective corpus: the rare
+    // family term dominates both weight and norm, so the family
+    // members must outrank the filler-sharing bulk — the same idf
+    // mechanism as BM25 through the cosine scoring path (q98).
+    val tf0 = System.nanoTime()
+    val tfDf = graft.ops.Retrieval.tfidfTopK(bmCorpus, bmQueries, k = 5)
+    assert(!tfDf.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "tfidf went cartesian at 10x")
+    val tfHits = tfDf.select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tfSec = (System.nanoTime() - tf0) / 1e9
+    val tfPrec = tfHits.count { case (q, d, _) => d % 5000 == q }
+      .toDouble / tfHits.length
+    assert(tfHits.count(_._3 == 1L) == 20, "expected 20 tfidf queries")
+    assert(tfPrec >= 0.95,
+      f"TF-IDF lost the planted families: top-5 family precision $tfPrec%.3f")
+    checks += ("TF-IDF cosine retrieval finds the planted families (50k docs)" ->
+      f"top-5 family precision $tfPrec%.3f over 20 queries, no cartesian, $tfSec%.1f s")
 
     // 11. CMS heavy hitters ≡ exact at 10× (the no-false-negative
     // contract under 10× token counts): the sketch-prefiltered result

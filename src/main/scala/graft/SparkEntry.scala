@@ -1281,6 +1281,20 @@ object SparkEntry {
       .select(col("purchase_id"), coalesce(col("__n"), lit(0L)).as("n_clicks"))
   }
 
+  /** TF-IDF cosine retrieval (the vector-space sibling of q88's BM25;
+    * sklearn-style smooth idf, document-as-query over the same
+    * held-out 1-in-25 query slice). Norms and dots accumulate
+    * fixed-point longs, so every float the rank cut compares is
+    * engine-portable — a full value oracle over cosine retrieval. */
+  def q98TfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Retrieval.tfidfTopK(
+      corpus = docs.filter(col("doc_id") % 25 =!= 0),
+      queries = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      k = 10)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1388,6 +1402,7 @@ object SparkEntry {
     "q95_image_neardup" -> (q95ImageNearDup _),
     "q96_asof_join" -> (q96AsofJoin _),
     "q97_range_join" -> (q97RangeJoin _),
+    "q98_tfidf_topk" -> (q98TfidfTopK _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -3028,6 +3043,53 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |  AND c.ts < p.ts + INTERVAL 1 HOUR
         |GROUP BY 1""".stripMargin,
+    // q98: the TF-IDF float path transcribed operator-for-operator
+    // (same parenthesization); norms and dots quantize to ×10⁴ longs
+    // so every sum is associative integer addition, and the rank cut
+    // compares ROUNDED scores — nothing engine-dependent.
+    "q98_tfidf_topk" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+        |pd AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+        |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pd),
+        |wd AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE))) + 1.0) AS w
+        |  FROM pd JOIN dfreq USING (term), stats),
+        |dn AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(w * w * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS nrm
+        |  FROM wd GROUP BY 1),
+        |qp AS (
+        |  SELECT q_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id AS q_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)
+        |  GROUP BY 1, 2),
+        |wq AS (
+        |  SELECT q_id, term,
+        |    CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(coalesce(df, 0) AS DOUBLE))) + 1.0) AS w
+        |  FROM qp LEFT JOIN dfreq USING (term), stats),
+        |qn AS (
+        |  SELECT q_id,
+        |    sqrt(CAST(sum(CAST(round(w * w * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS nrm
+        |  FROM wq GROUP BY 1),
+        |dots AS (
+        |  SELECT wq.q_id, wd.doc_id,
+        |    sum(CAST(round(wq.w * wd.w * 10000.0, 0) AS BIGINT)) AS d4
+        |  FROM wq JOIN wd USING (term) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dots.q_id, dots.doc_id,
+        |    round((CAST(d4 AS DOUBLE) / 10000.0) / (qn.nrm * dn.nrm), 6) AS score
+        |  FROM dots JOIN qn USING (q_id) JOIN dn USING (doc_id))
+        |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin,
     "q95_image_neardup" ->
       s"""WITH b AS (
         |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, decode(content) AS t

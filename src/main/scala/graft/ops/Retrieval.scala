@@ -157,4 +157,90 @@ object Retrieval {
       withStats = _.crossJoin(broadcast(stats)),
       k = k, k1 = k1, b = b)
   }
+
+  /** TF-IDF cosine top-`k` retrieval — the vector-space sibling of
+    * [[bm25TopK]], with the sklearn-style smooth idf:
+    *
+    *   idf(t)     = ln((1 + N) / (1 + df)) + 1
+    *   w(x, t)    = tf(x, t) · idf(t)
+    *   score(q,d) = Σ_{t ∈ q∩d} w(q,t)·w(d,t) / (‖w(q)‖·‖w(d)‖)
+    *
+    * Query terms unseen in the corpus take df = 0 (idf = ln(1+N)+1):
+    * they match nothing but still weigh the query norm, as a fitted
+    * vectorizer transforming unseen text does.
+    *
+    * Determinism contract (the oracle transcribes it exactly): each
+    * norm accumulates round(w²·10⁴) longs (exact integer sum — no
+    * float fold order) before one sqrt; each dot accumulates
+    * round(w_q·w_d·10⁴) longs; the final score rounds to 6 places and
+    * the top-k cut ranks by (rounded score desc, doc_id). The 10⁴
+    * scale bounds Σ under 2⁶³ for tf·idf up to ~10⁶ per term — far
+    * beyond any real document; BM25's 10⁹ scale works there only
+    * because its term scores are idf-bounded.
+    *
+    * Scale shape: ONE tokenize pass builds the postings (the only
+    * corpus-sized intermediate, staged like [[bm25TopK]]); weighting
+    * joins the vocabulary-sized df table back on `term`; norms are
+    * one map-side-combined aggregate of that same weighted table; the
+    * query side is broadcast; the per-(q,d) dot reduces matched
+    * postings before its exchange, and the norm attach joins the
+    * match-bounded score table, never the corpus.
+    *
+    * Output: (query_id, doc_id, rank, score).
+    */
+  def tfidfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val postings = Parallelism.ensureCheckpointed(
+      Parallelism.stage(buildPostings(corpus)))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = postings.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = log((lit(1.0) + col("n_docs").cast("double")) /
+      (lit(1.0) + col("df").cast("double"))) + lit(1.0)
+    val weight = col("tf").cast("double") * idf
+
+    // Corpus side: weighted postings (one term-keyed join with the
+    // vocab-sized df table), staged for its two consumers (norms +
+    // dot) so tokenize/weight run once.
+    val wd = Parallelism.stage(
+      postings.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), weight.as("w")))
+    val dnorm = wd.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("w") * col("w") * lit(1.0e4), 0).cast("long"))
+        .cast("double") / lit(1.0e4)).as("dnorm"))
+
+    // Query side: small by contract — same weighting with df looked
+    // up in the corpus vocabulary (0 when absent), then broadcast.
+    val qpost = queries
+      .filter(col("text").isNotNull)
+      .select(col("q_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("term"))
+      .groupBy(col("q_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val wq = qpost
+      .join(dfreq, Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("term"), weight.as("w"))
+      .localCheckpoint(false) // two consumers: qnorm + the dot probe
+    val qnorm = wq.groupBy(col("q_id"))
+      .agg(sqrt(sum(round(col("w") * col("w") * lit(1.0e4), 0).cast("long"))
+        .cast("double") / lit(1.0e4)).as("qnorm"))
+
+    val dots = wd
+      .join(broadcast(wq.select(col("q_id"), col("term"), col("w").as("wq"))), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("wq") * col("w") * lit(1.0e4), 0).cast("long")).as("d4"))
+    val scored = dots
+      .join(broadcast(qnorm), Seq("q_id"))
+      .join(dnorm, Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        round((col("d4").cast("double") / lit(1.0e4)) / (col("qnorm") * col("dnorm")), 6)
+          .as("score"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
 }
