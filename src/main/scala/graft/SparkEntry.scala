@@ -1295,6 +1295,17 @@ object SparkEntry {
       k = 10)
   }
 
+  /** Perceptual near-duplicate audio (the q95 shape, audio modality):
+    * energy-hash signatures over the PCM payload, band-bucketed
+    * candidates, exact hamming verifier — never a self-join. The
+    * oracle recomputes the signatures arithmetically from the same
+    * bytes (read_blob + hex) — two independent decoders must agree on
+    * every planted twin. */
+  def q99AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.AudioOps.nearDupPairs(
+      s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/audio_nd/*.wav"),
+      maxHamming = 4)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1403,6 +1414,7 @@ object SparkEntry {
     "q96_asof_join" -> (q96AsofJoin _),
     "q97_range_join" -> (q97RangeJoin _),
     "q98_tfidf_topk" -> (q98TfidfTopK _),
+    "q99_audio_neardup" -> (q99AudioNearDup _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -3090,6 +3102,40 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 10""".stripMargin,
+    // q99: the eHash recomputed arithmetically from the same WAV
+    // bytes — 16-bit LE samples from the hex rendering, exact
+    // cross-multiplied integer mean comparison, pairwise hamming at
+    // oracle scale vs the engine's banded candidate path.
+    "q99_audio_neardup" ->
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, hex(content) AS h, size
+        |  FROM read_blob('$FixtureDir/audio_nd/*.wav')),
+        |hdr AS (
+        |  SELECT name, h,
+        |    least(CAST(concat('0x', substr(h, 87, 2), substr(h, 85, 2),
+        |                      substr(h, 83, 2), substr(h, 81, 2)) AS BIGINT),
+        |          size - 44) AS data_len
+        |  FROM b),
+        |smp0 AS (
+        |  SELECT name, n, h, unnest(generate_series(0, n - 1)) AS j
+        |  FROM (SELECT name, h, data_len // 2 AS n FROM hdr) t),
+        |smp AS (
+        |  SELECT name, n, j, (j * 64) // n AS w,
+        |    abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS a
+        |  FROM (SELECT name, n, j,
+        |          CAST(concat('0x', substr(h, 91 + 4 * j, 2), substr(h, 89 + 4 * j, 2)) AS BIGINT) AS v
+        |        FROM smp0) v0),
+        |tot AS (SELECT name, sum(a) AS total, count(*) AS n FROM smp GROUP BY 1),
+        |ws AS (SELECT name, w, sum(a) AS s, count(*) AS c FROM smp GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT ws.name, ws.w, CASE WHEN ws.s * t.n > t.total * ws.c THEN 1 ELSE 0 END AS bit
+        |  FROM ws JOIN tot t USING (name))
+        |SELECT clip_a, clip_b, hamming FROM (
+        |  SELECT a.name AS clip_a, b2.name AS clip_b,
+        |    CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b2 ON a.name < b2.name AND a.w = b2.w
+        |  GROUP BY 1, 2) p
+        |WHERE hamming <= 4""".stripMargin,
     "q95_image_neardup" ->
       s"""WITH b AS (
         |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, decode(content) AS t

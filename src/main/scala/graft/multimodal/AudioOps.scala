@@ -83,6 +83,77 @@ object AudioOps {
       }
   }
 
+  /** One packed 64-bit energy-hash signature per clip. */
+  final case class AudioSig(name: String, sig: Long)
+
+  /** Energy-hash ("eHash") signature: the audio twin of image aHash.
+    * The 16-bit PCM payload (all channels, interleaved — the hash is
+    * channel-agnostic by design) splits into 64 contiguous windows
+    * (sample j lands in window j·64/n); bit w is set when window w's
+    * mean |sample| EXCEEDS the clip mean, compared in exact
+    * cross-multiplied integers (sum_w·n > total·cnt_w — never a float
+    * mean), so the signature is bit-reproducible in any engine. Bit w
+    * of the hash sits at long bit (63 − w), like [[ImageOps
+    * .aHash64Packed]], so xor+popcount is the window hamming distance.
+    *
+    * Decode is the per-blob imperative step (same contract as
+    * [[decodeWavMeta]]); one row out per clip, no shuffle. Clips
+    * shorter than 64 samples leave their empty windows at bit 0.
+    */
+  def energyHash64(spark: SparkSession, binaries: DataFrame): DataFrame = {
+    import spark.implicits._
+    binaries
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (name, b) =>
+          requireCanonicalWav(name, b)
+          val dataLen = math.min(leU32(b, 40), (b.length - 44).toLong)
+          val n = (dataLen / 2).toInt
+          val ws = new Array[Long](64)
+          val wc = new Array[Long](64)
+          var total = 0L
+          var j = 0
+          while (j < n) {
+            val lo = b(44 + 2 * j) & 0xff
+            val v = (b(45 + 2 * j) << 8) | lo // signed hi byte: two's-complement 16-bit
+            val a = math.abs(v).toLong
+            val w = ((j.toLong * 64) / n).toInt
+            ws(w) += a; wc(w) += 1; total += a
+            j += 1
+          }
+          var sig = 0L
+          var w = 0
+          while (w < 64) {
+            // Exact integer mean comparison: sum_w/cnt_w > total/n.
+            sig = (sig << 1) | (if (ws(w) * n > total * wc(w)) 1L else 0L)
+            w += 1
+          }
+          AudioSig(name, sig)
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual near-duplicate audio pairs: energy-hash signatures
+    * within `maxHamming` bits — (clip_a, clip_b, hamming), clip_a <
+    * clip_b. Same scale shape as [[ImageOps.nearDupPairs]]: NOT a
+    * self-join — the packed signature feeds the band-bucket candidate
+    * generator ([[graft.dedup.Dedup.bandedHammingPairs]]) with the
+    * exact xor+popcount check as verifier on collision rows only;
+    * recall is exact for `maxHamming <= 2*bands - 1`. */
+  def nearDupPairs(
+      spark: SparkSession,
+      binaries: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+        energyHash64(spark, binaries), "name", "sig",
+        sigBits = 64, bands = bands, maxDist = maxHamming,
+        maxBucketSize = maxBucketSize)
+      .select(col("id_a").as("clip_a"), col("id_b").as("clip_b"), col("hamming"))
+
   /** Sample `nFrames` evenly-spaced `frameBytes`-byte windows from each
     * file's PCM payload: (name, frame_idx, frame_off, frame_md5).
     * Offsets stride `data_bytes / nFrames` from the 44-byte header

@@ -227,6 +227,72 @@ class MultimodalSpec extends SparkSpecBase {
       "image near-dup pair stage must be the banded equi join:\n" + p.take(1500))
   }
 
+  private val audioNdGlob = "/root/repo/fixtures/audio_nd/*.wav"
+
+  /** Independent driver-side eHash: raw bytes → 16-bit LE samples →
+    * 64 windows → exact cross-multiplied mean test. Mirrors the
+    * generator's python, not the engine's code path. */
+  private def driverEHash(b: Array[Byte]): Long = {
+    val dataLen = math.min(
+      (b(40) & 0xffL) | ((b(41) & 0xffL) << 8) | ((b(42) & 0xffL) << 16) | ((b(43) & 0xffL) << 24),
+      (b.length - 44).toLong)
+    val n = (dataLen / 2).toInt
+    val samples = (0 until n).map { j =>
+      math.abs(((b(45 + 2 * j) << 8) | (b(44 + 2 * j) & 0xff)).toLong)
+    }
+    val total = samples.sum
+    val byWin = samples.zipWithIndex.groupBy { case (_, j) => (j.toLong * 64) / n }
+    (0 until 64).foldLeft(0L) { (acc, w) =>
+      val bit = byWin.get(w.toLong) match {
+        case Some(ss) => if (ss.map(_._1).sum * n > total * ss.size) 1L else 0L
+        case None => 0L
+      }
+      (acc << 1) | bit
+    }
+  }
+
+  test("energy-hash matches a driver-side recomputation from the raw bytes") {
+    val got = AudioOps.energyHash64(spark, ImageOps.readBinary(spark, audioNdGlob))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 7)
+    val dir = new java.io.File("/root/repo/fixtures/audio_nd")
+    dir.listFiles().filter(_.getName.endsWith(".wav")).foreach { f =>
+      val want = driverEHash(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(got(f.getName) == want, f.getName)
+    }
+  }
+
+  test("audio near-dup: planted twins found at hamming 1, nothing else") {
+    val pairs = AudioOps.nearDupPairs(
+        spark, ImageOps.readBinary(spark, audioNdGlob), maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // generator-asserted planted truth: three twins at hamming 1,
+    // cross-family distances all >= 27 (tools/gen_fixtures.py audio_nd())
+    assert(pairs == Set(
+      ("clip_0.wav", "clip_0_dup.wav", 1L),
+      ("clip_1.wav", "clip_1_dup.wav", 1L),
+      ("clip_2.wav", "clip_2_dup.wav", 1L)), pairs.toString)
+  }
+
+  test("audio banded pairs == brute force at the recall edge; no cartesian") {
+    val bins = ImageOps.readBinary(spark, audioNdGlob)
+    val sigs = AudioOps.energyHash64(spark, bins).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    for (radius <- Seq(1, 4, 7)) {
+      val want = (for {
+        (na, sa) <- sigs; (nb, sb) <- sigs if na < nb
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= radius
+      } yield (na, nb, d.toLong)).toSet
+      val got = AudioOps.nearDupPairs(spark, bins, maxHamming = radius)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"radius $radius: $got vs $want")
+    }
+    val p = AudioOps.nearDupPairs(spark, bins, maxHamming = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "audio near-dup pair stage must be the banded equi join:\n" + p.take(1500))
+  }
+
   test("aHash signature: exact-integer mean test, 64 bits, resize-stable") {
     val sigs = ImageOps.aHash64(spark, decoded).collect()
       .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap

@@ -318,6 +318,91 @@ def audio():
             f.write(hdr + bytes(buf))
 
 
+def audio_nd():
+    # Near-dup audio corpus (separate dir so audio/* query results are
+    # untouched): 4 independent LCG clips + 3 twins. A twin halves the
+    # samples of a few windows, pushing those window means below the
+    # clip mean — a small, known eHash hamming distance; independent
+    # clips land ~half the 64 bits apart. The generator computes the
+    # ACTUAL eHash distances (the same exact integer math as
+    # AudioOps.energyHash64 / the q99 oracle) and asserts the planted
+    # separation, so a regeneration that breaks the margin fails here,
+    # not in the gate.
+    import struct
+    rate, ch, bits, nsamp = 8000, 1, 16, 4096
+    block = ch * bits // 8
+
+    def lcg_payload(seed, n_bytes):
+        # High LCG bits, not x & 0xFF: for a power-of-two modulus the
+        # low byte is periodic (period 256, seed-independent phase) —
+        # every clip would hash identically.
+        x = seed
+        buf = bytearray()
+        for _ in range(n_bytes):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            buf.append((x >> 16) & 0xFF)
+        return buf
+
+    def samples_of(buf):
+        out = []
+        for j in range(len(buf) // 2):
+            v = buf[2 * j] | (buf[2 * j + 1] << 8)
+            if v >= 32768:
+                v -= 65536
+            out.append(v)
+        return out
+
+    def ehash(samples):
+        n = len(samples)
+        ws, wc = [0] * 64, [0] * 64
+        total = 0
+        for j, s in enumerate(samples):
+            a = abs(s)
+            w = (j * 64) // n
+            ws[w] += a
+            wc[w] += 1
+            total += a
+        return [1 if ws[w] * n > total * wc[w] else 0 for w in range(64)]
+
+    def wav_bytes(payload):
+        data_len = len(payload)
+        return (b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                        rate * block, block, bits)
+                + b"data" + struct.pack("<I", data_len) + bytes(payload))
+
+    clips = {}
+    for i in range(4):
+        clips["clip_%d.wav" % i] = lcg_payload(7654321 + 97 * i, nsamp * block)
+    for i in range(3):
+        base = bytearray(clips["clip_%d.wav" % i])
+        smp = samples_of(base)
+        # Halve the energy of window 3+i (64 samples) — one window's
+        # mean drops below the clip mean, a ~1-3 bit flip.
+        for w in range(3 + i, 4 + i):
+            for j in range(w * nsamp // 64, (w + 1) * nsamp // 64):
+                smp[j] //= 2
+        dup = bytearray()
+        for v in smp:
+            dup += struct.pack("<h", v)
+        clips["clip_%d_dup.wav" % i] = dup
+
+    sigs = {name: ehash(samples_of(payload)) for name, payload in clips.items()}
+    names = sorted(sigs)
+    for a_i, a in enumerate(names):
+        for b in names[a_i + 1:]:
+            d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            twin = b == a.replace(".wav", "_dup.wav")
+            # Planted truth: twins within 4 bits, everything else
+            # beyond the banding recall bound (2*4-1 = 7).
+            assert (d <= 4) == twin and (twin or d > 7), (a, b, d)
+    for name, payload in clips.items():
+        path = os.path.join(ROOT, "audio_nd", name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(wav_bytes(payload))
+
+
 def video():
     # Canonical uncompressed AVI (RIFF): LIST hdrl {avih, LIST strl
     # {strh 'vids'/'DIB ', strf BITMAPINFOHEADER}} + LIST movi with one
@@ -376,6 +461,7 @@ if __name__ == "__main__":
     clinical()
     images()
     audio()
+    audio_nd()
     video()
     n = sum(len(fs) for _, _, fs in os.walk(ROOT))
     print("wrote %d fixture files under %s" % (n, ROOT))
