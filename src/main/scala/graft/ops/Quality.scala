@@ -251,13 +251,19 @@ object Quality {
     * `get_stats` semantics — so step 1's counts equal
     * [[bpePairStats]] exactly).
     */
+  /** One BPE merge as the standard greedy left-to-right fold over a
+    * symbol array: whenever the accumulator ends with `x` and the
+    * next symbol is `y`, fuse ("aaa" under (a,a) → [aa, a]). Shared
+    * by training ([[bpeMerges]]) and encoding ([[bpeEncode]]) so the
+    * two can never disagree on fold semantics. */
+  private def applyMerge(syms: Column, x: String, y: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(get(acc, size(acc) - 1) === lit(x) && s === lit(y),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(concat(acc, array(s))))
+
   def bpeMerges(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
     require(nMerges >= 0, "nMerges must be >= 0")
-    def applyMerge(syms: Column, x: String, y: String): Column =
-      aggregate(syms, array().cast("array<string>"), (acc, s) =>
-        when(get(acc, size(acc) - 1) === lit(x) && s === lit(y),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-          .otherwise(concat(acc, array(s))))
     var vocab = docs
       .filter(col("text").isNotNull)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -289,6 +295,41 @@ object Quality {
       }
     }
     merges.toSeq
+  }
+
+  /** Tokenize the corpus with a TRAINED merge list ([[bpeMerges]]'s
+    * output, applied in training order) — the reference BPE `encode`
+    * loop: each whitespace token splits to characters and every merge
+    * runs the same greedy left-to-right fold training used, so
+    * encode(train_corpus) reproduces training's final vocabulary
+    * states exactly.
+    *
+    * Per-document output: (doc_id, n_tokens, n_pieces) — the
+    * trained-tokenizer piece count a data-budget pass weighs
+    * documents by (whitespace token counts under-weigh rare-word
+    * text; piece counts are what the model actually consumes).
+    *
+    * Scale shape: embarrassingly parallel — one narrow projection,
+    * no shuffle, no UDF: the merge fold is nested codegen HOFs
+    * (`transform` over tokens, `aggregate` per merge). Expression
+    * depth grows with |merges|, so this path targets the bounded
+    * merge lists the driver loop trains (tens); a production
+    * 50k-merge tokenizer would compile the merge table into ONE
+    * per-partition trie pass instead — the point where `mapPartitions`
+    * is genuinely warranted per the operator-preference order.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val encodedTok = (t: Column) => {
+      val chars = filter(split(t, ""), s => s =!= "")
+      merges.foldLeft(chars)((syms, m) => applyMerge(syms, m.left, m.right))
+    }
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        aggregate(transform(col("tk"), t => size(encodedTok(t)).cast("long")),
+          lit(0L), (acc, n) => acc + n).as("n_pieces"))
   }
 
   /** CCNet-style quality bucketing (Wenzek et al. 2020): rank every

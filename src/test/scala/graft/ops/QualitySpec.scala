@@ -254,6 +254,35 @@ class QualitySpec extends SparkSpecBase {
       merges.toString)
   }
 
+  test("bpeEncode applies trained merges: hand-computed piece counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = graft.ops.Quality.bpeMerges(docs, nMerges = 2)
+    // merges: (a,b)->ab, (ab,ab)->abab
+    // encode: abab -> [abab] (1), abab -> [abab] (1), abc -> [ab, c] (2)
+    val got = graft.ops.Quality.bpeEncode(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 4L)), got.mkString(","))
+    // 0 merges degenerates to character counts (a b a b ... = 11 chars)
+    val chars = graft.ops.Quality.bpeEncode(docs, Seq.empty)
+      .collect().map(r => r.getLong(2))
+    assert(chars.toSeq == Seq(11L), chars.mkString(","))
+  }
+
+  test("bpeEncode greedy fold matches training's vocabulary state") {
+    import spark.implicits._
+    // 'aaa' under merge (a,a) must fold left-to-right to [aa, a] in
+    // ENCODE exactly as it did in training — 2 pieces, never [a, aa].
+    val train = Seq((1L, "aaa aaa aaa aab")).toDF("doc_id", "text")
+    val merges = graft.ops.Quality.bpeMerges(train, nMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a")))
+    val enc = graft.ops.Quality.bpeEncode(
+      Seq((7L, "aaa aab")).toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // aaa -> [aa, a] (2) ; aab -> [aa, b] (2)
+    assert(enc.toSeq == Seq((7L, 2L, 4L)), enc.mkString(","))
+  }
+
   test("bpeMerges step 1 equals bpePairStats' top candidate on real docs") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val top = graft.ops.Quality.bpePairStats(docs, topK = 1).collect()(0)
