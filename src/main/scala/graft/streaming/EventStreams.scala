@@ -39,6 +39,44 @@ object EventStreams {
         col("total"))
   }
 
+  /** Stream-stream interval join: purchases paired with the same
+    * user's clicks from the FOLLOWING `window` — the streaming twin of
+    * the batch range join ([[graft.ops.Joins.rangeJoinBinned]], q97's
+    * `[p_ts, p_ts + 1h)` semantics). Inner equi-join on user with an
+    * event-time range predicate; when both inputs are streams, both
+    * carry watermarks and the range bound lets Spark evict purchase
+    * state older than (watermark + window) and click state older than
+    * watermark — BOUNDED join state at any runtime, the requirement
+    * for a join that runs forever. On batch inputs the same code is a
+    * plain inner join (one-codepath contract; at batch scale prefer
+    * rangeJoinBinned's equi-bin plan — the inequality predicate here
+    * is what Structured Streaming's state manager wants, not what a
+    * 100 TB batch join wants).
+    *
+    * Output: (purchase_id, click_id, p_ts, c_ts).
+    */
+  def intervalJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    def marked(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val p = marked(purchases)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = marked(clicks)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") &&
+          col("c_ts") < col("p_ts") + expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Run a streaming query over a parquet directory source and drain it
     * synchronously into an in-memory table (local verification path;
     * in production the sink would be kafka/delta/parquet).

@@ -72,6 +72,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join == batch range join over the same files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(tmp)
+    val batchEv = spark.read.parquet(tmp)
+
+    // Batch truth through the SAME code path...
+    val batchPairs = EventStreams.intervalJoin(batchEv, batchEv)
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    // ...and through the independent binned range join (q97's
+    // operator): identical [p_ts, p_ts + 1h) pair semantics.
+    val purchases = batchEv.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        (col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR")).as("p_end"))
+    val clicks = batchEv.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val binned = graft.ops.Joins.rangeJoinBinned(
+        points = clicks, intervals = purchases,
+        pointKey = "c_user", pointTime = "c_ts",
+        intervalKey = "p_user", intervalStart = "p_ts", intervalEnd = "p_end",
+        binUs = 3600L * 1000000L)
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    assert(batchPairs == binned, "intervalJoin batch != rangeJoinBinned")
+    assert(batchPairs.nonEmpty)
+
+    // Streaming twin: two readStream sources over the same files,
+    // append-mode sink (stream-stream inner joins emit append-only).
+    val s1 = spark.readStream.schema(EventStreams.eventSchema).parquet(tmp)
+    val s2 = spark.readStream.schema(EventStreams.eventSchema).parquet(tmp)
+    val q = EventStreams.intervalJoin(s1, s2).writeStream
+      .outputMode("append").format("memory").queryName("ssj_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_test")
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    assert(streamed == batchPairs,
+      s"streamed ${streamed.size} pairs != batch ${batchPairs.size}")
+  }
+
   test("sessionization is identical under both parquet inferTimestampNTZ settings") {
     // Regression for the Spark-4 NTZ drift: events.parquet stores ts
     // as micros with isAdjustedToUTC=0, which infers as TIMESTAMP_NTZ
