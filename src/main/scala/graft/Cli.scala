@@ -55,6 +55,61 @@ object Cli {
     keys.flatMap(k => m.getOrElse(k, Nil)).headOption.getOrElse(
       sys.error(s"missing required option ${keys.mkString("/")}"))
 
+  /** Shared body of the modality signature-store verbs (`image-store`,
+    * `audio-store`): the store layout, link/append dance and stream
+    * maintenance are signature-generic ([[graft.dedup.SigBandStore]] /
+    * [[graft.streaming.SigStream]]); the modality contributes the
+    * signing stage, pair column names and default radius. */
+  private def sigStoreVerb(
+      rest: List[String],
+      modality: String,
+      aCol: String,
+      bCol: String,
+      dfltMaxHamming: Int,
+      sign: (SparkSession, String) => DataFrame,
+      streamMaintain: (SparkSession, String, String, String, String, Int) =>
+        org.apache.spark.sql.streaming.StreamingQuery): Int = {
+    val m = opts(rest)
+    val in = one(m, "-i", "--input")
+    val store = one(m, "-s", "--store")
+    val spark = session()
+    if (m.contains("--create")) {
+      val bands = m.get("--bands").flatMap(_.headOption).map(_.toInt).getOrElse(4)
+      val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+      graft.dedup.SigBandStore.createAt(spark, sign(spark, in), "name", "sig", store,
+        sigBits = 64, bands = bands, buckets = buckets)
+      println(s"$modality signature store created at $store ($bands bands, $buckets buckets)")
+    } else if (m.contains("--stream")) {
+      val out = one(m, "-o", "--output")
+      val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+        .getOrElse(sys.error(s"$modality-store --stream needs --checkpoint <dir>"))
+      val maxHamming = m.get("--max-hamming").flatMap(_.headOption).map(_.toInt)
+        .getOrElse(dfltMaxHamming)
+      val q = streamMaintain(spark, in, store, out, ckpt, maxHamming)
+      q.processAllAvailable(); q.stop()
+      println(s"streamed $modality links -> $out; store updated")
+    } else {
+      import org.apache.spark.sql.functions.{col, greatest, least}
+      val out = one(m, "-o", "--output")
+      val maxHamming = m.get("--max-hamming").flatMap(_.headOption).map(_.toInt)
+        .getOrElse(dfltMaxHamming)
+      val (table, (sigBits, bands, buckets)) = graft.dedup.SigBandStore.attach(spark, store)
+      val sigs = sign(spark, in)
+        .localCheckpoint(false) // consumed twice: link + append
+      graft.dedup.SigBandStore.linkNew(spark, table, sigs, "name", "sig",
+          maxDist = maxHamming, sigBits = sigBits, bands = bands)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as(aCol),
+          greatest(col("id_a"), col("id_b")).as(bCol),
+          col("hamming"))
+        .write.mode("overwrite").parquet(out)
+      graft.dedup.SigBandStore.append(spark, table, sigs, "name", "sig",
+        sigBits = sigBits, bands = bands, buckets = buckets)
+      println(s"$modality links (max hamming $maxHamming) -> $out; store updated")
+    }
+    0
+  }
+
   /** Read the 'New File UUID' column from a data-release TSV, local
     * path or http(s) URL, gzipped or plain — what the reference does
     * with `pd.read_csv(url, sep='\t')` in `main.py:44-47`. The file is
@@ -978,49 +1033,19 @@ object Cli {
       // (img_a, img_b, hamming) pairs, and appends the batch's
       // signatures; --stream runs the same link-then-append per
       // micro-batch over a landing directory.
-      val m = opts(rest)
-      val in = one(m, "-i", "--input")
-      val store = one(m, "-s", "--store")
-      val spark = session()
-      if (m.contains("--create")) {
-        val bands = m.get("--bands").flatMap(_.headOption).map(_.toInt).getOrElse(4)
-        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
-        val sigs = graft.multimodal.ImageOps.aHash64Packed(spark,
+      sigStoreVerb(rest, "image", "img_a", "img_b", dfltMaxHamming = 6,
+        sign = (spark, in) => graft.multimodal.ImageOps.aHash64Packed(spark,
           graft.multimodal.ImageOps.decodePpm(spark,
-            graft.multimodal.ImageOps.readBinary(spark, in)))
-        graft.dedup.SigBandStore.createAt(spark, sigs, "name", "sig", store,
-          sigBits = 64, bands = bands, buckets = buckets)
-        println(s"image signature store created at $store ($bands bands, $buckets buckets)")
-      } else if (m.contains("--stream")) {
-        val out = one(m, "-o", "--output")
-        val ckpt = m.get("--checkpoint").flatMap(_.headOption)
-          .getOrElse(sys.error("image-store --stream needs --checkpoint <dir>"))
-        val maxHamming = m.get("--max-hamming").flatMap(_.headOption).map(_.toInt).getOrElse(6)
-        val q = graft.streaming.ImageSigStream.maintain(
-          spark, in, store, out, ckpt, maxHamming)
-        q.processAllAvailable(); q.stop()
-        println(s"streamed image links -> $out; store updated")
-      } else {
-        import org.apache.spark.sql.functions.{col, greatest, least}
-        val out = one(m, "-o", "--output")
-        val maxHamming = m.get("--max-hamming").flatMap(_.headOption).map(_.toInt).getOrElse(6)
-        val (table, (sigBits, bands, buckets)) = graft.dedup.SigBandStore.attach(spark, store)
-        val sigs = graft.multimodal.ImageOps.aHash64Packed(spark,
-          graft.multimodal.ImageOps.decodePpm(spark,
-            graft.multimodal.ImageOps.readBinary(spark, in)))
-          .localCheckpoint(false) // consumed twice: link + append
-        graft.dedup.SigBandStore.linkNew(spark, table, sigs, "name", "sig",
-            maxDist = maxHamming, sigBits = sigBits, bands = bands)
-          .filter(col("id_a") =!= col("id_b"))
-          .select(least(col("id_a"), col("id_b")).as("img_a"),
-            greatest(col("id_a"), col("id_b")).as("img_b"),
-            col("hamming"))
-          .write.mode("overwrite").parquet(out)
-        graft.dedup.SigBandStore.append(spark, table, sigs, "name", "sig",
-          sigBits = sigBits, bands = bands, buckets = buckets)
-        println(s"image links (max hamming $maxHamming) -> $out; store updated")
-      }
-      0
+            graft.multimodal.ImageOps.readBinary(spark, in))),
+        streamMaintain = graft.streaming.ImageSigStream.maintain(_, _, _, _, _, _))
+
+    case "audio-store" :: rest =>
+      // The audio twin over the SAME store machinery: packed eHash
+      // signatures ([[AudioOps.energyHash64]]) instead of aHash.
+      sigStoreVerb(rest, "audio", "clip_a", "clip_b", dfltMaxHamming = 4,
+        sign = (spark, in) => graft.multimodal.AudioOps.energyHash64(spark,
+          graft.multimodal.ImageOps.readBinary(spark, in)),
+        streamMaintain = graft.streaming.AudioSigStream.maintain(_, _, _, _, _, _))
 
     case "classify" :: rest =>
       // kNN label propagation: classify --queries-where rows of the
@@ -1219,6 +1244,7 @@ object Cli {
            |  download   -m <manifest.tsv: name md5sum url> -o <raw-dir>
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
+           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
@@ -1235,6 +1261,7 @@ object Cli {
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]
            |  image-store --create -i <ppm-glob> -s <store-dir> [--bands 4] [--buckets 64] | --ingest -i <ppm-glob> -s <store-dir> -o <pairs.parquet> [--max-hamming 6] | --stream -i <landing-dir> -s <store-dir> -o <pairs-dir> --checkpoint <dir> [--max-hamming 6]
+           |  audio-store --create -i <wav-glob> -s <store-dir> [--bands 4] [--buckets 64] | --ingest -i <wav-glob> -s <store-dir> -o <pairs.parquet> [--max-hamming 4] | --stream -i <landing-dir> -s <store-dir> -o <pairs-dir> --checkpoint <dir> [--max-hamming 4]
            |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]
            |  negatives  -i <embeddings.parquet> -o <out.parquet> --anchors-where '<pred>' [-k 5] [--label label] [--id vec_id] [--vec embedding]
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']

@@ -211,6 +211,30 @@ class DedupStoreSpec extends SparkSpecBase {
     assert(after == wantAfter, s"grown-store link diverged: $after vs $wantAfter")
   }
 
+  test("sig band store is modality-generic: audio eHash store link == brute force") {
+    import graft.dedup.SigBandStore
+    import graft.multimodal.{AudioOps, ImageOps}
+    val sigs = AudioOps.energyHash64(
+        spark, ImageOps.readBinary(spark, "/root/repo/fixtures/audio_nd/*.wav"))
+      .localCheckpoint(false)
+    val sigMap = sigs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = sigs.filter(!col("name").contains("_dup"))
+    val batch = sigs.filter(col("name").contains("_dup"))
+    val path = s"${tmpPath("sig_band_audio")}/s"
+    val table = SigBandStore.createAt(spark, ref, "name", "sig", path,
+      sigBits = 64, bands = 4, buckets = 4)
+    val viaStore = SigBandStore.linkNew(spark, table, batch, "name", "sig",
+        maxDist = 4, sigBits = 64, bands = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = (for {
+      (na, sa) <- sigMap.toSeq if !na.contains("_dup")
+      (nb, sb) <- sigMap.toSeq if nb.contains("_dup")
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 4
+    } yield (na, nb, d.toLong)).sorted
+    assert(viaStore == want && viaStore.size == 3,
+      s"audio store link diverged: $viaStore vs $want")
+  }
+
   test("sig-band-store link scans the store bucketed: zero exchanges on the store side") {
     import graft.dedup.SigBandStore
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"

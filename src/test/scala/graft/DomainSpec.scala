@@ -1004,4 +1004,29 @@ class DomainSpec extends SparkSpecBase {
       ("img_2.ppm", "img_2_dup.ppm", 1L),
       ("img_1.ppm", "img_2_dup.ppm", 6L)), pairs.toString)
   }
+
+  test("CLI audio-store: create originals, ingest twins links the planted pairs") {
+    val fixDir = "/root/repo/fixtures/audio_nd"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_audstore").toString
+    val orig = s"$tmp/orig"; val batch = s"$tmp/batch"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(orig))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(batch))
+    new java.io.File(fixDir).listFiles().filter(_.getName.endsWith(".wav")).foreach { f =>
+      val dst = if (f.getName.contains("_dup")) batch else orig
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dst/${f.getName}"))
+    }
+    assert(graft.Cli.run(Array(
+      "audio-store", "--create", "-i", s"$orig/*.wav", "-s", s"$tmp/store",
+      "--buckets", "4")) == 0)
+    assert(graft.Cli.run(Array(
+      "audio-store", "--ingest", "-i", s"$batch/*.wav", "-s", s"$tmp/store",
+      "-o", s"$tmp/pairs")) == 0)
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the generator-asserted planted truth: three twins at hamming 1
+    assert(pairs == Set(
+      ("clip_0.wav", "clip_0_dup.wav", 1L),
+      ("clip_1.wav", "clip_1_dup.wav", 1L),
+      ("clip_2.wav", "clip_2_dup.wav", 1L)), pairs.toString)
+  }
 }

@@ -829,6 +829,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == batch, s"re-delivery changed the pair set: $replayed")
   }
 
+  test("streamed audio near-dup over the sig band store == batch nearDupPairs") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.dedup.SigBandStore
+    import graft.multimodal.{AudioOps, ImageOps}
+    import graft.streaming.AudioSigStream
+
+    val fixDir = "/root/repo/fixtures/audio_nd"
+    val tmp = Files.createTempDirectory("graft_audsig_stream").toString
+    val landing = s"$tmp/landing"; Files.createDirectories(Paths.get(landing))
+    val storePath = s"$tmp/store"
+    val pairsDir = s"$tmp/pairs"
+
+    val allBins = ImageOps.readBinary(spark, s"$fixDir/*.wav")
+    SigBandStore.createAt(spark,
+      AudioOps.energyHash64(spark, allBins).filter(!col("name").contains("_dup")),
+      "name", "sig", storePath, sigBits = 64, bands = 4, buckets = 4)
+
+    def land(names: String*): Unit = names.foreach { n =>
+      Files.copy(Paths.get(s"$fixDir/$n"), Paths.get(s"$landing/$n"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // two waves, like the image twin: the corpus is signed once at
+    // store creation and never re-decoded
+    land("clip_0_dup.wav", "clip_1_dup.wav")
+    val q1 = AudioSigStream.maintain(spark, landing, storePath, pairsDir,
+      s"$tmp/ckpt", maxHamming = 4)
+    try q1.processAllAvailable() finally q1.stop()
+    land("clip_2_dup.wav")
+    val q2 = AudioSigStream.maintain(spark, landing, storePath, pairsDir,
+      s"$tmp/ckpt", maxHamming = 4)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(pairsDir).dropDuplicates()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = AudioOps.nearDupPairs(spark, allBins, maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.size == 3,
+      s"streamed $streamed != batch $batch")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
