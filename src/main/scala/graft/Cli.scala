@@ -889,13 +889,19 @@ object Cli {
       // --store: probe a persisted posting store (see `posting-store
       // --create`) instead of tokenizing the corpus in this run; -i
       // still names the query source when --queries-where selects
-      // from it.
-      val hits = m.get("-s").orElse(m.get("--store")).flatMap(_.headOption) match {
-        case Some(store) => graft.ops.PostingStore.retrieve(spark, store, queries, k)
-        case None => graft.ops.Retrieval.bm25TopK(corpus, queries, k)
+      // from it. --mode tfidf swaps the scoring to cosine over
+      // tf-idf weights (in-memory only: the posting store's ledger
+      // carries BM25's stats, not document norms).
+      val mode = m.get("--mode").flatMap(_.headOption).getOrElse("bm25")
+      val hits = (m.get("-s").orElse(m.get("--store")).flatMap(_.headOption), mode) match {
+        case (Some(store), "bm25") => graft.ops.PostingStore.retrieve(spark, store, queries, k)
+        case (Some(_), other) => sys.error(s"retrieve --store supports bm25 only, got $other")
+        case (None, "bm25") => graft.ops.Retrieval.bm25TopK(corpus, queries, k)
+        case (None, "tfidf") => graft.ops.Retrieval.tfidfTopK(corpus, queries, k)
+        case (None, other) => sys.error(s"retrieve --mode must be bm25|tfidf, got $other")
       }
       hits.write.mode("overwrite").parquet(out)
-      println(s"bm25 top-$k written to $out")
+      println(s"$mode top-$k written to $out")
       0
 
     case "posting-store" :: rest =>
@@ -1255,7 +1261,7 @@ object Cli {
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|bigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
-           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [-k 10] [--id doc_id] [--text text]
+           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--id doc_id] [--text text]
            |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)

@@ -401,6 +401,15 @@ class DomainSpec extends SparkSpecBase {
     val direct = SparkEntry.queries("q88_bm25_topk")(spark, "/root/testdata/sf0.001")
     assert(hits.exceptAll(direct).isEmpty && direct.exceptAll(hits).isEmpty,
       "CLI retrieve diverged from the q88 operator")
+    // --mode tfidf routes to the cosine scorer (== the q98 operator)
+    assert(graft.Cli.run(Array(
+      "retrieve", "-i", docs, "-o", s"$tmp/hits_tfidf", "--mode", "tfidf",
+      "--queries-where", "doc_id % 25 = 0", "-k", "10")) == 0)
+    val tfidfHits = spark.read.parquet(s"$tmp/hits_tfidf")
+    val tfidfDirect = SparkEntry.queries("q98_tfidf_topk")(spark, "/root/testdata/sf0.001")
+    assert(tfidfHits.exceptAll(tfidfDirect).isEmpty &&
+      tfidfDirect.exceptAll(tfidfHits).isEmpty,
+      "CLI retrieve --mode tfidf diverged from the q98 operator")
     // query docs are excluded from their own corpus
     assert(hits.filter(col("doc_id") % 25 === 0).count() == 0)
 

@@ -419,6 +419,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Scan ExistingRDD"), "postings should come from the checkpoint")
   }
 
+  test("q98: TF-IDF broadcasts the query side; weighted postings stage once") {
+    val p = plan("q98_tfidf_topk")
+    // query weights and query norms are broadcast to the corpus-side
+    // probe; the corpus never re-shuffles for them
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "q98 has a cartesian product")
+    // 1-row n_docs stats are the only nested-loop (broadcast cross)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    assert(p.contains("WindowGroupLimit"), "q98 rank cut lost the group-limit pushdown")
+    // postings and the weighted-posting table are staged: norm
+    // aggregate and dot probe read the same materialization, never
+    // re-tokenizing the corpus
+    assert(p.contains("Scan ExistingRDD"), "staged postings should come from the checkpoint")
+  }
+
   test("q89: heavy hitters — CMS prefilter is narrow, one confirm exchange") {
     val p = plan("q89_heavy_hitters")
     // no join anywhere: sketch rides in the task binary
