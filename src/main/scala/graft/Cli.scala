@@ -629,7 +629,17 @@ object Cli {
         case other => sys.error(
           s"ann --mode must be brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index, got $other")
       }
-      topk.write.mode("overwrite").parquet(out)
+      // --mmr-lambda: diversify the page with Maximal Marginal
+      // Relevance before writing (output becomes query_id, doc_id,
+      // rank, mmr; λ=1 keeps the relevance order).
+      val result = m.get("--mmr-lambda").flatMap(_.headOption).map(_.toDouble) match {
+        case Some(lambda) => graft.similarity.Similarity.mmrRerank(
+          topk.select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("cos").as("score")),
+          corpus, idCol, vecCol, k = k, lambda = lambda)
+        case None => topk
+      }
+      result.write.mode("overwrite").parquet(out)
       println(s"ann ($mode) top-$k written to $out")
       0
 
@@ -1270,7 +1280,7 @@ object Cli {
            |  audio-store --create -i <wav-glob> -s <store-dir> [--bands 4] [--buckets 64] | --ingest -i <wav-glob> -s <store-dir> -o <pairs.parquet> [--max-hamming 4] | --stream -i <landing-dir> -s <store-dir> -o <pairs-dir> --checkpoint <dir> [--max-hamming 4]
            |  classify   -i <embeddings.parquet> -o <out.parquet> --queries-where '<pred>' [-k 10] [--label label] [--id vec_id] [--vec embedding]
            |  negatives  -i <embeddings.parquet> -o <out.parquet> --anchors-where '<pred>' [-k 5] [--label label] [--id vec_id] [--vec embedding]
-           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>']
+           |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>'] [--mmr-lambda 0.5]
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |got: ${other.mkString(" ")}""".stripMargin)

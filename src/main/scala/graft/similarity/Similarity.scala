@@ -1384,4 +1384,100 @@ object Similarity {
           .cast("double") / lit(meta.scale.toDouble * meta.scale.toDouble)).as("cos"))
     topKByCos(scored, k)
   }
+
+  /** Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    * Goldstein 1998): greedily select `k` of each query's candidates,
+    * each step taking the one maximizing
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s ∈ picked} cos(d, s)
+    *
+    * λ=1 is pure relevance (input order); λ→0 is pure diversity. The
+    * standard post-retrieval page diversifier: near-duplicate hits of
+    * an already-picked result are demoted by their similarity to it.
+    *
+    * `hits` is a retrieval output (query_id, doc_id, score) — a
+    * bounded top-N page per query BY CONTRACT, not a corpus;
+    * `embeddings` maps `idCol` to `vecCol`. Output: (query_id,
+    * doc_id, rank, mmr) with rank 1..min(k, candidates).
+    *
+    * Scale shape: the corpus-sized work (scoring, top-N cut) happened
+    * upstream; this pass joins the page-bounded hit set to its
+    * vectors (one hash join) and runs the genuinely-sequential greedy
+    * per query group — O(k·N) cosines over O(N·dim) state — inside
+    * `mapGroups`, the documented slot for per-group imperative logic
+    * no relational operator expresses (the greedy's step t depends on
+    * the argmax of step t−1).
+    *
+    * Determinism: relevance and pairwise cosines round to 6dp before
+    * comparison, argmax ties break to the smaller doc_id, and the
+    * candidate scan order is (score desc, doc_id) — engine-stable
+    * regardless of partitioning.
+    */
+  def mmrRerank(
+      hits: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val joined = hits
+      .join(embeddings.select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("__v")),
+        Seq("doc_id"))
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        round(col("score").cast("double"), 6).as("score"), col("__v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    joined
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cand.length
+        val vecs = cand.map(_._4.toArray)
+        val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+        def cos6(i: Int, j: Int): Double = {
+          var d = 0.0; var x = 0
+          while (x < vecs(i).length) { d += vecs(i)(x) * vecs(j)(x); x += 1 }
+          val den = norms(i) * norms(j)
+          val c = if (den == 0.0) 0.0 else d / den
+          math.rint(c * 1e6) / 1e6
+        }
+        val picked = new Array[Int](math.min(k, n))
+        val pickedMmr = new Array[Double](picked.length) // mmr at selection time
+        val maxSim = Array.fill(n)(0.0) // max cos to any picked item
+        val used = new Array[Boolean](n)
+        var t = 0
+        while (t < picked.length) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val m = lambda * cand(i)._3 - (1.0 - lambda) * (if (t == 0) 0.0 else maxSim(i))
+              // strict > : ties keep the earlier candidate in
+              // (score desc, doc_id) scan order — the smaller doc_id
+              // at equal relevance
+              if (m > bestScore) { bestScore = m; best = i }
+            }
+            i += 1
+          }
+          picked(t) = best; pickedMmr(t) = math.rint(bestScore * 1e6) / 1e6
+          used(best) = true
+          var j = 0
+          while (j < n) {
+            if (!used(j)) {
+              val s = cos6(j, best)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          t += 1
+        }
+        picked.iterator.zipWithIndex.map { case (i, rank) =>
+          (qid, cand(i)._2, (rank + 1).toLong, pickedMmr(rank))
+        }
+      }
+      .toDF("query_id", "doc_id", "rank", "mmr")
+  }
 }

@@ -496,6 +496,19 @@ class DomainSpec extends SparkSpecBase {
       .join(ivf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
       .count()
     assert(hit >= 12, s"ivf found only $hit/24 true neighbors")
+
+    // --mmr-lambda 1.0 diversifier at pure relevance == the plain
+    // page (same doc set, same order), new (doc_id, mmr) schema
+    assert(graft.Cli.run(Array(
+      "ann", "-i", emb, "-o", s"$tmp/mmr", "-k", "3", "--mode", "brute",
+      "--mmr-lambda", "1.0")) == 0)
+    val mmr = spark.read.parquet(s"$tmp/mmr")
+    assert(mmr.columns.toSeq == Seq("query_id", "doc_id", "rank", "mmr"))
+    val wantOrder = brute.select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotOrder = mmr.select(col("query_id"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotOrder == wantOrder, "λ=1 MMR changed the relevance page")
   }
 
   test("CLI ann-index + ann --mode ivf-index: build once, query pruned") {

@@ -378,4 +378,47 @@ class SimilaritySpec extends SparkSpecBase {
     val diff = base.exceptAll(shuffled).count() + shuffled.exceptAll(base).count()
     assert(diff == 0, s"semanticDedup output depends on partitioning: $diff rows differ")
   }
+
+  test("mmrRerank demotes a redundant near-duplicate hit (hand-computed)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A (rel .9) and B (rel .89) are near-identical vectors; C (rel
+    // .5) is orthogonal. Pure relevance keeps A,B,C; λ=0.5 demotes B
+    // below C: mmr(B|A) = .445 − .5·cos(B,A)≈ −0.055 < mmr(C|A)=0.25.
+    val hits = Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.5))
+      .toDF("query_id", "doc_id", "score")
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(1.0, 0.01)), (12L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    def order(lambda: Double) = Similarity.mmrRerank(
+        hits, vecs, "vec_id", "embedding", k = 3, lambda = lambda)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(order(1.0) == Seq(10L, 11L, 12L), "λ=1 must be pure relevance order")
+    assert(order(0.5) == Seq(10L, 12L, 11L), "λ=0.5 must demote the near-dup")
+    // rank is dense 1..k and the first mmr is λ·rel
+    val r = Similarity.mmrRerank(hits, vecs, "vec_id", "embedding", k = 2, lambda = 0.5)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(r(0).getDouble(3) == 0.45)
+  }
+
+  test("mmrRerank at λ=1 reproduces relevance order on real retrieval pages") {
+    val hits = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", "q_id", "q_vec", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cos").as("score"), col("rank"))
+    val rr = Similarity.mmrRerank(
+      hits.select("query_id", "doc_id", "score"), emb, "vec_id", "embedding",
+      k = 10, lambda = 1.0)
+    val want = hits.select(col("query_id"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val got = rr.select(col("query_id"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"λ=1 rerank diverged from relevance order")
+    // k larger than the page: every candidate comes back exactly once
+    val all = Similarity.mmrRerank(
+      hits.select("query_id", "doc_id", "score").filter(col("query_id") === 0),
+      emb, "vec_id", "embedding", k = 100, lambda = 0.3)
+    assert(all.count() == hits.filter(col("query_id") === 0).count())
+  }
 }
