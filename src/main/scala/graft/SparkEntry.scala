@@ -1306,6 +1306,37 @@ object SparkEntry {
       s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/audio_nd/*.wav"),
       maxHamming = 4)
 
+  /** Two-hop attribution funnel (view → click → purchase) by CHAINED
+    * as-of joins: each purchase attaches the latest same-user click
+    * at-or-before it, and that click attaches the latest view
+    * at-or-before IT — the classic marketing-attribution walk,
+    * composed from q96's operator so the oracle (DuckDB's native
+    * chained ASOF LEFT JOINs) independently checks the composition:
+    * null flow through the second hop (a clickless purchase must
+    * yield a null view, never a spurious match) and the inclusive-<=
+    * tie semantics at both hops. Scale shape: two union+window
+    * passes, each one hash exchange — still no join node anywhere. */
+  def q100FunnelAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    // fold ties so ANSI ASOF and the union+window form cannot differ
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val withClick = graft.ops.Joins.asofJoin(purchases, clicks,
+      "user_id", "ts", "c_user", "c_ts", Seq("click_id", "c_ts"))
+    val withView = graft.ops.Joins.asofJoin(withClick, views,
+      "user_id", "c_ts", "v_user", "v_ts", Seq("view_id"))
+    withView.select(col("purchase_id"), col("click_id"), col("view_id"),
+      (when(col("view_id").isNotNull, 2)
+        .when(col("click_id").isNotNull, 1)
+        .otherwise(0)).cast("long").as("funnel_depth"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1415,6 +1446,7 @@ object SparkEntry {
     "q97_range_join" -> (q97RangeJoin _),
     "q98_tfidf_topk" -> (q98TfidfTopK _),
     "q99_audio_neardup" -> (q99AudioNearDup _),
+    "q100_funnel_asof" -> (q100FunnelAsof _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -3102,6 +3134,40 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 10""".stripMargin,
+    // q100: DuckDB's native ASOF LEFT JOINs chained — the independent
+    // oracle for COMPOSING the as-of operator (null flow through the
+    // second hop, inclusive <= at both hops). Clickless purchases are
+    // routed around the second ASOF explicitly: DuckDB's ASOF probe
+    // treats a NULL left time as +infinity (it matches the LATEST
+    // view), where ANSI comparison semantics — and the engine — make
+    // NULL >= t unknown, i.e. no match.
+    "q100_funnel_asof" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (
+        |  SELECT user_id AS v_user, ts AS v_ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT p.purchase_id, p.user_id, c.click_id, c.c_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.c_user AND p.ts >= c.c_ts),
+        |pv AS (
+        |  SELECT pc.purchase_id, pc.click_id, v.view_id
+        |  FROM (SELECT * FROM pc WHERE c_ts IS NOT NULL) pc
+        |  ASOF LEFT JOIN v
+        |    ON pc.user_id = v.v_user AND pc.c_ts >= v.v_ts
+        |  UNION ALL
+        |  SELECT purchase_id, click_id, NULL AS view_id
+        |  FROM pc WHERE c_ts IS NULL)
+        |SELECT purchase_id, click_id, view_id,
+        |  CAST(CASE WHEN view_id IS NOT NULL THEN 2
+        |            WHEN click_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS funnel_depth
+        |FROM pv""".stripMargin,
     // q99: the eHash recomputed arithmetically from the same WAV
     // bytes — 16-bit LE samples from the hex rendering, exact
     // cross-multiplied integer mean comparison, pairwise hamming at
