@@ -661,6 +661,54 @@ object Cli {
       println(s"top-$k vocabulary written to $out")
       0
 
+    case "bpe-train" :: rest =>
+      // Train a BPE merge table (Quality.bpeMerges) and ship it as the
+      // ordered TSV a tokenize run consumes: step, left, right,
+      // merged, count.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val n = m.get("--merges").flatMap(_.headOption).map(_.toInt).getOrElse(32)
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in).withColumn("text", col(textCol))
+      val merges = graft.ops.Quality.bpeMerges(docs, n)
+      val body = ("step\tleft\tright\tmerged\tcount" +:
+        merges.map(mg => s"${mg.step}\t${mg.left}\t${mg.right}\t${mg.merged}\t${mg.cnt}"))
+        .mkString("", "\n", "\n")
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"${merges.size} BPE merges written to $out")
+      0
+
+    case "tokenize" :: rest =>
+      // Apply a trained merge table (bpe-train's TSV) to the corpus:
+      // per-doc whitespace-token and BPE-piece counts
+      // (Quality.bpeEncode) — the trained-tokenizer length signal a
+      // data-budget pass weighs documents by.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val mergesPath = one(m, "--merges")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val lines = scala.io.Source.fromFile(mergesPath, "UTF-8")
+      val merges = try lines.getLines().drop(1).filter(_.nonEmpty).map { l =>
+        val f = l.split('\t')
+        require(f.length == 5, s"malformed merge line in $mergesPath: $l")
+        graft.ops.Quality.BpeMerge(f(0).toInt, f(1), f(2), f(3), f(4).toLong)
+      }.toSeq finally lines.close()
+      val docs = spark.read.parquet(in)
+        .withColumn("doc_id", col(idCol)).withColumn("text", col(textCol))
+      graft.ops.Quality.bpeEncode(docs, merges)
+        .write.mode("overwrite").parquet(out)
+      println(s"tokenized with ${merges.size} merges -> $out")
+      0
+
     case "split" :: rest =>
       // Deterministic hash-bucket train/valid/test assignment.
       val m = opts(rest)
@@ -1261,6 +1309,8 @@ object Cli {
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
+           |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
+           |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]

@@ -1027,6 +1027,28 @@ class DomainSpec extends SparkSpecBase {
       ("img_1.ppm", "img_2_dup.ppm", 6L)), pairs.toString)
   }
 
+  test("CLI bpe-train + tokenize: merge TSV round-trips through encode") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_bpe").toString
+    assert(graft.Cli.run(Array(
+      "bpe-train", "-i", docs, "-o", s"$tmp/merges.tsv", "--merges", "4")) == 0)
+    val lines = scala.io.Source.fromFile(s"$tmp/merges.tsv").getLines().toSeq
+    assert(lines.head == "step\tleft\tright\tmerged\tcount")
+    assert(lines.size == 5, lines.mkString("|")) // header + 4 merges
+    assert(graft.Cli.run(Array(
+      "tokenize", "-i", docs, "-o", s"$tmp/pieces",
+      "--merges", s"$tmp/merges.tsv")) == 0)
+    val got = spark.read.parquet(s"$tmp/pieces")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the CLI path == training + encoding run directly in-process
+    val d = spark.read.parquet(docs)
+    val want = graft.ops.Quality.bpeEncode(d, graft.ops.Quality.bpeMerges(d, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"CLI tokenize diverged: ${got.size} vs ${want.size}")
+    // merges really compress: pieces < characters for some doc
+    assert(got.exists { case (_, nt, np) => np > nt }, "pieces should exceed tokens")
+  }
+
   test("CLI audio-store: create originals, ingest twins links the planted pairs") {
     val fixDir = "/root/repo/fixtures/audio_nd"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_audstore").toString
