@@ -843,6 +843,32 @@ object Cli {
       }
       0
 
+    case "curate-stream" :: rest =>
+      // Incremental curation (streaming/StreamCurate): documents
+      // landing in a directory pass the per-document gates (quality,
+      // length, decontamination vs a static benchmark) and exact-
+      // dedupe against the fingerprint store; survivors append to the
+      // curated corpus with a per-batch ledger line. Create the store
+      // first (fp-store --create, possibly over an empty corpus);
+      // corpus-global stages (near-dup clusters, budget) run as
+      // periodic batch passes via curate-pipeline.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val benchPath = one(m, "--bench")
+      val out = one(m, "-o", "--output")
+      val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+        .getOrElse(sys.error("curate-stream needs --checkpoint <dir>"))
+      val minQuality = m.get("--min-quality").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(0.5)
+      val spark = session()
+      val bench = spark.read.parquet(benchPath).select("doc_id", "text")
+      val q = graft.streaming.StreamCurate.maintain(
+        spark, in, store, bench, out, ckpt, minQuality = minQuality)
+      q.processAllAvailable(); q.stop()
+      println(s"streamed curation -> $out/corpus (+ _ledger); store updated")
+      0
+
     case "budget" :: rest =>
       // Per-key token-budget sample (the "at most B tokens from each
       // source" mixture clause): deterministic md5-order take within
@@ -1309,6 +1335,7 @@ object Cli {
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
+           |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]

@@ -687,20 +687,27 @@ object ScaleSmoke {
     // binned range join must stay an equi hash join whose rows match
     // the naive inequality join on a sampled user slice.
     val tj0 = System.nanoTime()
-    val ev10 = spark.read.parquet(s"$workDir/events.parquet")
+    // Tables.events, not a raw parquet read: the raw scan infers
+    // TIMESTAMP_NTZ (the r8 lesson) and rangeJoinBinned's
+    // unix_micros rejects it.
+    val ev10 = Tables.events(spark, workDir)
     val purch10 = ev10.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val views10 = ev10.filter(col("event_type") === "view")
       .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .agg(max(col("event_id")).as("view_id"))
-    def asofChecksum(salt: Int): (Long, Long, String) = {
+    def asofChecksum(salt: Int): (Long, String, String) = {
       val df = graft.ops.Joins.asofJoin(purch10, views10,
         "user_id", "ts", "v_user", "v_ts", Seq("view_id", "v_ts"),
         saltBuckets = salt)
       val plan = df.queryExecution.executedPlan.toString
+      // decimal sum: xxhash64 values are uniform over the FULL long
+      // range, so an ANSI sum(long) over 100k rows overflows almost
+      // surely; decimal(38,0) holds 10^6 of them with 5 digits spare
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("event_id"), col("view_id"), col("v_ts")))).collect()(0)
-      (r.getLong(0), r.getLong(1), plan)
+        sum(xxhash64(col("event_id"), col("view_id"), col("v_ts"))
+          .cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1).toString, plan)
     }
     val (aN, aH, aPlan) = asofChecksum(1)
     assert(aPlan.contains("Window") && !aPlan.contains("Join"),
@@ -798,8 +805,16 @@ object ScaleSmoke {
     val cuBench = docs
       .filter(graft.functions.TextFunctions.hashSplit(col("doc_id")) === "valid")
       .select("doc_id", "text")
+    // maxDocFreq raised from the gate default 100: the df cap is
+    // corpus-scale-tuned, and at 10× every gram's doc frequency grows
+    // 10× — the sf-gate cap drops the bulk vocabulary and the capped
+    // Jaccard misses most planted families (the check-1 lesson,
+    // measured: 48495 survivors at cap 100 vs 5350 at cap 1000 on a
+    // 90%-near-dup corpus). A production run sizes the cap to the
+    // corpus like it sizes shuffle partitions.
     val (cuOut, cuLedger) = graft.ops.Curation.withLedger(
-      docs.select("doc_id", "text", "source", "lang"), cuBench)
+      docs.select("doc_id", "text", "source", "lang"), cuBench,
+      graft.ops.Curation.Config(maxDocFreq = 1000L))
     val cuCounts = cuLedger.map(s => s.stage -> s.rows).toMap
     val cuSec = (System.nanoTime() - cu0) / 1e9
     assert(cuCounts("input") == 50000L, cuCounts.toString)

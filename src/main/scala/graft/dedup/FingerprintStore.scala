@@ -104,10 +104,19 @@ object FingerprintStore {
       buckets: Int = 64): String = {
     val table = tableFor(path)
     create(docs, idCol, textCol, table, s"$path/fp", buckets)
+    // schema DDL persisted for the empty-store bootstrap: a store
+    // created over ZERO rows (streaming curation starting from
+    // nothing) writes no data file, so a later attach has nothing to
+    // infer from. toDDL uses backticks, never double quotes — safe to
+    // embed in the JSON verbatim.
+    val ddl = docs
+      .select(col(idCol).as("keep_id"), storeFp(textCol).as("fp"))
+      .select(col("fp"), col("keep_id")).schema.toDDL
     val p = new org.apache.hadoop.fs.Path(s"$path/_fp_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
-    try os.write(s"""{"buckets": $buckets}""".getBytes("UTF-8")) finally os.close()
+    try os.write(s"""{"buckets": $buckets, "schema": "$ddl"}""".getBytes("UTF-8"))
+    finally os.close()
     table
   }
 
@@ -124,8 +133,11 @@ object FingerprintStore {
     val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"malformed _fp_store.json at $path: $json"))
+    // absent in pre-schema sidecars: fall back to file inference
+    val schemaDdl = """"schema"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1))
     val table = tableFor(path)
-    XenaOps.declareBucketedTable(spark, table, s"$path/fp", "fp", buckets)
+    XenaOps.declareBucketedTable(spark, table, s"$path/fp", "fp", buckets, schemaDdl)
     (table, buckets)
   }
 

@@ -124,7 +124,10 @@ object SigBandStore {
       .getOrElse(sys.error(s"malformed _sig_band_store.json at $path: $json"))
     val params = (field("sigBits"), field("bands"), field("buckets"))
     val table = tableFor(path)
-    XenaOps.declareBucketedTable(spark, table, s"$path/bands", "bkey", params._3)
+    // fixed store schema passed explicitly: an empty store (created
+    // over zero blobs — the streaming bootstrap) has no file to infer
+    XenaOps.declareBucketedTable(spark, table, s"$path/bands", "bkey", params._3,
+      Some("`bkey` BIGINT,`id` STRING,`sig` BIGINT"))
     (table, params)
   }
 

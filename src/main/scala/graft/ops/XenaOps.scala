@@ -327,11 +327,16 @@ object XenaOps {
     */
   def declareBucketedTable(
       spark: org.apache.spark.sql.SparkSession,
-      table: String, path: String, rowKey: String, buckets: Int): Unit = {
-    val schema = spark.read.parquet(path).schema
+      table: String, path: String, rowKey: String, buckets: Int,
+      schemaDdl: Option[String] = None): Unit = {
+    // `schemaDdl` covers the EMPTY-store bootstrap (a store created
+    // over zero rows has no data file to infer from — the streaming
+    // curation / linkage pipelines legitimately start that way); the
+    // store sidecars persist the DDL at create time for this.
+    val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(
-      s"CREATE TABLE `$table` (${schema.toDDL}) USING PARQUET " +
+      s"CREATE TABLE `$table` ($ddl) USING PARQUET " +
         s"CLUSTERED BY (`$rowKey`) SORTED BY (`$rowKey`) INTO $buckets BUCKETS " +
         s"LOCATION '$path'")
   }

@@ -211,6 +211,41 @@ class DedupStoreSpec extends SparkSpecBase {
     assert(after == wantAfter, s"grown-store link diverged: $after vs $wantAfter")
   }
 
+  test("empty-store bootstrap: create over zero rows, attach, grow — both stores") {
+    import graft.dedup.{FingerprintStore, SigBandStore}
+    val spark2 = spark
+    import spark2.implicits._
+    // fingerprint store: the streaming-curation start-from-nothing case
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val fpPath = s"${tmpPath("fp_boot")}/s"
+    FingerprintStore.createAt(spark, docs.limit(0), "doc_id", "text", fpPath, buckets = 4)
+    val (fpTable, fpBuckets) = FingerprintStore.attach(spark, fpPath)
+    val fresh = FingerprintStore.dedupeNew(spark, fpTable, docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(1L, 3L), s"empty store must accept batch firsts: $fresh")
+    FingerprintStore.append(spark, fpTable,
+      docs.filter(col("doc_id").isin(1L, 3L)), "doc_id", "text", fpBuckets)
+    val replay = FingerprintStore.dedupeNew(spark, fpTable, docs, "doc_id", "text").count()
+    assert(replay == 0L, "grown store must reject the replayed batch")
+
+    // sig band store: same bootstrap over zero signatures
+    val sigPath = s"${tmpPath("sig_boot")}/s"
+    SigBandStore.createAt(spark,
+      Seq.empty[(String, Long)].toDF("name", "sig"), "name", "sig",
+      sigPath, sigBits = 64, bands = 4, buckets = 4)
+    val (sigTable, (sb, bd, bk)) = SigBandStore.attach(spark, sigPath)
+    val sigs = Seq(("a", 0L), ("b", 3L)).toDF("name", "sig")
+    assert(SigBandStore.linkNew(spark, sigTable, sigs, "name", "sig",
+      maxDist = 4, sigBits = sb, bands = bd).count() == 0L)
+    SigBandStore.append(spark, sigTable, sigs, "name", "sig",
+      sigBits = sb, bands = bd, buckets = bk)
+    val linked = SigBandStore.linkNew(spark, sigTable, sigs, "name", "sig",
+        maxDist = 4, sigBits = sb, bands = bd)
+      .filter(col("id_a") =!= col("id_b")).count()
+    assert(linked == 2L, s"grown sig store must link the hamming-2 pair both ways: $linked")
+  }
+
   test("sig band store is modality-generic: audio eHash store link == brute force") {
     import graft.dedup.SigBandStore
     import graft.multimodal.{AudioOps, ImageOps}

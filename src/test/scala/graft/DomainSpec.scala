@@ -1027,6 +1027,39 @@ class DomainSpec extends SparkSpecBase {
       ("img_1.ppm", "img_2_dup.ppm", 6L)), pairs.toString)
   }
 
+  test("CLI curate-stream: incremental curation from an empty store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_custream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .write.parquet(s"$tmp/bench")
+    docs.limit(0).write.parquet(s"$tmp/empty")
+    assert(graft.Cli.run(Array(
+      "fp-store", "--create", "-i", s"$tmp/empty", "-s", s"$tmp/store",
+      "--buckets", "4")) == 0)
+    docs.filter(col("doc_id") < 400).select("doc_id", "text", "source", "lang")
+      .write.parquet(s"$tmp/landing")
+    assert(graft.Cli.run(Array(
+      "curate-stream", "-i", s"$tmp/landing", "-s", s"$tmp/store",
+      "--bench", s"$tmp/bench", "-o", s"$tmp/out",
+      "--checkpoint", s"$tmp/ckpt")) == 0)
+    val corpus = spark.read.parquet(s"$tmp/out/corpus").dropDuplicates()
+    assert(corpus.count() > 0 && corpus.count() < 400)
+    assert(corpus.columns.contains("quality") && corpus.columns.contains("n_tokens"))
+    assert(new java.io.File(s"$tmp/out/_ledger").listFiles().nonEmpty)
+    // re-ingesting the same landing dir through a FRESH checkpoint
+    // accepts nothing new (the store remembers)
+    assert(graft.Cli.run(Array(
+      "curate-stream", "-i", s"$tmp/landing", "-s", s"$tmp/store",
+      "--bench", s"$tmp/bench", "-o", s"$tmp/out2",
+      "--checkpoint", s"$tmp/ckpt2")) == 0)
+    val out2 = new java.io.File(s"$tmp/out2/corpus")
+    val parts = Option(out2.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty)
+    val reAccepted = if (parts.nonEmpty)
+      spark.read.parquet(s"$tmp/out2/corpus").count() else 0L
+    assert(reAccepted == 0L, s"replayed landing accepted $reAccepted rows")
+  }
+
   test("CLI bpe-train + tokenize: merge TSV round-trips through encode") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_bpe").toString

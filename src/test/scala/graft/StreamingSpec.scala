@@ -829,6 +829,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == batch, s"re-delivery changed the pair set: $replayed")
   }
 
+  test("streaming curation == batch per-doc gates + exact dedup over the union") {
+    import java.nio.file.Files
+    import graft.dedup.{Dedup, FingerprintStore}
+    import graft.functions.TextFunctions
+    import graft.streaming.{StreamCurate, StreamDecontam}
+
+    val tmp = Files.createTempDirectory("graft_stream_curate").toString
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs
+      .filter(TextFunctions.hashSplit(col("doc_id")) === "valid")
+      .select("doc_id", "text")
+    FingerprintStore.createAt(spark, docs.limit(0), "doc_id", "text",
+      s"$tmp/fp_store", buckets = 4)
+
+    // two waves with increasing ids: streamed first-arrival-wins ==
+    // batch min-id keeper over the union
+    val landing = s"$tmp/landing"
+    docs.filter(col("doc_id") < 250)
+      .select("doc_id", "text", "source", "lang")
+      .write.mode("append").parquet(landing)
+    val q1 = StreamCurate.maintain(spark, landing, s"$tmp/fp_store", bench,
+      s"$tmp/out", s"$tmp/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    docs.filter(col("doc_id") >= 250)
+      .select("doc_id", "text", "source", "lang")
+      .write.mode("append").parquet(landing)
+    val q2 = StreamCurate.maintain(spark, landing, s"$tmp/fp_store", bench,
+      s"$tmp/out", s"$tmp/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$tmp/out/corpus").dropDuplicates()
+    val streamedIds = streamed.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch reference: same per-doc gates over the union, exact dedup
+    // with the min-id keeper on the clean survivors
+    val gated = docs
+      .filter(col("text").isNotNull)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
+    val clean = StreamDecontam.sharedGramCount(gated, bench, "text", n = 5)
+      .filter(col("shared_grams") === 0L).drop("shared_grams")
+    val keepers = Dedup.exact(clean, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val wantIds = clean.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedIds == wantIds && streamedIds.nonEmpty,
+      s"streamed ${streamedIds.size} docs != batch ${wantIds.size}")
+    assert(streamed.columns.toSet ==
+      Set("doc_id", "text", "source", "lang", "quality", "n_tokens"))
+
+    // per-batch ledger lines reconcile with the shipped corpus
+    val ledger = new java.io.File(s"$tmp/out/_ledger").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(ledger.length == 2, ledger.mkString("|"))
+    val accepted = ledger.map(l =>
+      """"accepted": (\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).sum
+    assert(accepted == streamedIds.size.toLong,
+      s"ledger accepted $accepted != corpus ${streamedIds.size}")
+  }
+
   test("streamed audio near-dup over the sig band store == batch nearDupPairs") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.dedup.SigBandStore
