@@ -869,6 +869,27 @@ object Cli {
       println(s"streamed curation -> $out/corpus (+ _ledger); store updated")
       0
 
+    case "lm-store" :: rest =>
+      // Frozen corpus LM: --create fits the unigram LM on a reference
+      // corpus (bucketed vocab + totals sidecar); --score rates a
+      // batch under it — O(batch) quality gating with n_oov separated
+      // from low-probability (two different failure modes).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val spark = session()
+      if (m.contains("--create")) {
+        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        graft.ops.LmStore.createAt(spark, spark.read.parquet(in), store, buckets)
+        println(s"unigram LM store created at $store ($buckets buckets)")
+      } else {
+        val out = one(m, "-o", "--output")
+        graft.ops.LmStore.score(spark, store, spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"LM scores written to $out")
+      }
+      0
+
     case "budget" :: rest =>
       // Per-key token-budget sample (the "at most B tokens from each
       // source" mixture clause): deterministic md5-order take within
@@ -1336,6 +1357,7 @@ object Cli {
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
+           |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]

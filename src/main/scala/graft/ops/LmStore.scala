@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Persisted FROZEN unigram LM: fit once on a reference corpus, score
+  * arriving batches forever after without re-reading the corpus — the
+  * incremental sibling of [[Quality.unigramLogprob]] (whose LM is the
+  * scoring corpus's own). This is what a production quality gate
+  * actually runs: the LM is fit on a trusted reference snapshot and
+  * FROZEN, so a batch's score never shifts because other batches
+  * arrived, and scoring cost is O(batch), not O(corpus + batch).
+  *
+  * Layout: `$path/vocab` — the (tok, cnt) table bucketed by `tok`, so
+  * the scoring join probes it exchange-free (the store side never
+  * reshuffles; same contract as the fingerprint/band/posting stores)
+  * — plus `_lm_store.json` (total token count, bucket count, schema
+  * DDL for the empty-store bootstrap).
+  *
+  * Scoring semantics: identical expression tree to `unigramLogprob`
+  * (fixed-point accumulation, 6dp rounding) with the frozen (cnt,
+  * total). Tokens OUTSIDE the frozen vocabulary contribute nothing to
+  * the sum but are COUNTED: the output separates "scores low under
+  * the LM" from "mostly unseen vocabulary" — two different failure
+  * modes a gate may weigh differently (no smoothing constant can
+  * honestly merge them). On the fitting corpus itself, `score` ≡
+  * `unigramLogprob` with n_oov = 0 (QualitySpec pins the equality).
+  *
+  * Output: (doc_id, n_tokens, n_oov, avg_logprob) — the average over
+  * IN-VOCAB tokens, null for all-OOV documents.
+  */
+object LmStore {
+
+  def createAt(
+      spark: SparkSession,
+      docs: DataFrame,
+      path: String,
+      buckets: Int = 64): String = {
+    val table = tableFor(path)
+    val vocab = Parallelism.ensure(docs)
+      .filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    XenaOps.writeBucketed(vocab, table, "tok", buckets, Some(s"$path/vocab"))
+    // total from the WRITTEN table: one pass over the |vocab|-bounded
+    // store instead of keeping the aggregate alive for two consumers
+    val total = spark.table(table)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long")).head().getLong(0)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_lm_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"total": $total, "buckets": $buckets, "schema": "`tok` STRING,`cnt` BIGINT"}"""
+        .getBytes("UTF-8"))
+    finally os.close()
+    table
+  }
+
+  /** Re-attach in a fresh session: (table, total token count). */
+  def attach(spark: SparkSession, path: String): (String, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_lm_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def num(k: String): Long = (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"malformed _lm_store.json at $path: $json"))
+    val schemaDdl = """"schema"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val table = tableFor(path)
+    XenaOps.declareBucketedTable(spark, table, s"$path/vocab", "tok",
+      num("buckets").toInt, schemaDdl)
+    (table, num("total"))
+  }
+
+  /** Score a batch under the frozen LM at `path`. */
+  def score(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    val (table, total) = attach(spark, path)
+    require(total > 0L, s"LM store at $path is empty — fit it on a corpus first")
+    val pd = Parallelism.ensure(docs)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val inVocabCnt = sum(when(col("c").isNotNull, col("cnt")).otherwise(0L)).cast("long")
+    pd
+      .join(spark.table(table).select(col("tok"), col("cnt").as("c")), Seq("tok"), "left")
+      .select(col("doc_id"), col("cnt"), col("c"),
+        // same term expression as unigramLogprob, frozen (c, total)
+        when(col("c").isNotNull, Quality.fixedPoint9(col("cnt").cast("double") *
+          log(col("c").cast("double") / lit(total).cast("double"))))
+          .otherwise(lit(0L)).as("ts9"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        sum(when(col("c").isNull, col("cnt")).otherwise(0L)).cast("long").as("n_oov"),
+        when(inVocabCnt > 0L,
+          round(Quality.fromFixedPoint9(sum(col("ts9"))) /
+            inVocabCnt.cast("double"), 6)).as("avg_logprob"))
+  }
+
+  private def tableFor(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"lm_store_$hex"
+  }
+}

@@ -1060,6 +1060,20 @@ class DomainSpec extends SparkSpecBase {
     assert(reAccepted == 0L, s"replayed landing accepted $reAccepted rows")
   }
 
+  test("CLI lm-store: frozen-LM scoring round-trips") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_lm").toString
+    assert(graft.Cli.run(Array(
+      "lm-store", "--create", "-i", docs, "-s", s"$tmp/lm", "--buckets", "4")) == 0)
+    assert(graft.Cli.run(Array(
+      "lm-store", "--score", "-i", docs, "-s", s"$tmp/lm", "-o", s"$tmp/scores")) == 0)
+    val scores = spark.read.parquet(s"$tmp/scores")
+    assert(scores.columns.toSeq == Seq("doc_id", "n_tokens", "n_oov", "avg_logprob"))
+    assert(scores.count() == 500)
+    assert(scores.filter(col("n_oov") =!= 0L).count() == 0,
+      "own-corpus scoring must see no OOV")
+  }
+
   test("CLI bpe-train + tokenize: merge TSV round-trips through encode") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_bpe").toString

@@ -283,6 +283,38 @@ class QualitySpec extends SparkSpecBase {
     assert(enc.toSeq == Seq((7L, 2L, 4L)), enc.mkString(","))
   }
 
+  test("LmStore: frozen LM scores == unigramLogprob on the fitting corpus") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_lm").toString}/lm"
+    graft.ops.LmStore.createAt(spark, docs, path, buckets = 4)
+    val got = graft.ops.LmStore.score(spark, path, docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = graft.ops.Quality.unigramLogprob(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nt, noov, lp)) =>
+      assert(noov == 0L, s"doc $id reports OOV against its own LM")
+      assert((nt, lp) == want(id), s"doc $id: ($nt, $lp) != ${want(id)}")
+    }
+  }
+
+  test("LmStore: OOV tokens counted, excluded from the average, all-OOV -> null") {
+    import spark.implicits._
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_lm2").toString}/lm"
+    graft.ops.LmStore.createAt(spark,
+      Seq((1L, "aa aa bb")).toDF("doc_id", "text"), path, buckets = 2)
+    // LM: aa cnt 2, bb cnt 1, total 3
+    val rows = graft.ops.LmStore.score(spark, path,
+        Seq((7L, "aa zz zz"), (8L, "zz qq")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // doc 7: 3 tokens, 2 OOV; avg over the one in-vocab token = ln(2/3)
+    assert(rows(7L)._1 == 3L && rows(7L)._2 == 2L)
+    assert(rows(7L)._3.contains(math.rint(math.log(2.0 / 3.0) * 1e6) / 1e6))
+    // doc 8: all OOV -> null score, counts still reported
+    assert(rows(8L) == ((2L, 2L, None)))
+  }
+
   test("bpeMerges step 1 equals bpePairStats' top candidate on real docs") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val top = graft.ops.Quality.bpePairStats(docs, topK = 1).collect()(0)
