@@ -869,6 +869,43 @@ object Cli {
       println(s"streamed curation -> $out/corpus (+ _ledger); store updated")
       0
 
+    case "export-shards" :: rest =>
+      // Sharded training export: every document lands in exactly one
+      // of --shards files-worth of data, internally shuffled by the
+      // deterministic md5 order (Packing.shardAssignments), written
+      // partitioned by shard with rows sorted by shard_pos, plus a
+      // manifest.json of per-shard row/token counts — the
+      // dataloader-facing corpus sink.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val nShards = m.get("--shards").flatMap(_.headOption).map(_.toInt).getOrElse(16)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, sum}
+      val docs = spark.read.parquet(in)
+      val assigned = graft.ops.Packing.shardAssignments(
+          docs.select(col(idCol)), idCol, nShards)
+        .join(docs, Seq(idCol))
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      assigned
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+      val manifest = assigned.groupBy("shard")
+        .agg(org.apache.spark.sql.functions.count(col(idCol)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"))
+        .orderBy("shard")
+        .collect()
+        .map(r => s"""  {"shard": ${r.getLong(0)}, "n_docs": ${r.getLong(1)}, "n_tokens": ${r.getLong(2)}}""")
+        .mkString("[\n", ",\n", "\n]")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "manifest.json"),
+        manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"$nShards shards + manifest written to $out")
+      0
+
     case "lm-store" :: rest =>
       // Frozen corpus LM: --create fits the unigram LM on a reference
       // corpus (bucketed vocab + totals sidecar); --score rates a
@@ -1358,6 +1395,7 @@ object Cli {
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
+           |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]

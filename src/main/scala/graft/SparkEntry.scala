@@ -1337,6 +1337,24 @@ object SparkEntry {
         .otherwise(0)).cast("long").as("funnel_depth"))
   }
 
+  /** Sharded training export assignment (q68's md5 shuffle key, cut
+    * into 16 dataloader shards): shard membership and within-shard
+    * order from ONE hash, per-shard window — nothing global. */
+  def q101ShardExport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.shardAssignments(
+      Tables.documents(s, dir), "doc_id", nShards = 16)
+
+  /** Frame-level video near-dup (the q95/q99 shape, third modality):
+    * real DIB frame decode → per-frame aHash → band-bucket
+    * candidates + exact hamming verifier. The oracle re-derives
+    * every frame signature arithmetically from the same AVI bytes
+    * (fixed canonical layout: frame i data at 232 + i·(8+fs)) — a
+    * second independent decoder checking the first, frame by frame. */
+  def q102VideoFrameNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.VideoOps.frameNearDupPairs(
+      s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/video_nd/*.avi"),
+      maxHamming = 4)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1447,6 +1465,8 @@ object SparkEntry {
     "q98_tfidf_topk" -> (q98TfidfTopK _),
     "q99_audio_neardup" -> (q99AudioNearDup _),
     "q100_funnel_asof" -> (q100FunnelAsof _),
+    "q101_shard_export" -> (q101ShardExport _),
+    "q102_video_frame_neardup" -> (q102VideoFrameNearDup _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -3168,6 +3188,55 @@ object SparkEntry {
         |            WHEN click_id IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS funnel_depth
         |FROM pv""".stripMargin,
+    // q102: every frame aHash re-derived arithmetically from the AVI
+    // bytes (canonical layout: w/ht from avih at fixed offsets, frame
+    // fi data at 232 + fi*(8+fs)); DIB rows are bottom-up, so cell
+    // (x, y) reads source row (ht-1-sy). Same exact-integer mean test
+    // and pairwise-hamming tail as q95.
+    "q102_video_frame_neardup" -> {
+      // byte at (frame offset + pixel offset + c) as a BIGINT via hex
+      def byteAt(c: Int): String =
+        "CAST(concat('0x', substr(h, 2 * (232 + fi * (8 + w * ht * 3) + " +
+          s"(((ht - 1 - (((k // 8) * ht) // 8)) * w + (((k % 8) * w) // 8)) * 3) + $c) + 1, 2)) AS BIGINT)"
+      s"""WITH b AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$', 0) AS name, hex(content) AS h
+        |  FROM read_blob('$FixtureDir/video_nd/*.avi')),
+        |m AS (
+        |  SELECT name, h,
+        |    CAST(concat('0x', substr(h,103,2), substr(h,101,2), substr(h,99,2), substr(h,97,2)) AS BIGINT) AS n_frames,
+        |    CAST(concat('0x', substr(h,135,2), substr(h,133,2), substr(h,131,2), substr(h,129,2)) AS BIGINT) AS w,
+        |    CAST(concat('0x', substr(h,143,2), substr(h,141,2), substr(h,139,2), substr(h,137,2)) AS BIGINT) AS ht
+        |  FROM b),
+        |fr AS (
+        |  SELECT name, h, w, ht, unnest(generate_series(0, n_frames - 1)) AS fi FROM m),
+        |g AS (
+        |  SELECT name || '#' || lpad(CAST(fi AS VARCHAR), 3, '0') AS frame,
+        |    list_transform(generate_series(0, 63), k ->
+        |      ${byteAt(0)} + ${byteAt(1)} + ${byteAt(2)}) AS gs
+        |  FROM fr),
+        |sig AS (
+        |  SELECT frame,
+        |    list_transform(gs, x -> CASE WHEN 64 * x > tot THEN 1 ELSE 0 END) AS bits
+        |  FROM (SELECT frame, gs, list_aggregate(gs, 'sum') AS tot FROM g))
+        |SELECT frame_a, frame_b, hamming FROM (
+        |  SELECT a.frame AS frame_a, b2.frame AS frame_b,
+        |    CAST(list_aggregate(
+        |      list_transform(generate_series(1, 64),
+        |        i -> CASE WHEN a.bits[i] <> b2.bits[i] THEN 1 ELSE 0 END),
+        |      'sum') AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b2 ON a.frame < b2.frame) t
+        |WHERE hamming <= 4""".stripMargin
+    },
+    // q101: shard = 60-bit md5 order hash mod 16, position = rank by
+    // (hash, id) within the shard — both transcribe exactly.
+    "q101_shard_export" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ord
+        |  FROM documents)
+        |SELECT doc_id, ord % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ord % 16 ORDER BY ord, doc_id) - 1 AS BIGINT) AS shard_pos
+        |FROM k""".stripMargin,
     // q99: the eHash recomputed arithmetically from the same WAV
     // bytes — 16-bit LE samples from the hex rendering, exact
     // cross-multiplied integer mean comparison, pairwise hamming at

@@ -177,6 +177,41 @@ object VideoOps {
       }
   }
 
+  /** Per-FRAME perceptual aHash signatures across a video corpus:
+    * every decoded DIB frame, re-badged as an image named
+    * `file.avi#NNN`, through [[ImageOps.aHash64Packed]] — ONE
+    * signature pipeline for still images and video frames. Output:
+    * (name, sig). */
+  def frameAHash(
+      spark: SparkSession,
+      binaries: DataFrame,
+      everyK: Int = 1): DataFrame = {
+    import spark.implicits._
+    val frames = decodeDibFrames(spark, binaries, everyK)
+      .map(f => ImageOps.DecodedImage(
+        f"${f.name}#${f.frame_idx}%03d", f.width, f.height, f.pixels))
+    ImageOps.aHash64Packed(spark, frames)
+  }
+
+  /** Frame-level near-duplicate pairs across a video corpus — static
+    * intros/outros, freeze frames, re-encoded copies: (frame_a,
+    * frame_b, hamming) over `file#idx` frame ids. Same scale shape as
+    * [[ImageOps.nearDupPairs]]: band-bucket candidates over the
+    * packed signatures, exact xor+popcount verifier on collisions
+    * only — never a frames² self-join. */
+  def frameNearDupPairs(
+      spark: SparkSession,
+      binaries: DataFrame,
+      maxHamming: Int,
+      everyK: Int = 1,
+      bands: Int = 4,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+        frameAHash(spark, binaries, everyK), "name", "sig",
+        sigBits = 64, bands = bands, maxDist = maxHamming,
+        maxBucketSize = maxBucketSize)
+      .select(col("id_a").as("frame_a"), col("id_b").as("frame_b"), col("hamming"))
+
   /** Every `everyK`-th video frame chunk (`00db`/`00dc`), with its
     * container byte extent and content fingerprint. The chunk walk is
     * the real container parse; the fingerprint is the codec slot. */

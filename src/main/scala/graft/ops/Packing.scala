@@ -138,4 +138,34 @@ object Packing {
       .withColumn("pos", col("local_rn") + col("poffset"))
       .drop("pid", "local_rn", "poffset")
   }
+
+  /** Deterministic shard assignment for a SHARDED training export
+    * (the dataloader-facing sink shape: N shard files, each
+    * internally shuffled, every document in exactly one shard):
+    * shard = md5-order-hash mod `nShards` (the q68 `shuf_` key, so
+    * shard membership and the within-shard order come from ONE hash
+    * — stable across runs, engines and corpus growth), shard_pos =
+    * 0-based rank within the shard by (hash, id).
+    *
+    * Scale shape: one narrow projection + one window partitioned by
+    * shard — the per-shard sort is exactly the cost of writing a
+    * sorted shard and parallelizes across shards; nothing global,
+    * no single-partition window. Size `nShards` to the cluster's
+    * write slots (hundreds to thousands at 100 TB).
+    *
+    * Output: (`idCol`, shard, shard_pos).
+    */
+  def shardAssignments(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    Parallelism.ensure(docs)
+      .select(col(idCol),
+        graft.functions.Md5Prefix64(
+          concat(lit("shuf_"), col(idCol).cast("string"))).as("__ord"))
+      .withColumn("shard", pmod(col("__ord"), lit(nShards.toLong)))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("__ord"), col(idCol)))
+          .cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("shard_pos"))
+  }
 }

@@ -1060,6 +1060,37 @@ class DomainSpec extends SparkSpecBase {
     assert(reAccepted == 0L, s"replayed landing accepted $reAccepted rows")
   }
 
+  test("CLI export-shards: disjoint covering shards, dense positions, manifest reconciles") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_shards").toString
+    assert(graft.Cli.run(Array(
+      "export-shards", "-i", docs, "-o", tmp, "--shards", "4")) == 0)
+    val shards = spark.read.parquet(s"$tmp/shards")
+    // every document exactly once across the shard set
+    assert(shards.count() == 500)
+    assert(shards.select("doc_id").distinct().count() == 500)
+    // positions dense 0..n-1 within each shard, ordered by the md5 key
+    val direct = graft.ops.Packing.shardAssignments(
+        spark.read.parquet(docs).select(col("doc_id")), "doc_id", 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // partitionBy writes shard as a directory column; the read-back
+    // infers it as INT — cast for the comparison
+    shards.select(col("doc_id"), col("shard").cast("long"), col("shard_pos"))
+      .collect().foreach { r =>
+        assert(direct(r.getLong(0)) == ((r.getLong(1), r.getLong(2))), r.toString)
+      }
+    shards.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("shard_pos")).as("mx"))
+      .collect().foreach(r => assert(r.getLong(2) == r.getLong(1) - 1,
+        s"shard ${r.get(0)} positions not dense"))
+    // manifest totals match the shipped shards
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "manifest.json")), "UTF-8")
+    val mDocs = """"n_docs": (\d+)""".r.findAllMatchIn(manifest)
+      .map(_.group(1).toLong).sum
+    assert(mDocs == 500L, s"manifest docs $mDocs != 500")
+  }
+
   test("CLI lm-store: frozen-LM scoring round-trips") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_lm").toString

@@ -293,6 +293,52 @@ class MultimodalSpec extends SparkSpecBase {
       "audio near-dup pair stage must be the banded equi join:\n" + p.take(1500))
   }
 
+  private val videoNdGlob = "/root/repo/fixtures/video_nd/*.avi"
+
+  test("video frame near-dup: identical twin frames at 0, the swapped frame at 2") {
+    val pairs = VideoOps.frameNearDupPairs(
+        spark, ImageOps.readBinary(spark, videoNdGlob), maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // generator-asserted planted truth: clip_0_dup shares 5 byte-
+    // identical frames with clip_0 (hamming 0) and one total-
+    // preserving two-cell swap on frame 3 (hamming exactly 2);
+    // cross-content frames all sit > 7 bits apart
+    val want = (0 until 6).filter(_ != 3).map(i =>
+      (f"clip_0.avi#$i%03d", f"clip_0_dup.avi#$i%03d", 0L)).toSet +
+      (("clip_0.avi#003", "clip_0_dup.avi#003", 2L))
+    assert(pairs == want, pairs.toString)
+  }
+
+  test("video frame banded pairs == brute force; frame hash == image-path hash") {
+    val bins = ImageOps.readBinary(spark, videoNdGlob)
+    val sigs = VideoOps.frameAHash(spark, bins).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(sigs.length == 18) // 3 files x 6 frames
+    for (radius <- Seq(0, 2, 7)) {
+      val want = (for {
+        (na, sa) <- sigs; (nb, sb) <- sigs if na < nb
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= radius
+      } yield (na, nb, d.toLong)).toSet
+      val got = VideoOps.frameNearDupPairs(spark, bins, maxHamming = radius)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"radius $radius: $got vs $want")
+    }
+    // a decoded frame hashed through the IMAGE path must give the
+    // same signature — one signature pipeline across modalities
+    val spark2 = spark
+    import spark2.implicits._
+    val asImages = VideoOps.decodeDibFrames(spark, bins, everyK = 1)
+      .map(f => ImageOps.DecodedImage(
+        f"${f.name}#${f.frame_idx}%03d", f.width, f.height, f.pixels))
+    val viaImage = ImageOps.aHash64Packed(spark, asImages).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sigs.toMap == viaImage)
+    val p = VideoOps.frameNearDupPairs(spark, bins, maxHamming = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "video frame near-dup must use the banded equi join:\n" + p.take(1500))
+  }
+
   test("aHash signature: exact-integer mean test, 64 bits, resize-stable") {
     val sigs = ImageOps.aHash64(spark, decoded).collect()
       .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap

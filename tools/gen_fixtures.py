@@ -403,16 +403,39 @@ def audio_nd():
             f.write(wav_bytes(payload))
 
 
-def video():
+def _avi_blob(wd, ht, uspf, frames):
     # Canonical uncompressed AVI (RIFF): LIST hdrl {avih, LIST strl
     # {strh 'vids'/'DIB ', strf BITMAPINFOHEADER}} + LIST movi with one
     # '00db' chunk per raw BGR frame. A real container format walkable
-    # without codec libraries; frame payloads are closed-form LCG bytes.
-    # Widths keep row_bytes (w*3) a multiple of 4, so there is no DIB
-    # row padding and frame_size == w*h*3 exactly — which is what lets
-    # the DuckDB oracle compute chunk offsets arithmetically
-    # (movi data starts at byte 232; frame i data at 232 + i*(8+fs)).
+    # without codec libraries. Widths keep row_bytes (w*3) a multiple
+    # of 4, so there is no DIB row padding and frame_size == w*h*3
+    # exactly — which is what lets the DuckDB oracles compute chunk
+    # offsets arithmetically (movi data starts at byte 232; frame i
+    # data at 232 + i*(8+fs)).
     import struct
+    fs = wd * ht * 3
+    nframes = len(frames)
+    avih = struct.pack("<14I", uspf, fs * 1000000 // uspf, 0, 0x10,
+                       nframes, 0, 1, fs, wd, ht, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+            uspf, 1000000, 0, nframes, fs, 10000, 0)
+            + struct.pack("<4h", 0, 0, wd, ht))
+    strf = struct.pack("<IiiHHIIiiII", 40, wd, ht, 1, 24, 0, fs, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi_body = b"".join(b"00db" + struct.pack("<I", fs) + bytes(fr) for fr in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert len(hdrl) == 200 and blob.index(b"movi") == 220, \
+        "canonical AVI layout drifted; the video oracles assume it"
+    return blob
+
+
+def video():
     specs = [(8, 6, 40000, 12), (16, 8, 33333, 10), (4, 4, 100000, 20)]
     for vi, (wd, ht, uspf, nframes) in enumerate(specs):
         fs = wd * ht * 3
@@ -424,27 +447,102 @@ def video():
                 x = (1103515245 * x + 12345) % (1 << 31)
                 buf.append(x & 0xFF)
             frames.append(bytes(buf))
-        avih = struct.pack("<14I", uspf, fs * 1000000 // uspf, 0, 0x10,
-                           nframes, 0, 1, fs, wd, ht, 0, 0, 0, 0)
-        strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
-                uspf, 1000000, 0, nframes, fs, 10000, 0)
-                + struct.pack("<4h", 0, 0, wd, ht))
-        strf = struct.pack("<IiiHHIIiiII", 40, wd, ht, 1, 24, 0, fs, 0, 0, 0, 0)
-        strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
-            + b"strh" + struct.pack("<I", len(strh)) + strh \
-            + b"strf" + struct.pack("<I", len(strf)) + strf
-        hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
-            + b"avih" + struct.pack("<I", len(avih)) + avih + strl
-        movi_body = b"".join(b"00db" + struct.pack("<I", fs) + fr for fr in frames)
-        movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
-        body = b"AVI " + hdrl + movi
-        blob = b"RIFF" + struct.pack("<I", len(body)) + body
-        assert len(hdrl) == 200 and blob.index(b"movi") == 220, \
-            "canonical AVI layout drifted; q58/q59 oracles assume it"
         path = os.path.join(ROOT, "video", "clip_%d.avi" % vi)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
-            f.write(blob)
+            f.write(_avi_blob(wd, ht, uspf, frames))
+
+
+def video_nd():
+    # Frame-level near-dup video corpus (separate dir so video/*
+    # query results are untouched): 2 LCG clips + one twin of clip_0
+    # whose frame 3 halves the brightness of its top row. Aligned
+    # unperturbed twin frames are byte-identical (frame-hash hamming
+    # 0); the perturbed frame lands a few bits away; cross-content
+    # frames sit ~half the 64 bits apart. High LCG bits feed the
+    # pixels (the low byte is periodic — see audio_nd). The generator
+    # recomputes the ACTUAL frame aHashes (decode + 8x8 nearest
+    # resize + exact integer mean test, mirroring ImageOps/the q102
+    # oracle) and asserts the planted separation.
+    wd, ht, uspf, nframes = 8, 6, 40000, 6
+    fs = wd * ht * 3
+
+    def lcg_frames(seed):
+        x = seed
+        out = []
+        for _ in range(nframes):
+            buf = bytearray()
+            for _ in range(fs):
+                x = (1103515245 * x + 12345) % (1 << 31)
+                buf.append((x >> 16) & 0xFF)
+            out.append(buf)
+        return out
+
+    clips = {"clip_0.avi": lcg_frames(1357), "clip_1.avi": lcg_frames(2468)}
+    twin = [bytearray(fr) for fr in clips["clip_0.avi"]]
+    # total-preserving perturbation of frame 3: swap the source pixels
+    # of one below-mean and one above-mean aHash cell on display row 1
+    # (stored row ht-2; that source row nearest-resizes to exactly one
+    # 8x8 output row, y=2). The clip total is unchanged, so EXACTLY
+    # those two bits flip — planted hamming 2 by construction.
+    def cell_g(fr, sx):
+        off = (ht - 2) * wd * 3 + sx * 3
+        return fr[off] + fr[off + 1] + fr[off + 2]
+    f3 = twin[3]
+    # the aHash mean test runs over CELL sums (64*g vs sum of the 64
+    # cell g-values), so compute those:
+    gs3 = []
+    for k in range(64):
+        y, x = k // 8, k % 8
+        sy, sx = (y * ht) // 8, (x * wd) // 8
+        off = ((ht - 1 - sy) * wd + sx) * 3
+        gs3.append(f3[off] + f3[off + 1] + f3[off + 2])
+    cell_total = sum(gs3)
+    row2 = [(x, gs3[2 * 8 + x]) for x in range(8)]  # cells (x, y=2), sy=1
+    lo = next(x for x, g in row2 if 64 * g <= cell_total)
+    hi = next(x for x, g in row2 if 64 * g > cell_total)
+    base = (ht - 2) * wd * 3
+    for c in range(3):
+        f3[base + lo * 3 + c], f3[base + hi * 3 + c] = \
+            f3[base + hi * 3 + c], f3[base + lo * 3 + c]
+    clips["clip_0_dup.avi"] = twin
+
+    def ahash(frame):
+        # decode bottom-up BGR -> top-down grid, 8x8 nearest resize,
+        # g = r+g+b, bit = 64*g > total (exact integers)
+        gs = []
+        for k in range(64):
+            y, x = k // 8, k % 8
+            sy, sx = (y * ht) // 8, (x * wd) // 8
+            off = ((ht - 1 - sy) * wd + sx) * 3
+            gs.append(frame[off] + frame[off + 1] + frame[off + 2])
+        tot = sum(gs)
+        return [1 if 64 * g > tot else 0 for g in gs]
+
+    sigs = {"%s#%03d" % (n, i): ahash(fr)
+            for n, frs in clips.items() for i, fr in enumerate(frs)}
+    names = sorted(sigs)
+    n_zero = n_near = 0
+    for ai, a in enumerate(names):
+        for b in names[ai + 1:]:
+            d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            fa, ia = a.split("#")
+            fb, ib = b.split("#")
+            twin_pair = ia == ib and {fa, fb} == {"clip_0.avi", "clip_0_dup.avi"}
+            if twin_pair and ia != "003":
+                assert d == 0, (a, b, d)
+                n_zero += 1
+            elif twin_pair:
+                assert d == 2, (a, b, d)
+                n_near += 1
+            else:
+                assert d > 7, (a, b, d)
+    assert n_zero == 5 and n_near == 1
+    for name, frs in clips.items():
+        path = os.path.join(ROOT, "video_nd", name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(_avi_blob(wd, ht, uspf, frs))
 
 
 if __name__ == "__main__":
@@ -463,5 +561,6 @@ if __name__ == "__main__":
     audio()
     audio_nd()
     video()
+    video_nd()
     n = sum(len(fs) for _, _, fs in os.walk(ROOT))
     print("wrote %d fixture files under %s" % (n, ROOT))
