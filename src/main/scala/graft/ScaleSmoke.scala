@@ -173,7 +173,7 @@ object ScaleSmoke {
       "q84_bpe_pairs", "q85_ngram_novelty", "q86_fuzzy_join",
       "q87_incremental_link", "q89_heavy_hitters",
       "q90_pmi_pairs", "q91_quality_buckets", "q93_bigram_logprob",
-      "q94_hard_negatives")
+      "q94_hard_negatives", "q101_shard_export")
     // q88 (BM25) is EXCLUDED from the sweep for the same class of
     // reason as q23: the synthetic corpus has a ~31-token vocabulary,
     // so every one of the sweep's 2,000 query docs lexically matches
