@@ -179,12 +179,14 @@ object Retrieval {
     * because its term scores are idf-bounded.
     *
     * Scale shape: ONE tokenize pass builds the postings (the only
-    * corpus-sized intermediate, staged like [[bm25TopK]]); weighting
-    * joins the vocabulary-sized df table back on `term`; norms are
-    * one map-side-combined aggregate of that same weighted table; the
-    * query side is broadcast; the per-(q,d) dot reduces matched
-    * postings before its exchange, and the norm attach joins the
-    * match-bounded score table, never the corpus.
+    * corpus-sized intermediate, staged like [[bm25TopK]]). The norm
+    * pass is the only place the FULL vocab-sized df table joins the
+    * corpus (norms need every term's idf) — term-keyed, consumed
+    * directly by a map-side-combined aggregate, never materialized as
+    * a weighted copy. The probe is the q88 shape: query-restricted df
+    * and query weights broadcast to the postings checkpoint, matched
+    * rows reduced before their one exchange, and the norm attach
+    * joins the match-bounded score table, never the corpus.
     *
     * Output: (query_id, doc_id, rank, score).
     */
@@ -198,14 +200,16 @@ object Retrieval {
       (lit(1.0) + col("df").cast("double"))) + lit(1.0)
     val weight = col("tf").cast("double") * idf
 
-    // Corpus side: weighted postings (one term-keyed join with the
-    // vocab-sized df table), staged for its two consumers (norms +
-    // dot) so tokenize/weight run once.
-    val wd = Parallelism.stage(
-      postings.join(dfreq, Seq("term"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"), weight.as("w")))
-    val dnorm = wd.groupBy(col("doc_id"))
+    // Document norms need EVERY term's idf, so this is the one place
+    // the full vocab-sized df table joins the corpus postings — term-
+    // keyed, consumed directly by the norm aggregate (map-side
+    // combined, one row per doc). No second corpus-sized
+    // materialization: the probe below re-reads the postings
+    // CHECKPOINT, whose scan is cheaper than holding a weighted copy.
+    val dnorm = postings.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy(col("doc_id"))
       .agg(sqrt(sum(round(col("w") * col("w") * lit(1.0e4), 0).cast("long"))
         .cast("double") / lit(1.0e4)).as("dnorm"))
 
@@ -226,7 +230,16 @@ object Retrieval {
       .agg(sqrt(sum(round(col("w") * col("w") * lit(1.0e4), 0).cast("long"))
         .cast("double") / lit(1.0e4)).as("qnorm"))
 
-    val dots = wd
+    // Probe: the q88 shape — everything the corpus-sized postings
+    // join is BROADCAST (query-restricted df + the 1-row stats for
+    // the document-side weight, then the query weights); the corpus
+    // never shuffles for the probe. The document weight here equals
+    // the norm pass's `weight` for matched terms by construction
+    // (same expression over the same (tf, df, n_docs)).
+    val dots = postings
+      .join(broadcast(dfreq.join(qpost.select("term").distinct(), Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), weight.as("w"))
       .join(broadcast(wq.select(col("q_id"), col("term"), col("w").as("wq"))), Seq("term"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(round(col("wq") * col("w") * lit(1.0e4), 0).cast("long")).as("d4"))
