@@ -1355,6 +1355,25 @@ object SparkEntry {
       s, graft.multimodal.ImageOps.readBinary(s, s"$FixtureDir/video_nd/*.avi"),
       maxHamming = 4)
 
+  /** Frozen-LM quality gate — the production scoring shape: fit a
+    * unigram LM ONCE on the trusted snapshot (doc_id % 25 != 0),
+    * persist it bucketed-by-token ([[graft.ops.LmStore]]), then score
+    * the arriving held-out batch (doc_id % 25 == 0) against the
+    * FROZEN (cnt, total). O(batch) work per scoring pass, the store
+    * side joins exchange-free, and OOV tokens are counted separately
+    * (n_oov) instead of smoothed away — unlike q82, whose LM is the
+    * scoring corpus's own. The oracle refits the same LM from the
+    * train split in SQL and left-joins it to the held-out postings
+    * with the shared fixed-point recipe. */
+  def q103LmStoreScore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_lm_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.LmStore.createAt(
+      s, docs.filter(col("doc_id") % 25 =!= 0), s"$tmp/lm")
+    graft.ops.LmStore.score(
+      s, s"$tmp/lm", docs.filter(col("doc_id") % 25 === 0))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1467,6 +1486,7 @@ object SparkEntry {
     "q100_funnel_asof" -> (q100FunnelAsof _),
     "q101_shard_export" -> (q101ShardExport _),
     "q102_video_frame_neardup" -> (q102VideoFrameNearDup _),
+    "q103_lm_store_score" -> (q103LmStoreScore _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1869,6 +1889,32 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q69_pq_topk" -> PqOracleSql,
+    // q103: the oracle refits the frozen LM from the train split
+    // (doc_id % 25 <> 0) and scores the held-out split against it —
+    // q82's fixed-point recipe with a LEFT join so out-of-vocabulary
+    // tokens count into n_oov and contribute 0 to the score sum;
+    // all-OOV documents score NULL.
+    "q103_lm_store_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks WHERE doc_id % 25 <> 0 GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM vocab),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE doc_id % 25 = 0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pd.doc_id, pd.cnt, vocab.c,
+        |    CASE WHEN vocab.c IS NOT NULL
+        |      THEN CAST(round(pd.cnt * ln(vocab.c * 1.0 / t) * 1000000000.0, 0) AS BIGINT)
+        |      ELSE 0 END AS ts9
+        |  FROM pd LEFT JOIN vocab USING (tok), tot)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CASE WHEN sum(CASE WHEN c IS NOT NULL THEN cnt ELSE 0 END) > 0
+        |    THEN round(CAST(sum(ts9) AS DOUBLE) / 1000000000.0
+        |      / CAST(sum(CASE WHEN c IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE), 6)
+        |  END AS avg_logprob
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

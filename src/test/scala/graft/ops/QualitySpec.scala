@@ -315,6 +315,44 @@ class QualitySpec extends SparkSpecBase {
     assert(rows(8L) == ((2L, 2L, None)))
   }
 
+  test("LmStore: scoring probes the vocab store with zero store-side exchanges") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      val path = s"${java.nio.file.Files.createTempDirectory("graft_lm3").toString}/lm"
+      graft.ops.LmStore.createAt(
+        spark, docs.filter(col("doc_id") % 25 =!= 0), path)
+      val scored = graft.ops.LmStore.score(
+        spark, path, docs.filter(col("doc_id") % 25 === 0))
+      scored.queryExecution.toRdd.count()
+      val finalPlan = scored.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case other => other.children.flatMap(flatten)
+      })
+      assert(finalPlan.toString.contains("Bucketed: true"),
+        s"vocab-store scan is not bucketed:\n${finalPlan.toString.take(3000)}")
+      val joins = flatten(finalPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, "no join in the scoring plan")
+      // the store is the right side of the tok join: only the batch
+      // side repartitions, the store scan feeds the join directly
+      val storeShuffles = flatten(joins.head.children.last).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(storeShuffles.isEmpty,
+        s"store side of the scoring join reshuffles:\n${joins.head.children.last}")
+    } finally spark.conf.set(thresholdKey, orig)
+  }
+
   test("bpeMerges step 1 equals bpePairStats' top candidate on real docs") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val top = graft.ops.Quality.bpePairStats(docs, topK = 1).collect()(0)
