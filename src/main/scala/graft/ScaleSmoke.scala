@@ -173,7 +173,8 @@ object ScaleSmoke {
       "q84_bpe_pairs", "q85_ngram_novelty", "q86_fuzzy_join",
       "q87_incremental_link", "q89_heavy_hitters",
       "q90_pmi_pairs", "q91_quality_buckets", "q93_bigram_logprob",
-      "q94_hard_negatives", "q101_shard_export")
+      "q94_hard_negatives", "q101_shard_export", "q103_lm_store_score",
+      "q104_weighted_sample")
     // q88 (BM25) is EXCLUDED from the sweep for the same class of
     // reason as q23: the synthetic corpus has a ~31-token vocabulary,
     // so every one of the sweep's 2,000 query docs lexically matches
@@ -571,6 +572,33 @@ object ScaleSmoke {
       f"planted copy families should crush novelty at 10x, mean uniq_frac ${nvRow.getDouble(1)}%.3f")
     checks += ("n-gram novelty collapses under the planted copy families at 10x" ->
       f"mean uniq_frac ${nvRow.getDouble(1)}%.4f over ${nvRow.getLong(0)} docs (≤2 suffix grams per copy can be unique), equi-join plan, $nvSec%.1f s")
+
+    // (c) frozen-LM store at 10×: fitting on the full 10× corpus and
+    // scoring it back through the PERSISTED store must reproduce
+    // q82's in-memory scores exactly (n_oov = 0 on the fitting
+    // corpus) — the store layout, sidecar total, and bucketed probe
+    // all on the hook at 10× row counts, not just fixture scale.
+    val lm0 = System.nanoTime()
+    val lmPath = s"$workDir/tmp_lm_store"
+    graft.ops.LmStore.createAt(spark, docs, lmPath)
+    val lmGot = graft.ops.LmStore.score(spark, lmPath, docs)
+    assert(lmGot.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+      "frozen-LM store probe lost its bucketed scan at 10x")
+    val lmRows = lmGot.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val lmWant = graft.ops.Quality.unigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lmSec = (System.nanoTime() - lm0) / 1e9
+    assert(lmRows.keySet == lmWant.keySet,
+      s"frozen-LM doc set diverged at 10x: ${lmRows.size} vs ${lmWant.size}")
+    lmRows.foreach { case (id, (nt, noov, lp)) =>
+      assert(noov == 0L, s"doc $id reports OOV against its own LM at 10x")
+      assert((nt, lp) == lmWant(id),
+        s"doc $id: frozen-LM ($nt, $lp) != in-memory ${lmWant(id)} at 10x")
+    }
+    checks += ("frozen-LM store score == in-memory unigramLogprob at 10x" ->
+      (f"${lmRows.size}%d docs bit-identical through the persisted store, " +
+        f"n_oov 0 everywhere, fit+score+compare $lmSec%.1f s"))
 
     // 10. BM25 retrieval against PLANTED truth at 50k docs. The
     // testdata corpus cannot gate retrieval PRECISION: its ~31-token

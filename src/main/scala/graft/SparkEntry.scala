@@ -1374,6 +1374,17 @@ object SparkEntry {
       s, s"$tmp/lm", docs.filter(col("doc_id") % 25 === 0))
   }
 
+  /** Quality-weighted sample without replacement: 12 docs per source,
+    * each document's inclusion chance proportional to ln(1+n_chars) —
+    * the Efraimidis–Spirakis one-pass reservoir shape
+    * ([[graft.ops.Sampling.weightedSample]]). Deterministic (u from a
+    * 60-bit md5 of doc_id), so the oracle replays the exact draw. */
+  def q104WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      idCol = "doc_id", groupCol = "source",
+      weight = log(lit(1.0) + col("n_chars").cast("double")), k = 12)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1487,6 +1498,7 @@ object SparkEntry {
     "q101_shard_export" -> (q101ShardExport _),
     "q102_video_frame_neardup" -> (q102VideoFrameNearDup _),
     "q103_lm_store_score" -> (q103LmStoreScore _),
+    "q104_weighted_sample" -> (q104WeightedSample _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1915,6 +1927,21 @@ object SparkEntry {
         |      / CAST(sum(CASE WHEN c IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE), 6)
         |  END AS avg_logprob
         |FROM j GROUP BY doc_id""".stripMargin,
+    // q104: the Efraimidis–Spirakis draw replayed exactly — same
+    // 60-bit md5 uniform, same monotone ln(u)/w key at the same
+    // fixed-point quantization, same (key desc, id) tie order.
+    "q104_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    CAST(round(
+        |      ln((CAST(concat('0x', substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+        |         / 1152921504606846976.0)
+        |      / ln(1 + n_chars) * 1000000000.0, 0) AS BIGINT) AS k9
+        |  FROM documents)
+        |SELECT source, doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY k9 DESC, doc_id) AS rnk
+        |      FROM w) t
+        |WHERE rnk <= 12""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

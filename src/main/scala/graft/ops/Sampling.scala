@@ -89,4 +89,59 @@ object Sampling {
       .filter(col("cum_before") < budget)
       .select(col(idCol), col(keyCol), col(weightCol), col("cum_before"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws a uniform u and competes with key u^(1/w); the k largest
+    * keys per group are exactly a size-k weighted sample without
+    * replacement — the one-pass, order-independent formulation of
+    * "sample k docs per source, preferring high quality". This is the
+    * selection shape q62 (fixed per-stratum RATES) and
+    * [[tokenBudgetPerKey]] (hash-order truncation, weight-blind
+    * inclusion) can't express: every document's inclusion chance is
+    * proportional to its weight, but no document can be drawn twice.
+    *
+    * Determinism: u is NOT a random number — it derives from the
+    * 60-bit md5 of the row id (the q62/q68 recipe), so the sample is
+    * reproducible across runs, partitionings, and engines, and a
+    * document's draw never changes as other documents arrive. The
+    * competition key is the MONOTONE transform ln(u)/w of u^(1/w)
+    * (same ordering, no cross-engine `pow`), quantized to fixed
+    * point ×10⁹ so the rank is engine-portable; ties break by id.
+    *
+    * Scale shape: one window partitioned by the group column. Group
+    * cardinality is typically TINY (sources, languages) — what makes
+    * this safe at 100 TB is the WindowGroupLimit pushdown on the
+    * rank filter: each input partition pre-prunes to its own
+    * per-group top-k BEFORE the exchange, so the per-group reducer
+    * sees O(partitions × k) rows, never the group's full mass
+    * (PlanShapeSpec pins the pushdown).
+    *
+    * Weights must be strictly positive; a non-positive weight fails
+    * the job with an explicit error rather than ranking garbage.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // u in (0, 1): (h + 0.5) / 2^60 — the half-step keeps u off both
+    // endpoints (ln(0) and the measure-zero u = 1). h -> double loses
+    // bits past 2^53, but identically (IEEE round-to-nearest) in
+    // every engine, so the order is still engine-portable.
+    val u = (Md5Prefix64(concat(lit("ws_"), col(idCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+    val key9 = when(weight > lit(0.0),
+      round(log(u) / weight * lit(1.0e9), 0).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: non-positive weight for id "), col(idCol).cast("string"))))
+    df.withColumn("__ws_k9", key9)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__ws_k9").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__ws_k9")
+  }
 }

@@ -232,6 +232,42 @@ class DomainSpec extends SparkSpecBase {
     }
   }
 
+  test("weightedSample == driver-side Efraimidis-Spirakis reference; partition-invariant") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val rows = (1L to 300L).map(i => (i, s"g${i % 4}", 1.0 + (i % 7).toDouble))
+    val df = rows.toDF("id", "grp", "w")
+    // independent reference: same u, same monotone key, plain Scala topk
+    def k9(id: Long, w: Double): Long = {
+      val h = graft.functions.HashKernels.md5Prefix64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ws_$id"))
+      val u = (h.toDouble + 0.5) / 1152921504606846976.0
+      BigDecimal(math.log(u) / w * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-k9(r._1, r._3), r._1)).take(10)
+        .zipWithIndex.map { case ((id, _, w), i) => (id, g, w, i + 1L) }
+    }.toSet
+    for (parts <- Seq(1, 13)) {
+      val got = Sampling.weightedSample(
+        df.repartition(parts), "id", "grp", col("w"), k = 10)
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(got == want, s"weightedSample at $parts partitions != reference")
+    }
+    // heavier rows must be overrepresented: the max-weight stratum's
+    // sample share exceeds its population share in every group
+    val heavyShare = want.count(_._3 == 7.0).toDouble / want.size
+    assert(heavyShare > 1.0 / 7.0, f"weight-7 stratum not overrepresented: $heavyShare%.3f")
+    // non-positive weight fails loudly, never ranks garbage
+    val err = intercept[Exception] {
+      Sampling.weightedSample(
+        Seq((1L, "g", 0.0)).toDF("id", "grp", "w"), "id", "grp", col("w"), k = 1)
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString

@@ -10,6 +10,18 @@ class PlanShapeSpec extends SparkSpecBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("q104: weighted sample keeps the WindowGroupLimit pushdown, one exchange") {
+    // The operator's 100-TB contract (Sampling.weightedSample): group
+    // cardinality is tiny (sources), so the rank filter MUST push a
+    // per-partition group-limit below the exchange — the reducer sees
+    // O(partitions x k) rows per group, never the group's full mass.
+    val p = plan("q104_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), "q104 rank cut lost the group-limit pushdown")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle (the group window), got $shuffles")
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_agg_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
