@@ -1385,6 +1385,25 @@ object SparkEntry {
       idCol = "doc_id", groupCol = "source",
       weight = log(lit(1.0) + col("n_chars").cast("double")), k = 12)
 
+  /** Corpus report at every granularity in ONE pass: doc/char/token
+    * totals per (lang, source), per lang, per source, and overall,
+    * via `cube` — Catalyst expands each row into its 4 grouping sets
+    * BEFORE the partial aggregate, so the multi-granularity report
+    * costs one shuffle of (groups × 4) partial rows, not four jobs
+    * re-tokenizing the corpus. grouping_id disambiguates aggregate
+    * rows from data nulls. */
+  def q105CorpusCube(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        when(col("text").isNotNull,
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+          .as("n_toks"))
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"))
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1499,6 +1518,7 @@ object SparkEntry {
     "q102_video_frame_neardup" -> (q102VideoFrameNearDup _),
     "q103_lm_store_score" -> (q103LmStoreScore _),
     "q104_weighted_sample" -> (q104WeightedSample _),
+    "q105_corpus_cube" -> (q105CorpusCube _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1942,6 +1962,19 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY k9 DESC, doc_id) AS rnk
         |      FROM w) t
         |WHERE rnk <= 12""".stripMargin,
+    "q105_corpus_cube" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars,
+        |    CASE WHEN text IS NOT NULL
+        |      THEN len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0))
+        |    END AS n_toks
+        |  FROM documents)
+        |SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY CUBE(lang, source)""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

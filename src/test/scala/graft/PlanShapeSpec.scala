@@ -22,6 +22,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles == 1, s"expected exactly 1 shuffle (the group window), got $shuffles")
   }
 
+  test("q105: cube report is one Expand + one exchange, never four jobs") {
+    // cube's scale contract: each row expands into its 4 grouping
+    // sets BEFORE the partial aggregate, so the whole multi-
+    // granularity report costs one corpus pass and one shuffle of
+    // (groups x 4) partial rows — not four separate aggregations.
+    val p = plan("q105_corpus_cube")
+    assert(p.contains("Expand"), "cube lost its Expand node")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles")
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_agg_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
