@@ -949,6 +949,27 @@ object Cli {
       println(s"budget sample ($budget tokens per $keyCol) written to $out")
       0
 
+    case "sample" :: rest =>
+      // Weighted sample without replacement (Efraimidis-Spirakis):
+      // k rows per group, inclusion chance proportional to a SQL
+      // weight expression over the row — deterministic (md5 uniform),
+      // so re-runs and engines agree row-for-row.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(12)
+      val groupCol = m.get("--group").flatMap(_.headOption).getOrElse("source")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val weightExpr = m.get("--weight").flatMap(_.headOption)
+        .getOrElse("ln(1 + n_chars)")
+      val spark = session()
+      graft.ops.Sampling.weightedSample(
+        spark.read.parquet(in), idCol, groupCol,
+        org.apache.spark.sql.functions.expr(weightExpr), k)
+        .write.mode("overwrite").parquet(out)
+      println(s"weighted sample ($k per $groupCol, weight $weightExpr) written to $out")
+      0
+
     case "quality" :: rest =>
       // Per-document quality / data-selection scores over a documents
       // parquet: --mode heuristic (length/stopword/punctuation
@@ -1400,6 +1421,8 @@ object Cli {
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
+           |  budget     -i <docs.parquet> -o <out.parquet> -B <tokens-per-key> [--key source] [--id doc_id] [--text text]
+           |  sample     -i <docs.parquet> -o <out.parquet> [-k 12] [--group source] [--weight 'ln(1 + n_chars)'] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--bloom] [--trim] [--id doc_id] [--text text]

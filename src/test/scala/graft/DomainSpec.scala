@@ -268,6 +268,18 @@ class DomainSpec extends SparkSpecBase {
     assert(err.getMessage != null)
   }
 
+  test("CLI sample: weighted sample verb == q104 operator rows") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_sample").toString
+    assert(graft.Cli.run(Array("sample", "-i", docs, "-o", s"$tmp/out",
+      "-k", "12", "--group", "source", "--weight", "ln(1 + n_chars)")) == 0)
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
+    val want = SparkEntry.q104WeightedSample(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
+    assert(got == want, s"CLI rows ${got.size} != q104 rows ${want.size}")
+  }
+
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString
