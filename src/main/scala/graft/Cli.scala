@@ -1118,8 +1118,11 @@ object Cli {
             .map(_.toLong).getOrElse(5L)
           val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(20)
           graft.ops.CorpusStats.pmiPairs(docs, w, minPair, k)
+        case "drift" =>
+          val grp = m.get("--group").flatMap(_.headOption).getOrElse("source")
+          graft.ops.Quality.groupKlDrift(docs, grp)
         case other =>
-          sys.error(s"corpus-stats --mode must be hitters|pmi, got $other")
+          sys.error(s"corpus-stats --mode must be hitters|pmi|drift, got $other")
       }
       res.write.mode("overwrite").parquet(out)
       println(s"corpus stats ($mode) written to $out")
@@ -1433,7 +1436,7 @@ object Cli {
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|bigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
            |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--id doc_id] [--text text]
            |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
-           |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--text text]
+           |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi|drift] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--group source] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]
            |  image-store --create -i <ppm-glob> -s <store-dir> [--bands 4] [--buckets 64] | --ingest -i <ppm-glob> -s <store-dir> -o <pairs.parquet> [--max-hamming 6] | --stream -i <landing-dir> -s <store-dir> -o <pairs-dir> --checkpoint <dir> [--max-hamming 6]

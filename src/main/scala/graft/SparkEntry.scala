@@ -1404,6 +1404,14 @@ object SparkEntry {
         sum(col("n_chars")).as("total_chars"),
         sum(col("n_toks")).as("total_tokens"))
 
+  /** Per-source distribution drift: exact KL(P_source || corpus) over
+    * token distributions — the monitor that catches a feed gone wrong
+    * as a distribution shift before any per-document filter fires.
+    * One tokenize pass; everything after is |groups| x |vocab|
+    * bounded. [[graft.ops.Quality.groupKlDrift]]. */
+  def q106SourceDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.groupKlDrift(Tables.documents(s, dir), "source")
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1519,6 +1527,7 @@ object SparkEntry {
     "q103_lm_store_score" -> (q103LmStoreScore _),
     "q104_weighted_sample" -> (q104WeightedSample _),
     "q105_corpus_cube" -> (q105CorpusCube _),
+    "q106_source_drift" -> (q106SourceDrift _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -1975,6 +1984,28 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens
         |FROM d GROUP BY CUBE(lang, source)""".stripMargin,
+    // q106: the KL terms quantize at x10^9 AFTER each factor is cast
+    // to double individually (matching the engine's rounding path).
+    "q106_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |gt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT tok, sum(cnt) AS c FROM gt GROUP BY 1),
+        |tots AS (SELECT source, sum(cnt) AS gtot FROM gt GROUP BY 1),
+        |grand AS (SELECT sum(c) AS t FROM vocab),
+        |terms AS (
+        |  SELECT gt.source, gt.cnt,
+        |    CAST(round((CAST(gt.cnt AS DOUBLE) / CAST(gtot AS DOUBLE)) *
+        |      ln((CAST(gt.cnt AS DOUBLE) * CAST(t AS DOUBLE))
+        |         / (CAST(gtot AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      * 1000000000.0, 0) AS BIGINT) AS k9
+        |  FROM gt JOIN vocab USING (tok) JOIN tots USING (source), grand)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_vocab,
+        |  round(CAST(sum(k9) AS DOUBLE) / 1000000000.0, 6) AS kl
+        |FROM terms GROUP BY source""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

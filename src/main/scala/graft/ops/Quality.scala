@@ -408,4 +408,51 @@ object Quality {
         round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
           .as("uniq_frac"))
   }
+
+  /** Per-group distribution drift: KL(P_g ‖ Q) of each group's token
+    * distribution against the whole corpus's — the pipeline monitor
+    * that catches a source gone wrong (scraper regression, spam
+    * flood, wrong-language feed) as a DISTRIBUTION shift, before any
+    * per-document filter fires. KL is computed exactly over each
+    * group's observed vocabulary (every group token exists in the
+    * corpus, so Q > 0 wherever P_g > 0 and the sum is finite by
+    * construction; KL ≥ 0, and ≈ 0 means the group looks like the
+    * corpus).
+    *
+    * Scale shape: ONE tokenize pass lands in a (group, token) count
+    * table — the only corpus-sized work; everything after is bounded
+    * by |groups| × |vocab|. The corpus vocabulary derives from that
+    * table by a second-stage sum (never a second explode), group
+    * totals broadcast (groups are a curated list), and the KL terms
+    * accumulate as fixed-point longs, so the sum is partition-order
+    * independent ([[fixedPoint9]]).
+    *
+    * Output: (group, n_tokens, n_vocab, kl), kl rounded 6dp.
+    */
+  def groupKlDrift(docs: DataFrame, groupCol: String): DataFrame = {
+    val gt = docs
+      .filter(col("text").isNotNull)
+      .select(col(groupCol), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // two consumers: corpus vocab + the drift join
+    val vocab = gt.groupBy("tok").agg(sum("cnt").as("c"))
+    val totals = gt.groupBy(groupCol).agg(sum("cnt").as("gtot"))
+    val grand = vocab.agg(sum("c").as("t"))
+    // p_g ln(p_g/q) = (cnt/gtot) ln((cnt·t)/(gtot·c)) — all four
+    // factors cast to double BEFORE multiplying, so both engines
+    // round identically (a HUGEINT product rounded once would not).
+    val term = (col("cnt").cast("double") / col("gtot").cast("double")) *
+      log((col("cnt").cast("double") * col("t").cast("double")) /
+        (col("gtot").cast("double") * col("c").cast("double")))
+    gt.join(vocab, Seq("tok"))
+      .join(broadcast(totals), Seq(groupCol))
+      .crossJoin(broadcast(grand))
+      .select(col(groupCol), col("cnt"), fixedPoint9(term).as("k9"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_vocab"),
+        round(fromFixedPoint9(sum(col("k9"))), 6).as("kl"))
+  }
 }

@@ -353,6 +353,31 @@ class QualitySpec extends SparkSpecBase {
     } finally spark.conf.set(thresholdKey, orig)
   }
 
+  test("groupKlDrift: corpus-like group scores ~0, divergent group scores high") {
+    import spark.implicits._
+    // two groups with IDENTICAL token distributions + one alien group
+    val docs = Seq(
+      (1L, "aa aa bb cc", "g1"), (2L, "aa aa bb cc", "g2"),
+      (3L, "zz zz zz zz", "alien")
+    ).toDF("doc_id", "text", "source")
+    val kl = graft.ops.Quality.groupKlDrift(docs, "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(kl.keySet == Set("g1", "g2", "alien"))
+    assert(kl("g1")._1 == 4L && kl("g1")._2 == 3L)
+    // g1 == g2 by symmetry, both > 0 (the alien mass shifts Q off P)
+    assert(kl("g1") == kl("g2"))
+    // alien: P(zz)=1, Q(zz)=4/12 -> KL = ln(3)
+    assert(kl("alien")._3 == math.rint(math.log(3.0) * 1e6) / 1e6,
+      s"alien KL ${kl("alien")._3} != ln(3)")
+    assert(kl("alien")._3 > kl("g1")._3,
+      "divergent group must out-drift corpus-like groups")
+    // a group that IS the corpus drifts zero
+    val solo = graft.ops.Quality.groupKlDrift(
+      Seq((1L, "aa bb aa", "only")).toDF("doc_id", "text", "source"), "source")
+      .collect()(0)
+    assert(solo.getDouble(3) == 0.0)
+  }
+
   test("bpeMerges step 1 equals bpePairStats' top candidate on real docs") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val top = graft.ops.Quality.bpePairStats(docs, topK = 1).collect()(0)
