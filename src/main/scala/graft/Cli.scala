@@ -963,11 +963,24 @@ object Cli {
       val weightExpr = m.get("--weight").flatMap(_.headOption)
         .getOrElse("ln(1 + n_chars)")
       val spark = session()
-      graft.ops.Sampling.weightedSample(
-        spark.read.parquet(in), idCol, groupCol,
-        org.apache.spark.sql.functions.expr(weightExpr), k)
-        .write.mode("overwrite").parquet(out)
-      println(s"weighted sample ($k per $groupCol, weight $weightExpr) written to $out")
+      if (m.contains("--stream")) {
+        // Cross-batch reservoir over a landing directory: the store
+        // at -o always holds the current sample (groups x k rows).
+        val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+          .getOrElse(sys.error("sample --stream needs --checkpoint <dir>"))
+        val schema = spark.read.parquet(in).schema // landing must have >= 1 drop
+        val q = graft.streaming.StreamSample.maintain(
+          spark, in, out, ckpt, schema, idCol, groupCol,
+          org.apache.spark.sql.functions.expr(weightExpr), k)
+        q.processAllAvailable(); q.stop()
+        println(s"streamed weighted sample ($k per $groupCol) -> $out/sample")
+      } else {
+        graft.ops.Sampling.weightedSample(
+          spark.read.parquet(in), idCol, groupCol,
+          org.apache.spark.sql.functions.expr(weightExpr), k)
+          .write.mode("overwrite").parquet(out)
+        println(s"weighted sample ($k per $groupCol, weight $weightExpr) written to $out")
+      }
       0
 
     case "quality" :: rest =>
@@ -1425,7 +1438,7 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  budget     -i <docs.parquet> -o <out.parquet> -B <tokens-per-key> [--key source] [--id doc_id] [--text text]
-           |  sample     -i <docs.parquet> -o <out.parquet> [-k 12] [--group source] [--weight 'ln(1 + n_chars)'] [--id doc_id]
+           |  sample     -i <docs.parquet | landing-dir> -o <out.parquet | store-dir> [-k 12] [--group source] [--weight 'ln(1 + n_chars)'] [--stream --checkpoint <dir>] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--bloom] [--trim] [--id doc_id] [--text text]

@@ -931,6 +931,42 @@ class StreamingSpec extends SparkSpecBase {
       s"streamed $streamed != batch $batch")
   }
 
+  test("weighted reservoir stream == batch weightedSample on the union; replay idempotent") {
+    import graft.streaming.StreamSample
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws_stream").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val w1 = docs.filter(col("doc_id") % 2 === 0)
+    val w2 = docs.filter(col("doc_id") % 2 === 1)
+    w1.coalesce(1).write.parquet(s"$tmp/in")
+
+    val schema = w1.schema
+    val weight = log(lit(1.0) + col("n_chars").cast("double"))
+    def run(): Unit = {
+      val q = StreamSample.maintain(spark, s"$tmp/in", s"$tmp/store",
+        s"$tmp/ckpt", schema, "doc_id", "source", weight, k = 7)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // wave 1
+    w2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run() // wave 2, fresh query over the same checkpoint
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("source"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(s"$tmp/store/sample"))
+    val batch = rows(graft.ops.Sampling.weightedSample(
+      docs, "doc_id", "source", weight, k = 7))
+    assert(streamed == batch,
+      s"streamed reservoir ${streamed.size} != batch sample ${batch.size}")
+
+    // crash-replay: merging wave 2 AGAIN must not disturb the
+    // reservoir ((group, id) dedup + deterministic keys)
+    StreamSample.mergeBatch(w2, s"$tmp/store", "doc_id", "source", weight, k = 7)
+    assert(rows(spark.read.parquet(s"$tmp/store/sample")) == batch,
+      "replaying a merged batch disturbed the reservoir")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
