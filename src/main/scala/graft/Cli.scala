@@ -869,6 +869,24 @@ object Cli {
       println(s"streamed curation -> $out/corpus (+ _ledger); store updated")
       0
 
+    case "drift-stream" :: rest =>
+      // Streaming distribution-drift monitor: per micro-batch, one
+      // KL-vs-frozen-LM-store row per group appends to the ledger.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val out = one(m, "-o", "--output")
+      val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+        .getOrElse(sys.error("drift-stream needs --checkpoint <dir>"))
+      val grp = m.get("--group").flatMap(_.headOption).getOrElse("source")
+      val spark = session()
+      val schema = spark.read.parquet(in).schema // landing must have >= 1 drop
+      val q = graft.streaming.StreamDrift.maintain(
+        spark, in, store, out, ckpt, schema, grp)
+      q.processAllAvailable(); q.stop()
+      println(s"streamed drift ledger -> $out")
+      0
+
     case "export-shards" :: rest =>
       // Sharded training export: every document lands in exactly one
       // of --shards files-worth of data, internally shuffled by the
@@ -1432,6 +1450,7 @@ object Cli {
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
+           |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]

@@ -967,6 +967,40 @@ class StreamingSpec extends SparkSpecBase {
       "replaying a merged batch disturbed the reservoir")
   }
 
+  test("drift monitor: == groupKlDrift on the fitting corpus; OOV counted; per-batch ledger") {
+    import graft.streaming.StreamDrift
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    graft.ops.LmStore.createAt(spark, docs, s"$tmp/lm")
+
+    // On the store's own fitting corpus Q IS the corpus distribution:
+    // kl must equal the batch operator exactly, with zero OOV.
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val got = StreamDrift.batchDrift(spark, s"$tmp/lm", docs, "source")
+    assert(got.filter(col("n_oov") =!= 0L).isEmpty, "OOV against the fitting corpus")
+    val want = graft.ops.Quality.groupKlDrift(docs, "source")
+    assert(toMap(got) == toMap(want), "frozen-store drift != own-corpus drift on the fitting corpus")
+
+    // an all-OOV feed alarms as vocabulary, not as a fabricated kl
+    import spark.implicits._
+    val alien = StreamDrift.batchDrift(spark, s"$tmp/lm",
+      Seq((1L, "zzqqx zzqqx vvkk", "weird")).toDF("doc_id", "text", "source"), "source")
+      .collect()(0)
+    assert(alien.getLong(1) == 3L && alien.getLong(2) == 3L && alien.isNullAt(3))
+
+    // streaming ledger: two landings -> one tagged row set per batch
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/in")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = StreamDrift.maintain(spark, s"$tmp/in", s"$tmp/lm", s"$tmp/ledger",
+      s"$tmp/ckpt", docs.schema, "source",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.processAllAvailable() finally q.stop()
+    val ledger = spark.read.parquet(s"$tmp/ledger")
+    assert(ledger.select("batch").distinct().count() >= 1)
+    assert(ledger.filter(col("kl").isNull).isEmpty, "fitting-corpus batches must score")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so
