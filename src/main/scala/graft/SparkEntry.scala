@@ -1412,6 +1412,27 @@ object SparkEntry {
   def q106SourceDrift(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.groupKlDrift(Tables.documents(s, dir), "source")
 
+  /** MMR-diversified re-rank of a retrieval page: q22's brute-force
+    * top-20 page per query, greedily re-ordered by
+    * mmr(d) = lambda*rel(d) - (1-lambda)*max_{s in picked} cos6(d, s)
+    * ([[graft.similarity.Similarity.mmrRerank]]). The greedy is
+    * genuinely sequential, so the oracle replays it with a RECURSIVE
+    * CTE: one row per (query, step) carrying the picked list, the
+    * per-step argmax via QUALIFY row_number over (m desc, score
+    * desc, doc_id) — the engine's strict-> scan-order tie-break
+    * transcribed. maxSim floors at 0 (the engine never REWARDS
+    * anti-correlation, only stops penalizing), and the 6dp pair
+    * cosines round half-even (round_even == math.rint). */
+  def q107MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos").as("score"))
+    Similarity.mmrRerank(hits, emb, "vec_id", "embedding", k = 10, lambda = 0.5)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1528,6 +1549,7 @@ object SparkEntry {
     "q104_weighted_sample" -> (q104WeightedSample _),
     "q105_corpus_cube" -> (q105CorpusCube _),
     "q106_source_drift" -> (q106SourceDrift _),
+    "q107_mmr_rerank" -> (q107MmrRerank _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2006,6 +2028,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vocab,
         |  round(CAST(sum(k9) AS DOUBLE) / 1000000000.0, 6) AS kl
         |FROM terms GROUP BY source""".stripMargin,
+    // q107: the greedy MMR replayed step-by-step in a recursive CTE;
+    // validated term-for-term against an independent in-python greedy
+    // during development and against the engine by this gate.
+    "q107_mmr_rerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q_id, e.vec_id AS doc_id,
+        |    list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))) AS c
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |hits AS (
+        |  SELECT q_id AS query_id, doc_id, round(c, 6) AS score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, doc_id) AS rnk
+        |    FROM scored) t
+        |  WHERE rnk <= 20),
+        |cand AS (SELECT query_id, doc_id, score, v FROM hits JOIN e ON doc_id = vec_id),
+        |sel(query_id, step, doc_id, mmr, picked) AS (
+        |  SELECT query_id, CAST(1 AS BIGINT), doc_id,
+        |    round_even(0.5 * score * 1000000.0, 0) / 1000000.0,
+        |    [doc_id]
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |        FROM cand) t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT query_id, step + 1, doc_id,
+        |    round_even(m * 1000000.0, 0) / 1000000.0,
+        |    list_append(picked, doc_id)
+        |  FROM (
+        |    SELECT s.query_id, s.step, c.doc_id, c.score, s.picked,
+        |      0.5 * c.score - 0.5 * greatest(0.0, (
+        |        SELECT max(round_even(list_dot_product(c.v, p.v)
+        |          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v)))
+        |          * 1000000.0, 0) / 1000000.0)
+        |        FROM cand p
+        |        WHERE p.query_id = c.query_id AND list_contains(s.picked, p.doc_id))) AS m
+        |    FROM sel s JOIN cand c
+        |      ON c.query_id = s.query_id AND NOT list_contains(s.picked, c.doc_id)
+        |    WHERE s.step < 10) t
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY m DESC, score DESC, doc_id) = 1
+        |)
+        |SELECT query_id, doc_id, step AS rank, mmr FROM sel""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
