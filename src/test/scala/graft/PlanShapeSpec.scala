@@ -33,6 +33,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles")
   }
 
+  test("q106/q107: drift and MMR stay keyed — broadcast small sides, no cartesian") {
+    // q106: the only nested-loop is the 1-row grand-total broadcast;
+    // group totals and the vocab join are hash joins. q107: the
+    // page-bounded hits join the embeddings by key; the sequential
+    // greedy runs per-group AFTER the top-N cut, never corpus-wide.
+    for (q <- Seq("q106_source_drift", "q107_mmr_rerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    val drift = plan("q106_source_drift")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(drift).length <= 1, drift.take(2000))
+    assert(drift.contains("BroadcastHashJoin"), "q106 group totals stopped broadcasting")
+    // q107's upstream page generation is q22's deliberate broadcast
+    // scan (queries build side of a BNLJ); the MMR pass itself must
+    // attach vectors by a hash join and group only the page.
+    val mmr = plan("q107_mmr_rerank")
+    assert(mmr.contains("BroadcastHashJoin"), "q107 vector attach stopped hash-joining")
+    assert(mmr.contains("MapGroups"), "q107 greedy lost its per-group stage")
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_agg_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
