@@ -280,6 +280,22 @@ class DomainSpec extends SparkSpecBase {
     assert(got == want, s"CLI rows ${got.size} != q104 rows ${want.size}")
   }
 
+  test("CLI sample --stream: reservoir store == batch sample over the landings") {
+    import spark.implicits._
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_wss").toString
+    spark.read.parquet(docs).coalesce(1).write.parquet(s"$tmp/in")
+    assert(graft.Cli.run(Array("sample", "--stream", "-i", s"$tmp/in",
+      "-o", s"$tmp/store", "--checkpoint", s"$tmp/ckpt", "-k", "9")) == 0)
+    val got = spark.read.parquet(s"$tmp/store/sample")
+      .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
+    val want = graft.ops.Sampling.weightedSample(
+      spark.read.parquet(docs), "doc_id", "source",
+      org.apache.spark.sql.functions.expr("ln(1 + n_chars)"), k = 9)
+      .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
+    assert(got == want, s"CLI stream store ${got.size} != batch sample ${want.size}")
+  }
+
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString
