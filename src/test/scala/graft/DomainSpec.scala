@@ -280,6 +280,47 @@ class DomainSpec extends SparkSpecBase {
     assert(got == want, s"CLI rows ${got.size} != q104 rows ${want.size}")
   }
 
+  test("weightedSample edges: k past group size, singleton groups, equal weights") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // k > group size: every row returned, ranks dense 1..n
+    val small = Seq((1L, "g", 2.0), (2L, "g", 3.0), (9L, "solo", 1.0))
+      .toDF("id", "grp", "w")
+    val all = Sampling.weightedSample(small, "id", "grp", col("w"), k = 10)
+      .as[(Long, String, Double, Long)].collect().sortBy(r => (r._2, r._4))
+    assert(all.length == 3)
+    assert(all.filter(_._2 == "g").map(_._4).toSeq == Seq(1L, 2L))
+    assert(all.filter(_._2 == "solo").map(_._4).toSeq == Seq(1L))
+    // equal weights: the draw degenerates to the md5-uniform order —
+    // still a lawful sample, still deterministic across partitionings
+    val eq = (1L to 100L).map(i => (i, "g", 1.0)).toDF("id", "grp", "w")
+    val a = Sampling.weightedSample(eq.repartition(1), "id", "grp", col("w"), k = 5)
+      .as[(Long, String, Double, Long)].collect().toSet
+    val b = Sampling.weightedSample(eq.repartition(17), "id", "grp", col("w"), k = 5)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(a == b && a.size == 5)
+  }
+
+  test("weighted reservoir: k may shrink between merges; empty batch is a no-op merge") {
+    import spark.implicits._
+    import graft.streaming.StreamSample
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws_edges").toString
+    val rows = (1L to 40L).map(i => (i, s"g${i % 2}", 1.0 + (i % 5).toDouble))
+      .toDF("id", "grp", "w")
+    StreamSample.mergeBatch(rows, s"$tmp/s", "id", "grp", col("w"), k = 7)
+    // shrink: re-merging ANY batch at a smaller k re-tops the store
+    StreamSample.mergeBatch(rows.limit(0), s"$tmp/s", "id", "grp", col("w"), k = 3)
+    val got = spark.read.parquet(s"$tmp/s/sample")
+      .select("id", "grp", "rank").collect().map(_.toSeq).toSet
+    val want = graft.ops.Sampling.weightedSample(rows, "id", "grp", col("w"), k = 3)
+      .select("id", "grp", "rank").collect().map(_.toSeq).toSet
+    assert(got == want, "shrunk reservoir != batch sample at the smaller k")
+    // empty batch at the same k: store byte-for-byte unchanged
+    StreamSample.mergeBatch(rows.limit(0), s"$tmp/s", "id", "grp", col("w"), k = 3)
+    assert(spark.read.parquet(s"$tmp/s/sample")
+      .select("id", "grp", "rank").collect().map(_.toSeq).toSet == want)
+  }
+
   test("CLI sample --stream: reservoir store == batch sample over the landings") {
     import spark.implicits._
     val docs = "/root/testdata/sf0.001/documents.parquet"

@@ -1001,6 +1001,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledger.filter(col("kl").isNull).isEmpty, "fitting-corpus batches must score")
   }
 
+  test("drift monitor: mixed in-vocab/OOV group renormalizes over in-vocab mass only") {
+    import graft.streaming.StreamDrift
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift2").toString
+    // reference LM: aa cnt 3, bb cnt 1 -> total 4
+    graft.ops.LmStore.createAt(spark,
+      Seq((1L, "aa aa aa bb")).toDF("doc_id", "text"), s"$tmp/lm")
+    // batch group: 2x aa (in-vocab), 2x zz (OOV)
+    // P(in-vocab) renormalized: aa = 1; KL = 1 * ln(1 / (3/4)) = ln(4/3)
+    val r = StreamDrift.batchDrift(spark, s"$tmp/lm",
+      Seq((7L, "aa zz aa zz", "feed")).toDF("doc_id", "text", "source"), "source")
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == math.rint(math.log(4.0 / 3.0) * 1e6) / 1e6,
+      s"mixed-OOV kl ${r.getDouble(3)} != ln(4/3)")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so

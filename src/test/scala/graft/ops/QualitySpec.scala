@@ -378,6 +378,17 @@ class QualitySpec extends SparkSpecBase {
     assert(solo.getDouble(3) == 0.0)
   }
 
+  test("LmStore: scoring an empty batch returns an empty, well-typed frame") {
+    import spark.implicits._
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_lm4").toString}/lm"
+    graft.ops.LmStore.createAt(spark,
+      Seq((1L, "aa bb")).toDF("doc_id", "text"), path, buckets = 2)
+    val out = graft.ops.LmStore.score(spark, path,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "n_oov", "avg_logprob"))
+    assert(out.isEmpty)
+  }
+
   test("bpeMerges step 1 equals bpePairStats' top candidate on real docs") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val top = graft.ops.Quality.bpePairStats(docs, topK = 1).collect()(0)
