@@ -42,6 +42,10 @@ object StreamDrift {
       groupCol: String): DataFrame = {
     val (table, total) = LmStore.attach(spark, storePath)
     require(total > 0L, s"LM store at $storePath is empty — fit it on a corpus first")
+    // checkpointed: the joined count table feeds TWO consumers (the
+    // in-vocab group totals and the term sum) — without it the batch
+    // would tokenize twice per micro-batch. Batch-vocab bounded, so
+    // the pinned intermediate is small by construction.
     val gt = batch
       .filter(col("text").isNotNull)
       .select(col(groupCol).cast("string").as(groupCol),
@@ -50,6 +54,7 @@ object StreamDrift {
       .agg(count(lit(1)).as("cnt"))
     val joined = gt
       .join(spark.table(table).select(col("tok"), col("cnt").as("c")), Seq("tok"), "left")
+      .localCheckpoint(false)
     val inTotals = joined.filter(col("c").isNotNull)
       .groupBy(groupCol).agg(sum("cnt").as("gtot")) // groups-bounded
     // (cnt/gtot) ln((cnt·total)/(gtot·c)) with every factor cast to

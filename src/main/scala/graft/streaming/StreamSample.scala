@@ -18,9 +18,11 @@ import graft.ops.Sampling
   *
   * The store at `storeDir` holds the current sample — (id, group,
   * weight, rank), `groups × k` rows by contract — and is rewritten
-  * per micro-batch via write-aside-then-swap (the store is re-read
-  * while merging, so in-place overwrite would clobber its own
-  * input). Per-batch cost: O(batch) for keys + a top-k over
+  * per micro-batch via write-aside-then-two-renames with the
+  * [[PackStream]] interrupted-swap recovery (at every instant either
+  * `sample` or `_old` holds a complete reservoir; the store is
+  * re-read while merging, so in-place overwrite would clobber its
+  * own input). Per-batch cost: O(batch) for keys + a top-k over
   * (batch ∪ store); the stream never re-reads, let alone re-ranks,
   * past batches. A crash-replayed batch re-merges the same rows into
   * the same reservoir — the merge is idempotent by construction
@@ -45,12 +47,23 @@ object StreamSample {
     val b = batch.select(
       col(idCol), col(groupCol).cast("string").as(groupCol),
       weight.cast("double").as(WeightCol))
-    val dataPath = s"$storeDir/sample"
-    val fsCheck = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sample = new org.apache.hadoop.fs.Path(s"$storeDir/sample")
+    val swap = new org.apache.hadoop.fs.Path(s"$storeDir/_swap")
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/_old")
+    // Crash recovery BEFORE any read: a prior merge that died between
+    // its swap renames leaves `sample` gone and `_old` holding the
+    // only copy (the PackStream.compact recovery convention).
+    if (!fs.exists(sample) && fs.exists(old))
+      require(fs.rename(old, sample),
+        s"mergeBatch: found interrupted swap ($sample missing) but could not restore $old")
+    fs.delete(old, true)
+    fs.delete(swap, true)
     val prev =
-      if (fsCheck.exists(new org.apache.hadoop.fs.Path(dataPath)))
-        spark.read.parquet(dataPath).select(col(idCol), col(groupCol), col(WeightCol))
+      if (fs.exists(sample))
+        spark.read.parquet(sample.toString)
+          .select(col(idCol), col(groupCol), col(WeightCol))
       else b.limit(0)
     val top = Sampling.weightedSample(
       b.unionByName(prev).dropDuplicates(groupCol, idCol),
@@ -60,13 +73,17 @@ object StreamSample {
     val rows = top.collect().toSeq
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), top.schema)
-    out.write.mode("overwrite").parquet(s"$storeDir/_swap")
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dataPath), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$storeDir/_swap"),
-      new org.apache.hadoop.fs.Path(dataPath)))
-      sys.error(s"reservoir swap failed for $dataPath")
+    out.write.mode("overwrite").parquet(swap.toString)
+    // two-rename swap: at every instant either `sample` or `_old`
+    // holds a complete reservoir, so the recovery above always has
+    // something to restore.
+    if (fs.exists(sample))
+      require(fs.rename(sample, old), s"mergeBatch: could not move $sample aside")
+    if (!fs.rename(swap, sample)) {
+      fs.rename(old, sample)
+      sys.error(s"mergeBatch: could not activate $swap; original reservoir restored")
+    }
+    fs.delete(old, true)
   }
 
   /** Maintain the reservoir from parquet landings in `landingDir`.

@@ -321,6 +321,22 @@ class DomainSpec extends SparkSpecBase {
       .select("id", "grp", "rank").collect().map(_.toSeq).toSet == want)
   }
 
+  test("weighted reservoir: interrupted swap recovers from _old on the next merge") {
+    import spark.implicits._
+    import graft.streaming.StreamSample
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ws_crash").toString
+    val rows = (1L to 30L).map(i => (i, "g", 1.0 + (i % 3).toDouble)).toDF("id", "grp", "w")
+    StreamSample.mergeBatch(rows, s"$tmp/s", "id", "grp", col("w"), k = 5)
+    val before = spark.read.parquet(s"$tmp/s/sample").collect().map(_.toSeq).toSet
+    // simulate a crash between the two swap renames: sample moved
+    // aside to _old, replacement never activated
+    val dir = java.nio.file.Paths.get(s"$tmp/s")
+    java.nio.file.Files.move(dir.resolve("sample"), dir.resolve("_old"))
+    StreamSample.mergeBatch(rows.limit(0), s"$tmp/s", "id", "grp", col("w"), k = 5)
+    assert(spark.read.parquet(s"$tmp/s/sample").collect().map(_.toSeq).toSet == before,
+      "recovery from _old lost the reservoir")
+  }
+
   test("CLI sample --stream: reservoir store == batch sample over the landings") {
     import spark.implicits._
     val docs = "/root/testdata/sf0.001/documents.parquet"
@@ -335,6 +351,21 @@ class DomainSpec extends SparkSpecBase {
       org.apache.spark.sql.functions.expr("ln(1 + n_chars)"), k = 9)
       .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
     assert(got == want, s"CLI stream store ${got.size} != batch sample ${want.size}")
+  }
+
+  test("CLI drift-stream: ledger rows == batchDrift of the landing") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_drift").toString
+    spark.read.parquet(docs).coalesce(1).write.parquet(s"$tmp/in")
+    graft.ops.LmStore.createAt(spark, spark.read.parquet(docs), s"$tmp/lm")
+    assert(graft.Cli.run(Array("drift-stream", "-i", s"$tmp/in", "-s", s"$tmp/lm",
+      "-o", s"$tmp/ledger", "--checkpoint", s"$tmp/ckpt")) == 0)
+    val got = spark.read.parquet(s"$tmp/ledger")
+      .select("source", "n_tokens", "n_oov", "kl").collect().map(_.toSeq).toSet
+    val want = graft.streaming.StreamDrift.batchDrift(
+      spark, s"$tmp/lm", spark.read.parquet(docs), "source")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"CLI ledger ${got.size} != batchDrift ${want.size}")
   }
 
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
