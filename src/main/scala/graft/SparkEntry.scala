@@ -1433,6 +1433,29 @@ object SparkEntry {
     Similarity.mmrRerank(hits, emb, "vec_id", "embedding", k = 10, lambda = 0.5)
   }
 
+  /** Trainable seed classifier — multinomial Naive Bayes log-odds of
+    * "is this document English" from a labeled seed (the closed-form
+    * core of the fastText-style quality/langid filters;
+    * [[graft.ops.Quality.naiveBayesLogOdds]]). Pure counts + Laplace
+    * smoothing, so the model AND the scores transcribe exactly to
+    * SQL; the per-doc sum is fixed-point, the prior a single ordered
+    * float add. */
+  def q108NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.naiveBayesLogOdds(
+      Tables.documents(s, dir), isSeed = col("lang") === "en")
+
+  /** Cluster-balanced subset: 8 vectors per k-means cell of the
+    * deterministic quantizer (same dim-64 / nlist-24 geometry the
+    * IVF and SemDeDup queries train), drawn by the md5-uniform
+    * Efraimidis–Spirakis reservoir — the diversity-flattening sample
+    * of the DataComp/SemDeDup curation recipes
+    * ([[graft.similarity.Similarity.clusterBalancedSample]]). The
+    * oracle replays the full quantizer (the shared IVF cell CTEs)
+    * plus the q104 draw partitioned by cell. */
+  def q109ClusterSample(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dim = 64, nlist = 24, k = 8)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1550,6 +1573,8 @@ object SparkEntry {
     "q105_corpus_cube" -> (q105CorpusCube _),
     "q106_source_drift" -> (q106SourceDrift _),
     "q107_mmr_rerank" -> (q107MmrRerank _),
+    "q108_naive_bayes" -> (q108NaiveBayes _),
+    "q109_cluster_sample" -> (q109ClusterSample _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2069,6 +2094,59 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY m DESC, score DESC, doc_id) = 1
         |)
         |SELECT query_id, doc_id, step AS rank, mmr FROM sel""".stripMargin,
+    // q108: the NB model is pure counts — both class histograms, the
+    // smoothed log-ratio weights and the doc-count prior re-derive in
+    // SQL; the per-doc sum shares the q82 fixed-point recipe, and the
+    // prior is added AFTER dequantization (one float add, fixed
+    // order) exactly as the engine does. `predicted` thresholds the
+    // UNROUNDED double, so it must be computed from the same
+    // expression, not the 6dp-rounded log_odds.
+    "q108_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_seed,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |pd AS (SELECT doc_id, is_seed, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN is_seed THEN cnt ELSE 0 END) AS pos,
+        |    sum(CASE WHEN NOT is_seed THEN cnt ELSE 0 END) AS neg
+        |  FROM pd GROUP BY 1),
+        |tot AS (SELECT sum(pos) AS tpos, sum(neg) AS tneg, count(*) AS v FROM hist),
+        |pri AS (
+        |  SELECT ln(CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(sum(CASE WHEN is_seed THEN 0 ELSE 1 END) AS DOUBLE)) AS prior
+        |  FROM (SELECT DISTINCT doc_id, is_seed FROM pd)),
+        |j AS (
+        |  SELECT pd.doc_id, pd.cnt,
+        |    CAST(round(CAST(pd.cnt AS DOUBLE) * (
+        |      ln(CAST(pos + 1 AS DOUBLE) / CAST(tpos + v AS DOUBLE)) -
+        |      ln(CAST(neg + 1 AS DOUBLE) / CAST(tneg + v AS DOUBLE)))
+        |      * 1000000000.0, 0) AS BIGINT) AS ts9
+        |  FROM pd JOIN hist USING (tok), tot),
+        |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |        CAST(sum(ts9) AS BIGINT) AS s9 FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS log_odds,
+        |  CAST(CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
+        |    THEN 1 ELSE 0 END AS INT) AS predicted
+        |FROM s, pri""".stripMargin,
+    // q109: the full deterministic quantizer (shared IVF cell CTEs)
+    // plus the q104 Efraimidis–Spirakis draw partitioned by cell —
+    // uniform weights, so the rank key is just ln(u) at the shared
+    // fixed-point quantization.
+    "q109_cluster_sample" ->
+      s"""WITH $IvfCellCtes,
+        |w AS (
+        |  SELECT vec_id, cell,
+        |    CAST(round(
+        |      ln((CAST(concat('0x', substr(md5('ws_' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+        |         / 1152921504606846976.0) / 1.0 * 1000000000.0, 0) AS BIGINT) AS k9
+        |  FROM af)
+        |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rnk AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY k9 DESC, vec_id) AS rnk
+        |      FROM w) t
+        |WHERE rnk <= 8""".stripMargin,
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

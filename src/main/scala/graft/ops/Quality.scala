@@ -455,4 +455,63 @@ object Quality {
         count(lit(1)).cast("long").as("n_vocab"),
         round(fromFixedPoint9(sum(col("k9"))), 6).as("kl"))
   }
+
+  /** Multinomial Naive Bayes log-odds over unigram counts — the
+    * trainable counterpart of [[unigramLogprob]]'s unsupervised proxy
+    * and the closed-form core of the fastText-style linear quality /
+    * language classifiers production pipelines train on a labeled
+    * seed (GPT-3's WebText-vs-CommonCrawl filter, CCNet's langid).
+    * `isSeed` labels each document (positive = seed class); the model
+    * is the pair of Laplace-smoothed class-conditional unigram
+    * histograms plus the document-count prior, and every document is
+    * scored with the leave-nothing-out convention of
+    * [[importanceWeights]] (train == score corpus, the resampling
+    * recipe's shape — a held-out split is the caller's `filter`).
+    *
+    *   log_odds(d) = ln(N⁺/N⁻) + Σ_t cnt_d(t) ·
+    *     [ln((c⁺(t)+1)/(T⁺+V)) − ln((c⁻(t)+1)/(T⁻+V))]
+    *
+    * Closed-form counts, no gradients: exactly transcribable to SQL,
+    * bit-reproducible via the [[fixedPoint9]] per-doc accumulation
+    * (prior added AFTER the quantized sum — one float add, fixed
+    * order). Documents with no tokens drop out (nothing to score);
+    * both classes must be non-empty or the prior is undefined.
+    *
+    * Scale shape (100 TB): ONE tokenize pass into per-(doc, tok)
+    * counts; both class histograms derive from that table (vocab-
+    * bounded, Heaps' law); the score join is keyed on the token —
+    * co-partitioned, nothing vocabulary-sized is broadcast or
+    * collected; the prior/totals are 1-row broadcasts. One exchange
+    * keyed by doc_id for the final sum.
+    */
+  def naiveBayesLogOdds(docs: DataFrame, isSeed: Column): DataFrame = {
+    val pd = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), isSeed.as("is_seed"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("is_seed"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // three consumers: histograms, prior, score join
+    val hist = pd.groupBy("tok").agg(
+      sum(when(col("is_seed"), col("cnt")).otherwise(0L)).as("pos"),
+      sum(when(!col("is_seed"), col("cnt")).otherwise(0L)).as("neg"))
+    val tot = hist.agg(
+      sum("pos").as("tpos"), sum("neg").as("tneg"), count(lit(1)).as("v"))
+    val pri = pd.select("doc_id", "is_seed").distinct()
+      .agg((log(sum(when(col("is_seed"), 1L).otherwise(0L)).cast("double") /
+        sum(when(!col("is_seed"), 1L).otherwise(0L)).cast("double"))).as("prior"))
+    val w = log((col("pos") + 1).cast("double") / (col("tpos") + col("v")).cast("double")) -
+      log((col("neg") + 1).cast("double") / (col("tneg") + col("v")).cast("double"))
+    val raw = col("prior") + fromFixedPoint9(col("s9"))
+    pd.join(hist, Seq("tok")) // token-keyed, co-partitioned
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("cnt"),
+        fixedPoint9(col("cnt").cast("double") * w).as("ts9"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_tokens"), sum("ts9").as("s9"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("n_tokens"),
+        round(raw, 6).as("log_odds"),
+        (raw > 0).cast("int").as("predicted"))
+  }
 }

@@ -865,6 +865,47 @@ object Similarity {
         when(col("__dropped").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
   }
 
+  /** Cluster-balanced sampling: assign every vector to a k-means cell
+    * with the deterministic integer-Lloyd quantizer (the
+    * [[semanticDedup]] / IVF coarse quantizer) and draw `k` per cell
+    * with the Efraimidis–Spirakis reservoir
+    * ([[graft.ops.Sampling.weightedSample]], uniform weights). This
+    * is the diversity-preserving subset selection of the SemDeDup /
+    * DataComp curation recipes: a raw uniform sample inherits the
+    * corpus's cluster imbalance (the dominant mode swamps the tails),
+    * a per-cell quota flattens it.
+    *
+    * Fully deterministic — integer centroids, md5-uniform draw — so
+    * the whole operator, quantizer included, transcribes to a SQL
+    * oracle. Output: (`idCol`, cell, rank), rank ∈ [1, k] within the
+    * cell.
+    *
+    * Scale shape (100 TB): the quantizer trains on bounded aggregates
+    * (nlist × dim cells); assignment is one codegen'd map pass; the
+    * sample is one window keyed by cell whose rank filter pushes down
+    * as WindowGroupLimit, so each input partition pre-prunes to its
+    * own per-cell top-k before the single exchange.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      k: Int,
+      iters: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), col(vecCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false) // feeds k-means training AND assignment
+    val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
+    val assigned = quantized
+      .select(col(idCol),
+        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1)
+          .as("cell"))
+    graft.ops.Sampling.weightedSample(assigned, idCol, "cell", lit(1.0), k)
+  }
+
   // -----------------------------------------------------------------
   // Product quantization (PQ) — memory-compressed ANN scan
   // -----------------------------------------------------------------

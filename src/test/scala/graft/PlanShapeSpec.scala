@@ -53,6 +53,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(mmr.contains("MapGroups"), "q107 greedy lost its per-group stage")
   }
 
+  test("q108/q109: NB scoring stays token-keyed; cluster sample keeps the group limit") {
+    // q108: the score join is keyed on the token (vocab is never
+    // broadcast or collected); only the 1-row totals/prior ride
+    // nested-loop broadcasts
+    val nb = plan("q108_naive_bayes")
+    assert(!nb.contains("CartesianProduct"), nb.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(nb).length <= 2,
+      "q108 grew a non-1-row nested loop:\n" + nb.take(2000))
+    // q109: the per-cell rank cut must pre-prune below the exchange
+    // (the q104 contract), and assignment is a map pass — no join at
+    // all outside the window
+    val cs = plan("q109_cluster_sample")
+    assert(cs.contains("WindowGroupLimit"),
+      "q109 rank cut lost the group-limit pushdown:\n" + cs.take(1500))
+    assert(!cs.contains("CartesianProduct") && !cs.contains("BroadcastNestedLoopJoin"),
+      cs.take(2000))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(cs).size
+    assert(shuffles == 1, s"q109 expected exactly 1 shuffle (the cell window), got $shuffles")
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_agg_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))

@@ -421,4 +421,41 @@ class SimilaritySpec extends SparkSpecBase {
       emb, "vec_id", "embedding", k = 100, lambda = 0.3)
     assert(all.count() == hits.filter(col("query_id") === 0).count())
   }
+
+  test("clusterBalancedSample: per-cell quota, independent draw replay, determinism") {
+    // k beyond any cell's population = the full assignment with a
+    // total per-cell ordering; the k=8 sample must be exactly its
+    // rank<=8 prefix (quota + membership internal consistency)
+    val full = Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", dim = 64, nlist = 24, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", dim = 64, nlist = 24, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full.map(_._1).distinct.length == 500, "full draw must cover the corpus")
+    assert(got == full.filter(_._3 <= 8).toSet)
+    assert(got.groupBy(_._2).values.forall(_.size <= 8))
+    // independent replay of the Efraimidis–Spirakis draw: within each
+    // cell, ranks must order by (quantized ln(u) desc, id), with u
+    // from the same 60-bit md5 recipe recomputed here from scratch
+    def key9(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws_$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      BigDecimal(math.log((h.toDouble + 0.5) / 1152921504606846976.0) / 1.0 * 1.0e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    for ((cell, rows) <- full.groupBy(_._2)) {
+      val byRank = rows.sortBy(_._3).map(_._1).toSeq
+      val replay = rows.map(_._1).sortBy(id => (-key9(id), id)).toSeq
+      assert(byRank == replay, s"cell $cell rank order diverged from the md5 draw")
+    }
+    // partitioning must not change the sample (deterministic quantizer
+    // + deterministic draw)
+    val rep = Similarity.clusterBalancedSample(
+      graft.ops.Parallelism.ensure(emb.repartition(13)),
+      "vec_id", "embedding", dim = 64, nlist = 24, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rep == got, "sample changed under repartitioning")
+  }
 }

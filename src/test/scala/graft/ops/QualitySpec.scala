@@ -396,4 +396,45 @@ class QualitySpec extends SparkSpecBase {
     assert((m1.merged, m1.cnt) == ((top.getString(0), top.getLong(1))),
       s"first merge ${m1} != bpePairStats top ${top}")
   }
+
+  test("naiveBayesLogOdds separates the seed class on a planted corpus") {
+    val out = Quality.naiveBayesLogOdds(corpus, isSeed = col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out.size == 6)
+    // seed (en) docs share vocabulary only with each other; spam docs
+    // only with each other — NB log-odds must separate them cleanly,
+    // and `predicted` must agree with the sign
+    for (d <- Seq(0L, 1L, 2L, 5L)) assert(out(d)._2 > 0 && out(d)._3 == 1,
+      s"seed doc $d scored ${out(d)}")
+    for (d <- Seq(3L, 4L)) assert(out(d)._2 < 0 && out(d)._3 == 0,
+      s"spam doc $d scored ${out(d)}")
+    // n_tokens rides the same aggregation
+    assert(out(0L)._1 == 9 && out(3L)._1 == 8)
+  }
+
+  test("naiveBayesLogOdds is invariant to partitioning (fixed-point sum)") {
+    val a = Quality.naiveBayesLogOdds(corpus.repartition(1), col("lang") === "en")
+      .orderBy("doc_id").collect().map(r => (r.getDouble(2), r.getInt(3))).toSeq
+    val b = Quality.naiveBayesLogOdds(corpus.repartition(13), col("lang") === "en")
+      .orderBy("doc_id").collect().map(r => (r.getDouble(2), r.getInt(3))).toSeq
+    assert(a == b)
+  }
+
+  test("naiveBayesLogOdds prior: balanced classes contribute ln(N+/N-)") {
+    // one doc per class with the SAME single token: the token weight
+    // cancels (identical smoothed counts), leaving exactly the prior
+    // — here ln(2/1) from doubling the seed side
+    val tiny = Seq(
+      (1L, "tok", "en"), (2L, "tok", "en"), (3L, "tok", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val out = Quality.naiveBayesLogOdds(tiny, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = math.rint(math.log(2.0) * 1e6) / 1e6
+    // every doc has the same tokens, so every doc scores the prior
+    // plus the (identical) per-token weight; with pos=2 neg=1 tpos=2
+    // tneg=1 v=1 the weight is ln(3/3) - ln(2/2) = 0
+    assert(out.values.toSet == Set(want),
+      s"expected pure prior ln(2)=$want, got $out")
+  }
 }
