@@ -945,6 +945,31 @@ object Cli {
       }
       0
 
+    case "nb-store" :: rest =>
+      // Frozen Naive Bayes classifier: --create fits the class-
+      // conditional histograms on a labeled reference corpus (seed
+      // label from a SQL boolean over its columns); --score rates a
+      // batch under the FROZEN model — O(batch) trainable quality /
+      // langid gating, OOV priced by Laplace and counted.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val spark = session()
+      if (m.contains("--create")) {
+        val seed = one(m, "--seed")
+        val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        graft.ops.NbStore.createAt(
+          spark, spark.read.parquet(in),
+          org.apache.spark.sql.functions.expr(seed), store, buckets)
+        println(s"NB model store created at $store ($buckets buckets, seed: $seed)")
+      } else {
+        val out = one(m, "-o", "--output")
+        graft.ops.NbStore.score(spark, store, spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"NB scores written to $out")
+      }
+      0
+
     case "budget" :: rest =>
       // Per-key token-budget sample (the "at most B tokens from each
       // source" mixture clause): deterministic md5-order take within
@@ -1450,6 +1475,7 @@ object Cli {
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
+           |  nb-store   --create -i <docs.parquet> -s <store-dir> --seed <sql-bool-expr> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]

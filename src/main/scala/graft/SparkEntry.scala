@@ -1456,6 +1456,25 @@ object SparkEntry {
     Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
       "vec_id", "embedding", dim = 64, nlist = 24, k = 8)
 
+  /** Frozen NB classifier gate — q103's production shape for the
+    * trainable filter: fit the Naive Bayes model ONCE on the trusted
+    * labeled snapshot (doc_id % 25 != 0, seed = lang en), persist it
+    * bucketed-by-token ([[graft.ops.NbStore]]), then score the
+    * arriving held-out batch (doc_id % 25 == 0) against the FROZEN
+    * counts. OOV tokens are priced by Laplace as zero-count tokens
+    * (the smoothing's whole point) AND counted (n_oov). The oracle
+    * refits the same model from the train split in SQL and
+    * left-joins it to the held-out postings. */
+  def q110NbStoreScore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_nb_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.NbStore.createAt(
+      s, docs.filter(col("doc_id") % 25 =!= 0),
+      isSeed = col("lang") === "en", s"$tmp/nb")
+    graft.ops.NbStore.score(
+      s, s"$tmp/nb", docs.filter(col("doc_id") % 25 === 0))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1575,6 +1594,7 @@ object SparkEntry {
     "q107_mmr_rerank" -> (q107MmrRerank _),
     "q108_naive_bayes" -> (q108NaiveBayes _),
     "q109_cluster_sample" -> (q109ClusterSample _),
+    "q110_nb_store_score" -> (q110NbStoreScore _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2127,6 +2147,47 @@ object SparkEntry {
         |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |        CAST(sum(ts9) AS BIGINT) AS s9 FROM j GROUP BY 1)
         |SELECT doc_id, n_tokens,
+        |  round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS log_odds,
+        |  CAST(CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
+        |    THEN 1 ELSE 0 END AS INT) AS predicted
+        |FROM s, pri""".stripMargin,
+    // q110: the oracle refits the frozen NB model from the train
+    // split (same histograms/totals/prior as q108's, restricted to
+    // doc_id % 25 != 0) and LEFT-joins it to the held-out postings —
+    // coalesce prices OOV tokens as Laplace zero-count tokens exactly
+    // as the engine's one shared weight expression does.
+    "q110_nb_store_score" ->
+      """WITH tr AS (
+        |  SELECT doc_id, lang = 'en' AS is_seed,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 25 <> 0 AND text IS NOT NULL),
+        |tpd AS (SELECT doc_id, is_seed, tok, count(*) AS cnt FROM tr GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN is_seed THEN cnt ELSE 0 END) AS pos,
+        |    sum(CASE WHEN NOT is_seed THEN cnt ELSE 0 END) AS neg
+        |  FROM tpd GROUP BY 1),
+        |tot AS (SELECT sum(pos) AS tpos, sum(neg) AS tneg, count(*) AS v FROM hist),
+        |pri AS (
+        |  SELECT ln(CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(sum(CASE WHEN is_seed THEN 0 ELSE 1 END) AS DOUBLE)) AS prior
+        |  FROM (SELECT DISTINCT doc_id, is_seed FROM tpd)),
+        |bt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM bt GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pd.doc_id, pd.cnt, hist.pos,
+        |    CAST(round(CAST(pd.cnt AS DOUBLE) * (
+        |      ln(CAST(coalesce(pos, 0) + 1 AS DOUBLE) / CAST(tpos + v AS DOUBLE)) -
+        |      ln(CAST(coalesce(neg, 0) + 1 AS DOUBLE) / CAST(tneg + v AS DOUBLE)))
+        |      * 1000000000.0, 0) AS BIGINT) AS ts9
+        |  FROM pd LEFT JOIN hist USING (tok), tot),
+        |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN pos IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |        CAST(sum(ts9) AS BIGINT) AS s9 FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
         |  round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS log_odds,
         |  CAST(CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
         |    THEN 1 ELSE 0 END AS INT) AS predicted

@@ -96,7 +96,7 @@ object Quality {
       .groupBy(col("doc_id"), col("lang"), col("is_target"),
         pmod(Md5Prefix64(concat(lit("dsir_"), col("tok"))), b).as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(Parallelism.stage) // reused corpus-sized intermediate: pluggable storage
     val hist = perDoc.groupBy("b").agg(
       sum("cnt").as("raw_cnt"),
       sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tgt_cnt"))
@@ -136,7 +136,7 @@ object Quality {
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(Parallelism.stage)
     val vocab = pd.groupBy("tok").agg(sum("cnt").as("c"))
     val total = vocab.agg(sum("c").as("t"))
     pd
@@ -180,10 +180,10 @@ object Quality {
           TextFunctions.tokens(col("text")), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(Parallelism.stage)
     val bgc = pd.groupBy("bg").agg(sum("cnt").as("c"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .localCheckpoint(false)
+      .transform(Parallelism.stage)
     val pre = bgc.groupBy("w1").agg(sum("c").as("cp"))
     pd
       .join(bgc, Seq("bg"))
@@ -396,7 +396,7 @@ object Quality {
       .select(col("doc_id"),
         explode(array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), n))).as("gram"))
-      .localCheckpoint(false)
+      .transform(Parallelism.stage)
     val df = docGrams.groupBy("gram").agg(count(lit(1)).as("df"))
     docGrams
       .join(df, Seq("gram"))
@@ -435,7 +435,7 @@ object Quality {
       .select(col(groupCol), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col(groupCol), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false) // two consumers: corpus vocab + the drift join
+      .transform(Parallelism.stage) // two consumers: corpus vocab + the drift join
     val vocab = gt.groupBy("tok").agg(sum("cnt").as("c"))
     val totals = gt.groupBy(groupCol).agg(sum("cnt").as("gtot"))
     val grand = vocab.agg(sum("c").as("t"))
@@ -491,7 +491,7 @@ object Quality {
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("is_seed"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false) // three consumers: histograms, prior, score join
+      .transform(Parallelism.stage) // three consumers: histograms, prior, score join
     val hist = pd.groupBy("tok").agg(
       sum(when(col("is_seed"), col("cnt")).otherwise(0L)).as("pos"),
       sum(when(!col("is_seed"), col("cnt")).otherwise(0L)).as("neg"))

@@ -62,7 +62,7 @@ object Sampling {
       .withColumn("ord",
         Md5Prefix64(concat(lit("budget_"), col(idCol).cast("string"))))
       .withColumn("bkt", shiftrightunsigned(col("ord"), shift).cast("int"))
-      .localCheckpoint(false)
+      .transform(Parallelism.stage) // reused corpus-sized intermediate: pluggable storage
     // Driver-side prefix scan: one row per (key, bucket) with data —
     // bounded by contract (sources are a curated list, not data-scale).
     val totals = hashed.groupBy(col(keyCol), col("bkt"))

@@ -1241,6 +1241,25 @@ class DomainSpec extends SparkSpecBase {
       "own-corpus scoring must see no OOV")
   }
 
+  test("CLI nb-store: frozen NB scoring round-trips and matches the library path") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_nb").toString
+    assert(graft.Cli.run(Array(
+      "nb-store", "--create", "-i", docs, "-s", s"$tmp/nb",
+      "--seed", "lang = 'en'", "--buckets", "4")) == 0)
+    assert(graft.Cli.run(Array(
+      "nb-store", "--score", "-i", docs, "-s", s"$tmp/nb", "-o", s"$tmp/scores")) == 0)
+    val scores = spark.read.parquet(s"$tmp/scores")
+    assert(scores.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_oov", "log_odds", "predicted"))
+    assert(scores.count() == 500)
+    assert(scores.filter(col("n_oov") =!= 0L).count() == 0,
+      "own-corpus scoring must see no OOV")
+    val want = graft.ops.NbStore.score(spark, s"$tmp/nb",
+      spark.read.parquet(docs)).collect().map(_.toSeq).toSet
+    assert(scores.collect().map(_.toSeq).toSet == want)
+  }
+
   test("CLI bpe-train + tokenize: merge TSV round-trips through encode") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_bpe").toString

@@ -421,6 +421,56 @@ class QualitySpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("NbStore: frozen scores == naiveBayesLogOdds on the fitting corpus, n_oov 0") {
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_nb1").toString}/nb"
+    graft.ops.NbStore.createAt(spark, corpus, col("lang") === "en", path, buckets = 4)
+    val got = graft.ops.NbStore.score(spark, path, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val want = Quality.naiveBayesLogOdds(corpus, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), 0L,
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want, s"frozen-model scores diverged:\n got $got\n want $want")
+  }
+
+  test("NbStore: OOV tokens are Laplace-priced and counted, never dropped") {
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_nb2").toString}/nb"
+    graft.ops.NbStore.createAt(spark, corpus, col("lang") === "en", path, buckets = 4)
+    val batch = Seq(
+      (100L, "the quick fox wombat"), // one OOV token among seed-ish ones
+      (101L, "wombat yyy www")        // ALL tokens unseen
+    ).toDF("doc_id", "text")
+    val out = graft.ops.NbStore.score(spark, path, batch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(100L)._1 == 4 && out(100L)._2 == 1)
+    assert(out(101L)._1 == 3 && out(101L)._2 == 3)
+    // unlike the LM store, an all-OOV doc still scores: Laplace gives
+    // every unseen token the zero-count weight ln((T-+V)/(T++V)) and
+    // the prior rides on top — it must equal exactly that closed form
+    val (tpos, tneg, v, npos, nneg) = {
+      val (_, a, b, c, d, e) = graft.ops.NbStore.attach(spark, path)
+      (a, b, c, d, e)
+    }
+    val wOov = math.log(1.0 / (tpos + v).toDouble) - math.log(1.0 / (tneg + v).toDouble)
+    val raw = math.log(npos.toDouble / nneg.toDouble) + math.round(3.0 * wOov * 1e9) / 1e9
+    assert(math.abs(out(101L)._3 - raw) < 1e-6,
+      s"all-OOV score ${out(101L)._3} != prior + 3*w_oov $raw")
+  }
+
+  test("NbStore: single-class fitting corpus is refused; empty batch well-typed") {
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_nb3").toString}/nb"
+    intercept[IllegalArgumentException] {
+      graft.ops.NbStore.createAt(spark, corpus, lit(true), path)
+    }
+    graft.ops.NbStore.createAt(spark, corpus, col("lang") === "en", path, buckets = 4)
+    val out = graft.ops.NbStore.score(spark, path,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_oov", "log_odds", "predicted"))
+    assert(out.isEmpty)
+  }
+
   test("naiveBayesLogOdds prior: balanced classes contribute ln(N+/N-)") {
     // one doc per class with the SAME single token: the token weight
     // cancels (identical smoothed counts), leaving exactly the prior
