@@ -1026,6 +1026,38 @@ object Cli {
       }
       0
 
+    case "cluster-sample" :: rest =>
+      // Cluster-balanced subset over an embeddings parquet: k vectors
+      // per k-means cell (diversity-flattening quota). Batch mode
+      // trains the deterministic quantizer inline; --stream assigns
+      // landings against a FROZEN persisted IVF index (--index) and
+      // maintains the cross-batch reservoir store at -o.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(8)
+      val spark = session()
+      if (m.contains("--stream")) {
+        val index = one(m, "--index")
+        val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+          .getOrElse(sys.error("cluster-sample --stream needs --checkpoint <dir>"))
+        val schema = spark.read.parquet(in).schema // landing must have >= 1 drop
+        val q = graft.streaming.ClusterSampleStream.maintain(
+          spark, in, index, out, ckpt, schema, k)
+        q.processAllAvailable(); q.stop()
+        println(s"streamed cluster-balanced reservoir ($k per cell) -> $out/sample")
+      } else {
+        val idCol = m.get("--id").flatMap(_.headOption).getOrElse("vec_id")
+        val vecCol = m.get("--vec").flatMap(_.headOption).getOrElse("embedding")
+        val dim = m.get("--dim").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        val nlist = m.get("--nlist").flatMap(_.headOption).map(_.toInt).getOrElse(24)
+        graft.similarity.Similarity.clusterBalancedSample(
+          spark.read.parquet(in), idCol, vecCol, dim, nlist, k)
+          .write.mode("overwrite").parquet(out)
+        println(s"cluster-balanced sample ($k per cell, nlist $nlist) written to $out")
+      }
+      0
+
     case "quality" :: rest =>
       // Per-document quality / data-selection scores over a documents
       // parquet: --mode heuristic (length/stopword/punctuation
@@ -1476,6 +1508,7 @@ object Cli {
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  nb-store   --create -i <docs.parquet> -s <store-dir> --seed <sql-bool-expr> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
+           |  cluster-sample -i <emb.parquet> -o <out.parquet> [-k 8] [--nlist 24] [--dim 64] [--id vec_id] [--vec embedding] | --stream -i <landing-dir> --index <ivf-index> -o <store-dir> --checkpoint <dir> [-k 8]
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]

@@ -1260,6 +1260,33 @@ class DomainSpec extends SparkSpecBase {
     assert(scores.collect().map(_.toSeq).toSet == want)
   }
 
+  test("CLI cluster-sample: batch verb == library; stream verb == batch over landings") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_cs").toString
+    assert(graft.Cli.run(Array(
+      "cluster-sample", "-i", emb, "-o", s"$tmp/batch", "-k", "8")) == 0)
+    val want = graft.similarity.Similarity.clusterBalancedSample(
+      spark.read.parquet(emb).select("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, nlist = 24, k = 8)
+      .select(col("vec_id"), col("cell").cast("int"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$tmp/batch")
+      .select(col("vec_id"), col("cell").cast("int"), col("rank"))
+      .collect().map(_.toSeq).toSet == want)
+    // stream verb against an index frozen on the full corpus
+    graft.similarity.Similarity.writeIvfIndex(
+      spark.read.parquet(emb).select("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, nlist = 24, path = s"$tmp/ivf")
+    spark.read.parquet(emb).select("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$tmp/in")
+    assert(graft.Cli.run(Array(
+      "cluster-sample", "--stream", "-i", s"$tmp/in", "--index", s"$tmp/ivf",
+      "-o", s"$tmp/store", "--checkpoint", s"$tmp/ckpt", "-k", "8")) == 0)
+    assert(spark.read.parquet(s"$tmp/store/sample")
+      .select(col("vec_id"), col("cell").cast("int"), col("rank"))
+      .collect().map(_.toSeq).toSet == want)
+  }
+
   test("CLI bpe-train + tokenize: merge TSV round-trips through encode") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_bpe").toString

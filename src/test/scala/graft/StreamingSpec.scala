@@ -967,6 +967,45 @@ class StreamingSpec extends SparkSpecBase {
       "replaying a merged batch disturbed the reservoir")
   }
 
+  test("cluster reservoir stream == batch clusterBalancedSample under the frozen quantizer") {
+    import graft.streaming.ClusterSampleStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cs_stream").toString
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // Frozen quantizer = an index built on the FULL corpus: its
+    // centroids coincide with the batch operator's own training, so
+    // stream and batch must agree exactly
+    graft.similarity.Similarity.writeIvfIndex(
+      emb, "vec_id", "embedding", dim = 64, nlist = 24, path = s"$tmp/ivf")
+    val w1 = emb.filter(col("vec_id") % 2 === 0)
+    val w2 = emb.filter(col("vec_id") % 2 === 1)
+    w1.coalesce(1).write.parquet(s"$tmp/in")
+    def run(): Unit = {
+      val q = ClusterSampleStream.maintain(spark, s"$tmp/in", s"$tmp/ivf",
+        s"$tmp/store", s"$tmp/ckpt", w1.schema, k = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // wave 1
+    w2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run() // wave 2, fresh query over the same checkpoint
+    // the store keys cells as strings (StreamSample contract); compare
+    // on the cast
+    val streamed = spark.read.parquet(s"$tmp/store/sample")
+      .select(col("vec_id"), col("cell").cast("int"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.similarity.Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", dim = 64, nlist = 24, k = 8)
+      .select(col("vec_id"), col("cell").cast("int"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed cluster reservoir ${streamed.size} != batch sample ${batch.size}")
+    // crash-replay: re-merging wave 2 must not disturb the reservoir
+    ClusterSampleStream.mergeBatch(spark, w2, s"$tmp/ivf", s"$tmp/store", k = 8)
+    assert(spark.read.parquet(s"$tmp/store/sample")
+      .select(col("vec_id"), col("cell").cast("int"), col("rank"))
+      .collect().map(_.toSeq).toSet == batch,
+      "replaying a merged batch disturbed the cluster reservoir")
+  }
+
   test("drift monitor: == groupKlDrift on the fitting corpus; OOV counted; per-batch ledger") {
     import graft.streaming.StreamDrift
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString

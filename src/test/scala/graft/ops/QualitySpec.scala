@@ -471,6 +471,25 @@ class QualitySpec extends SparkSpecBase {
     assert(out.isEmpty)
   }
 
+  test("stage storage modes agree: unigramLogprob and naiveBayesLogOdds bit-identical") {
+    // Quality's reused intermediates route through Parallelism.stage
+    // (pluggable: local-checkpoint / DISK_ONLY / recompute); results
+    // must not depend on the mode — CorpusStatsSpec pins pmi/bm25,
+    // this pins the Quality family through its shared tokenize stage
+    def lp() = Quality.unigramLogprob(corpus)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def nb() = Quality.naiveBayesLogOdds(corpus, col("lang") === "en")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val key = "spark.graft.stage.storage"
+    val base = (lp(), nb())
+    try {
+      for (mode <- Seq("disk", "none")) {
+        spark.conf.set(key, mode)
+        assert((lp(), nb()) == base, s"mode $mode diverged")
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("naiveBayesLogOdds prior: balanced classes contribute ln(N+/N-)") {
     // one doc per class with the SAME single token: the token weight
     // cancels (identical smoothed counts), leaving exactly the prior
