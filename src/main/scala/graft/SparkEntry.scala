@@ -1475,6 +1475,28 @@ object SparkEntry {
       s, s"$tmp/nb", docs.filter(col("doc_id") % 25 === 0))
   }
 
+  /** ANN-index evaluation — the metrics pass a pipeline runs before
+    * trusting an index family: per-query recall@10, MRR@10 and
+    * binary-gain nDCG@10 of the LSH ANN (q25's geometry, k=10)
+    * against the brute-force cosine top-10 as relevance truth
+    * ([[graft.ops.Eval.retrievalMetrics]]). Both ranked lists are
+    * already oracle-transcribed (q25/q22); the metric math is exact
+    * rank/count arithmetic with ln(x)/ln(2) discounts in fixed
+    * point, so the WHOLE evaluation — approximate index, exact
+    * truth, and scores — replays in SQL. */
+  def q111RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val results = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      "q_id", "q_vec", dim = 64, bits = 6, k = 10, tables = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val truth = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    graft.ops.Eval.retrievalMetrics(results, truth, k = 10)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1595,6 +1617,7 @@ object SparkEntry {
     "q108_naive_bayes" -> (q108NaiveBayes _),
     "q109_cluster_sample" -> (q109ClusterSample _),
     "q110_nb_store_score" -> (q110NbStoreScore _),
+    "q111_retrieval_eval" -> (q111RetrievalEval _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2192,6 +2215,69 @@ object SparkEntry {
         |  CAST(CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
         |    THEN 1 ELSE 0 END AS INT) AS predicted
         |FROM s, pri""".stripMargin,
+    // q111: the q25 LSH chain (rank <= 10) is the evaluated result
+    // list, the q22 brute-force ranking (rank <= 10) the truth; the
+    // metric math is exact — hits keyed on (query, doc), DCG terms
+    // quantized x1e9 with the ln(x)/ln(2) discount, ideal-DCG from a
+    // 1..10 lookup joined on least(n_rel, 10).
+    "q111_retrieval_eval" ->
+      """WITH planes AS (
+        |  SELECT t.t, b.i, j.j,
+        |    (CAST(concat('0x', substr(md5('plane_' || t.t || '_' || b.i || '_' || j.j), 1, 15)) AS BIGINT)
+        |      / power(2, 59)) - 1.0 AS c
+        |  FROM range(4) t(t), range(6) b(i), range(64) j(j)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, p.t, p.i, sum(p.c * e.v[p.j + 1] ORDER BY p.j) AS d
+        |  FROM e JOIN planes p ON true GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT s.vec_id AS q_id, s.t,
+        |    CASE WHEN f.f < 0 THEN s.sig ELSE xor(s.sig, CAST(power(2, f.f) AS BIGINT)) END AS probe
+        |  FROM sigs s, range(-1, 6) f(f) WHERE s.vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, s.vec_id AS neighbor_id
+        |  FROM probes p JOIN sigs s ON p.t = s.t AND p.probe = s.sig
+        |  WHERE s.vec_id <> p.q_id),
+        |lscored AS (
+        |  SELECT c.q_id, c.neighbor_id,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cs
+        |  FROM cand c JOIN e a ON a.vec_id = c.neighbor_id JOIN e b ON b.vec_id = c.q_id),
+        |res AS (
+        |  SELECT q_id AS query_id, neighbor_id AS doc_id, rnk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |    FROM lscored) t
+        |  WHERE rnk <= 10),
+        |bscored AS (
+        |  SELECT q.vec_id AS q_id, s.vec_id AS doc_id,
+        |    list_dot_product(s.v, q.v) / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.v, q.v))) AS c
+        |  FROM e s JOIN e q ON q.vec_id < 8 AND s.vec_id <> q.vec_id),
+        |truth AS (
+        |  SELECT q_id AS query_id, doc_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, doc_id) AS rnk
+        |    FROM bscored) t
+        |  WHERE rnk <= 10),
+        |rel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+        |hits AS (
+        |  SELECT r.query_id, count(*) AS n_hits, min(r.rnk) AS first_hit,
+        |    sum(CAST(round(1.0 / (ln(CAST(r.rnk AS DOUBLE) + 1.0) / ln(2.0))
+        |      * 1000000000.0, 0) AS BIGINT)) AS dcg9
+        |  FROM res r JOIN truth t ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        |  GROUP BY 1),
+        |ideal AS (
+        |  SELECT n.n, sum(CAST(round(1.0 / (ln(CAST(i.i AS DOUBLE) + 1.0) / ln(2.0))
+        |      * 1000000000.0, 0) AS BIGINT)) AS idcg9
+        |  FROM range(1, 11) n(n) JOIN range(1, 11) i(i) ON i.i <= n.n GROUP BY 1)
+        |SELECT rel.query_id, CAST(rel.n_rel AS BIGINT) AS n_rel,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(rel.n_rel AS DOUBLE), 6) AS recall,
+        |  round(coalesce(1.0 / CAST(h.first_hit AS DOUBLE), 0.0), 6) AS mrr,
+        |  round(CAST(coalesce(h.dcg9, 0) AS DOUBLE) / CAST(ideal.idcg9 AS DOUBLE), 6) AS ndcg
+        |FROM rel LEFT JOIN hits h USING (query_id)
+        |JOIN ideal ON ideal.n = least(rel.n_rel, 10)""".stripMargin,
     // q109: the full deterministic quantizer (shared IVF cell CTEs)
     // plus the q104 Efraimidis–Spirakis draw partitioned by cell —
     // uniform weights, so the rank key is just ln(u) at the shared

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval / neighbor-quality evaluation: the metrics a pipeline
+  * runs over its own retrieval and ANN stages to decide whether an
+  * index family, a quantizer setting, or a reranker is good enough
+  * to ship — recall@k, MRR@k and binary-grade nDCG@k per query, from
+  * a result table and a relevance truth table.
+  *
+  * All three metrics are exact arithmetic over ranks and counts:
+  * reciprocal ranks and log2 discounts accumulate in fixed point
+  * ([[Quality.fixedPoint9]]), so per-query values are
+  * partition-order-independent and the whole evaluation transcribes
+  * to a SQL oracle — the same determinism contract as the operators
+  * being evaluated.
+  *
+  * Conventions (documented because every IR library picks its own):
+  *  - recall@k = |hits in top-k| / |relevant| (uncapped denominator —
+  *    a query with more relevant docs than k cannot reach 1);
+  *  - MRR@k = 1 / rank of the FIRST hit, 0 when the top-k has none;
+  *  - nDCG@k uses binary gains, DCG = Σ_hits 1/log2(rank+1), ideal =
+  *    the first min(|relevant|, k) positions; queries with no
+  *    relevant docs at all are dropped (no metric is defined).
+  *
+  * Scale shape (100 TB of results): one equi join keyed on
+  * (query_id, doc_id) — both sides co-partition, nothing broadcast —
+  * then one aggregate keyed by query_id over ≤ k rows per query; the
+  * truth-size aggregate is |truth|-keyed the same way. Corpus-level
+  * means are a second 1-row aggregate over per-query rows.
+  */
+object Eval {
+
+  /** Per-query metrics for `results` (query_id, doc_id, rank — rank
+    * 1-based, already cut or cuttable at `k`) against `truth`
+    * (query_id, doc_id). Output: (query_id, n_rel, n_hits, recall,
+    * mrr, ndcg), all metrics rounded 6dp. */
+  def retrievalMetrics(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = truth.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = results
+      .filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "doc_id")) // hit = retrieved ∧ relevant
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min("rank").as("first_hit"),
+        // binary-gain DCG in fixed point: Σ 1/log2(rank+1) — the
+        // discount spelled ln(x)/ln(2) because a native log2 can
+        // differ from the quotient in the last ulp across engines
+        sum(Quality.fixedPoint9(lit(1.0) /
+          (log(col("rank").cast("double") + lit(1.0)) / log(lit(2.0))))).as("dcg9"))
+    // ideal DCG for the first min(n_rel, k) positions — per-query
+    // closed form over a sequence, same quantization as the hit side
+    val idcg9 = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+      lit(0L),
+      (acc, i) => acc + Quality.fixedPoint9(lit(1.0) /
+        (log(i.cast("double") + lit(1.0)) / log(lit(2.0)))))
+    rel
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel").cast("long").as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_hit").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(coalesce(col("dcg9"), lit(0L)).cast("double") /
+          idcg9.cast("double"), 6).as("ndcg"))
+  }
+
+  /** Corpus-level summary of [[retrievalMetrics]]: unweighted means
+    * over queries (the standard headline numbers), plus the query
+    * count. Means accumulate in fixed point over the 6dp-rounded
+    * per-query metrics, so the summary is as engine-portable as the
+    * rows it summarizes. */
+  def retrievalSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      round(Quality.fromFixedPoint9(
+        sum(Quality.fixedPoint9(col("recall")))) /
+        count(lit(1)).cast("double"), 6).as("mean_recall"),
+      round(Quality.fromFixedPoint9(
+        sum(Quality.fixedPoint9(col("mrr")))) /
+        count(lit(1)).cast("double"), 6).as("mean_mrr"),
+      round(Quality.fromFixedPoint9(
+        sum(Quality.fixedPoint9(col("ndcg")))) /
+        count(lit(1)).cast("double"), 6).as("mean_ndcg"))
+}
