@@ -1497,6 +1497,23 @@ object SparkEntry {
     graft.ops.Eval.retrievalMetrics(results, truth, k = 10)
   }
 
+  /** Classifier evaluation — the decide-before-you-ship pass over
+    * the q108 seed filter: tie-aware ROC-AUC of the NB log-odds
+    * against the true `lang = 'en'` label plus the confusion counts
+    * and rates of the filter's own hard prediction
+    * ([[graft.ops.Eval.classifierMetrics]]). Resubstitution scores
+    * (fit and evaluated on the same corpus) — the point is the
+    * metric math, which replays exactly in SQL: scores quantize to
+    * fixed-point keys, AUC is the grouped Mann–Whitney rank-sum via
+    * a distributed prefix sum (never a global-order row window). */
+  def q112ClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
+    graft.ops.Eval.classifierMetrics(scored, "log_odds", "predicted", "y")
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1618,6 +1635,7 @@ object SparkEntry {
     "q109_cluster_sample" -> (q109ClusterSample _),
     "q110_nb_store_score" -> (q110NbStoreScore _),
     "q111_retrieval_eval" -> (q111RetrievalEval _),
+    "q112_classifier_eval" -> (q112ClassifierEval _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2018,6 +2036,38 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Shared CTE body of the q108 Naive Bayes seed-classifier scoring
+    * dataflow (tokenize → per-doc token counts → class histograms →
+    * totals/prior → fixed-point per-token weights → per-doc sums) —
+    * used verbatim by the q108 score oracle and the q112 evaluation
+    * oracle so the evaluated scores can never diverge from the
+    * scoring operator. */
+  private val NbScoreCtes: String =
+    """toks AS (
+      |  SELECT doc_id, lang = 'en' AS is_seed,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |pd AS (SELECT doc_id, is_seed, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+      |hist AS (
+      |  SELECT tok,
+      |    sum(CASE WHEN is_seed THEN cnt ELSE 0 END) AS pos,
+      |    sum(CASE WHEN NOT is_seed THEN cnt ELSE 0 END) AS neg
+      |  FROM pd GROUP BY 1),
+      |tot AS (SELECT sum(pos) AS tpos, sum(neg) AS tneg, count(*) AS v FROM hist),
+      |pri AS (
+      |  SELECT ln(CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE)
+      |           / CAST(sum(CASE WHEN is_seed THEN 0 ELSE 1 END) AS DOUBLE)) AS prior
+      |  FROM (SELECT DISTINCT doc_id, is_seed FROM pd)),
+      |j AS (
+      |  SELECT pd.doc_id, pd.cnt,
+      |    CAST(round(CAST(pd.cnt AS DOUBLE) * (
+      |      ln(CAST(pos + 1 AS DOUBLE) / CAST(tpos + v AS DOUBLE)) -
+      |      ln(CAST(neg + 1 AS DOUBLE) / CAST(tneg + v AS DOUBLE)))
+      |      * 1000000000.0, 0) AS BIGINT) AS ts9
+      |  FROM pd JOIN hist USING (tok), tot),
+      |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |        CAST(sum(ts9) AS BIGINT) AS s9 FROM j GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q69_pq_topk" -> PqOracleSql,
     // q103: the oracle refits the frozen LM from the train split
@@ -2145,35 +2195,65 @@ object SparkEntry {
     // UNROUNDED double, so it must be computed from the same
     // expression, not the 6dp-rounded log_odds.
     "q108_naive_bayes" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang = 'en' AS is_seed,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |pd AS (SELECT doc_id, is_seed, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3),
-        |hist AS (
-        |  SELECT tok,
-        |    sum(CASE WHEN is_seed THEN cnt ELSE 0 END) AS pos,
-        |    sum(CASE WHEN NOT is_seed THEN cnt ELSE 0 END) AS neg
-        |  FROM pd GROUP BY 1),
-        |tot AS (SELECT sum(pos) AS tpos, sum(neg) AS tneg, count(*) AS v FROM hist),
-        |pri AS (
-        |  SELECT ln(CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE)
-        |           / CAST(sum(CASE WHEN is_seed THEN 0 ELSE 1 END) AS DOUBLE)) AS prior
-        |  FROM (SELECT DISTINCT doc_id, is_seed FROM pd)),
-        |j AS (
-        |  SELECT pd.doc_id, pd.cnt,
-        |    CAST(round(CAST(pd.cnt AS DOUBLE) * (
-        |      ln(CAST(pos + 1 AS DOUBLE) / CAST(tpos + v AS DOUBLE)) -
-        |      ln(CAST(neg + 1 AS DOUBLE) / CAST(tneg + v AS DOUBLE)))
-        |      * 1000000000.0, 0) AS BIGINT) AS ts9
-        |  FROM pd JOIN hist USING (tok), tot),
-        |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-        |        CAST(sum(ts9) AS BIGINT) AS s9 FROM j GROUP BY 1)
+      s"""WITH $NbScoreCtes
         |SELECT doc_id, n_tokens,
         |  round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS log_odds,
         |  CAST(CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
         |    THEN 1 ELSE 0 END AS INT) AS predicted
         |FROM s, pri""".stripMargin,
+    // q112: the q108 scores (shared CTEs) evaluated against the true
+    // lang='en' label — AUC as the grouped Mann–Whitney rank-sum
+    // (scores quantized to 1e-9 keys, exclusive negative prefix sum
+    // via a window over the DISTINCT-SCORE table; pair products in
+    // HUGEINT), confusion from the filter's own unrounded-sign
+    // prediction. Every branch (null AUC on a one-class corpus, null
+    // precision/recall on empty denominators, f1=0 at tp=0) mirrors
+    // Eval.classifierMetrics exactly.
+    "q112_classifier_eval" ->
+      s"""WITH $NbScoreCtes,
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score,
+        |    CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
+        |      THEN 1 ELSE 0 END AS pred
+        |  FROM s, pri),
+        |b AS (
+        |  SELECT CAST(round(score * 1000000000.0, 0) AS BIGINT) AS s9k, pred,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM scored JOIN documents d USING (doc_id)),
+        |g AS (SELECT s9k, CAST(sum(y) AS BIGINT) AS pos_k,
+        |        CAST(count(*) - sum(y) AS BIGINT) AS neg_k FROM b GROUP BY 1),
+        |w AS (SELECT *, CAST(coalesce(sum(neg_k) OVER (ORDER BY s9k
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |      FROM g),
+        |a AS (SELECT CAST(sum(pos_k) AS BIGINT) AS n_pos,
+        |        CAST(sum(neg_k) AS BIGINT) AS n_neg,
+        |        sum(CAST(pos_k AS HUGEINT) * CAST(cum * 2 + neg_k AS HUGEINT)) AS num
+        |      FROM w),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM b)
+        |SELECT n, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(num AS DOUBLE) /
+        |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6) END AS auc,
+        |  tp, fp, fn, tn,
+        |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN
+        |    CASE WHEN tp = 0 THEN 0.0 ELSE
+        |      round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |                * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+        |            / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
+        |  END AS f1
+        |FROM c, a""".stripMargin,
     // q110: the oracle refits the frozen NB model from the train
     // split (same histograms/totals/prior as q108's, restricted to
     // doc_id % 25 != 0) and LEFT-joins it to the held-out postings —

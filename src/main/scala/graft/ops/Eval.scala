@@ -71,6 +71,85 @@ object Eval {
           idcg9.cast("double"), 6).as("ndcg"))
   }
 
+  /** Binary-classifier evaluation — the decide-before-you-ship pass
+    * over a quality/seed filter (the [[Quality.naiveBayesLogOdds]] /
+    * NbStore family): tie-aware ROC-AUC of the score against the
+    * true label, plus the confusion counts and derived rates of the
+    * caller's hard prediction. One summary row:
+    * (n, n_pos, n_neg, auc, tp, fp, fn, tn, accuracy, precision,
+    * recall, f1), rates rounded 6dp.
+    *
+    * AUC is the exact Mann–Whitney statistic with the standard
+    * average-rank tie correction, computed WITHOUT ranking rows:
+    * scores quantize to a 1e-9 fixed-point long key, group to
+    * (key, n_pos_k, n_neg_k), and
+    *   AUC = Σ_k n_pos_k · (2·negBelow_k + n_neg_k) / (2·n_pos·n_neg)
+    * where negBelow_k is the exclusive running negative count in key
+    * order — each tied block contributes half its pos×neg pairs,
+    * exactly the trapezoidal ROC area. Undefined (null) when either
+    * class is empty. Precision/recall/F1 are null when their
+    * denominator is 0 (no predicted / no actual positives).
+    *
+    * Scale shape (100 TB of scored documents): one groupBy(score)
+    * shuffle to the distinct-score table, then
+    * [[Packing.globalCumsum]]'s distributed prefix sum over that
+    * table — NEVER a global-order window over rows (the classic
+    * single-partition scale bug an AUC rank-sum invites). The pair
+    * products accumulate in decimal(38,0): n_pos·n_neg overflows a
+    * long once both classes pass ~2·10⁹ documents.
+    *
+    * Input contract: `scoreCol` double (ranking score), `predCol`
+    * 0/1 int (the caller's thresholded prediction — kept explicit so
+    * the confusion matches the filter as deployed, not a re-derived
+    * cut), `labelCol` 0/1 int or boolean.
+    */
+  def classifierMetrics(
+      scored: DataFrame,
+      scoreCol: String,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val base = scored.select(
+      Quality.fixedPoint9(col(scoreCol)).as("s9k"),
+      col(predCol).cast("int").as("pred"),
+      col(labelCol).cast("int").as("y"))
+    val g = base.groupBy("s9k").agg(
+      sum(col("y")).cast("long").as("pos_k"),
+      (count(lit(1)) - sum(col("y"))).cast("long").as("neg_k"))
+    val cum = Packing.globalCumsum(g, Seq("s9k"), "neg_k")
+    val aucAgg = cum.agg(
+      sum("pos_k").cast("long").as("n_pos"),
+      sum("neg_k").cast("long").as("n_neg"),
+      sum(col("pos_k").cast("decimal(19,0)") *
+        (col("cum") * 2L + col("neg_k")).cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("num"))
+    val conf = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+    val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val rec = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    conf.crossJoin(broadcast(aucAgg)) // both sides are single rows
+      .select(
+        col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("num").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0), 6))
+          .as("auc"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"),
+        when(col("tp") + col("fp") > 0L, round(prec, 6)).as("precision"),
+        when(col("tp") + col("fn") > 0L, round(rec, 6)).as("recall"),
+        when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
+          col("tp") > 0L,
+          round(lit(2.0) * prec * rec / (prec + rec), 6))
+          .when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L,
+            lit(0.0))
+          .as("f1"))
+  }
+
   /** Corpus-level summary of [[retrievalMetrics]]: unweighted means
     * over queries (the standard headline numbers), plus the query
     * count. Means accumulate in fixed point over the 6dp-rounded

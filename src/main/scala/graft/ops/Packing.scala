@@ -113,6 +113,32 @@ object Packing {
   def assign(chunks: DataFrame, budget: Long = 512L, startOffset: Long = 0L): DataFrame =
     assignWithTotal(chunks, budget, startOffset)._1
 
+  /** EXCLUSIVE running sum of long column `valueCol` in `orderCols`
+    * order, appended as `cum` — the distributed form of
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)`, which Spark would otherwise plan as a single
+    * partition. Same prefix-sum shape as [[assignWithTotal]];
+    * `orderCols` need not be unique — equal keys accumulate in their
+    * arbitrary-but-summed order, so the cumsum is only well-defined
+    * per distinct key when `valueCol` rides a pre-grouped frame
+    * (the intended use: grouped tables like per-score counts).
+    */
+  def globalCumsum(df: DataFrame, orderCols: Seq[String], valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "globalCumsum needs at least one order column")
+    val reserved = Set("pid", "local_cum", "poffset", "cum")
+    require(!df.columns.exists(reserved.contains),
+      s"globalCumsum reserves columns ${reserved.mkString(", ")}; " +
+        s"rename them in the input (got: ${df.columns.mkString(", ")})")
+    val (ranged, offDf, _) = rangedWithOffsets(df, orderCols, sum(valueCol), 0L)
+    val local = Window.partitionBy("pid").orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("local_cum", coalesce(sum(valueCol).over(local), lit(0L)))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum", col("local_cum") + col("poffset"))
+      .drop("pid", "local_cum", "poffset")
+  }
+
   /** 0-based global position of every row in `orderCols` order — the
     * distributed form of a single-partition `row_number` window
     * (which is THE classic Spark scale bug: `Window.orderBy` with no

@@ -406,6 +406,21 @@ class PlanShapeSpec extends SparkSpecBase {
         "the per-lang window exchange:\n" + p.take(2500))
   }
 
+  test("q112: AUC rank-sum never collapses to a single-partition window") {
+    val p = plan("q112_classifier_eval")
+    assert(!p.contains("Exchange SinglePartition") || {
+      // the only tolerated single-partition exchanges are the 1-row
+      // final aggregates (conf row, auc row, NB prior/totals); a
+      // Window near one (parent or child in the printed tree) is the
+      // scale bug
+      """Exchange SinglePartition[\s\S]{0,400}?Window""".r.findFirstIn(p).isEmpty &&
+        """Window[\s\S]{0,400}?Exchange SinglePartition""".r.findFirstIn(p).isEmpty
+    }, "AUC prefix sum fell back to a one-partition window — the " +
+      "100 TB scale bug the grouped rank-sum exists to avoid:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-partition negative-count offsets must join as a broadcast literal")
+  }
+
   test("q67/q68: mixture broadcasts its 1-row total; shuffle order never single-partitions") {
     val p67 = plan("q67_mixture")
     assert(p67.contains("Broadcast"), p67.take(1500))

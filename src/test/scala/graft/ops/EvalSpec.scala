@@ -68,6 +68,66 @@ class EvalSpec extends SparkSpecBase {
     assert((s.getDouble(1), s.getDouble(2), s.getDouble(3)) == ((0.25, 0.5, 0.4)))
   }
 
+  test("classifierMetrics matches a hand-computed tie-aware AUC at k-level ties") {
+    // scores: 0.9 (pos), 0.8 (pos), 0.8 (neg), 0.1 (neg)
+    // pos-neg pairs: (0.9,0.8)=1, (0.9,0.1)=1, (0.8,0.8)=0.5,
+    // (0.8,0.1)=1 -> AUC = 3.5/4 = 0.875
+    val scored = Seq(
+      (0.9, 1, 1), (0.8, 1, 1), (0.8, 1, 0), (0.1, 0, 0)
+    ).toDF("score", "pred", "y")
+    val r = Eval.classifierMetrics(scored, "score", "pred", "y").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 2L)))
+    assert(r.getDouble(3) == 0.875, s"auc ${r.getDouble(3)}")
+    // pred=1 for the first three: tp=2 fp=1 fn=0 tn=1
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((2L, 1L, 0L, 1L)))
+    assert(r.getDouble(8) == 0.75) // accuracy
+    assert(r.getDouble(9) == 0.666667) // precision
+    assert(r.getDouble(10) == 1.0) // recall
+    assert(r.getDouble(11) == 0.8) // f1 = 2*2/3*1/(2/3+1) = 0.8
+  }
+
+  test("classifierMetrics: perfect, inverted, one-class and all-negative-pred edges") {
+    val perfect = Seq((1.0, 1, 1), (0.0, 0, 0)).toDF("score", "pred", "y")
+    val p = Eval.classifierMetrics(perfect, "score", "pred", "y").collect()(0)
+    assert(p.getDouble(3) == 1.0 && p.getDouble(11) == 1.0)
+    val inverted = Seq((0.0, 0, 1), (1.0, 1, 0)).toDF("score", "pred", "y")
+    val i = Eval.classifierMetrics(inverted, "score", "pred", "y").collect()(0)
+    assert(i.getDouble(3) == 0.0, "inverted ranking must score AUC 0")
+    assert(i.getDouble(11) == 0.0, "tp=0 with nonzero denominators -> f1 0")
+    val oneClass = Seq((0.5, 1, 1), (0.2, 0, 1)).toDF("score", "pred", "y")
+    val o = Eval.classifierMetrics(oneClass, "score", "pred", "y").collect()(0)
+    assert(o.isNullAt(3), "one-class corpus has no defined AUC")
+    val noPred = Seq((0.5, 0, 1), (0.2, 0, 0)).toDF("score", "pred", "y")
+    val np = Eval.classifierMetrics(noPred, "score", "pred", "y").collect()(0)
+    assert(np.isNullAt(9), "no predicted positives -> precision null")
+    assert(np.getDouble(10) == 0.0, "recall 0 when nothing found")
+  }
+
+  test("classifierMetrics is partitioning-invariant") {
+    val base = (1 to 200).map { n =>
+      (n * 0.01, if (n % 3 == 0) 1 else 0, if (n % 2 == 0) 1 else 0)
+    }
+    val df1 = base.toDF("score", "pred", "y").repartition(1)
+    val df7 = base.toDF("score", "pred", "y").repartition(7)
+    val a = Eval.classifierMetrics(df1, "score", "pred", "y").collect()(0).toSeq
+    val b = Eval.classifierMetrics(df7, "score", "pred", "y").collect()(0).toSeq
+    assert(a == b, s"partitioning changed the metrics: $a vs $b")
+  }
+
+  test("q112 on real documents: NB seed filter separates its own label") {
+    val r = graft.SparkEntry.queries("q112_classifier_eval")(spark, sfDir).collect()(0)
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0, "both classes present")
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2))
+    // resubstitution scores on the ~31-token synthetic vocabulary:
+    // the classes share almost all their tokens, so separation is
+    // WEAK by construction (~0.63 at sf0.001) — the filter must beat
+    // chance, and the gate's value parity pins the exact number
+    assert(r.getDouble(3) > 0.55 && r.getDouble(3) < 1.0,
+      s"resubstitution AUC ${r.getDouble(3)}")
+    assert(r.getDouble(8) > 0.5, s"accuracy ${r.getDouble(8)}")
+  }
+
   test("q111 on real embeddings: LSH ANN scores sane vs brute-force truth") {
     val m = graft.SparkEntry.queries("q111_retrieval_eval")(spark, sfDir)
     val s = Eval.retrievalSummary(m).collect()(0)
