@@ -1514,6 +1514,25 @@ object SparkEntry {
     graft.ops.Eval.classifierMetrics(scored, "log_odds", "predicted", "y")
   }
 
+  /** Token-budget mixture plan over the language subcorpora — the
+    * multilingual reweighting decision: a 1.8×-corpus budget at
+    * temperature 0.5 with a 2-epoch repetition cap. The minority
+    * languages saturate their cap (the flattened weights want more
+    * of them than two passes allow) and English fills the remainder
+    * — the closed-form water-filling of
+    * [[graft.ops.Mixture.tokenBudgetAllocation]], with every sum in
+    * fixed point so the whole allocator replays in SQL. */
+  def q113TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang").as("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").cast("long").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens")).first().getLong(0)
+    graft.ops.Mixture.tokenBudgetAllocation(per,
+      budget = tot * 9L / 5L, maxEpochs = 2L)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1636,6 +1655,7 @@ object SparkEntry {
     "q110_nb_store_score" -> (q110NbStoreScore _),
     "q111_retrieval_eval" -> (q111RetrievalEval _),
     "q112_classifier_eval" -> (q112ClassifierEval _),
+    "q113_token_budget" -> (q113TokenBudget _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2358,6 +2378,49 @@ object SparkEntry {
         |  round(CAST(coalesce(h.dcg9, 0) AS DOUBLE) / CAST(ideal.idcg9 AS DOUBLE), 6) AS ndcg
         |FROM rel LEFT JOIN hits h USING (query_id)
         |JOIN ideal ON ideal.n = least(rel.n_rel, 10)""".stripMargin,
+    // q113: the water-filling allocator replayed end-to-end — per-lang
+    // token counts, sqrt weights quantized x1e9, saturation levels,
+    // exclusive prefix sums in (level, source) order, the first
+    // self-consistent cut via ORDER BY/LIMIT 1, and the same
+    // cap-vs-floor(level*weight) split per source. LEFT JOIN ON true
+    // keeps the all-capped case (empty sel) as a null level.
+    "q113_token_budget" ->
+      """WITH t AS (
+        |  SELECT lang AS source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |bud AS (SELECT CAST(sum(n_tokens) * 9 // 5 AS BIGINT) AS budget FROM t),
+        |b AS (SELECT source, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS w9,
+        |    CAST(n_tokens * 2 AS BIGINT) AS cap_t
+        |  FROM t WHERE n_tokens > 0),
+        |r AS (SELECT *, CAST(cap_t AS DOUBLE) * 1000000000.0 / CAST(w9 AS DOUBLE) AS rr FROM b),
+        |tot AS (SELECT CAST(sum(w9) AS BIGINT) AS tot_w9 FROM b),
+        |c AS (SELECT *,
+        |    CAST(coalesce(sum(cap_t) OVER w, 0) AS BIGINT) AS cum_cap,
+        |    CAST(coalesce(sum(w9) OVER w, 0) AS BIGINT) AS cum_w9
+        |  FROM r WINDOW w AS (ORDER BY rr, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |cand AS (SELECT *,
+        |    CAST(budget - cum_cap AS DOUBLE) /
+        |      (CAST(tot_w9 - cum_w9 AS DOUBLE) / 1000000000.0) AS c_cand
+        |  FROM c, tot, bud),
+        |sel AS (SELECT c_cand AS c_star FROM cand WHERE c_cand < rr
+        |        ORDER BY rr, source LIMIT 1),
+        |alloc AS (
+        |  SELECT r.source, r.n_tokens, r.w9,
+        |    CASE WHEN s.c_star IS NULL OR s.c_star >= r.rr THEN r.cap_t
+        |      ELSE CAST(floor(s.c_star * CAST(r.w9 AS DOUBLE) / 1000000000.0) AS BIGINT)
+        |    END AS alloc_tokens,
+        |    CASE WHEN s.c_star IS NULL OR s.c_star >= r.rr THEN 1 ELSE 0 END AS capped
+        |  FROM r LEFT JOIN sel s ON true)
+        |SELECT a.source, a.n_tokens,
+        |  round(CAST(a.w9 AS DOUBLE) / CAST(tot.tot_w9 AS DOUBLE), 6) AS weight,
+        |  CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  CAST(a.capped AS INT) AS capped,
+        |  round(CAST(a.alloc_tokens AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS epochs
+        |FROM alloc a, tot""".stripMargin,
     // q109: the full deterministic quantizer (shared IVF cell CTEs)
     // plus the q104 Efraimidis–Spirakis draw partitioned by cell —
     // uniform weights, so the rank key is just ln(u) at the shared

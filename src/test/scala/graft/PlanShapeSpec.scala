@@ -421,6 +421,18 @@ class PlanShapeSpec extends SparkSpecBase {
       "per-partition negative-count offsets must join as a broadcast literal")
   }
 
+  test("q113: allocator prefix sums stay distributed; totals/level ride broadcasts") {
+    val p = plan("q113_token_budget")
+    assert(!p.contains("Exchange SinglePartition") || {
+      """Exchange SinglePartition[\s\S]{0,400}?Window""".r.findFirstIn(p).isEmpty &&
+        """Window[\s\S]{0,400}?Exchange SinglePartition""".r.findFirstIn(p).isEmpty
+    }, "water-filling cumsum fell back to a one-partition window:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-partition offsets must join as a broadcast literal")
+    assert("regex_tokens".r.findAllIn(p).size <= 1,
+      "per-source token counts must tokenize the corpus at most once")
+  }
+
   test("q67/q68: mixture broadcasts its 1-row total; shuffle order never single-partitions") {
     val p67 = plan("q67_mixture")
     assert(p67.contains("Broadcast"), p67.take(1500))
