@@ -1533,6 +1533,22 @@ object SparkEntry {
       budget = tot * 9L / 5L, maxEpochs = 2L)
   }
 
+  /** Per-source slice report of the q112 evaluation — the fairness /
+    * robustness pass a filter ships with: the SAME metric columns,
+    * one row per source, via
+    * [[graft.ops.Eval.groupedClassifierMetrics]]. The AUC prefix sum
+    * here is a window PARTITIONED by source (parallel across
+    * slices); every source holds a mix of languages, so every slice
+    * has both classes and a defined AUC. */
+  def q114GroupClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
+    graft.ops.Eval.groupedClassifierMetrics(
+      scored, "source", "log_odds", "predicted", "y")
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1656,6 +1672,7 @@ object SparkEntry {
     "q111_retrieval_eval" -> (q111RetrievalEval _),
     "q112_classifier_eval" -> (q112ClassifierEval _),
     "q113_token_budget" -> (q113TokenBudget _),
+    "q114_group_classifier_eval" -> (q114GroupClassifierEval _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2378,6 +2395,54 @@ object SparkEntry {
         |  round(CAST(coalesce(h.dcg9, 0) AS DOUBLE) / CAST(ideal.idcg9 AS DOUBLE), 6) AS ndcg
         |FROM rel LEFT JOIN hits h USING (query_id)
         |JOIN ideal ON ideal.n = least(rel.n_rel, 10)""".stripMargin,
+    // q114: q112's evaluation sliced by source — the same NB-score
+    // CTEs, with the rank-sum window PARTITIONED by source and every
+    // aggregate keyed on it.
+    "q114_group_classifier_eval" ->
+      s"""WITH $NbScoreCtes,
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score,
+        |    CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
+        |      THEN 1 ELSE 0 END AS pred
+        |  FROM s, pri),
+        |b AS (
+        |  SELECT d.source, CAST(round(score * 1000000000.0, 0) AS BIGINT) AS s9k,
+        |    pred, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM scored JOIN documents d USING (doc_id)),
+        |g AS (SELECT source, s9k, CAST(sum(y) AS BIGINT) AS pos_k,
+        |        CAST(count(*) - sum(y) AS BIGINT) AS neg_k FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(coalesce(sum(neg_k) OVER (PARTITION BY source
+        |        ORDER BY s9k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS cum FROM g),
+        |a AS (SELECT source, CAST(sum(pos_k) AS BIGINT) AS n_pos,
+        |        CAST(sum(neg_k) AS BIGINT) AS n_neg,
+        |        sum(CAST(pos_k AS HUGEINT) * CAST(cum * 2 + neg_k AS HUGEINT)) AS num
+        |      FROM w GROUP BY 1),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM b GROUP BY 1)
+        |SELECT c.source, n, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(num AS DOUBLE) /
+        |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6) END AS auc,
+        |  tp, fp, fn, tn,
+        |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN
+        |    CASE WHEN tp = 0 THEN 0.0 ELSE
+        |      round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |                * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+        |            / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
+        |  END AS f1
+        |FROM c JOIN a USING (source)""".stripMargin,
     // q113: the water-filling allocator replayed end-to-end — per-lang
     // token counts, sqrt weights quantized x1e9, saturation levels,
     // exclusive prefix sums in (level, source) order, the first

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Retrieval / neighbor-quality evaluation: the metrics a pipeline
@@ -124,30 +124,78 @@ object Eval {
         .cast("decimal(38,0)").as("num"))
     val conf = base.agg(
       count(lit(1)).cast("long").as("n"),
-      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
-      sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
-      sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
-      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+      confusionAggs: _*)
+    conf.crossJoin(broadcast(aucAgg)) // both sides are single rows
+      .select(metricCols(Nil): _*)
+  }
+
+  /** Per-group [[classifierMetrics]] — the slice report a filter
+    * ships with (macro metrics by source, language, time bucket …):
+    * one row per `groupCol` value with exactly the corpus-level
+    * columns. Same grouped rank-sum AUC, but the negative prefix sum
+    * is a window PARTITIONED by the group — each group's scan
+    * parallelizes across groups, so unlike the corpus-level call no
+    * distributed prefix sum is needed and nothing single-partitions.
+    * Groups with one class get a null AUC (slices too pure to rank).
+    */
+  def groupedClassifierMetrics(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val base = scored.select(
+      col(groupCol),
+      Quality.fixedPoint9(col(scoreCol)).as("s9k"),
+      col(predCol).cast("int").as("pred"),
+      col(labelCol).cast("int").as("y"))
+    val g = base.groupBy(col(groupCol), col("s9k")).agg(
+      sum(col("y")).cast("long").as("pos_k"),
+      (count(lit(1)) - sum(col("y"))).cast("long").as("neg_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("s9k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val aucAgg = g
+      .withColumn("cum", coalesce(sum("neg_k").over(w), lit(0L)))
+      .groupBy(groupCol).agg(
+        sum("pos_k").cast("long").as("n_pos"),
+        sum("neg_k").cast("long").as("n_neg"),
+        sum(col("pos_k").cast("decimal(19,0)") *
+          (col("cum") * 2L + col("neg_k")).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("num"))
+    val conf = base.groupBy(groupCol).agg(
+      count(lit(1)).cast("long").as("n"),
+      confusionAggs: _*)
+    conf.join(aucAgg, Seq(groupCol)) // group-keyed, co-partitioned
+      .select(metricCols(Seq(groupCol)): _*)
+  }
+
+  private def confusionAggs: Seq[Column] = Seq(
+    sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+    sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+    sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+    sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+
+  private def metricCols(keep: Seq[String]): Seq[Column] = {
     val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
     val rec = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
-    conf.crossJoin(broadcast(aucAgg)) // both sides are single rows
-      .select(
-        col("n"), col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0L && col("n_neg") > 0L,
-          round(col("num").cast("double") /
-            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0), 6))
-          .as("auc"),
-        col("tp"), col("fp"), col("fn"), col("tn"),
-        round((col("tp") + col("tn")).cast("double") / col("n").cast("double"), 6)
-          .as("accuracy"),
-        when(col("tp") + col("fp") > 0L, round(prec, 6)).as("precision"),
-        when(col("tp") + col("fn") > 0L, round(rec, 6)).as("recall"),
-        when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
-          col("tp") > 0L,
-          round(lit(2.0) * prec * rec / (prec + rec), 6))
-          .when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L,
-            lit(0.0))
-          .as("f1"))
+    keep.map(col) ++ Seq(
+      col("n"), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
+        round(col("num").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0), 6))
+        .as("auc"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      round((col("tp") + col("tn")).cast("double") / col("n").cast("double"), 6)
+        .as("accuracy"),
+      when(col("tp") + col("fp") > 0L, round(prec, 6)).as("precision"),
+      when(col("tp") + col("fn") > 0L, round(rec, 6)).as("recall"),
+      when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
+        col("tp") > 0L,
+        round(lit(2.0) * prec * rec / (prec + rec), 6))
+        .when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L,
+          lit(0.0))
+        .as("f1"))
   }
 
   /** Corpus-level summary of [[retrievalMetrics]]: unweighted means

@@ -115,6 +115,25 @@ class EvalSpec extends SparkSpecBase {
     assert(a == b, s"partitioning changed the metrics: $a vs $b")
   }
 
+  test("groupedClassifierMetrics: each slice equals the corpus-level call on that slice") {
+    val scored = Seq(
+      ("a", 0.9, 1, 1), ("a", 0.8, 1, 1), ("a", 0.8, 1, 0), ("a", 0.1, 0, 0),
+      ("b", 1.0, 1, 1), ("b", 0.0, 0, 0),
+      ("c", 0.5, 1, 1), ("c", 0.2, 0, 1) // one-class slice
+    ).toDF("grp", "score", "pred", "y")
+    val grouped = Eval.groupedClassifierMetrics(scored, "grp", "score", "pred", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(grouped.keySet == Set("a", "b", "c"))
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Eval.classifierMetrics(
+        scored.filter(col("grp") === g), "score", "pred", "y").collect()(0).toSeq
+      assert(grouped(g) == solo, s"slice $g diverged from the corpus-level call")
+    }
+    assert(grouped("a")(3) == 0.875)
+    assert(grouped("b")(3) == 1.0)
+    assert(grouped("c")(3) == null, "a one-class slice has no defined AUC")
+  }
+
   test("q112 on real documents: NB seed filter separates its own label") {
     val r = graft.SparkEntry.queries("q112_classifier_eval")(spark, sfDir).collect()(0)
     assert(r.getLong(1) > 0 && r.getLong(2) > 0, "both classes present")
