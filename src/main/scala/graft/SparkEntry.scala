@@ -1549,6 +1549,16 @@ object SparkEntry {
       scored, "source", "log_odds", "predicted", "y")
   }
 
+  /** Cross-source contamination matrix — which feeds mirror each
+    * other: distinct shared bigrams and vocabulary Jaccard for every
+    * source pair ([[graft.ops.CorpusStats.sourceOverlapMatrix]]).
+    * Pair generation is row-local over the bounded per-gram source
+    * set; the oracle may self-join at test scale, the engine never
+    * does. */
+  def q115SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.sourceOverlapMatrix(
+      Tables.documents(s, dir), "source", "text", n = 2)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1673,6 +1683,7 @@ object SparkEntry {
     "q112_classifier_eval" -> (q112ClassifierEval _),
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_group_classifier_eval" -> (q114GroupClassifierEval _),
+    "q115_source_overlap" -> (q115SourceOverlap _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2443,6 +2454,30 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q115: the engine generates pairs row-locally from bounded
+    // per-gram source sets; the oracle is free to self-join the
+    // (source, gram) table at test scale — same matrix.
+    "q115_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT source, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams,
+        |  round(CAST(shared_grams AS DOUBLE) /
+        |    CAST(sa.sz + sb.sz - shared_grams AS DOUBLE), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b""".stripMargin,
     // q113: the water-filling allocator replayed end-to-end — per-lang
     // token counts, sqrt weights quantized x1e9, saturation levels,
     // exclusive prefix sums in (level, source) order, the first

@@ -144,4 +144,58 @@ object CorpusStats {
       .orderBy(col("pmi").desc, col("x"), col("y"))
       .limit(topK)
   }
+
+  /** Cross-source contamination matrix: for every pair of corpus
+    * sources, the number of distinct word n-grams they share and the
+    * Jaccard of their n-gram vocabularies — the hygiene report that
+    * says which feeds are mirrors/scrapes of each other (and feeds
+    * the dedup/decontamination priority list).
+    *
+    * NEVER a gram-keyed self-join (each side of that join is the
+    * corpus-sized posting table, and a ubiquitous gram multiplies
+    * out df² rows): the per-gram source SET is bounded by the number
+    * of sources — a small constant even at 100 TB — so grams reduce
+    * to (gram, sorted source set) in one shuffle, and every pair the
+    * gram witnesses is generated ROW-LOCALLY by higher-order
+    * functions over that bounded array. What reaches the final
+    * aggregate is (src_a, src_b) keys — at most sources² of them.
+    * Source vocabulary sizes ride two broadcast joins.
+    *
+    * Output: (src_a, src_b, shared_grams, jaccard) for pairs sharing
+    * ≥ 1 gram, src_a < src_b, jaccard 6dp.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = Parallelism.ensure(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("src"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n)))
+          .as("gram"))
+      .distinct() // (source, gram) — the per-source vocabulary
+      .transform(Parallelism.stage) // two consumers: sizes + gram sets
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
+    val pairs = grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      // all ordered pairs of the bounded source list, row-locally
+      .select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("sz").as("sz_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared_grams")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -287,4 +287,53 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(runP(s"$tmp/s") == runP(s"$tmp/full"),
       "committed batch not fully visible")
   }
+
+  // ---- cross-source overlap matrix -----------------------------------
+
+  test("sourceOverlapMatrix matches a hand-computed bigram matrix") {
+    val docs = Seq(
+      ("A", "a b c"), ("A", "a b"), // A: {a b, b c}
+      ("B", "a b d"),               // B: {a b, b d}
+      ("C", "x y")                  // C: {x y} — disjoint
+    ).toDF("source", "text")
+    val got = CorpusStats.sourceOverlapMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("A", "B", 1L, 0.333333)),
+      s"expected only (A,B) sharing 'a b': ${got.toSeq}")
+  }
+
+  test("sourceOverlapMatrix equals the posting-table self-join on real docs") {
+    val docs = graft.model.Tables.documents(spark, sfDir).limit(200)
+    val grams = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.TextFunctions.wordNgrams(
+          graft.functions.TextFunctions.tokens(col("text")), 2))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+      .collect().map { r =>
+        val (sa, sb, sh) = (r.getString(0), r.getString(1), r.getLong(2))
+        (sa, sb, sh, BigDecimal(sh.toDouble / (sizes(sa) + sizes(sb) - sh))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = CorpusStats.sourceOverlapMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == brute, s"matrix diverged: ${got.size} vs ${brute.size} pairs")
+  }
+
+  test("sourceOverlapMatrix plans no gram-keyed self-join") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val p = CorpusStats.sourceOverlapMatrix(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "pair generation must be row-local over bounded source sets, " +
+        "not a posting self-join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(1500))
+  }
 }
