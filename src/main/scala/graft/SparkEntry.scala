@@ -1559,6 +1559,16 @@ object SparkEntry {
     graft.ops.CorpusStats.sourceOverlapMatrix(
       Tables.documents(s, dir), "source", "text", n = 2)
 
+  /** IVF index health — the decide-when-to-rebuild report: per-cell
+    * occupancy (is probe-time pruning still paying?) and mean
+    * integer quantization error (do the centroids still fit?), empty
+    * cells included ([[Similarity.ivfHealth]]). All-integer under
+    * the deterministic quantizer, so assignments AND error sums
+    * replay exactly on the shared IVF cell CTEs. */
+  def q116IndexHealth(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfHealth(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dim = 64, nlist = 24)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1684,6 +1694,7 @@ object SparkEntry {
     "q113_token_budget" -> (q113TokenBudget _),
     "q114_group_classifier_eval" -> (q114GroupClassifierEval _),
     "q115_source_overlap" -> (q115SourceOverlap _),
+    "q116_index_health" -> (q116IndexHealth _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2454,6 +2465,26 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q116: per-cell occupancy + mean integer quantization error from
+    // the SAME shared IVF cell CTEs the ANN oracles replay — df
+    // already holds every vector's squared distance to every final
+    // centroid, so the report is af ⋈ df on the assigned cell.
+    "q116_index_health" ->
+      s"""WITH $IvfCellCtes,
+        |pc AS (
+        |  SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    sum(CAST(d.dist AS HUGEINT)) AS sqsum
+        |  FROM af a JOIN df d ON d.vec_id = a.vec_id AND d.cell = a.cell
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM pc)
+        |SELECT CAST(r.cell AS INT) AS cell,
+        |  CAST(coalesce(pc.n_vecs, 0) AS BIGINT) AS n_vecs,
+        |  round(CAST(coalesce(pc.n_vecs, 0) AS DOUBLE) /
+        |    CAST(tot.n_total AS DOUBLE), 6) AS frac,
+        |  CASE WHEN pc.n_vecs > 0 THEN
+        |    round(CAST(pc.sqsum AS DOUBLE) / CAST(pc.n_vecs AS DOUBLE), 6)
+        |  END AS mean_sqerr
+        |FROM range(24) r(cell) LEFT JOIN pc ON pc.cell = r.cell, tot""".stripMargin,
     // q115: the engine generates pairs row-locally from bounded
     // per-gram source sets; the oracle is free to self-join the
     // (source, gram) table at test scale — same matrix.

@@ -578,6 +578,64 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** IVF index health report — the decide-when-to-rebuild pass over
+    * the coarse quantizer: per cell, the vector count, its share of
+    * the corpus, and the mean squared quantization error (distance
+    * from each vector's fixed-point grid form to its centroid, in
+    * grid units²). A skewed occupancy column means probe-time
+    * partition pruning has stopped paying (hot cells scan like brute
+    * force); a rising error mean means the centroids no longer fit
+    * the data and the index wants re-training. Empty cells appear
+    * with n_vecs 0 — wasted nlist capacity is part of the report.
+    *
+    * All-integer math under the deterministic quantizer, so the
+    * whole report (assignments AND error sums) replays exactly in
+    * SQL. Scale shape: one assign pass (centroid matrix broadcast
+    * inside the native expression), per-vector error via a
+    * `zip_with` against the broadcast centroid table (longs —
+    * 64 dims × (2·scale)² stays ≪ 2⁶³), per-cell sums in
+    * decimal(38,0) (corpus-sized cell counts × 10¹⁴-scale errors
+    * overflow a long), one nlist-sized aggregate.
+    */
+  def ivfHealth(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      iters: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val quantized = graft.ops.Parallelism.ensure(corpus)
+      .select(col(idCol), col(vecCol), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(false)
+    val centroids = kmeansCellsDeterministic(quantized, idCol, vecCol, dim, nlist, iters)
+    val cdf = centroids.zipWithIndex
+      .map { case (cv, i) => (i, cv) }.toDF("cell", "cv")
+    val perCell = quantized
+      .withColumn("cell",
+        element_at(graft.functions.IvfNearestCells(col("qv"), centroids, 1), 1))
+      .join(broadcast(cdf), Seq("cell"))
+      .select(col("cell"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("sq"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sq").cast("decimal(38,0)")).as("sqsum"))
+    val tot = perCell.agg(sum("n_vecs").as("n_total"))
+    s.range(nlist).select(col("id").cast("int").as("cell"))
+      .join(broadcast(perCell), Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        round(coalesce(col("n_vecs"), lit(0L)).cast("double") /
+          col("n_total").cast("double"), 6).as("frac"),
+        when(col("n_vecs") > 0L,
+          round(col("sqsum").cast("double") / col("n_vecs").cast("double"), 6))
+          .as("mean_sqerr"))
+  }
+
   /** Persisted IVF index layout: `<path>/vectors` is the assigned
     * corpus written `partitionBy("cell")` — the physical layout that
     * turns probe-cell selection into PARTITION PRUNING, the engine's

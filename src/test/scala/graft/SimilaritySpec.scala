@@ -458,4 +458,42 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rep == got, "sample changed under repartitioning")
   }
+
+  test("ivfHealth: counts cover the corpus, match the persisted index layout") {
+    val emb = graft.model.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val health = Similarity.ivfHealth(emb, "vec_id", "embedding", dim = 64, nlist = 24)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+      .toMap
+    assert(health.size == 24, "one row per cell, empty cells included")
+    assert(health.values.map(_._1).sum == emb.count(), "counts must cover the corpus")
+    assert(health.values.forall { case (n, _, e) => (n == 0L) == (e == -1.0) },
+      "mean error defined exactly on non-empty cells")
+    assert(health.values.forall { case (n, _, e) => n == 0L || e >= 0.0 })
+    // occupancy must agree with the persisted index's partition layout
+    // (same quantizer, same assignment)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_health").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dim = 64, nlist = 24,
+      path = s"$tmp/ivf")
+    val stored = spark.read.parquet(s"$tmp/ivf/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(health.filter(_._2._1 > 0).map { case (c, v) => c -> v._1 } == stored,
+      "health occupancy diverged from the index's own partitioning")
+  }
+
+  test("ivfHealth: an identical-vector corpus collapses to one zero-error cell") {
+    import spark.implicits._
+    val vec = Array.fill(64)(0.25f)
+    val emb = (1L to 5L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val rows = Similarity.ivfHealth(emb, "vec_id", "embedding", dim = 64, nlist = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3).asInstanceOf[AnyRef]))
+    assert(rows.length == 4)
+    val nonEmpty = rows.filter(_._2 > 0L)
+    assert(nonEmpty.length == 1, s"identical vectors must land in one cell: ${rows.toSeq}")
+    assert(nonEmpty.head._3 == 0.0.asInstanceOf[AnyRef],
+      "a centroid equal to its only vector has zero quantization error")
+    assert(rows.filter(_._2 == 0L).forall(_._3 == null))
+  }
 }
