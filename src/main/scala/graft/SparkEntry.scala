@@ -1569,6 +1569,40 @@ object SparkEntry {
     Similarity.ivfHealth(Tables.embeddings(s, dir),
       "vec_id", "embedding", dim = 64, nlist = 24)
 
+  /** Tokenizer fertility report — the decide-before-you-ship pass
+    * over a trained tokenizer: train 5 BPE merges on the corpus
+    * ([[graft.ops.Quality.bpeMerges]] — driver loop over the bounded
+    * vocab), encode every document with them
+    * ([[graft.ops.Quality.bpeEncode]] — narrow codegen'd HOF fold),
+    * and report per language: documents, whitespace words, BPE
+    * pieces, pieces-per-word (fertility) and chars-per-piece
+    * (compression). High fertility on a language = the merge table
+    * under-serves it — the standard multilingual tokenizer-equity
+    * check. The oracle replays the ENTIRE pipeline — all five
+    * training argmaxes, every vocab rewrite, and the greedy encode
+    * fold — as five unrolled rounds of SQL CTEs. */
+  def q117TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Quality.bpeMerges(docs, nMerges = 5)
+    val enc = graft.ops.Quality.bpeEncode(docs, merges)
+    val meta = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        aggregate(transform(
+          graft.functions.TextFunctions.tokens(col("text")),
+          t => length(t).cast("long")), lit(0L), (a, x) => a + x).as("n_chars"))
+    enc.join(meta, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_words"),
+        sum("n_pieces").cast("long").as("n_pieces"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6)
+          .as("pieces_per_word"),
+        round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 6)
+          .as("chars_per_piece"))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1695,6 +1729,7 @@ object SparkEntry {
     "q114_group_classifier_eval" -> (q114GroupClassifierEval _),
     "q115_source_overlap" -> (q115SourceOverlap _),
     "q116_index_health" -> (q116IndexHealth _),
+    "q117_tokenizer_fertility" -> (q117TokenizerFertility _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2127,7 +2162,69 @@ object SparkEntry {
       |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
       |        CAST(sum(ts9) AS BIGINT) AS s9 FROM j GROUP BY 1)""".stripMargin
 
+  /** The q117 oracle, GENERATED: `n` unrolled rounds of BPE training
+    * (pair counts → argmax with the engine's exact (cnt desc, x, y)
+    * tie-break → greedy vocab rewrite via a list_reduce fold that is
+    * token-for-token the engine's `applyMerge`) followed by the same
+    * `n`-round greedy encode of every document — the whole tokenizer
+    * lifecycle as one SQL statement. Generated rather than
+    * hand-written so the round count can never drift from the engine
+    * call's `nMerges`. */
+  private def bpeFertilitySql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |v0 AS (
+      |  SELECT list_filter(string_split(tok, ''), s -> s <> '') AS syms, count(*) AS c
+      |  FROM toks GROUP BY tok),
+      |""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s"""p$i AS (
+        |  SELECT syms[j] AS x, syms[j + 1] AS y, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM v${i - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS u(j)
+        |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+        |b$i AS (SELECT x, y FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+        |v$i AS (
+        |  SELECT list_reduce(list_transform(syms, s -> [s]),
+        |    (acc, el) -> CASE WHEN acc[-1] = b.x AND el[1] = b.y
+        |      THEN list_append(acc[1:len(acc)-1], b.x || b.y)
+        |      ELSE list_concat(acc, el) END) AS syms, c
+        |  FROM v${i - 1}, b$i b),
+        |""".stripMargin
+    }
+    sb ++= """e0 AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(tok, ''), s -> s <> '') AS syms,
+      |    len(tok) AS tok_chars
+      |  FROM toks),
+      |""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s"""e$i AS (
+        |  SELECT doc_id, lang, tok_chars,
+        |    list_reduce(list_transform(syms, s -> [s]),
+        |    (acc, el) -> CASE WHEN acc[-1] = b.x AND el[1] = b.y
+        |      THEN list_append(acc[1:len(acc)-1], b.x || b.y)
+        |      ELSE list_concat(acc, el) END) AS syms
+        |  FROM e${i - 1}, b$i b),
+        |""".stripMargin
+    }
+    sb ++= s"""d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      |pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+      |         CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+      |         CAST(sum(tok_chars) AS BIGINT) AS n_chars
+      |       FROM e$n GROUP BY 1)
+      |SELECT d.lang, d.n_docs, pl.n_words, pl.n_pieces,
+      |  round(CAST(pl.n_pieces AS DOUBLE) / CAST(pl.n_words AS DOUBLE), 6) AS pieces_per_word,
+      |  round(CAST(pl.n_chars AS DOUBLE) / CAST(pl.n_pieces AS DOUBLE), 6) AS chars_per_piece
+      |FROM d JOIN pl USING (lang)""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q117_tokenizer_fertility" -> bpeFertilitySql(5),
     "q69_pq_topk" -> PqOracleSql,
     // q103: the oracle refits the frozen LM from the train split
     // (doc_id % 25 <> 0) and scores the held-out split against it —

@@ -490,6 +490,26 @@ class QualitySpec extends SparkSpecBase {
     } finally spark.conf.unset(key)
   }
 
+  test("q117 fertility report: bounds hold and zero merges means one piece per char") {
+    val rows = graft.SparkEntry.queries("q117_tokenizer_fertility")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "one row per language")
+    for (r <- rows) {
+      val (words, pieces, ppw, cpp) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(pieces >= words, "every word is at least one piece")
+      assert(ppw >= 1.0 && cpp >= 1.0,
+        s"fertility/compression out of range for ${r.getString(0)}: $ppw / $cpp")
+    }
+    // untrained tokenizer baseline: encode with NO merges = chars
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val raw = Quality.bpeEncode(docs, Seq.empty)
+      .agg(sum("n_pieces"), sum("n_tokens")).collect()(0)
+    val trained = rows.map(_.getLong(3)).sum
+    assert(trained < raw.getLong(0),
+      "five trained merges must strictly compress the corpus piece count")
+  }
+
   test("naiveBayesLogOdds prior: balanced classes contribute ln(N+/N-)") {
     // one doc per class with the SAME single token: the token weight
     // cancels (identical smoothed counts), leaving exactly the prior
