@@ -887,6 +887,25 @@ object Cli {
       println(s"streamed drift ledger -> $out")
       0
 
+    case "eval-stream" :: rest =>
+      // Streaming filter-quality monitor: per labeled micro-batch,
+      // one classifierMetrics row vs the FROZEN NB store lands at
+      // ledger/batch=<id> (overwrite - replay idempotent).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val out = one(m, "-o", "--output")
+      val ckpt = m.get("--checkpoint").flatMap(_.headOption)
+        .getOrElse(sys.error("eval-stream needs --checkpoint <dir>"))
+      val label = m.get("--label").flatMap(_.headOption).getOrElse("y")
+      val spark = session()
+      val schema = spark.read.parquet(in).schema // landing must have >= 1 drop
+      val q = graft.streaming.EvalStream.maintain(
+        spark, in, store, out, ckpt, schema, label)
+      q.processAllAvailable(); q.stop()
+      println(s"streamed evaluation ledger -> $out")
+      0
+
     case "export-shards" :: rest =>
       // Sharded training export: every document lands in exactly one
       // of --shards files-worth of data, internally shuffled by the
@@ -1510,6 +1529,7 @@ object Cli {
            |  nb-store   --create -i <docs.parquet> -s <store-dir> --seed <sql-bool-expr> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  cluster-sample -i <emb.parquet> -o <out.parquet> [-k 8] [--nlist 24] [--dim 64] [--id vec_id] [--vec embedding] | --stream -i <landing-dir> --index <ivf-index> -o <store-dir> --checkpoint <dir> [-k 8]
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
+           |  eval-stream -i <labeled-landing-dir> -s <nb-store> -o <ledger-dir> --checkpoint <dir> [--label y]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]

@@ -368,6 +368,23 @@ class DomainSpec extends SparkSpecBase {
     assert(got == want, s"CLI ledger ${got.size} != batchDrift ${want.size}")
   }
 
+  test("CLI eval-stream: ledger row == batchEval of the labeled landing") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_eval").toString
+    val d = spark.read.parquet(docs)
+    graft.ops.NbStore.createAt(spark, d.filter(col("doc_id") % 2 === 0),
+      col("lang") === "en", s"$tmp/nb")
+    val audit = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").cast("int").as("y"))
+    audit.coalesce(1).write.parquet(s"$tmp/in")
+    assert(graft.Cli.run(Array("eval-stream", "-i", s"$tmp/in", "-s", s"$tmp/nb",
+      "-o", s"$tmp/ledger", "--checkpoint", s"$tmp/ckpt")) == 0)
+    val got = spark.read.parquet(s"$tmp/ledger/batch=0").collect()(0).toSeq
+    val want = graft.streaming.EvalStream.batchEval(spark, s"$tmp/nb", audit, "y")
+      .collect()(0).toSeq
+    assert(got == want, s"CLI ledger row $got != batchEval $want")
+  }
+
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString

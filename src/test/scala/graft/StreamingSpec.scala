@@ -1069,4 +1069,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(e.getMessage.contains("idleStateExpiryMinutes"))
     }
   }
+
+  test("eval ledger stream: per-batch rows equal the batch evaluation; replay idempotent") {
+    import graft.streaming.EvalStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eval_stream").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    // the FROZEN filter: fit once on the even half, never re-read
+    graft.ops.NbStore.createAt(spark, docs.filter(col("doc_id") % 2 === 0),
+      col("lang") === "en", s"$tmp/nb")
+    val labeled = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").cast("int").as("y"))
+    val w1 = labeled.filter(col("doc_id") % 4 === 1)
+    val w2 = labeled.filter(col("doc_id") % 4 === 3)
+    w1.coalesce(1).write.parquet(s"$tmp/in")
+    def run(): Unit = {
+      val q = EvalStream.maintain(spark, s"$tmp/in", s"$tmp/nb",
+        s"$tmp/led", s"$tmp/ckpt", w1.schema, "y")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // wave 1 -> batch=0
+    w2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    run() // wave 2, fresh query over the same checkpoint -> batch=1
+    def row(p: String) = spark.read.parquet(p).collect()(0).toSeq
+    val b0 = EvalStream.batchEval(spark, s"$tmp/nb", w1, "y").collect()(0).toSeq
+    val b1 = EvalStream.batchEval(spark, s"$tmp/nb", w2, "y").collect()(0).toSeq
+    assert(row(s"$tmp/led/batch=0") == b0,
+      "ledger batch 0 diverged from the batch evaluation")
+    assert(row(s"$tmp/led/batch=1") == b1,
+      "ledger batch 1 diverged from the batch evaluation")
+    assert(b0(0).asInstanceOf[Long] + b1(0).asInstanceOf[Long] == labeled.count(),
+      "the two waves must cover the audit feed")
+    // crash-replay: rewriting a batch's directory must be a no-op
+    EvalStream.batchEval(spark, s"$tmp/nb", w2, "y")
+      .write.mode("overwrite").parquet(s"$tmp/led/batch=1")
+    assert(row(s"$tmp/led/batch=1") == b1,
+      "replaying a batch disturbed its ledger row")
+  }
 }
