@@ -887,6 +887,21 @@ object Cli {
       println(s"streamed drift ledger -> $out")
       0
 
+    case "data-card" :: rest =>
+      // Corpus data card: the one-file JSON datasheet a curated
+      // corpus ships with -- sizes, lang/source composition, dup
+      // rates, quality buckets, optional token-budget mixture plan.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val budget = m.get("--budget").flatMap(_.headOption).map(_.toLong).getOrElse(0L)
+      val epochs = m.get("--epochs").flatMap(_.headOption).map(_.toLong).getOrElse(2L)
+      val spark = session()
+      graft.ops.DataCard.write(spark, spark.read.parquet(in), out,
+        budget = budget, maxEpochs = epochs)
+      println(s"data card written to $out/card.json")
+      0
+
     case "eval-stream" :: rest =>
       // Streaming filter-quality monitor: per labeled micro-batch,
       // one classifierMetrics row vs the FROZEN NB store lands at
@@ -1530,6 +1545,7 @@ object Cli {
            |  cluster-sample -i <emb.parquet> -o <out.parquet> [-k 8] [--nlist 24] [--dim 64] [--id vec_id] [--vec embedding] | --stream -i <landing-dir> --index <ivf-index> -o <store-dir> --checkpoint <dir> [-k 8]
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  eval-stream -i <labeled-landing-dir> -s <nb-store> -o <ledger-dir> --checkpoint <dir> [--label y]
+           |  data-card  -i <docs.parquet> -o <out-dir> [--budget N --epochs 2]   (writes card.json)
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]

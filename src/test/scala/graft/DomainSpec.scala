@@ -385,6 +385,39 @@ class DomainSpec extends SparkSpecBase {
     assert(got == want, s"CLI ledger row $got != batchEval $want")
   }
 
+  test("CLI data-card: every section re-derives from its own operator") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_card").toString
+    val d = spark.read.parquet(docs)
+    assert(graft.Cli.run(Array("data-card", "-i", docs, "-o", tmp,
+      "--budget", "20000", "--epochs", "2")) == 0)
+    val json = scala.io.Source.fromFile(s"$tmp/card.json").mkString
+    import spark.implicits._
+    val card = spark.read.json(Seq(json).toDS).collect()(0)
+    assert(card.getAs[Long]("n_docs") == d.count())
+    val wantTokens = d.filter(col("text").isNotNull)
+      .agg(sum(size(graft.functions.TextFunctions.tokens(col("text")))))
+      .collect()(0).getLong(0)
+    assert(card.getAs[Long]("n_tokens") == wantTokens)
+    // dedup section vs the operators themselves
+    val dd = card.getAs[org.apache.spark.sql.Row]("dedup")
+    assert(dd.getAs[Long]("exact_groups") ==
+      graft.dedup.Dedup.exact(d, "doc_id", "text").count())
+    assert(dd.getAs[Long]("near_dup_pairs") ==
+      graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text", 2, 0.8, 100L).count())
+    // composition sections: languages cover the corpus, buckets are 3
+    // per lang, mixture honors the cap
+    val langs = card.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("languages")
+    assert(langs.map(_.getAs[Long]("n_docs")).sum == d.count())
+    val buckets = card.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("quality_buckets")
+    assert(buckets.size == langs.size * 3)
+    val mix = card.getAs[org.apache.spark.sql.Row]("mixture_plan")
+    assert(mix.getAs[Long]("budget") == 20000L)
+    val allocs = mix.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("allocations")
+    assert(allocs.map(_.getAs[Double]("epochs")).forall(_ <= 2.0))
+    assert(allocs.map(_.getAs[Long]("alloc_tokens")).sum <= 20000L)
+  }
+
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString
