@@ -1603,6 +1603,19 @@ object SparkEntry {
           .as("chars_per_piece"))
   }
 
+  /** Split-leakage audit — cross-split near-duplicate pairs under
+    * the q53 hash split ([[graft.dedup.Dedup.splitLeakage]]):
+    * off-diagonal rows are test/valid
+    * documents whose near-twins sit in train, the contamination the
+    * split exists to prevent. Shares the q18 pair CTEs and the q53
+    * split replay, so the audit can never diverge from either. */
+  def q118SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val splits = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashSplit(col("doc_id")).as("split"))
+    graft.dedup.Dedup.splitLeakage(docs, "doc_id", "text", splits)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1730,6 +1743,7 @@ object SparkEntry {
     "q115_source_overlap" -> (q115SourceOverlap _),
     "q116_index_health" -> (q116IndexHealth _),
     "q117_tokenizer_fertility" -> (q117TokenizerFertility _),
+    "q118_split_leakage" -> (q118SplitLeakage _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2562,6 +2576,29 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q118: the q18 capped-Jaccard pair CTEs + the q53 md5 split
+    // replay, pair endpoints labeled and counted per unordered split
+    // pair — the audit shares both contracts verbatim.
+    "q118_split_leakage" ->
+      s"""WITH $NgramPairsCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT least(a.split, b.split) AS split_a,
+        |  greatest(a.split, b.split) AS split_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs p
+        |JOIN sp a ON p.doc_a = a.doc_id
+        |JOIN sp b ON p.doc_b = b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // q116: per-cell occupancy + mean integer quantization error from
     // the SAME shared IVF cell CTEs the ANN oracles replay — df
     // already holds every vector's squared distance to every final

@@ -43,6 +43,42 @@ object Dedup {
         explode(array_distinct(
           TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))).as("gram"))
 
+  /** Split-leakage matrix — the train/test contamination check a
+    * split ships with: every near-duplicate pair
+    * ([[ngramJaccardPairs]], same banding/df-cap discipline) labeled
+    * with its endpoints' split assignments and counted per unordered
+    * split pair. The diagonal (train, train) is ordinary in-split
+    * redundancy; any off-diagonal mass is LEAKAGE — a test document
+    * whose near-twin sits in train inflates every benchmark number
+    * the split was built to protect.
+    *
+    * `splits` is the caller's (idCol, split) assignment — the q53
+    * hash split, a time split, whatever the pipeline used — so the
+    * check audits the REAL assignment rather than re-deriving one.
+    * Two id-keyed co-partitioned joins label the pair endpoints;
+    * nothing beyond the pair generator's own cost.
+    *
+    * Output: (split_a ≤ split_b, n_pairs).
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: DataFrame,
+      n: Int = 2,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 100L): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDocFreq)
+    val sp = splits.select(col(idCol), col("split"))
+    pairs
+      .join(sp.select(col(idCol).as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(sp.select(col(idCol).as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing at least
     * one gram, via inverted-index self-join (no cross join):
     * posting lists → co-occurrence counts → |A∩B| / (|A|+|B|-|A∩B|).

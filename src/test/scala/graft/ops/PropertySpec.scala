@@ -400,4 +400,30 @@ class PropertySpec extends SparkSpecBase {
       assert(got == want, s"trial $trial:\n got $got\nwant $want")
     }
   }
+
+  test("splitLeakage: planted cross-split twins land off-diagonal, in-split on") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // 1/2 near-twins across train/test; 3/4 near-twins inside train;
+    // 5 unique — the splits table is the caller's own assignment
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five seven"),
+      (5L, "totally unrelated text here now")
+    ).toDF("doc_id", "text")
+    val splits = Seq(
+      (1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"), (5L, "valid")
+    ).toDF("doc_id", "split")
+    val got = Dedup.splitLeakage(docs, "doc_id", "text", splits,
+      n = 2, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("test", "train") -> 1L, ("train", "train") -> 1L),
+      s"leakage matrix $got")
+    // the matrix totals must equal the raw pair count — no pair
+    // dropped or double-counted by the labeling joins
+    assert(got.values.sum ==
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5).count())
+  }
 }
