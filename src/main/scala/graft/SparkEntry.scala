@@ -1616,6 +1616,14 @@ object SparkEntry {
     graft.dedup.Dedup.splitLeakage(docs, "doc_id", "text", splits)
   }
 
+  /** Embedding-dimension health — the dead/collapsed-dimension
+    * detector ([[Similarity.embeddingDimStats]]): per-dimension
+    * count, mean, variance and range of the raw values on an exact
+    * fixed-point grid, every aggregate an integer sum. Pairs with
+    * q116 (cell-level index health) as the vector-side audit. */
+  def q119EmbeddingDimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDimStats(Tables.embeddings(s, dir), "embedding")
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1744,6 +1752,7 @@ object SparkEntry {
     "q116_index_health" -> (q116IndexHealth _),
     "q117_tokenizer_fertility" -> (q117TokenizerFertility _),
     "q118_split_leakage" -> (q118SplitLeakage _),
+    "q119_embedding_dim_stats" -> (q119EmbeddingDimStats _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2576,6 +2585,27 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q119: raw values on the floor(x*1e6+0.5) grid; count/sum/sum²
+    // as HUGEINT integer aggregates; variance = (n·Σx²−(Σx)²)/n²
+    // evaluated in the same operand order as the engine.
+    "q119_embedding_dim_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT j - 1 AS d, CAST(floor(v[j] * 1000000.0 + 0.5) AS BIGINT) AS qx
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS t(j)),
+        |g AS (
+        |  SELECT CAST(d AS INT) AS d, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    sum(CAST(qx AS HUGEINT)) AS s, sum(CAST(qx AS HUGEINT) * qx) AS s2,
+        |    min(qx) AS mn, max(qx) AS mx
+        |  FROM q GROUP BY 1)
+        |SELECT d, n_vecs,
+        |  round(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0, 6) AS mean,
+        |  round(CAST(s2 * n_vecs - s * s AS DOUBLE) /
+        |    (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * 1000000.0 * 1000000.0), 6)
+        |    AS variance,
+        |  round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_val,
+        |  round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_val
+        |FROM g""".stripMargin,
     // q118: the q18 capped-Jaccard pair CTEs + the q53 md5 split
     // replay, pair endpoints labeled and counted per unordered split
     // pair — the audit shares both contracts verbatim.

@@ -578,6 +578,49 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** Embedding-dimension health: per-dimension count, mean, variance
+    * and range of the RAW embedding values — the dead/collapsed
+    * dimension detector that pairs with [[ivfHealth]]: a dimension
+    * with ~zero variance carries no information (wasted index width,
+    * a symptom of a truncated or mis-exported embedding run), and a
+    * mean far off zero breaks the centered-geometry assumptions most
+    * quantizers make.
+    *
+    * Raw values quantize to a fixed-point grid (floor(x·scale+0.5) —
+    * the engine-portable rounding recipe, no normalization since the
+    * report is about the raw space), so count/sum/sum-of-squares are
+    * exact integer aggregates and the variance is one exact
+    * (n·Σx² − (Σx)²)/n² expression evaluated in decimal(38,0) —
+    * replayed digit-for-digit in the SQL oracle's HUGEINTs. Sums ride
+    * decimals because corpus-sized n × grid² overflows a long.
+    *
+    * Scale shape: posexplode fans each vector into `dim` rows, but
+    * the aggregate keys on the DIMENSION INDEX — a few dozen keys —
+    * so hash-agg partials combine map-side and only
+    * dims-per-partition rows ever shuffle.
+    */
+  def embeddingDimStats(corpus: DataFrame, vecCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0L, s"scale must be positive, got $scale")
+    val qv = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long"))
+    corpus
+      .select(posexplode(qv).as(Seq("d", "qx")))
+      .groupBy("d")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("qx").cast("decimal(38,0)")).as("s"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("s2"),
+        min("qx").as("mn"), max("qx").as("mx"))
+      .select(col("d"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs").cast("double") /
+          lit(scale.toDouble), 6).as("mean"),
+        round((col("s2") * col("n_vecs").cast("decimal(38,0)") - col("s") * col("s"))
+          .cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double") *
+            lit(scale.toDouble) * lit(scale.toDouble)), 6).as("variance"),
+        round(col("mn").cast("double") / lit(scale.toDouble), 6).as("min_val"),
+        round(col("mx").cast("double") / lit(scale.toDouble), 6).as("max_val"))
+  }
+
   /** IVF index health report — the decide-when-to-rebuild pass over
     * the coarse quantizer: per cell, the vector count, its share of
     * the corpus, and the mean squared quantization error (distance

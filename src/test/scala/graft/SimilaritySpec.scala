@@ -459,6 +459,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rep == got, "sample changed under repartitioning")
   }
 
+  test("embeddingDimStats: hand-computed means/variances; constant dim has zero variance") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f)),
+      (2L, Array(1.0f, -0.5f)),
+      (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDimStats(emb, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(0) == ((3L, 1.0, 0.0, 1.0, 1.0)), s"constant dim: ${got(0)}")
+    // var = (3·(0.25+0.25) − 0) / 9 = 1/6
+    assert(got(1) == ((3L, 0.0, 0.166667, -0.5, 0.5)), s"varying dim: ${got(1)}")
+    val rep = Similarity.embeddingDimStats(emb.repartition(7), "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(rep == Similarity.embeddingDimStats(emb, "embedding")
+      .collect().map(_.toSeq).toSet, "stats changed under repartitioning")
+  }
+
+  test("embeddingDimStats on real embeddings: 64 dims, full coverage, sane ranges") {
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    val rows = Similarity.embeddingDimStats(emb, "embedding").collect()
+    assert(rows.length == 64)
+    val n = emb.count()
+    assert(rows.forall(_.getLong(1) == n), "every dimension covers the corpus")
+    assert(rows.forall(r => r.getDouble(3) >= 0.0), "variance is non-negative")
+    assert(rows.forall(r => r.getDouble(4) <= r.getDouble(2) &&
+      r.getDouble(2) <= r.getDouble(5)), "min <= mean <= max per dimension")
+  }
+
   test("ivfHealth: counts cover the corpus, match the persisted index layout") {
     val emb = graft.model.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val health = Similarity.ivfHealth(emb, "vec_id", "embedding", dim = 64, nlist = 24)
