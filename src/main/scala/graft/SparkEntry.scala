@@ -1624,6 +1624,25 @@ object SparkEntry {
   def q119EmbeddingDimStats(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingDimStats(Tables.embeddings(s, dir), "embedding")
 
+  /** Filtered (hybrid) ANN — metadata predicate + vector search in
+    * one query, the staple of production vector engines: top-5
+    * neighbors among even-label vectors only, over the persisted IVF
+    * index. The `allowed` id set semi-joins at the CANDIDATE stage —
+    * after the probe's partition pruning, before the exact cosine
+    * ranking — so the top-k is exact among admissible vectors within
+    * the probed cells ([[Similarity.ivfTopKIndexed]]'s `allowed`
+    * hatch). */
+  def q120FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_ivf_filt")
+    val emb = Tables.embeddings(s, dir)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 24, path = tmp)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopKIndexed(s, tmp, queries, "q_id", "q_vec", k = 5, nprobe = 6,
+      allowed = Some(emb.filter(col("label") % 2 === 0).select(col("vec_id"))))
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1753,6 +1772,7 @@ object SparkEntry {
     "q117_tokenizer_fertility" -> (q117TokenizerFertility _),
     "q118_split_leakage" -> (q118SplitLeakage _),
     "q119_embedding_dim_stats" -> (q119EmbeddingDimStats _),
+    "q120_filtered_ann" -> (q120FilteredAnn _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2585,6 +2605,29 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q120: the q60 probe replay (shared IVF cell CTEs) with the
+    // even-label predicate applied at the candidate stage — hybrid
+    // search's post-filter semantics, transcribed.
+    "q120_filtered_ann" ->
+      s"""WITH $IvfCellCtes,
+        |pp AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM df WHERE vec_id < 8) t WHERE rn <= 6),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id
+        |  FROM pp p JOIN af a USING (cell)
+        |  JOIN embeddings em ON em.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id AND em.label % 2 = 0),
+        |scored AS (
+        |  SELECT c.q_id, c.neighbor_id,
+        |    list_dot_product(en.v, eq.v)
+        |      / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cs
+        |  FROM cand c JOIN e en ON en.vec_id = c.neighbor_id JOIN e eq ON eq.vec_id = c.q_id)
+        |SELECT q_id AS query_id, neighbor_id, round(cs, 6) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     // q119: raw values on the floor(x*1e6+0.5) grid; count/sum/sum²
     // as HUGEINT integer aggregates; variance = (n·Σx²−(Σx)²)/n²
     // evaluated in the same operand order as the engine.

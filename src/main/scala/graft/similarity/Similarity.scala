@@ -787,7 +787,8 @@ object Similarity {
       queryIdCol: String,
       queryVecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val meta = readIvfIndexMeta(spark, path)
     val (idCol, vecCol) = (meta.idCol, meta.vecCol)
     // Materialized ONCE: the probe frame feeds both the cell collect
@@ -804,8 +805,19 @@ object Similarity {
     // scan carries a STATIC partition predicate (no full-index listing
     // of data files outside the probed cells).
     val cells = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val base = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(cells: _*))
+    // Hybrid (filtered) search: `allowed` is the caller's metadata
+    // selection as an id set (one column named `idCol`). The semi
+    // join lands on the CANDIDATE stage — after partition pruning,
+    // before the exact ranking — so the top-k is exact among
+    // admissible vectors within the probed cells (the post-filter
+    // hybrid-search semantics; an id-keyed co-partitioned semi join,
+    // never a scan of unprobed cells).
+    val corpus = allowed match {
+      case Some(ids) => base.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+      case None => base
+    }
     val scored = corpus
       .join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))

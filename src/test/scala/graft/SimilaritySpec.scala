@@ -459,6 +459,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rep == got, "sample changed under repartitioning")
   }
 
+  test("filtered IVF search: exact top-k among admissible ids; pruning survives the filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dim = 64, nlist = 24,
+      path = s"$tmp/ivf")
+    val allowed = emb.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val filtered = Similarity.ivfTopKIndexed(spark, s"$tmp/ivf", queries,
+      "q_id", "q_vec", k = 5, nprobe = 6, allowed = Some(allowed))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val got = filtered.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3).toLong))
+    assert(got.forall(t => allowedSet(t._2)), "a neighbor violated the predicate")
+    // the filtered ranking must be EXACTLY the unfiltered candidate
+    // ranking restricted to admissible ids (post-filter semantics)
+    val unf = Similarity.ivfTopKIndexed(spark, s"$tmp/ivf", queries,
+      "q_id", "q_vec", k = 1000000, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3).toLong))
+    val expected = unf.filter(t => allowedSet(t._2))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(_._4).take(5).zipWithIndex
+          .map { case ((q, n, c, _), i) => (q, n, c, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == expected,
+      s"filtered top-5 diverged from the restricted unfiltered ranking")
+    // the metadata filter must not defeat the probe's partition pruning
+    val plan = Similarity.ivfTopKIndexed(spark, s"$tmp/ivf", queries,
+      "q_id", "q_vec", k = 5, nprobe = 6, allowed = Some(allowed))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "probe cells fell out of PartitionFilters under the semi join:\n" + plan.take(2000))
+  }
+
   test("embeddingDimStats: hand-computed means/variances; constant dim has zero variance") {
     import spark.implicits._
     val emb = Seq(
