@@ -1643,6 +1643,17 @@ object SparkEntry {
       allowed = Some(emb.filter(col("label") % 2 === 0).select(col("vec_id"))))
   }
 
+  /** LSH banding health — how the near-dup path's banding params get
+    * SIZED: per band, documents, distinct buckets, the largest
+    * bucket, and the candidate-pair mass Σ s·(s−1)/2 the band feeds
+    * the verifier ([[graft.dedup.Dedup.bandingReport]], the q19
+    * geometry). The oracle replays the FULL minhash pipeline —
+    * 60-bit md5 gram hashes, the (a·h+b) mod p permutation minima,
+    * and the md5 band-slice buckets — digit for digit. */
+  def q121BandingReport(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.bandingReport(Tables.documents(s, dir),
+      "doc_id", "text", n = 2, numHashes = 32, bands = 8)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1773,6 +1784,7 @@ object SparkEntry {
     "q118_split_leakage" -> (q118SplitLeakage _),
     "q119_embedding_dim_stats" -> (q119EmbeddingDimStats _),
     "q120_filtered_ann" -> (q120FilteredAnn _),
+    "q121_banding_report" -> (q121BandingReport _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2605,6 +2617,39 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q121: the whole minhash banding replayed — 60-bit md5 gram
+    // hashes pmod 2^32, per-permutation minima of (a·h+b) mod p with
+    // a=2i+1, b=1013904223·(i+1) mod p, p=4294967311 (the
+    // MinHashSketchAgg parametrization), band buckets as md5 of the
+    // '_'-joined 4-slot signature slices, then per-band bucket stats.
+    "q121_banding_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |gh AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4294967296 AS h
+        |  FROM grams),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    CAST(min(((2 * i + 1) * h + (1013904223 * (i + 1)) % 4294967311) % 4294967311)
+        |      AS BIGINT) AS m
+        |  FROM gh CROSS JOIN range(32) t(i) GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        |    md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY i)) AS bucket
+        |  FROM s GROUP BY 1, 2),
+        |per AS (SELECT band, bucket, count(*) AS s FROM bk GROUP BY 1, 2)
+        |SELECT band, CAST(sum(s) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(s) AS BIGINT) AS max_bucket,
+        |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM per GROUP BY 1""".stripMargin,
     // q120: the q60 probe replay (shared IVF cell CTEs) with the
     // even-label predicate applied at the candidate stage — hybrid
     // search's post-filter semantics, transcribed.

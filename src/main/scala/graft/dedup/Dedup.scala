@@ -317,6 +317,41 @@ object Dedup {
     }
   }
 
+  /** LSH banding health report — the decide-before-you-band pass
+    * over the MinHash near-dup path: per band, the document count,
+    * distinct bucket count, largest bucket, and the candidate-pair
+    * mass Σ s·(s−1)/2 the band would feed the verifier. The pair
+    * mass IS the banding's cost model: a band whose max bucket or
+    * pair mass runs away is the hot-bucket quadratic blow-up the
+    * `maxBucketSize` cap exists for, and this report is how the cap
+    * (and the bands/numHashes trade) gets SIZED instead of guessed.
+    *
+    * Same signature/bucket arithmetic as the candidate generator
+    * ([[cappedBandTable]], uncapped) — the report audits the real
+    * banding, not a re-derivation. Scale: the (band, bucket) counts
+    * are one shuffle of the band table; the report itself is
+    * bands-sized. Pair mass rides longs — a single bucket past ~3·10⁹
+    * members would overflow, a regime the report exists to flag long
+    * before.
+    *
+    * Output: (band, n_docs, n_buckets, max_bucket, cand_pairs).
+    */
+  def bandingReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    cappedBandTable(docs, idCol, textCol, n, numHashes, bands, Long.MaxValue)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("s"))
+      .groupBy("band")
+      .agg(
+        sum("s").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        max("s").cast("long").as("max_bucket"),
+        sum(expr("s * (s - 1) DIV 2")).cast("long").as("cand_pairs"))
+
   def minHashCandidates(
       docs: DataFrame,
       idCol: String,

@@ -188,4 +188,31 @@ class DedupSketchSpec extends SparkSpecBase {
     val truth = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
     assert(got == truth, s"got $got\nwant $truth")
   }
+
+  test("bandingReport: totals re-derive from the band table; identical docs share every band") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact twin of 1
+      (3L, "one two three four five six seven"),
+      (4L, "completely different content lives here")
+    ).toDF("doc_id", "text")
+    val report = graft.dedup.Dedup.bandingReport(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(report.keySet == (0 until 8).toSet, "one row per band")
+    // identical texts -> identical signatures -> shared bucket in
+    // EVERY band; the two singles share with nobody
+    for ((b, (nDocs, nBuckets, maxB, pairs)) <- report) {
+      assert(nDocs == 4L, s"band $b covers all gram-bearing docs")
+      assert(nBuckets == 3L, s"band $b: twins collapse to one bucket")
+      assert(maxB == 2L && pairs == 1L, s"band $b: exactly the twin pair")
+    }
+    // totals must re-derive from the raw band table (the report
+    // audits the real banding, not a re-derivation)
+    val sigs = graft.dedup.Dedup.minHashCandidates(docs, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigs == Set((1L, 2L)), s"candidate set $sigs")
+  }
 }
