@@ -1092,6 +1092,68 @@ object Cli {
       }
       0
 
+    case "evaluate" :: rest =>
+      // Batch evaluation verbs over parquet inputs:
+      //   --mode retrieval : results (query_id, doc_id, rank) vs a
+      //     truth parquet (query_id, doc_id) -> per-query recall/MRR/
+      //     nDCG rows plus a 1-row summary parquet alongside.
+      //   --mode classifier: a scored parquet -> the single
+      //     classifierMetrics row (tie-aware AUC + confusion rates).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val mode = m.get("--mode").flatMap(_.headOption).getOrElse("retrieval")
+      val spark = session()
+      mode match {
+        case "retrieval" =>
+          val truth = one(m, "-t", "--truth")
+          val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+          val per = graft.ops.Eval.retrievalMetrics(
+            spark.read.parquet(in), spark.read.parquet(truth), k)
+          per.write.mode("overwrite").parquet(s"$out/per_query")
+          graft.ops.Eval.retrievalSummary(spark.read.parquet(s"$out/per_query"))
+            .write.mode("overwrite").parquet(s"$out/summary")
+          println(s"retrieval evaluation (k=$k) -> $out/per_query + $out/summary")
+        case "classifier" =>
+          val score = m.get("--score").flatMap(_.headOption).getOrElse("log_odds")
+          val pred = m.get("--pred").flatMap(_.headOption).getOrElse("predicted")
+          val label = m.get("--label").flatMap(_.headOption).getOrElse("y")
+          val scored = spark.read.parquet(in)
+          val res = m.get("--group").flatMap(_.headOption) match {
+            case Some(g) => graft.ops.Eval.groupedClassifierMetrics(
+              scored, g, score, pred, label)
+            case None => graft.ops.Eval.classifierMetrics(scored, score, pred, label)
+          }
+          res.write.mode("overwrite").parquet(out)
+          println(s"classifier evaluation -> $out")
+        case other => sys.error(s"evaluate: unknown --mode $other")
+      }
+      0
+
+    case "mixture-plan" :: rest =>
+      // Token-budget mixture allocation over a documents parquet:
+      // group by --group, temperature-weighted water-filling under a
+      // --budget and --epochs cap (q113's operator).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val grp = m.get("--group").flatMap(_.headOption).getOrElse("source")
+      val budget = m.get("--budget").flatMap(_.headOption).map(_.toLong)
+        .getOrElse(sys.error("mixture-plan needs --budget <tokens>"))
+      val epochs = m.get("--epochs").flatMap(_.headOption).map(_.toLong).getOrElse(2L)
+      val alpha = m.get("--alpha").flatMap(_.headOption).map(_.toDouble).getOrElse(0.5)
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, size, sum}
+      val per = spark.read.parquet(in)
+        .filter(col("text").isNotNull)
+        .select(col(grp).as("source"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").cast("long").as("n_tokens"))
+      graft.ops.Mixture.tokenBudgetAllocation(per, budget, epochs, alpha)
+        .write.mode("overwrite").parquet(out)
+      println(s"mixture plan (budget $budget, cap $epochs epochs) -> $out")
+      0
+
     case "quality" :: rest =>
       // Per-document quality / data-selection scores over a documents
       // parquet: --mode heuristic (length/stopword/punctuation
@@ -1546,6 +1608,8 @@ object Cli {
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  eval-stream -i <labeled-landing-dir> -s <nb-store> -o <ledger-dir> --checkpoint <dir> [--label y]
            |  data-card  -i <docs.parquet> -o <out-dir> [--budget N --epochs 2]   (writes card.json)
+           |  evaluate   --mode retrieval -i <results.parquet> -t <truth.parquet> -o <out-dir> [-k 10] | --mode classifier -i <scored.parquet> -o <out.parquet> [--score log_odds --pred predicted --label y] [--group source]
+           |  mixture-plan -i <docs.parquet> -o <out.parquet> --budget <tokens> [--epochs 2] [--alpha 0.5] [--group source]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]
            |  tokenize   -i <docs.parquet> -o <out.parquet> --merges <merges.tsv> [--id doc_id] [--text text]

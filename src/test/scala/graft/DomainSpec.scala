@@ -418,6 +418,50 @@ class DomainSpec extends SparkSpecBase {
     assert(allocs.map(_.getAs[Long]("alloc_tokens")).sum <= 20000L)
   }
 
+  test("CLI evaluate + mixture-plan: verbs == library paths") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_eval2").toString
+    // retrieval mode over a tiny ranked fixture
+    import spark.implicits._
+    Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank").write.parquet(s"$tmp/res")
+    Seq((1L, 10L), (1L, 12L), (2L, 99L))
+      .toDF("query_id", "doc_id").write.parquet(s"$tmp/truth")
+    assert(graft.Cli.run(Array("evaluate", "--mode", "retrieval",
+      "-i", s"$tmp/res", "-t", s"$tmp/truth", "-o", s"$tmp/rout", "-k", "3")) == 0)
+    val wantPer = graft.ops.Eval.retrievalMetrics(
+      spark.read.parquet(s"$tmp/res"), spark.read.parquet(s"$tmp/truth"), 3)
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$tmp/rout/per_query")
+      .collect().map(_.toSeq).toSet == wantPer)
+    assert(spark.read.parquet(s"$tmp/rout/summary").count() == 1)
+    // classifier mode over the NB scores, grouped and ungrouped
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val d = spark.read.parquet(docs)
+    graft.ops.Quality.naiveBayesLogOdds(d, col("lang") === "en")
+      .join(d.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
+      .write.parquet(s"$tmp/scored")
+    assert(graft.Cli.run(Array("evaluate", "--mode", "classifier",
+      "-i", s"$tmp/scored", "-o", s"$tmp/cout")) == 0)
+    assert(spark.read.parquet(s"$tmp/cout").collect().map(_.toSeq).toSeq ==
+      graft.ops.Eval.classifierMetrics(
+        spark.read.parquet(s"$tmp/scored"), "log_odds", "predicted", "y")
+        .collect().map(_.toSeq).toSeq)
+    assert(graft.Cli.run(Array("evaluate", "--mode", "classifier",
+      "-i", s"$tmp/scored", "-o", s"$tmp/gout", "--group", "source")) == 0)
+    assert(spark.read.parquet(s"$tmp/gout").count() == 20)
+    // mixture plan == q113's operator on the same grouping
+    assert(graft.Cli.run(Array("mixture-plan", "-i", docs, "-o", s"$tmp/mix",
+      "--group", "lang", "--budget", "20000")) == 0)
+    val per = d.filter(col("text").isNotNull)
+      .select(col("lang").as("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").cast("long").as("n_tokens"))
+    assert(spark.read.parquet(s"$tmp/mix").collect().map(_.toSeq).toSet ==
+      graft.ops.Mixture.tokenBudgetAllocation(per, 20000L, 2L)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("CLI curate-pipeline: output == q79, ledger is consistent") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate").toString
