@@ -1654,6 +1654,15 @@ object SparkEntry {
     graft.dedup.Dedup.bandingReport(Tables.documents(s, dir),
       "doc_id", "text", n = 2, numHashes = 32, bands = 8)
 
+  /** Boilerplate-header profile — per source, documents whose
+    * 8-token prefix fingerprint is shared corpus-wide
+    * ([[graft.dedup.Dedup.prefixDupProfile]]): the template signal
+    * exact dedup can't see (tails differ) and pairwise near-dup only
+    * sees when whole documents are similar. */
+  def q122PrefixDupProfile(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.prefixDupProfile(
+      Tables.documents(s, dir), "text", "source", prefixTokens = 8)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1785,6 +1794,7 @@ object SparkEntry {
     "q119_embedding_dim_stats" -> (q119EmbeddingDimStats _),
     "q120_filtered_ann" -> (q120FilteredAnn _),
     "q121_banding_report" -> (q121BandingReport _),
+    "q122_prefix_dup_profile" -> (q122PrefixDupProfile _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2617,6 +2627,22 @@ object SparkEntry {
         |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
         |  END AS f1
         |FROM c JOIN a USING (source)""".stripMargin,
+    // q122: the q17 fingerprint recipe on the first-8-token slice,
+    // corpus-wide prefix df joined back, per-source profile.
+    "q122_prefix_dup_profile" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)[1:8],
+        |      ' ')) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT fp, count(*) AS df FROM f GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_docs,
+        |  CAST(count(DISTINCT CASE WHEN df >= 2 THEN fp END) AS BIGINT) AS n_shared_prefixes,
+        |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS shared_rate
+        |FROM f JOIN d USING (fp) GROUP BY 1""".stripMargin,
     // q121: the whole minhash banding replayed — 60-bit md5 gram
     // hashes pmod 2^32, per-permutation minima of (a·h+b) mod p with
     // a=2i+1, b=1013904223·(i+1) mod p, p=4294967311 (the

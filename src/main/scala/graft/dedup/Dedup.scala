@@ -317,6 +317,51 @@ object Dedup {
     }
   }
 
+  /** Prefix-duplication profile — the boilerplate-header detector:
+    * per group (source/feed), how many documents share their first
+    * `prefixTokens`-token fingerprint with ANOTHER document anywhere
+    * in the corpus (shared prefixes are corpus-wide — boilerplate
+    * crosses feeds), and how many distinct shared prefixes the group
+    * carries. Exact dedup sees none of this (the tails differ) and
+    * pairwise near-dup only sees it when whole documents are
+    * similar; a template header pasted onto thousands of distinct
+    * pages shows up HERE first, and the repetition/novelty filters
+    * price it per document only after this report says which feed to
+    * point them at.
+    *
+    * Scale shape: one narrow fingerprint pass (staged — the
+    * prefix-fp table feeds the df aggregate and the profile join),
+    * one fp-keyed count, one fp-keyed co-partitioned join back, one
+    * group-keyed aggregate. Nothing pairwise.
+    *
+    * Output: (group, n_docs, shared_docs, n_shared_prefixes,
+    * shared_rate 6dp). Documents shorter than `prefixTokens` tokens
+    * fingerprint whatever prefix they have.
+    */
+  def prefixDupProfile(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1, got $prefixTokens")
+    val fp = Parallelism.ensure(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        md5(array_join(
+          slice(TextFunctions.tokens(col(textCol)), 1, prefixTokens), " ")).as("fp"))
+      .transform(Parallelism.stage) // two consumers: df agg + profile join
+    val dfreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    fp.join(dfreq, Seq("fp")) // fp-keyed, co-partitioned
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).cast("long").as("shared_docs"),
+        countDistinct(when(col("df") >= 2L, col("fp"))).cast("long")
+          .as("n_shared_prefixes"))
+      .withColumn("shared_rate",
+        round(col("shared_docs").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   /** LSH banding health report — the decide-before-you-band pass
     * over the MinHash near-dup path: per band, the document count,
     * distinct bucket count, largest bucket, and the candidate-pair

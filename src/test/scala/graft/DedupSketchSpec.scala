@@ -215,4 +215,30 @@ class DedupSketchSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sigs == Set((1L, 2L)), s"candidate set $sigs")
   }
+
+  test("prefixDupProfile: shared headers counted corpus-wide, profiled per source") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1 (A) and 2 (B) share a 4-token header with different
+    // tails; 3 (A) and 4 (B) are unique; 5 (A) shares the header too
+    val docs = Seq(
+      ("A", "terms of service apply today only"),
+      ("B", "terms of service apply tomorrow instead"),
+      ("A", "completely original content number one"),
+      ("B", "another unique piece of writing"),
+      ("A", "terms of service apply forever now")
+    ).toDF("source", "text")
+    val got = graft.dedup.Dedup.prefixDupProfile(docs, "text", "source", prefixTokens = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A: 3 docs, 2 share the corpus-wide header prefix, 1 distinct
+    // shared prefix; B: 2 docs, 1 shares (with A's — cross-source!)
+    assert(got("A") == ((3L, 2L, 1L, 0.666667)), s"A: ${got("A")}")
+    assert(got("B") == ((2L, 1L, 1L, 0.5)), s"B: ${got("B")}")
+    // a prefix cut longer than every document degrades to exact-text
+    // fingerprints: nothing shared here
+    val long = graft.dedup.Dedup.prefixDupProfile(docs, "text", "source", prefixTokens = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(long.values.forall(_ == 0L), s"full-text fingerprints collide: $long")
+  }
 }
