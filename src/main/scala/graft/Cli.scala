@@ -1037,8 +1037,12 @@ object Cli {
       val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(12)
       val groupCol = m.get("--group").flatMap(_.headOption).getOrElse("source")
       val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      // Default weight is ln(2 + n_chars), not ln(1 + n_chars): an
+      // empty document would otherwise weigh exactly 0 and trip
+      // weightedSample's deliberate non-positive-weight guard,
+      // failing the whole job on legitimate input.
       val weightExpr = m.get("--weight").flatMap(_.headOption)
-        .getOrElse("ln(1 + n_chars)")
+        .getOrElse("ln(2 + n_chars)")
       val spark = session()
       if (m.contains("--stream")) {
         // Cross-batch reservoir over a landing directory: the store

@@ -7,7 +7,10 @@ package graft.io
   * parser, not corrupt the document.
   */
 object JsonUtil {
-  def quote(s: String): String = "\"" + s.flatMap {
+  /** Null-safe: a null string renders as JSON `null`, so callers that
+    * group arbitrary user parquet by a nullable column (data-card's
+    * lang/source) emit a valid document instead of an NPE. */
+  def quote(s: String): String = if (s == null) "null" else "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

@@ -126,7 +126,12 @@ object AudioOps {
           var w = 0
           while (w < 64) {
             // Exact integer mean comparison: sum_w/cnt_w > total/n.
-            sig = (sig << 1) | (if (ws(w) * n > total * wc(w)) 1L else 0L)
+            // Widened through BigInt: ws(w)*n and total*wc(w) can
+            // exceed Long for long full-scale clips (~50 min at
+            // 44.1 kHz), and the oracle's sums widen to HUGEINT —
+            // 64 BigInt compares per clip is noise next to the scan.
+            val hot = BigInt(ws(w)) * n > BigInt(total) * wc(w)
+            sig = (sig << 1) | (if (hot) 1L else 0L)
             w += 1
           }
           AudioSig(name, sig)

@@ -166,8 +166,12 @@ object Retrieval {
     *   score(q,d) = Σ_{t ∈ q∩d} w(q,t)·w(d,t) / (‖w(q)‖·‖w(d)‖)
     *
     * Query terms unseen in the corpus take df = 0 (idf = ln(1+N)+1):
-    * they match nothing but still weigh the query norm, as a fitted
-    * vectorizer transforming unseen text does.
+    * they match nothing but still weigh the query norm. This is a
+    * deliberate departure from a vocabulary-restricted fitted
+    * vectorizer (e.g. sklearn's transform), which drops OOV terms
+    * from both the dot product and the norm; here an out-of-corpus
+    * term dilutes the query's cosine, penalizing queries that mostly
+    * miss the corpus instead of silently ignoring the misses.
     *
     * Determinism contract (the oracle transcribes it exactly): each
     * norm accumulates round(w²·10⁴) longs (exact integer sum — no

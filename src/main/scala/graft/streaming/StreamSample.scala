@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.Sampling
+import graft.ops.{Parallelism, Sampling}
 
 /** Streaming weighted reservoir: the cross-batch continuation of
   * [[graft.ops.Sampling.weightedSample]]. The batch operator's
@@ -32,6 +32,11 @@ import graft.ops.Sampling
 object StreamSample {
 
   private val WeightCol = "__ws_w"
+
+  /** Hard cap on groups x k rows landed driver-side per merge; above
+    * this the "reservoir is small by contract" premise is broken and
+    * the job fails loud instead of OOMing the driver. */
+  val MaxReservoirRows: Long = 2000000L
 
   /** Merge one batch of rows into the reservoir at `storeDir`.
     * Shared verbatim by the streaming sink and any batch backfill —
@@ -65,10 +70,19 @@ object StreamSample {
         spark.read.parquet(sample.toString)
           .select(col(idCol), col(groupCol), col(WeightCol))
       else b.limit(0)
-    val top = Sampling.weightedSample(
-      b.unionByName(prev).dropDuplicates(groupCol, idCol),
-      idCol, groupCol, col(WeightCol), k)
-    // The reservoir is groups x k rows by contract — small enough to
+    val merged = b.unionByName(prev).dropDuplicates(groupCol, idCol)
+      .transform(Parallelism.stage) // two consumers: group guard + sample
+    // The reservoir is groups x k rows by contract; enforce the
+    // contract before collecting — a high-cardinality group column
+    // (misconfigured --group, huge nlist) must fail with a message,
+    // not a driver OOM.
+    val nGroups = merged.select(col(groupCol)).distinct().count()
+    require(nGroups * k <= MaxReservoirRows,
+      s"mergeBatch: $nGroups groups x k=$k exceeds the $MaxReservoirRows-row " +
+        s"driver reservoir cap; '$groupCol' is too fine-grained for a " +
+        "driver-merged sample store")
+    val top = Sampling.weightedSample(merged, idCol, groupCol, col(WeightCol), k)
+    // Bounded to MaxReservoirRows by the guard above — small enough to
     // land driver-side, which breaks the read-while-overwrite cycle.
     val rows = top.collect().toSeq
     val out = spark.createDataFrame(
