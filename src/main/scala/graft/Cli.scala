@@ -1004,6 +1004,35 @@ object Cli {
       }
       0
 
+    case "tok-store" :: rest =>
+      // Frozen BPE tokenizer: --create trains the merge table on a
+      // reference snapshot and persists it (ordered merges + training
+      // fertility reference); --encode tokenizes a batch under the
+      // FROZEN table (O(batch), no training jobs); --drift reports
+      // per-language fertility against the snapshot — the
+      // tokenizer-aging monitor.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val spark = session()
+      if (m.contains("--create")) {
+        val n = m.get("--merges").flatMap(_.headOption).map(_.toInt).getOrElse(32)
+        val merges = graft.ops.TokStore.createAt(
+          spark, spark.read.parquet(in), store, n)
+        println(s"BPE tokenizer store created at $store (${merges.size} merges)")
+      } else if (m.contains("--drift")) {
+        val out = one(m, "-o", "--output")
+        graft.ops.TokStore.fertilityDrift(spark, store, spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"fertility drift vs frozen tokenizer written to $out")
+      } else {
+        val out = one(m, "-o", "--output")
+        graft.ops.TokStore.encode(spark, store, spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"frozen-tokenizer encode written to $out")
+      }
+      0
+
     case "budget" :: rest =>
       // Per-key token-budget sample (the "at most B tokens from each
       // source" mixture clause): deterministic md5-order take within

@@ -1607,8 +1607,13 @@ object SparkEntry {
     * the q53 hash split ([[graft.dedup.Dedup.splitLeakage]]):
     * off-diagonal rows are test/valid
     * documents whose near-twins sit in train, the contamination the
-    * split exists to prevent. Shares the q18 pair CTEs and the q53
-    * split replay, so the audit can never diverge from either. */
+    * split exists to prevent. Pair generation is the BANDED MinHash
+    * candidate path + exact-Jaccard verifier (the q19 machinery), so
+    * the audit costs bucket-collision volume at 100 TB, never the
+    * inverted-index constant; the oracle is the exhaustive q19 pair
+    * replay + the q53 split labels — green because banding recall is
+    * total on the gate corpus's near-identical twins (ScaleSmoke
+    * asserts banded == exact at 10× as well). */
   def q118SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val splits = docs.select(col("doc_id"),
@@ -1662,6 +1667,40 @@ object SparkEntry {
   def q122PrefixDupProfile(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.prefixDupProfile(
       Tables.documents(s, dir), "text", "source", prefixTokens = 8)
+
+  /** Frozen-tokenizer fertility drift — the production tokenizer
+    * lifecycle q117 only rehearses: train the BPE merge table ONCE on
+    * the trusted snapshot (doc_id % 25 == 0), persist it
+    * ([[graft.ops.TokStore]]), then FROZEN-encode the arriving corpus
+    * (doc_id % 25 != 0) and compare per-language fertility against
+    * the snapshot's. Training never runs inside the monitoring path —
+    * encoding is the narrow codegen'd fold, O(batch), and the
+    * reference fertility table joins broadcast. Rising
+    * `fertility_delta` on a language = the frozen merge table is
+    * aging for what now arrives — the retrain trigger. The oracle
+    * replays training on the snapshot split (the q117 unrolled CTE
+    * rounds) and the frozen encode over both splits, digit for
+    * digit. */
+  /** Language identification — Cavnar–Trenkle character-n-gram
+    * profiles ([[graft.ops.LangId]]): fit per-language top-64 gram
+    * rank profiles on the corpus's own labels, classify every
+    * document by out-of-place rank distance, and report the
+    * (true, predicted) confusion matrix. The pipeline elsewhere
+    * CONSUMES a lang column; this is the operator that computes one.
+    * All-integer (counts and ranks — no floats), so profiles,
+    * distances and the argmin replay exactly in SQL. */
+  def q124LangIdConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangId.confusion(
+      Tables.documents(s, dir), "doc_id", "lang", "text", topM = 64)
+
+  def q123TokStoreDrift(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_tok_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.TokStore.createAt(
+      s, docs.filter(col("doc_id") % 25 === 0), s"$tmp/tok", nMerges = 5)
+    graft.ops.TokStore.fertilityDrift(
+      s, s"$tmp/tok", docs.filter(col("doc_id") % 25 =!= 0))
+  }
 
   // ---------------------------------------------------------------
   // Contract surface
@@ -1795,6 +1834,8 @@ object SparkEntry {
     "q120_filtered_ann" -> (q120FilteredAnn _),
     "q121_banding_report" -> (q121BandingReport _),
     "q122_prefix_dup_profile" -> (q122PrefixDupProfile _),
+    "q123_tok_store_drift" -> (q123TokStoreDrift _),
+    "q124_langid_confusion" -> (q124LangIdConfusion _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2288,8 +2329,114 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q123 oracle, GENERATED like [[bpeFertilitySql]]: `n` unrolled
+    * BPE training rounds restricted to the SNAPSHOT split
+    * (doc_id % 25 = 0), then the same frozen encode fold over EVERY
+    * document carrying an `is_train` flag, aggregated per
+    * (lang, split) into the arriving-vs-snapshot fertility join —
+    * the whole frozen-tokenizer drift monitor as one SQL statement. */
+  private def tokStoreDriftSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |v0 AS (
+      |  SELECT list_filter(string_split(tok, ''), s -> s <> '') AS syms, count(*) AS c
+      |  FROM toks WHERE doc_id % 25 = 0 GROUP BY tok),
+      |""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s"""p$i AS (
+        |  SELECT syms[j] AS x, syms[j + 1] AS y, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM v${i - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS u(j)
+        |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+        |b$i AS (SELECT x, y FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+        |v$i AS (
+        |  SELECT list_reduce(list_transform(syms, s -> [s]),
+        |    (acc, el) -> CASE WHEN acc[-1] = b.x AND el[1] = b.y
+        |      THEN list_append(acc[1:len(acc)-1], b.x || b.y)
+        |      ELSE list_concat(acc, el) END) AS syms, c
+        |  FROM v${i - 1}, b$i b),
+        |""".stripMargin
+    }
+    sb ++= """e0 AS (
+      |  SELECT doc_id, lang, doc_id % 25 = 0 AS is_train,
+      |    list_filter(string_split(tok, ''), s -> s <> '') AS syms
+      |  FROM toks),
+      |""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s"""e$i AS (
+        |  SELECT doc_id, lang, is_train,
+        |    list_reduce(list_transform(syms, s -> [s]),
+        |    (acc, el) -> CASE WHEN acc[-1] = b.x AND el[1] = b.y
+        |      THEN list_append(acc[1:len(acc)-1], b.x || b.y)
+        |      ELSE list_concat(acc, el) END) AS syms
+        |  FROM e${i - 1}, b$i b),
+        |""".stripMargin
+    }
+    sb ++= s"""d AS (SELECT lang, doc_id % 25 = 0 AS is_train,
+      |         CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+      |pl AS (SELECT lang, is_train, CAST(count(*) AS BIGINT) AS n_words,
+      |         CAST(sum(len(syms)) AS BIGINT) AS n_pieces
+      |       FROM e$n GROUP BY 1, 2),
+      |f AS (SELECT d.lang, d.is_train, d.n_docs,
+      |        coalesce(pl.n_words, 0) AS n_words,
+      |        coalesce(pl.n_pieces, 0) AS n_pieces,
+      |        CASE WHEN coalesce(pl.n_words, 0) > 0
+      |          THEN round(CAST(pl.n_pieces AS DOUBLE) / CAST(pl.n_words AS DOUBLE), 6)
+      |        END AS ppw
+      |      FROM d LEFT JOIN pl USING (lang, is_train))
+      |SELECT fa.lang, fa.n_docs, fa.n_words, fa.n_pieces,
+      |  fa.ppw AS pieces_per_word, ft.ppw AS train_pieces_per_word,
+      |  round(fa.ppw - ft.ppw, 6) AS fertility_delta
+      |FROM (SELECT * FROM f WHERE NOT is_train) fa
+      |LEFT JOIN (SELECT * FROM f WHERE is_train) ft USING (lang)""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q117_tokenizer_fertility" -> bpeFertilitySql(5),
+    "q123_tok_store_drift" -> tokStoreDriftSql(5),
+    // q124: the Cavnar–Trenkle pipeline is all integers (gram counts,
+    // ranks, rank distances), so the replay is exact — same padded
+    // 2/3-grams, same (cnt desc, gram) rank order, same out-of-place
+    // cap 64, same (distance, lang) argmin.
+    "q124_langid_confusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, lang, gr FROM (SELECT doc_id, lang, '_' || tok || '_' AS p FROM toks) t,
+        |  UNNEST(list_concat(
+        |    list_transform(generate_series(1, len(p) - 1), i -> substr(p, i, 2)),
+        |    list_transform(generate_series(1, len(p) - 2), i -> substr(p, i, 3)))) AS u(gr)),
+        |lc AS (SELECT lang, gr AS gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |lp AS (SELECT lang, gram, rank FROM (
+        |  SELECT lang, gram,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM lc) t WHERE rank <= 64),
+        |dc AS (SELECT doc_id, gr AS gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, gram, rank FROM (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rank
+        |  FROM dc) t WHERE rank <= 64),
+        |langs AS (SELECT DISTINCT lang FROM lp),
+        |dist AS (
+        |  SELECT dp.doc_id, langs.lang,
+        |    CAST(sum(coalesce(abs(dp.rank - lp.rank), 64)) AS BIGINT) AS distance
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, lang AS pred_lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rk
+        |  FROM dist) t WHERE rk = 1),
+        |tl AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL)
+        |SELECT tl.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred JOIN tl USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q69_pq_topk" -> PqOracleSql,
     // q103: the oracle refits the frozen LM from the train split
     // (doc_id % 25 <> 0) and scores the held-out split against it —
@@ -2723,8 +2870,23 @@ object SparkEntry {
     // q118: the q18 capped-Jaccard pair CTEs + the q53 md5 split
     // replay, pair endpoints labeled and counted per unordered split
     // pair — the audit shares both contracts verbatim.
+    // q118: exhaustive no-cap pair replay (the q19 gram CTEs) — the
+    // engine's banded path verifies candidates against FULL gram
+    // sets, so the oracle's jaccard must be uncapped too.
     "q118_split_leakage" ->
-      s"""WITH $NgramPairsCtes,
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM toks, UNNEST(
+        |    CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS t(g)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT doc_a, doc_b FROM inter
         |  JOIN sizes sa ON doc_a = sa.doc_id

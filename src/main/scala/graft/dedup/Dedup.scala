@@ -44,13 +44,21 @@ object Dedup {
           TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))).as("gram"))
 
   /** Split-leakage matrix — the train/test contamination check a
-    * split ships with: every near-duplicate pair
-    * ([[ngramJaccardPairs]], same banding/df-cap discipline) labeled
-    * with its endpoints' split assignments and counted per unordered
-    * split pair. The diagonal (train, train) is ordinary in-split
+    * split ships with: every near-duplicate pair labeled with its
+    * endpoints' split assignments and counted per unordered split
+    * pair. The diagonal (train, train) is ordinary in-split
     * redundancy; any off-diagonal mass is LEAKAGE — a test document
     * whose near-twin sits in train inflates every benchmark number
     * the split was built to protect.
+    *
+    * Pair generation is the BANDED MinHash candidate path + exact
+    * Jaccard verifier ([[minHashLshPairs]], the q19/q70 machinery):
+    * candidate mass is bucket-collision volume, so the audit costs
+    * what the dedup pass costs — never the inverted-index self-join's
+    * O(df²) constant ([[splitLeakageExact]] keeps that path as the
+    * small-scale truth; at the audit's ≥0.8 threshold the banding's
+    * per-pair miss probability is (1−j⁴)⁸ ≤ 1.5% at the boundary and
+    * vanishes for the near-identical twins leakage is about).
     *
     * `splits` is the caller's (idCol, split) assignment — the q53
     * hash split, a time split, whatever the pipeline used — so the
@@ -67,8 +75,36 @@ object Dedup {
       splits: DataFrame,
       n: Int = 2,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 100L): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDocFreq)
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    labelPairsBySplit(
+      minHashLshPairs(docs, idCol, textCol, n, threshold, numHashes, bands,
+        maxBucketSize),
+      splits, idCol)
+
+  /** [[splitLeakage]] with EXHAUSTIVE pair generation
+    * ([[ngramJaccardPairs]]'s inverted-index self-join, df-capped):
+    * recall 1.0 by construction, candidate mass O(cap × postings) —
+    * the truth the banded audit is spec-checked against, and the
+    * right tool below the scale where banding pays. */
+  def splitLeakageExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: DataFrame,
+      n: Int = 2,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 100L): DataFrame =
+    labelPairsBySplit(
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDocFreq),
+      splits, idCol)
+
+  /** Label (doc_a, doc_b) pairs with their endpoints' split
+    * assignments and count per unordered split pair — shared by both
+    * leakage paths so they can only differ in pair generation. */
+  private def labelPairsBySplit(
+      pairs: DataFrame, splits: DataFrame, idCol: String): DataFrame = {
     val sp = splits.select(col(idCol), col("split"))
     pairs
       .join(sp.select(col(idCol).as("doc_a"), col("split").as("sa")), Seq("doc_a"))

@@ -256,7 +256,7 @@ object Quality {
     * next symbol is `y`, fuse ("aaa" under (a,a) → [aa, a]). Shared
     * by training ([[bpeMerges]]) and encoding ([[bpeEncode]]) so the
     * two can never disagree on fold semantics. */
-  private def applyMerge(syms: Column, x: String, y: String): Column =
+  private[graft] def applyMerge(syms: Column, x: String, y: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, s) =>
       when(get(acc, size(acc) - 1) === lit(x) && s === lit(y),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))

@@ -1057,6 +1057,38 @@ class StreamingSpec extends SparkSpecBase {
       s"mixed-OOV kl ${r.getDouble(3)} != ln(4/3)")
   }
 
+  test("tokenizer fertility monitor: streamed drift == batch fertilityDrift; per-batch ledger") {
+    import graft.ops.TokStore
+    import graft.streaming.TokStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tokstream").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    TokStore.createAt(spark, docs.filter(col("doc_id") % 25 === 0), s"$tmp/tok", nMerges = 3)
+    val arriving = docs.filter(col("doc_id") % 25 =!= 0)
+
+    // two landings -> one tagged per-language row set per batch
+    arriving.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/in")
+    arriving.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = TokStream.maintain(spark, s"$tmp/in", s"$tmp/tok", s"$tmp/ledger",
+      s"$tmp/ckpt", arriving.schema,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.processAllAvailable() finally q.stop()
+    val ledger = spark.read.parquet(s"$tmp/ledger")
+    assert(ledger.select("batch").distinct().count() >= 1)
+
+    // summing the ledger's piece/word counts across batches must
+    // reproduce the one-shot batch monitor exactly (encode is
+    // per-document, so batch boundaries cannot change the totals)
+    val streamed = ledger.groupBy("lang")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("n_words").cast("long").as("n_words"),
+        sum("n_pieces").cast("long").as("n_pieces"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = TokStore.fertilityDrift(spark, s"$tmp/tok", arriving)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch,
+      s"streamed fertility totals $streamed != batch monitor $batch")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so

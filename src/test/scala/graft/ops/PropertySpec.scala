@@ -416,7 +416,7 @@ class PropertySpec extends SparkSpecBase {
     val splits = Seq(
       (1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"), (5L, "valid")
     ).toDF("doc_id", "split")
-    val got = Dedup.splitLeakage(docs, "doc_id", "text", splits,
+    val got = Dedup.splitLeakageExact(docs, "doc_id", "text", splits,
       n = 2, threshold = 0.5)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == Map(("test", "train") -> 1L, ("train", "train") -> 1L),
@@ -425,5 +425,34 @@ class PropertySpec extends SparkSpecBase {
     // dropped or double-counted by the labeling joins
     assert(got.values.sum ==
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5).count())
+  }
+
+  test("splitLeakage: banded audit == exhaustive audit on near-identical twins") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // twins differ in ONE of 12 tokens (jaccard 10/12 of bigrams —
+    // well above the 0.8 banding knee), planted across every split
+    // combination; decoys share no grams
+    def doc(seed: Int, last: String) =
+      s"w${seed}a w${seed}b w${seed}c w${seed}d w${seed}e w${seed}f " +
+        s"w${seed}g w${seed}h w${seed}i w${seed}j w${seed}k $last"
+    val docs = (
+      Seq((1L, doc(1, "x")), (2L, doc(1, "y")),   // train/test leak
+        (3L, doc(2, "x")), (4L, doc(2, "y")),     // train/train benign
+        (5L, doc(3, "x")), (6L, doc(3, "y"))) ++  // valid/test leak
+        (7L to 12L).map(i => (i, doc(10 + i.toInt, "z")))
+      ).toDF("doc_id", "text")
+    val splits = Seq(
+      (1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"),
+      (5L, "valid"), (6L, "test"), (7L, "train"), (8L, "test"),
+      (9L, "valid"), (10L, "train"), (11L, "train"), (12L, "test")
+    ).toDF("doc_id", "split")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val banded = toMap(Dedup.splitLeakage(docs, "doc_id", "text", splits))
+    val exact = toMap(Dedup.splitLeakageExact(docs, "doc_id", "text", splits))
+    assert(banded == exact, s"banded $banded != exact $exact")
+    assert(banded == Map(("test", "train") -> 1L, ("train", "train") -> 1L,
+      ("test", "valid") -> 1L), s"unexpected matrix $banded")
   }
 }

@@ -510,6 +510,85 @@ class QualitySpec extends SparkSpecBase {
       "five trained merges must strictly compress the corpus piece count")
   }
 
+  test("TokStore: attach round-trips the merge table in training order") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tokstore").toString
+    val docs = Seq((1L, "abab abab abc", "en")).toDF("doc_id", "text", "lang")
+    val trained = TokStore.createAt(spark, docs, s"$tmp/tok", nMerges = 3)
+    assert(trained.map(_.step) == trained.map(_.step).sorted && trained.nonEmpty)
+    val attached = TokStore.attach(spark, s"$tmp/tok")
+    assert(attached == trained, "frozen merge table must round-trip exactly")
+  }
+
+  test("TokStore.encode on the fitting corpus == bpeEncode with the trained merges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tokstore2").toString
+    val docs = corpus
+    val trained = TokStore.createAt(spark, docs, s"$tmp/tok", nMerges = 5)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(asMap(TokStore.encode(spark, s"$tmp/tok", docs)) ==
+      asMap(Quality.bpeEncode(docs, trained)),
+      "frozen encode must reproduce the training-time encode exactly")
+  }
+
+  test("TokStore.fertilityDrift: zero on the fitting corpus, null for unseen langs, " +
+    "positive when a language's arriving words resist the frozen merges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tokstore3").toString
+    // train on an 'ab'-heavy snapshot: merges favour ab-compounds
+    val snapshot = Seq(
+      (1L, "abab abab ab", "en"), (2L, "ab abab abab", "en"),
+      (3L, "abab ab ab", "fr")).toDF("doc_id", "text", "lang")
+    TokStore.createAt(spark, snapshot, s"$tmp/tok", nMerges = 2)
+    // 1) fitting corpus drifts zero (same words -> same fertility)
+    val self = TokStore.fertilityDrift(spark, s"$tmp/tok", snapshot)
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(self.values.forall(_ == 0.0), s"self-drift must be exactly 0: $self")
+    // 2) arriving batch: 'en' words the merges cannot compress
+    //    (fertility rises), plus a language unseen at training time
+    val arriving = Seq(
+      (10L, "xyz zyx xzy", "en"),          // no 'ab' anywhere
+      (11L, "abab abab abab", "de")        // unseen lang
+    ).toDF("doc_id", "text", "lang")
+    val drift = TokStore.fertilityDrift(spark, s"$tmp/tok", arriving)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(drift("en")._2.exists(_ > 0.0),
+      s"incompressible arrivals must raise fertility: $drift")
+    assert(drift("de") == ((None, None)),
+      s"a language unseen at training time reports null reference/delta: $drift")
+  }
+
+  test("LangId: hand-computed two-language example — profile ranks, rank " +
+    "distance, out-of-place cap, argmin tie to smallest lang") {
+    // lang 'xx' speaks only the word 'aa', 'yy' only 'bb': the padded
+    // grams of 'aa' are {_a, aa, a_, _aa, aa_}, all count 2 in the
+    // profile, ranked lexicographically on the count tie:
+    // _a=1 < _aa=2 < a_=3 < aa=4 < aa_=5 (byte order: '_' < 'a')
+    val train = Seq((1L, "aa aa", "xx"), (2L, "bb bb", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val profiles = LangId.langProfiles(train, "lang", "text", topM = 64)
+    val px = profiles.filter(col("lang") === "xx").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(px.toSeq == Seq(("_a", 1), ("_aa", 2), ("a_", 3), ("aa", 4), ("aa_", 5)),
+      px.mkString(","))
+    // a pure-'aa' doc has the SAME five ranks -> distance 0 to xx;
+    // vs yy every gram is out-of-place: 5 x 64 = 320 -> argmin xx
+    val got = LangId.classify(Seq((3L, "aa")).toDF("doc_id", "text"),
+      "doc_id", "text", profiles, topM = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, "xx", 0L)), got.mkString(","))
+    // distance ties break to the smallest language: a doc equidistant
+    // from both (shares nothing with either) predicts 'xx' < 'yy'
+    val tie = LangId.classify(Seq((4L, "zz")).toDF("doc_id", "text"),
+      "doc_id", "text", profiles, topM = 64)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(tie.toSeq == Seq(("xx", 320L)), tie.mkString(","))
+    // self-classification confusion is purely diagonal here
+    val conf = LangId.confusion(train, "doc_id", "lang", "text", topM = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("xx", "xx") -> 1L, ("yy", "yy") -> 1L), conf.toString)
+  }
+
   test("naiveBayesLogOdds prior: balanced classes contribute ln(N+/N-)") {
     // one doc per class with the SAME single token: the token weight
     // cancels (identical smoothed counts), leaving exactly the prior
