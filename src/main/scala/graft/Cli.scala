@@ -643,6 +643,44 @@ object Cli {
       println(s"ann ($mode) top-$k written to $out")
       0
 
+    case "quantiles" :: rest =>
+      // Exact quantiles of an unbounded double column (KLL sketch
+      // bracket + exact confirm — never a global sort): one row per
+      // requested q with the true rank-ceil(qN) element.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val colName = m.get("--col").flatMap(_.headOption).getOrElse("value")
+      val qs = m.get("--q").flatMap(_.headOption)
+        .map(_.split(",").toSeq.map(_.toDouble))
+        .getOrElse(Seq(0.25, 0.5, 0.75, 0.95))
+      val k = m.get("--sketch-k").flatMap(_.headOption).map(_.toInt).getOrElse(256)
+      val spark = session()
+      graft.ops.Quantiles.exactQuantiles(spark.read.parquet(in), colName, qs, k)
+        .write.mode("overwrite").parquet(out)
+      println(s"exact quantiles of $colName (${qs.mkString(",")}) written to $out")
+      0
+
+    case "reindex" :: rest =>
+      // Act on the IVF health report: measure the persisted index
+      // (occupancy CV over all cells + weighted mean quantization
+      // error) against thresholds and rebuild it from its own stored
+      // vectors ONLY when breached. The decision is logged to
+      // <index>/reindex.json either way — the audit trail that says
+      // why an index was (or wasn't) rebuilt.
+      val m = opts(rest)
+      val index = one(m, "-s", "--index")
+      val maxCv = m.get("--max-occ-cv").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(1.0)
+      val maxErr = m.get("--max-sqerr").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(Double.MaxValue)
+      val iters = m.get("--iters").flatMap(_.headOption).map(_.toInt).getOrElse(2)
+      val spark = session()
+      val d = graft.similarity.Similarity.reindexIfUnhealthy(
+        spark, index, maxCv, maxErr, iters)
+      println((if (d.rebuilt) "REBUILT" else "healthy") + s": ${d.reason}")
+      0
+
     case "vocab" :: rest =>
       // Corpus vocabulary: token frequencies, top-k as TSV.
       val m = opts(rest)

@@ -181,7 +181,8 @@ object ScaleSmoke {
       "q115_source_overlap", "q116_index_health",
       "q117_tokenizer_fertility", "q118_split_leakage",
       "q119_embedding_dim_stats", "q120_filtered_ann",
-      "q121_banding_report", "q122_prefix_dup_profile")
+      "q121_banding_report", "q122_prefix_dup_profile",
+      "q123_tok_store_drift", "q124_langid_confusion", "q125_norm_quantiles")
     // q88 (BM25) is EXCLUDED from the sweep for the same class of
     // reason as q23: the synthetic corpus has a ~31-token vocabulary,
     // so every one of the sweep's 2,000 query docs lexically matches
@@ -873,6 +874,98 @@ object ScaleSmoke {
         f"${cuCounts("quality_gated")}%d -> ${cuCounts("decontaminated")}%d -> " +
         f"${cuCounts("token_budgeted")}%d rows (${cuCounts("final_tokens")}%d tokens), " +
         f"budget held, $cuSec%.1f s"))
+
+    // 15. Incremental image near-dup through the persisted signature
+    // store at 800 images: originals signed once into the store,
+    // twins ARRIVE IN TWO WAVES (the SigStream foreachBatch body,
+    // line for line: link-cross → pair-within → append), and the
+    // union of emitted pairs must equal the twin-involving subset of
+    // check 13's brute-force truth — the incremental path must not
+    // lose recall as the store grows between batches.
+    val ss0 = System.nanoTime()
+    val sigDf = imSigs.toSeq.toDF("name", "sig")
+    val sigStorePath = s"$workDir/img_sig_store"
+    val sigTable = graft.dedup.SigBandStore.createAt(spark,
+      sigDf.filter(!col("name").endsWith("_twin")), "name", "sig",
+      sigStorePath, sigBits = 64, bands = 4, buckets = 32)
+    def sigWave(waveSigs: DataFrame): Set[(String, String, Long)] = {
+      val sigs = waveSigs.localCheckpoint(false)
+      val cross = graft.dedup.SigBandStore.linkNew(spark, sigTable, sigs,
+          "name", "sig", maxDist = 6, sigBits = 64, bands = 4)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+        .filter(col("id_a") =!= col("id_b"))
+      val within = Dedup.bandedHammingPairs(sigs, "name", "sig",
+        sigBits = 64, bands = 4, maxDist = 6)
+      val out = cross.unionByName(within).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      graft.dedup.SigBandStore.append(spark, sigTable, sigs, "name", "sig",
+        sigBits = 64, bands = 4, buckets = 32)
+      out
+    }
+    val twinSigs = sigDf.filter(col("name").endsWith("_twin"))
+      .withColumn("famIdx", substring(col("name"), 5, 4).cast("int"))
+    val streamedPairs =
+      sigWave(twinSigs.filter(col("famIdx") % 2 === 0).drop("famIdx")) ++
+        sigWave(twinSigs.filter(col("famIdx") % 2 === 1).drop("famIdx"))
+    val wantTwin = imWant.filter { case (a, b, _) =>
+      a.endsWith("_twin") || b.endsWith("_twin") }
+    assert(streamedPairs == wantTwin,
+      s"incremental sig-store pairs diverged from batch truth: " +
+        s"${streamedPairs.size} vs ${wantTwin.size}")
+    assert(wantTwin.size >= 250, s"twin truth too small: ${wantTwin.size}")
+    val ssSec = (System.nanoTime() - ss0) / 1e9
+    checks += ("incremental image near-dup (SigBandStore, twins in 2 waves) == batch truth" ->
+      f"${streamedPairs.size}%d pairs identical over 800 images, $ssSec%.1f s")
+
+    // 16. Banded split-leakage audit at 10×: the q118 path (banded
+    // candidates + exact verifier + split labels) must place every
+    // planted true pair in the right leakage cell. Reuses check 1's
+    // planted truth and its 64/16 banding (the 10×-sized params the
+    // banding report exists to choose); the label join must conserve
+    // the pair count exactly.
+    val sl0 = System.nanoTime()
+    val splits10 = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashSplit(col("doc_id")).as("split"))
+    val leakMatrix = Dedup.splitLeakage(docs, "doc_id", "text", splits10,
+        numHashes = 64, bands = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val splitOf = splits10.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plantedMatrix = truth.toSeq
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    plantedMatrix.foreach { case (cell, n) =>
+      assert(leakMatrix.getOrElse(cell, 0L) >= n,
+        s"banded leakage lost planted pairs in $cell: ${leakMatrix.get(cell)} < $n") }
+    assert(leakMatrix.values.sum == banded.size,
+      s"label join dropped pairs: ${leakMatrix.values.sum} != ${banded.size}")
+    val slSec = (System.nanoTime() - sl0) / 1e9
+    checks += ("banded split-leakage audit covers every planted pair's cell at 10x" ->
+      (f"${leakMatrix.values.sum}%d labeled pairs == banded pair count, " +
+        f"planted matrix covered, $slSec%.1f s"))
+
+    // 17. KLL-guided exact quantiles at 10×: the sketch+confirm
+    // selection over 20k embedding norms must return the exact
+    // rank-⌈q·N⌉ elements (driver sort is affordable here and IS the
+    // definition).
+    val kq0 = System.nanoTime()
+    import graft.functions.VectorFunctions.{dot => vdot}
+    val norms10 = Tables.embeddings(spark, workDir)
+      .select(col("embedding").cast("array<double>").as("vd"))
+      .select(round(sqrt(vdot(col("vd"), col("vd"))), 6).as("norm"))
+    val kllGot = graft.ops.Quantiles.exactQuantiles(
+        norms10, "norm", Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sortedNorms = norms10.collect().map(_.getDouble(0)).sorted
+    val kllWant = Seq(0.25, 0.5, 0.75, 0.95).map { q =>
+      q -> sortedNorms((math.ceil(q * sortedNorms.length).toLong - 1L).toInt)
+    }.toMap
+    assert(kllGot == kllWant, s"KLL quantiles diverged at 10x: $kllGot vs $kllWant")
+    val kqSec = (System.nanoTime() - kq0) / 1e9
+    checks += ("KLL sketch+confirm quantiles == exact rank elements over 20k norms" ->
+      f"4 quantiles exact, $kqSec%.1f s")
 
     val total = timings.map(_._2).sum
     val md = new StringBuilder

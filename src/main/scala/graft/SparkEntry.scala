@@ -1693,6 +1693,24 @@ object SparkEntry {
     graft.ops.LangId.confusion(
       Tables.documents(s, dir), "doc_id", "lang", "text", topM = 64)
 
+  /** Exact quantiles of an UNBOUNDED double domain — embedding L2
+    * norms — via the KLL-sketch-guided selection
+    * ([[graft.ops.Quantiles.exactQuantiles]]): one sketch pass
+    * brackets each requested rank, an exact confirm pass selects the
+    * true rank-⌈q·N⌉ element inside the bracket, never a global sort.
+    * q64's histogram quantiles need a bounded integer domain; this is
+    * the operator for everything that doesn't have one (norms,
+    * scores, losses). Values round to 6dp BEFORE selection so the
+    * rank order is engine-portable; the output is an exact element of
+    * the column, which the oracle picks by `row_number() = ⌈q·N⌉`. */
+  def q125NormQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val v = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("vd"))
+      .select(round(sqrt(dot(col("vd"), col("vd"))), 6).as("norm"))
+    graft.ops.Quantiles.exactQuantiles(v, "norm", Seq(0.25, 0.5, 0.75, 0.95))
+  }
+
   def q123TokStoreDrift(s: SparkSession, dir: String): DataFrame = {
     val tmp = tempDirCleanedOnExit("graft_tok_store_q")
     val docs = Tables.documents(s, dir)
@@ -1836,6 +1854,7 @@ object SparkEntry {
     "q122_prefix_dup_profile" -> (q122PrefixDupProfile _),
     "q123_tok_store_drift" -> (q123TokStoreDrift _),
     "q124_langid_confusion" -> (q124LangIdConfusion _),
+    "q125_norm_quantiles" -> (q125NormQuantiles _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2398,6 +2417,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q117_tokenizer_fertility" -> bpeFertilitySql(5),
     "q123_tok_store_drift" -> tokStoreDriftSql(5),
+    // q125: the engine's sketch+confirm selection returns the exact
+    // rank-⌈q·N⌉ element of the 6dp-rounded norms; the oracle picks
+    // the same element by explicit rank (DuckDB can afford the sort
+    // at gate scale; the engine never sorts globally).
+    "q125_norm_quantiles" ->
+      """WITH v AS (
+        |  SELECT round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS val
+        |  FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM v),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+        |r AS (SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rk FROM qs, n),
+        |s AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v)
+        |SELECT q AS quantile, val AS value
+        |FROM r JOIN s ON s.rn = r.rk""".stripMargin,
     // q124: the Cavnar–Trenkle pipeline is all integers (gram counts,
     // ranks, rank distances), so the replay is exact — same padded
     // 2/3-grams, same (cnt desc, gram) rank order, same out-of-place

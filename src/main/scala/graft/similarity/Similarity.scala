@@ -666,6 +666,17 @@ object Similarity {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("sq").cast("decimal(38,0)")).as("sqsum"))
+    cellHealthReport(s, perCell, nlist)
+  }
+
+  /** Shared tail of the health reports: densify to every cell
+    * (empty cells ARE the signal), attach the occupancy fraction and
+    * the per-cell mean quantization error. `perCell` is nlist-bounded
+    * → broadcast joins. */
+  private def cellHealthReport(
+      s: org.apache.spark.sql.SparkSession,
+      perCell: DataFrame,
+      nlist: Int): DataFrame = {
     val tot = perCell.agg(sum("n_vecs").as("n_total"))
     s.range(nlist).select(col("id").cast("int").as("cell"))
       .join(broadcast(perCell), Seq("cell"), "left")
@@ -677,6 +688,117 @@ object Similarity {
         when(col("n_vecs") > 0L,
           round(col("sqsum").cast("double") / col("n_vecs").cast("double"), 6))
           .as("mean_sqerr"))
+  }
+
+  /** [[ivfHealth]] for a PERSISTED index ([[writeIvfIndex]] layout):
+    * per-cell occupancy and mean integer quantization error computed
+    * from the STORED assignment against the STORED centroids — no
+    * re-training, one scan of `<path>/vectors`. This is the monitor a
+    * pipeline runs between rebuilds: as the corpus drifts from the
+    * snapshot the quantizer was trained on, occupancy skews (probe
+    * pruning stops paying) and the error rises (centroids stop
+    * fitting). */
+  def ivfHealthIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val meta = readIvfIndexMeta(spark, path)
+    val nlist = meta.centroids.size
+    val cLit = array(meta.centroids.map(c => array(c.map(lit): _*)): _*)
+    val perCell = spark.read.parquet(s"$path/vectors")
+      .select(col("cell").cast("int").as("cell"),
+        quantizeVec(col(meta.vecCol), meta.scale).as("qv"))
+      .select(col("cell"),
+        aggregate(zip_with(col("qv"), element_at(cLit, col("cell") + 1),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("sq"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sq").cast("decimal(38,0)")).as("sqsum"))
+    cellHealthReport(spark, perCell, nlist)
+  }
+
+  /** What [[reindexIfUnhealthy]] measured and decided — the same
+    * facts it logs to `<path>/reindex.json`. */
+  final case class ReindexDecision(
+      occupancyCv: Double,
+      meanSqErr: Double,
+      rebuilt: Boolean,
+      reason: String)
+
+  /** Act on the health report: measure the persisted index
+    * ([[ivfHealthIndexed]]) against the caller's thresholds and
+    * REBUILD it from its own stored vectors only when breached —
+    * otherwise leave it untouched. The decision (both measurements,
+    * both thresholds, what was done and why) is logged to
+    * `<path>/reindex.json` the way `--residual-auto` records its
+    * choice in index.json: the pipeline's audit trail says why an
+    * index was or wasn't rebuilt without replaying the measurement.
+    *
+    * Thresholds: `maxOccupancyCv` bounds the coefficient of variation
+    * of per-cell counts over ALL cells, empty included (high CV =
+    * skewed cells = probe-time pruning has stopped paying);
+    * `maxMeanSqErr` bounds the occupancy-weighted mean quantization
+    * error (rising error = centroids no longer fit the corpus).
+    *
+    * The rebuild re-trains the quantizer on the CURRENT stored
+    * vectors and rewrites the index in place (the stored rows are
+    * pinned executor-local first — rebuilding overwrites the files
+    * being read). Rebuild cost is the [[writeIvfIndex]] build; the
+    * no-op path costs one vectors scan.
+    */
+  def reindexIfUnhealthy(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxOccupancyCv: Double,
+      maxMeanSqErr: Double,
+      iters: Int = 2): ReindexDecision = {
+    val meta = readIvfIndexMeta(spark, path)
+    val nlist = meta.centroids.size
+    val h = ivfHealthIndexed(spark, path).localCheckpoint()
+    val Array(occCv, meanErr) = h.agg(
+      (stddev_pop(col("n_vecs").cast("double")) /
+        avg(col("n_vecs").cast("double"))).as("cv"),
+      (sum(col("n_vecs").cast("double") * coalesce(col("mean_sqerr"), lit(0.0))) /
+        sum(col("n_vecs").cast("double"))).as("err"))
+      .head().toSeq.map {
+        case null => 0.0
+        case d: Double => d
+      }.toArray
+    val breached =
+      (occCv > maxOccupancyCv, meanErr > maxMeanSqErr) match {
+        case (true, true) =>
+          Some(f"occupancy cv $occCv%.4f > $maxOccupancyCv%.4f and " +
+            f"mean sqerr $meanErr%.4f > $maxMeanSqErr%.4f")
+        case (true, false) =>
+          Some(f"occupancy cv $occCv%.4f > $maxOccupancyCv%.4f")
+        case (false, true) =>
+          Some(f"mean sqerr $meanErr%.4f > $maxMeanSqErr%.4f")
+        case _ => None
+      }
+    if (breached.isDefined) {
+      // Pin the stored rows BEFORE writeIvfIndex overwrites the files
+      // they come from (eager local checkpoint: the read must finish
+      // first). Corpus-sized, but so is any rebuild.
+      val rows = spark.read.parquet(s"$path/vectors")
+        .select(col(meta.idCol), col(meta.vecCol))
+        .localCheckpoint()
+      writeIvfIndex(rows, meta.idCol, meta.vecCol, meta.dim, nlist, path,
+        iters, meta.scale)
+    }
+    val decision = ReindexDecision(occCv, meanErr, breached.isDefined,
+      breached.getOrElse(
+        f"occupancy cv $occCv%.4f <= $maxOccupancyCv%.4f and " +
+          f"mean sqerr $meanErr%.4f <= $maxMeanSqErr%.4f"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/reindex.json"), true)
+    try out.write(
+      (s"""{"occupancy_cv":$occCv,"mean_sqerr":$meanErr,""" +
+        s""""max_occupancy_cv":$maxOccupancyCv,"max_mean_sqerr":$maxMeanSqErr,""" +
+        s""""rebuilt":${decision.rebuilt},""" +
+        s""""reason":${graft.io.JsonUtil.quote(decision.reason)}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    decision
   }
 
   /** Persisted IVF index layout: `<path>/vectors` is the assigned

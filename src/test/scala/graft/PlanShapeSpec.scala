@@ -611,4 +611,42 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "range join degraded to a nested loop:\n" + p.take(2000))
   }
+
+  test("q118: split-leakage audit rides the BANDED candidate path, never the " +
+    "inverted-index self-join") {
+    // The banded pair generator joins on (band, bucket); the old exact
+    // path self-joined postings on the raw gram key. The audit's
+    // candidate stage must show the band/bucket join — gram appears
+    // only inside the per-pair array verifier, never as a join key —
+    // and nothing may degrade to an unkeyed join.
+    val cand = graft.dedup.Dedup.minHashCandidates(
+      graft.model.Tables.documents(spark, sfDir), "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(cand.contains("band") && cand.contains("bucket"),
+      "banded candidate join lost its keys:\n" + cand.take(1500))
+    val p = plan("q118_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "split leakage degraded to an unkeyed join:\n" + p.take(2000))
+    assert(!"""hashpartitioning\(gram""".r.findFirstIn(p).isDefined,
+      "split leakage still shuffles on the gram key (inverted-index path):\n" +
+        p.take(2000))
+  }
+
+  test("q125: quantile confirm prefix sum never collapses to a single-partition window") {
+    // The operator runs driver-side selection over per-quantile jobs,
+    // so the pin is on the confirm stage's building block: the
+    // bracket cumsum must be the two-phase distributed shape (range
+    // partition + per-partition window), never Window over
+    // SinglePartition — same contract as q63/q112.
+    import spark.implicits._
+    val vals = (1 to 10000).map(i => ((i * 37) % 10000).toDouble).toDF("v")
+      .groupBy("v").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val p = graft.ops.Packing.globalCumsum(vals, Seq("v"), "cnt")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "bracket cumsum collapsed to a single-partition window:\n" + p.take(2000))
+    assert("""windowspecdefinition\(pid""".r.findFirstIn(p).isDefined,
+      "bracket cumsum window lost its range-bucket partitioning key:\n" + p.take(2000))
+  }
 }

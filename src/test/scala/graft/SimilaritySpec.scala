@@ -544,6 +544,55 @@ class SimilaritySpec extends SparkSpecBase {
       "health occupancy diverged from the index's own partitioning")
   }
 
+  test("reindexIfUnhealthy: fresh index is a no-op; a degraded assignment " +
+    "breaches the thresholds, fires the rebuild, and restores probe parity") {
+    val embs = emb.select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reindex").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", dim = 64, nlist = 24,
+      path = s"$tmp/ivf")
+    val freshMeta = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/ivf/index.json")).toSeq
+
+    // fresh: generous thresholds -> measured, logged, NOT rebuilt
+    val ok = Similarity.reindexIfUnhealthy(spark, s"$tmp/ivf",
+      maxOccupancyCv = 100.0, maxMeanSqErr = Double.MaxValue)
+    assert(!ok.rebuilt, s"healthy index must not rebuild: $ok")
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/ivf/index.json")).toSeq == freshMeta,
+      "a no-op decision must leave the index metadata untouched")
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/ivf/reindex.json")), "UTF-8")
+    assert(log.contains("\"rebuilt\":false"), s"decision log missing: $log")
+
+    // degrade: cram every vector into cell 0 — occupancy CV blows up
+    // (23 empty cells) and the quantization error no longer reflects
+    // the trained centroids
+    val crammed = spark.read.parquet(s"$tmp/ivf/vectors")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", lit(0)).localCheckpoint()
+    crammed.write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/ivf/vectors")
+    val sick = Similarity.reindexIfUnhealthy(spark, s"$tmp/ivf",
+      maxOccupancyCv = 1.0, maxMeanSqErr = Double.MaxValue)
+    assert(sick.rebuilt && sick.occupancyCv > 1.0,
+      s"degraded index must trigger the rebuild: $sick")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/ivf/reindex.json")), "UTF-8")
+      .contains("\"rebuilt\":true"))
+
+    // the rebuild re-spreads the cells and restores exact probe
+    // parity with the in-memory pruned search
+    val again = Similarity.reindexIfUnhealthy(spark, s"$tmp/ivf",
+      maxOccupancyCv = 1.0, maxMeanSqErr = Double.MaxValue)
+    assert(!again.rebuilt, s"rebuilt index must measure healthy again: $again")
+    val indexed = Similarity.ivfTopKIndexed(
+      spark, s"$tmp/ivf", queries, "q_id", "q_vec", k = 5, nprobe = 6)
+    val inMemory = Similarity.ivfTopK(
+      embs, queries,
+      "vec_id", "embedding", "q_id", "q_vec", dim = 64, k = 5, nlist = 24, nprobe = 6)
+    val diff = indexed.exceptAll(inMemory).count() + inMemory.exceptAll(indexed).count()
+    assert(diff == 0, s"rebuilt index probe differs from in-memory by $diff rows")
+  }
+
   test("ivfHealth: an identical-vector corpus collapses to one zero-error cell") {
     import spark.implicits._
     val vec = Array.fill(64)(0.25f)

@@ -427,6 +427,53 @@ class PropertySpec extends SparkSpecBase {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5).count())
   }
 
+  test("KllSketch: rank error within the advertised slack; merge-invariant " +
+    "bound; exactQuantiles == sort-and-pick on seeded data") {
+    import graft.functions.{KllSketch, KllSketchAgg}
+    import spark.implicits._
+    // 50k deterministic skewed doubles (quadratic spread + golden-ratio
+    // scramble): no two runs differ, no convenient uniform structure
+    val xs = (0 until 50000).map { i =>
+      val j = (i * 2654435761L) % 50000
+      (j * j).toDouble / 50000.0
+    }
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+    def sketchOf(parts: Int): KllSketch = KllSketch.deserialize(
+      df.repartition(parts).agg(KllSketchAgg.kllSketch(col("v"), 256)).head()
+        .getAs[Array[Byte]](0))
+    val sorted = xs.sorted.toArray
+    def exactRank(v: Double): Long = {
+      // count(x <= v) via binary search on the sorted copy
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = sketchOf(parts)
+      assert(sk.n == 50000L)
+      val slack = sk.rankSlack
+      // probe the whole CDF: every 500th exact element
+      val worst = (0 until 50000 by 500).map { i =>
+        math.abs(sk.estRank(sorted(i)) - exactRank(sorted(i)))
+      }.max
+      assert(worst <= slack,
+        s"parts=$parts: worst rank error $worst exceeds advertised slack $slack")
+    }
+
+    // the operator returns the exact rank-ceil(qN) element regardless
+    // of sketch content
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.1, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val want = Seq(0.1, 0.5, 0.9, 1.0).map { q =>
+      q -> sorted((math.ceil(q * 50000).toLong - 1L).toInt)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("splitLeakage: banded audit == exhaustive audit on near-identical twins") {
     import graft.dedup.Dedup
     import spark.implicits._
