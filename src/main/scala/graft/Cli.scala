@@ -568,16 +568,40 @@ object Cli {
           .filter(graft.functions.TextFunctions.hashSplit(col("doc_id")) === "valid")
           .select("doc_id", "text")
       }
-      val (curatedOut, ledger) = graft.ops.Curation.withLedger(docs, bench, cfg)
-      curatedOut.write.mode("overwrite").parquet(s"$out/corpus")
-      val ledgerJson = ledger.map(s => s"""  {"stage": "${s.stage}", "rows": ${s.rows}}""")
-        .mkString("[\n", ",\n", "\n]")
-      val ledgerPath = java.nio.file.Paths.get(out, "ledger.json")
-      java.nio.file.Files.createDirectories(ledgerPath.getParent)
-      java.nio.file.Files.write(ledgerPath,
-        ledgerJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ledger.foreach(s => println(f"${s.stage}%-16s ${s.rows}%d"))
-      println(s"curated corpus + ledger written to $out")
+      // --seed <sql bool>: upgrade the ledger to MEASURED per-stage
+      // filter quality (precision/recall/f1/auc against the trusted
+      // label) plus the before/after decontamination retrieval audit.
+      m.get("--seed").flatMap(_.headOption) match {
+        case Some(seed) =>
+          val (curatedOut, lines, audit) = graft.ops.Curation.withQualityLedger(
+            docs, bench, org.apache.spark.sql.functions.expr(seed), cfg)
+          curatedOut.write.mode("overwrite").parquet(s"$out/corpus")
+          def num(o: Option[Double]) = o.map(_.toString).getOrElse("null")
+          val ledgerJson = lines.map(s =>
+            s"""  {"stage": "${s.stage}", "rows": ${s.rows}, "tokens": ${s.tokens},""" +
+              s""" "precision": ${num(s.precision)}, "recall": ${num(s.recall)},""" +
+              s""" "f1": ${num(s.f1)}, "auc": ${num(s.auc)}}""")
+            .mkString("[\n", ",\n", "\n]")
+          val ledgerPath = java.nio.file.Paths.get(out, "ledger.json")
+          java.nio.file.Files.createDirectories(ledgerPath.getParent)
+          java.nio.file.Files.write(ledgerPath,
+            ledgerJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          audit.coalesce(1).write.mode("overwrite").parquet(s"$out/decontam_audit")
+          lines.foreach(s => println(f"${s.stage}%-16s ${s.rows}%d rows  " +
+            f"recall=${num(s.recall)}%s precision=${num(s.precision)}%s"))
+          println(s"curated corpus + quality ledger + decontam audit written to $out")
+        case None =>
+          val (curatedOut, ledger) = graft.ops.Curation.withLedger(docs, bench, cfg)
+          curatedOut.write.mode("overwrite").parquet(s"$out/corpus")
+          val ledgerJson = ledger.map(s => s"""  {"stage": "${s.stage}", "rows": ${s.rows}}""")
+            .mkString("[\n", ",\n", "\n]")
+          val ledgerPath = java.nio.file.Paths.get(out, "ledger.json")
+          java.nio.file.Files.createDirectories(ledgerPath.getParent)
+          java.nio.file.Files.write(ledgerPath,
+            ledgerJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ledger.foreach(s => println(f"${s.stage}%-16s ${s.rows}%d"))
+          println(s"curated corpus + ledger written to $out")
+      }
       0
 
     case "ann" :: rest =>
@@ -641,6 +665,33 @@ object Cli {
       }
       result.write.mode("overwrite").parquet(out)
       println(s"ann ($mode) top-$k written to $out")
+      0
+
+    case "lang-id" :: rest =>
+      // Cavnar-Trenkle character-n-gram language identification:
+      // --confusion reports the (true, predicted) matrix on a labeled
+      // corpus; default classifies against profiles fit on a labeled
+      // reference (--profiles-from, defaults to the input itself).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val topM = m.get("--top-m").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val langCol = m.get("--lang").flatMap(_.headOption).getOrElse("lang")
+      val spark = session()
+      val docs = spark.read.parquet(in)
+      if (m.contains("--confusion")) {
+        graft.ops.LangId.confusion(docs, idCol, langCol, "text", topM)
+          .write.mode("overwrite").parquet(out)
+        println(s"langid confusion matrix written to $out")
+      } else {
+        val ref = m.get("--profiles-from").flatMap(_.headOption)
+          .map(spark.read.parquet(_)).getOrElse(docs)
+        val profiles = graft.ops.LangId.langProfiles(ref, langCol, "text", topM)
+        graft.ops.LangId.classify(docs, idCol, "text", profiles, topM)
+          .write.mode("overwrite").parquet(out)
+        println(s"langid predictions written to $out")
+      }
       0
 
     case "quantiles" :: rest =>
@@ -1671,7 +1722,7 @@ object Cli {
            |  download   -m <manifest.tsv: name md5sum url> -o <raw-dir>
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
-           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json)
+           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--seed <sql-bool-expr>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json; --seed adds measured per-stage quality + decontam_audit/)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  nb-store   --create -i <docs.parquet> -s <store-dir> --seed <sql-bool-expr> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
@@ -1708,6 +1759,10 @@ object Cli {
            |  ann        -i <embeddings.parquet> -o <out.parquet> [--mode brute|lsh|ivf|ivf-index|lsh-index|pq|pq-index|ivfpq-index] [--index <path>] [-k 10] [--dim 64] [--queries-where '<pred>'] [--mmr-lambda 0.5]
            |  ann-index  -i <embeddings.parquet> -o <index-path> [--family ivf|lsh|pq|ivfpq] [--nlist 24] [--bits 6] [--tables 4] [--dim 64] [--residual] [--residual-auto]
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
+           |  tok-store  --create -i <docs.parquet> -s <store-dir> [--merges 32] | --encode -i <batch.parquet> -s <store-dir> -o <out.parquet> | --drift -i <batch.parquet> -s <store-dir> -o <out.parquet>
+           |  lang-id    -i <docs.parquet> -o <out.parquet> [--confusion | --profiles-from <labeled.parquet>] [--top-m 64] [--id doc_id] [--lang lang]
+           |  quantiles  -i <data.parquet> -o <out.parquet> [--col value] [--q 0.25,0.5,0.75,0.95] [--sketch-k 256]
+           |  reindex    -s <ivf-index> [--max-occ-cv 1.0] [--max-sqerr <f>] [--iters 2]   (rebuilds only when breached; logs reindex.json)
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

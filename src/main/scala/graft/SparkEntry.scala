@@ -1549,6 +1549,28 @@ object SparkEntry {
       scored, "source", "log_odds", "predicted", "y")
   }
 
+  /** Slice evaluation by PREDICTED language — the q114 fairness
+    * report grouped by what the pipeline would actually slice on in
+    * production: [[graft.ops.LangId]]'s n-gram prediction, not the
+    * (usually absent) gold label. A slice whose metrics crater under
+    * the predicted grouping but not the gold one is misrouted by the
+    * language identifier itself — the failure mode this integration
+    * exists to surface. Same grouped rank-sum AUC machinery as q114;
+    * the oracle replays the full langid chain (q124's CTEs) to
+    * relabel the groups. */
+  def q126PredLangSliceEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val profiles = graft.ops.LangId.langProfiles(docs, "lang", "text", topM = 64)
+    val pred = graft.ops.LangId.classify(docs, "doc_id", "text", profiles, topM = 64)
+      .select(col("doc_id"), col("pred_lang"))
+    val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
+      .join(pred, Seq("doc_id"))
+    graft.ops.Eval.groupedClassifierMetrics(
+      scored, "pred_lang", "log_odds", "predicted", "y")
+  }
+
   /** Cross-source contamination matrix — which feeds mirror each
     * other: distinct shared bigrams and vocabulary Jaccard for every
     * source pair ([[graft.ops.CorpusStats.sourceOverlapMatrix]]).
@@ -1855,6 +1877,7 @@ object SparkEntry {
     "q123_tok_store_drift" -> (q123TokStoreDrift _),
     "q124_langid_confusion" -> (q124LangIdConfusion _),
     "q125_norm_quantiles" -> (q125NormQuantiles _),
+    "q126_predlang_slice_eval" -> (q126PredLangSliceEval _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2417,6 +2440,84 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q117_tokenizer_fertility" -> bpeFertilitySql(5),
     "q123_tok_store_drift" -> tokStoreDriftSql(5),
+    // q126: q114's grouped metric math with the group relabeled by
+    // the full q124 langid replay (l*-prefixed CTEs to avoid clashing
+    // with the NB chain's toks/pd).
+    "q126_predlang_slice_eval" ->
+      s"""WITH $NbScoreCtes,
+        |ltoks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |lg AS (
+        |  SELECT doc_id, lang, gr FROM (SELECT doc_id, lang, '_' || tok || '_' AS p FROM ltoks) t,
+        |  UNNEST(list_concat(
+        |    list_transform(generate_series(1, len(p) - 1), i -> substr(p, i, 2)),
+        |    list_transform(generate_series(1, len(p) - 2), i -> substr(p, i, 3)))) AS u(gr)),
+        |llc AS (SELECT lang, gr AS gram, count(*) AS cnt FROM lg GROUP BY 1, 2),
+        |llp AS (SELECT lang, gram, rank FROM (
+        |  SELECT lang, gram,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM llc) t WHERE rank <= 64),
+        |ldc AS (SELECT doc_id, gr AS gram, count(*) AS cnt FROM lg GROUP BY 1, 2),
+        |ldp AS (SELECT doc_id, gram, rank FROM (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rank
+        |  FROM ldc) t WHERE rank <= 64),
+        |llangs AS (SELECT DISTINCT lang FROM llp),
+        |ldist AS (
+        |  SELECT ldp.doc_id, llangs.lang,
+        |    CAST(sum(coalesce(abs(ldp.rank - llp.rank), 64)) AS BIGINT) AS distance
+        |  FROM ldp CROSS JOIN llangs
+        |  LEFT JOIN llp ON llp.lang = llangs.lang AND llp.gram = ldp.gram
+        |  GROUP BY 1, 2),
+        |lpred AS (SELECT doc_id, lang AS pred_lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rk
+        |  FROM ldist) t WHERE rk = 1),
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score,
+        |    CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
+        |      THEN 1 ELSE 0 END AS pred
+        |  FROM s, pri),
+        |b AS (
+        |  SELECT lp.pred_lang, CAST(round(score * 1000000000.0, 0) AS BIGINT) AS s9k,
+        |    pred, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM scored JOIN documents d USING (doc_id) JOIN lpred lp USING (doc_id)),
+        |g AS (SELECT pred_lang, s9k, CAST(sum(y) AS BIGINT) AS pos_k,
+        |        CAST(count(*) - sum(y) AS BIGINT) AS neg_k FROM b GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(coalesce(sum(neg_k) OVER (PARTITION BY pred_lang
+        |        ORDER BY s9k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS cum FROM g),
+        |a AS (SELECT pred_lang, CAST(sum(pos_k) AS BIGINT) AS n_pos,
+        |        CAST(sum(neg_k) AS BIGINT) AS n_neg,
+        |        sum(CAST(pos_k AS HUGEINT) * CAST(cum * 2 + neg_k AS HUGEINT)) AS num
+        |      FROM w GROUP BY 1),
+        |c AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM b GROUP BY 1)
+        |SELECT c.pred_lang, n, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(num AS DOUBLE) /
+        |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6) END AS auc,
+        |  tp, fp, fn, tn,
+        |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN
+        |    CASE WHEN tp = 0 THEN 0.0 ELSE
+        |      round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |                * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+        |            / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
+        |  END AS f1
+        |FROM c JOIN a USING (pred_lang)""".stripMargin,
     // q125: the engine's sketch+confirm selection returns the exact
     // rank-⌈q·N⌉ element of the 6dp-rounded norms; the oracle picks
     // the same element by explicit rank (DuckDB can afford the sort

@@ -118,4 +118,115 @@ object Curation {
         st.budgeted.agg(coalesce(sum("n_tokens"), lit(0L)).cast("long")).head().getLong(0)))
     (st.budgeted, ledger)
   }
+
+  /** One quality-ledger line: the row/token counts plus the stage's
+    * MEASURED filter quality ([[Eval.classifierMetrics]] of "survived
+    * to this stage" against the caller's trusted seed label):
+    * precision = fraction of kept docs that are label-positive,
+    * recall = fraction of label-positive docs still kept, f1 their
+    * mean, auc the quality score's ranking power over the label
+    * (stage-independent — reported once per line for the card). Null
+    * metric = undefined denominator (e.g. no label-positives). */
+  final case class StageQuality(
+      stage: String,
+      rows: Long,
+      tokens: Long,
+      precision: Option[Double],
+      recall: Option[Double],
+      f1: Option[Double],
+      auc: Option[Double])
+
+  /** [[withLedger]] with MEASURED quality per stage, not just counts —
+    * what the data card cites as "filter quality":
+    *
+    *  - every stage boundary gets an [[Eval.classifierMetrics]] line
+    *    against `seedLabel` (the caller's trusted positive class —
+    *    a language, a source allowlist, a human rating column): a
+    *    curation pass that silently sheds label-positive documents
+    *    shows up as falling recall BETWEEN stages, not as a row count;
+    *  - decontamination gets the retrieval audit
+    *    ([[Retrieval.bm25TopK]] → [[Eval.retrievalMetrics]] →
+    *    [[Eval.retrievalSummary]]): benchmark documents QUERY the
+    *    corpus before and after the decontamination stage, a
+    *    retrieved document counting as a hit iff it shares a
+    *    decontamination n-gram with that query. After a correct
+    *    decontamination the summary's mean_recall is 0.0 — leakage
+    *    is not just filtered, it is UNFINDABLE by retrieval.
+    *
+    * The retrieval audit runs on the gated corpus (already
+    * dedup+quality-shrunk) against the small benchmark — evaluation
+    * metrology; the 100-TB decontamination itself stays the Bloom
+    * path inside [[stages]].
+    *
+    * Returns (curated corpus, per-stage quality lines, 2-row
+    * retrieval-audit frame: phase ∈ {before_decontam, after_decontam}
+    * × retrievalSummary columns).
+    */
+  def withQualityLedger(
+      docs: DataFrame,
+      bench: DataFrame,
+      seedLabel: org.apache.spark.sql.Column,
+      cfg: Config = Config()): (DataFrame, Seq[StageQuality], DataFrame) = {
+    val input = docs.localCheckpoint(false)
+    val st = stages(input, bench, cfg, materialize = _.localCheckpoint(false))
+    // every input doc scored ONCE: quality score (the ranking score
+    // the AUC rates), token count, trusted label
+    val scoredAll = input.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      seedLabel.cast("int").as("y")).localCheckpoint(false)
+    def line(stage: String, kept: DataFrame): StageQuality = {
+      val pred = scoredAll
+        .join(kept.select(col("doc_id"), lit(1).as("flag")), Seq("doc_id"), "left")
+        .select(col("q"), coalesce(col("flag"), lit(0)).as("pred"),
+          col("y"), col("nt"))
+        .localCheckpoint(false) // two consumers: metrics + token sum
+      val m = Eval.classifierMetrics(pred, "q", "pred", "y").head()
+      val kt = pred.filter(col("pred") === 1)
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum("nt"), lit(0L)).cast("long")).head()
+      def opt(name: String): Option[Double] =
+        if (m.isNullAt(m.fieldIndex(name))) None
+        else Some(m.getAs[Double](name))
+      StageQuality(stage, kt.getLong(0), kt.getLong(1),
+        opt("precision"), opt("recall"), opt("f1"), opt("auc"))
+    }
+    val lines = Seq(
+      line("input", input.select("doc_id")),
+      line("dedup_survivors", st.survivors),
+      line("quality_gated", st.gated),
+      line("decontaminated", st.clean),
+      line("token_budgeted", st.budgeted))
+    // retrieval audit of the decontamination stage
+    val truth = contaminationPairs(
+      st.gated.select("doc_id", "text"), bench, cfg.decontamN)
+      .localCheckpoint(false)
+    def probe(corpus: DataFrame, phase: String): DataFrame =
+      Eval.retrievalSummary(Eval.retrievalMetrics(
+        Retrieval.bm25TopK(corpus.select("doc_id", "text"),
+          bench.select(col("doc_id").as("q_id"), col("text")), k = 10),
+        truth, k = 10))
+        .select(lit(phase).as("phase"), col("n_queries"),
+          col("mean_recall"), col("mean_mrr"), col("mean_ndcg"))
+    val audit = probe(st.gated, "before_decontam")
+      .unionByName(probe(st.clean, "after_decontam"))
+    (st.budgeted, lines, audit)
+  }
+
+  /** Exact (benchmark doc, corpus doc) contamination pairs — one row
+    * per pair sharing ≥ 1 decontamination n-gram. The retrieval
+    * audit's truth set; runs on already-curated corpora (evaluation
+    * scale), while the pipeline's own decontamination stays the
+    * Bloom-prefiltered per-document path. */
+  private def contaminationPairs(
+      corpus: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame = df.select(
+      col("doc_id").as(out),
+      explode(array_distinct(TextFunctions.wordNgrams(
+        TextFunctions.tokens(col("text")), n))).as("gram"))
+    grams(corpus, "doc_id")
+      .join(grams(bench, "query_id"), Seq("gram"))
+      .select("query_id", "doc_id")
+      .distinct()
+  }
 }

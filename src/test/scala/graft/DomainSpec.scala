@@ -499,6 +499,50 @@ class DomainSpec extends SparkSpecBase {
     assert(counts("final_tokens") == bySource.map(_._2).sum)
   }
 
+  test("CLI curate-pipeline --seed: quality ledger measures each stage's filter " +
+    "against the label; decontamination audit retrieves zero leakage afterwards") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_curate_q").toString
+    assert(graft.Cli.run(Array("curate-pipeline", "-i", docs, "-o", tmp,
+      "--seed", "lang = 'en'")) == 0)
+
+    // same corpus as the plain verb — the quality ledger is metrology,
+    // never a behavior change
+    val got = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id", "source", "n_tokens", "lang", "quality")
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.q79CurationPipeline(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "n_tokens", "lang", "quality")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"--seed changed the curated corpus: ${got.size} vs ${want.size}")
+
+    val ledgerJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "ledger.json")), "UTF-8")
+    val rows = """"stage": "([a-z_]+)", "rows": (\d+), "tokens": (\d+), "precision": ([0-9.]+|null), "recall": ([0-9.]+|null)""".r
+      .findAllMatchIn(ledgerJson)
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(5)))).toMap
+    assert(rows.keySet == Set("input", "dedup_survivors", "quality_gated",
+      "decontaminated", "token_budgeted"), rows.toString)
+    // the input stage keeps everything: recall of the label is exactly 1
+    assert(rows("input")._2 == "1.0", s"input recall ${rows("input")._2}")
+    // recall can only fall as stages drop documents
+    val order = Seq("input", "dedup_survivors", "quality_gated",
+      "decontaminated", "token_budgeted")
+    val recalls = order.map(s => rows(s)._2.toDouble)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a },
+      s"label recall rose across a shrinking pipeline: $recalls")
+
+    // decontamination audit: leakage retrievable before, gone after
+    val audit = spark.read.parquet(s"$tmp/decontam_audit")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))).toMap
+    assert(audit.keySet == Set("before_decontam", "after_decontam"), audit.toString)
+    assert(audit("before_decontam")._2 > 0.0,
+      s"benchmark leakage should be retrievable pre-decontam: $audit")
+    assert(audit("after_decontam")._2 == 0.0,
+      s"decontaminated corpus still retrieves leakage: $audit")
+  }
+
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
