@@ -1005,6 +1005,17 @@ design: it materializes every cell of the full-width reference matrix
 JVM. Its pinned invariant is the exchange budget (3·batches−2), which
 is what survives the move to a cluster — the per-stage work spreads
 across executors there, the plan shape does not change.
+
+Of the round-11 additions, q126 (and q124 inside it) is the
+costliest: language identification expands each document's top-64
+gram profile against every language's broadcast profile — O(64·langs)
+rows per document, independent of document length, so the cost is
+row-linear and embarrassingly parallel (the per-document top-64
+window partitions by doc). q123's cost is the five training argmaxes
+over the SNAPSHOT split only; its monitoring path (the frozen
+encode) is the same narrow fold q117's encode half runs. q125 is one
+sketch pass plus four bracket-sized confirm jobs over the staged
+norms.
 """
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
