@@ -1122,6 +1122,33 @@ object Cli {
       }
       0
 
+    case "langid-store" :: rest =>
+      // Frozen language-ID model: --create fits Cavnar-Trenkle
+      // profiles on a labeled snapshot and persists them with the
+      // snapshot's labeled language mix; --mix-drift reports the
+      // arriving batch's PREDICTED composition against it (the
+      // feed-composition alarm); default classifies the batch.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val spark = session()
+      if (m.contains("--create")) {
+        val topM = m.get("--top-m").flatMap(_.headOption).map(_.toInt).getOrElse(64)
+        graft.ops.LangIdStore.createAt(spark, spark.read.parquet(in), store, topM)
+        println(s"langid store created at $store (top-$topM profiles)")
+      } else if (m.contains("--mix-drift")) {
+        val out = one(m, "-o", "--output")
+        graft.ops.LangIdStore.mixDrift(spark, store, spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"language-mix drift vs frozen profiles written to $out")
+      } else {
+        val out = one(m, "-o", "--output")
+        graft.ops.LangIdStore.classify(spark, store, spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+        println(s"frozen-profile langid predictions written to $out")
+      }
+      0
+
     case "budget" :: rest =>
       // Per-key token-budget sample (the "at most B tokens from each
       // source" mixture clause): deterministic md5-order take within
@@ -1761,6 +1788,7 @@ object Cli {
            |  frames     -i <media-glob> -o <out.parquet> [--kind avi|wav] [--every 1] [--frames 4] [--bytes 1024]
            |  tok-store  --create -i <docs.parquet> -s <store-dir> [--merges 32] | --encode -i <batch.parquet> -s <store-dir> -o <out.parquet> | --drift -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  lang-id    -i <docs.parquet> -o <out.parquet> [--confusion | --profiles-from <labeled.parquet>] [--top-m 64] [--id doc_id] [--lang lang]
+           |  langid-store --create -i <labeled.parquet> -s <store-dir> [--top-m 64] | --mix-drift -i <batch.parquet> -s <store-dir> -o <out.parquet> | -i <batch.parquet> -s <store-dir> -o <out.parquet>   (frozen profiles; classify O(batch))
            |  quantiles  -i <data.parquet> -o <out.parquet> [--col value] [--q 0.25,0.5,0.75,0.95] [--sketch-k 256]
            |  reindex    -s <ivf-index> [--max-occ-cv 1.0] [--max-sqerr <f>] [--iters 2]   (rebuilds only when breached; logs reindex.json)
            |got: ${other.mkString(" ")}""".stripMargin)

@@ -183,7 +183,7 @@ object ScaleSmoke {
       "q119_embedding_dim_stats", "q120_filtered_ann",
       "q121_banding_report", "q122_prefix_dup_profile",
       "q123_tok_store_drift", "q124_langid_confusion", "q125_norm_quantiles",
-      "q126_predlang_slice_eval")
+      "q126_predlang_slice_eval", "q127_langid_store_mix")
     // q88 (BM25) is EXCLUDED from the sweep for the same class of
     // reason as q23: the synthetic corpus has a ~31-token vocabulary,
     // so every one of the sweep's 2,000 query docs lexically matches

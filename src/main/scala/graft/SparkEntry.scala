@@ -1571,6 +1571,26 @@ object SparkEntry {
       scored, "pred_lang", "log_odds", "predicted", "y")
   }
 
+  /** Frozen language-ID store — the production labeling shape: fit
+    * the Cavnar–Trenkle profiles ONCE on the labeled snapshot
+    * (doc_id % 25 == 0), persist profiles + the snapshot's labeled
+    * language mix ([[graft.ops.LangIdStore]]), then classify the
+    * arriving corpus (doc_id % 25 != 0) under the FROZEN profiles and
+    * report per trained language: predicted docs, predicted share,
+    * the snapshot's labeled share, and the drift between them — the
+    * feed-composition alarm. O(batch) classification, profiles and
+    * reference mix broadcast. The oracle replays profile training on
+    * the snapshot split and classification of the arrivals with the
+    * q124 integer machinery, then the share join. */
+  def q127LangIdStoreMix(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_langid_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.LangIdStore.createAt(
+      s, docs.filter(col("doc_id") % 25 === 0), s"$tmp/lid", topM = 64)
+    graft.ops.LangIdStore.mixDrift(
+      s, s"$tmp/lid", docs.filter(col("doc_id") % 25 =!= 0))
+  }
+
   /** Cross-source contamination matrix — which feeds mirror each
     * other: distinct shared bigrams and vocabulary Jaccard for every
     * source pair ([[graft.ops.CorpusStats.sourceOverlapMatrix]]).
@@ -1878,6 +1898,7 @@ object SparkEntry {
     "q124_langid_confusion" -> (q124LangIdConfusion _),
     "q125_norm_quantiles" -> (q125NormQuantiles _),
     "q126_predlang_slice_eval" -> (q126PredLangSliceEval _),
+    "q127_langid_store_mix" -> (q127LangIdStoreMix _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2440,6 +2461,59 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q117_tokenizer_fertility" -> bpeFertilitySql(5),
     "q123_tok_store_drift" -> tokStoreDriftSql(5),
+    // q127: q124's integer langid machinery with training restricted
+    // to the snapshot split and classification to the arrivals, then
+    // the predicted-vs-labeled share join.
+    "q127_langid_store_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, lang, gr FROM (SELECT doc_id, lang, '_' || tok || '_' AS p FROM toks) t,
+        |  UNNEST(list_concat(
+        |    list_transform(generate_series(1, len(p) - 1), i -> substr(p, i, 2)),
+        |    list_transform(generate_series(1, len(p) - 2), i -> substr(p, i, 3)))) AS u(gr)),
+        |lc AS (SELECT lang, gr AS gram, count(*) AS cnt FROM g
+        |       WHERE doc_id % 25 = 0 GROUP BY 1, 2),
+        |lp AS (SELECT lang, gram, rank FROM (
+        |  SELECT lang, gram,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM lc) t WHERE rank <= 64),
+        |dc AS (SELECT doc_id, gr AS gram, count(*) AS cnt FROM g
+        |       WHERE doc_id % 25 <> 0 GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, gram, rank FROM (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rank
+        |  FROM dc) t WHERE rank <= 64),
+        |langs AS (SELECT DISTINCT lang FROM lp),
+        |dist AS (
+        |  SELECT dp.doc_id, langs.lang,
+        |    CAST(sum(coalesce(abs(dp.rank - lp.rank), 64)) AS BIGINT) AS distance
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, lang AS pred_lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rk
+        |  FROM dist) t WHERE rk = 1),
+        |pc AS (SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1),
+        |tt AS (SELECT coalesce(sum(n), 0) AS t FROM pc),
+        |tr AS (SELECT lang, count(*) AS n FROM documents
+        |       WHERE text IS NOT NULL AND doc_id % 25 = 0 GROUP BY 1),
+        |trt AS (SELECT sum(n) AS t FROM tr),
+        |mix AS (SELECT lang, round(CAST(tr.n AS DOUBLE) / CAST(trt.t AS DOUBLE), 6)
+        |          AS train_share FROM tr, trt),
+        |base AS (
+        |  SELECT mix.lang, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_docs,
+        |    CASE WHEN tt.t > 0
+        |      THEN round(CAST(coalesce(pc.n, 0) AS DOUBLE) / CAST(tt.t AS DOUBLE), 6)
+        |      ELSE 0.0 END AS share,
+        |    mix.train_share
+        |  FROM mix LEFT JOIN pc USING (lang), tt)
+        |SELECT lang, n_docs, share, train_share,
+        |  round(share - train_share, 6) AS share_delta
+        |FROM base""".stripMargin,
     // q126: q114's grouped metric math with the group relabeled by
     // the full q124 langid replay (l*-prefixed CTEs to avoid clashing
     // with the NB chain's toks/pd).

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted FROZEN language-ID model: fit the Cavnar–Trenkle
+  * profiles ONCE on a labeled snapshot ([[LangId.langProfiles]]),
+  * persist them, classify arriving batches forever after — the
+  * language-ID member of the frozen-store family ([[LmStore]],
+  * [[NbStore]], [[TokStore]]). A production pipeline labels arrivals
+  * with a model trained on its trusted snapshot; refitting per batch
+  * would let every batch move every other batch's labels.
+  *
+  * Layout under `path`:
+  *   - `profiles` — (lang, gram, rank), langs × topM rows (tiny; one
+  *     file). Broadcast at classify time.
+  *   - `mix` — the snapshot's TRUE label composition (lang,
+  *     train_share): the reference point the mix-drift monitor
+  *     compares arriving PREDICTED composition against.
+  *   - `_langid_store.json` — topM.
+  *
+  * [[mixDrift]] is the feed-composition alarm: per trained language,
+  * the arriving batch's predicted share vs the snapshot's labeled
+  * share. A language surging past its snapshot share (or vanishing —
+  * the row stays, share 0) is a source change upstream filters were
+  * never tuned for. Classification itself is [[LangId.classify]]:
+  * O(topM·langs) per document, profiles broadcast, O(batch) total.
+  */
+object LangIdStore {
+
+  def createAt(
+      spark: SparkSession,
+      docs: DataFrame,
+      path: String,
+      topM: Int = 64): Unit = {
+    val staged = Parallelism.ensure(docs)
+    LangId.langProfiles(staged, "lang", "text", topM)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/profiles")
+    val counts = staged.filter(col("text").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        round(col("n").cast("double") / col("t").cast("double"), 6)
+          .as("train_share"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/mix")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_langid_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"topM": $topM}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** (profiles frame, topM) in a fresh session. */
+  def attach(spark: SparkSession, path: String): (DataFrame, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_langid_store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val topM = """"topM"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"malformed _langid_store.json at $path: $json"))
+    (spark.read.parquet(s"$path/profiles"), topM)
+  }
+
+  /** Classify a batch under the FROZEN profiles: (doc_id, pred_lang,
+    * distance), O(batch). */
+  def classify(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    val (profiles, topM) = attach(spark, path)
+    LangId.classify(docs, "doc_id", "text", profiles, topM)
+  }
+
+  /** Language-mix drift of an arriving batch against the snapshot:
+    * one row per TRAINED language (predictions can only land on
+    * trained languages) — predicted docs, predicted share of the
+    * batch, the snapshot's labeled share, and their difference. A
+    * language with no arrivals keeps its row at share 0 — vanishing
+    * IS drift. */
+  def mixDrift(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    val (profiles, topM) = attach(spark, path)
+    mixDriftFrom(profiles, topM, spark.read.parquet(s"$path/mix"), docs)
+  }
+
+  /** [[mixDrift]] over ALREADY-ATTACHED store frames — shared
+    * verbatim by the batch monitor and the streaming sink
+    * ([[graft.streaming.LangIdStream]]), which attaches once and
+    * reuses across micro-batches. */
+  private[graft] def mixDriftFrom(
+      profiles: DataFrame,
+      topM: Int,
+      ref: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val predCounts = LangId.classify(docs, "doc_id", "text", profiles, topM)
+      .groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = predCounts.agg(coalesce(sum("n"), lit(0L)).as("t"))
+    ref
+      .join(broadcast(predCounts), Seq("lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"),
+        coalesce(col("n"), lit(0L)).as("n_docs"),
+        when(col("t") > 0L,
+          round(coalesce(col("n"), lit(0L)).cast("double") /
+            col("t").cast("double"), 6)).otherwise(lit(0.0)).as("share"),
+        col("train_share"))
+      .withColumn("share_delta", round(col("share") - col("train_share"), 6))
+  }
+}

@@ -346,9 +346,12 @@ class DomainSpec extends SparkSpecBase {
       "-o", s"$tmp/store", "--checkpoint", s"$tmp/ckpt", "-k", "9")) == 0)
     val got = spark.read.parquet(s"$tmp/store/sample")
       .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
+    // the CLI's default weight (ln(2 + n_chars) — nonzero on empty
+    // docs so the non-positive-weight guard only fires on genuinely
+    // bad expressions)
     val want = graft.ops.Sampling.weightedSample(
       spark.read.parquet(docs), "doc_id", "source",
-      org.apache.spark.sql.functions.expr("ln(1 + n_chars)"), k = 9)
+      org.apache.spark.sql.functions.expr("ln(2 + n_chars)"), k = 9)
       .select("doc_id", "source", "rank").collect().map(_.toSeq).toSet
     assert(got == want, s"CLI stream store ${got.size} != batch sample ${want.size}")
   }

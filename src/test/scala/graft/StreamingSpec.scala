@@ -1089,6 +1089,36 @@ class StreamingSpec extends SparkSpecBase {
       s"streamed fertility totals $streamed != batch monitor $batch")
   }
 
+  test("language-mix monitor: streamed drift rows == batch mixDrift per wave; ledger tagged") {
+    import graft.ops.LangIdStore
+    import graft.streaming.LangIdStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lidstream").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    LangIdStore.createAt(spark, docs.filter(col("doc_id") % 25 === 0), s"$tmp/lid", topM = 64)
+    val arriving = docs.filter(col("doc_id") % 25 =!= 0)
+    val w1 = arriving.filter(col("doc_id") % 2 === 0)
+    val w2 = arriving.filter(col("doc_id") % 2 === 1)
+    w1.coalesce(1).write.parquet(s"$tmp/in")
+    w2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = LangIdStream.maintain(spark, s"$tmp/in", s"$tmp/lid", s"$tmp/ledger",
+      s"$tmp/ckpt", arriving.schema,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.processAllAvailable() finally q.stop()
+    val ledger = spark.read.parquet(s"$tmp/ledger")
+    assert(ledger.select("batch").distinct().count() >= 1)
+    // each ledger batch is EXACTLY the batch monitor over some
+    // partition of the arrivals; the summed per-lang doc counts must
+    // reproduce the one-shot monitor (classification is per-document,
+    // so batch boundaries cannot change a prediction)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = toMap(ledger.groupBy("lang")
+      .agg(sum("n_docs").cast("long").as("n_docs")))
+    val batch = toMap(LangIdStore.mixDrift(spark, s"$tmp/lid", arriving)
+      .select("lang", "n_docs"))
+    assert(streamed == batch, s"streamed mix $streamed != batch $batch")
+  }
+
   test("sessionizeWatermarked: non-positive idle expiry fails at plan time") {
     // The guard must fire BEFORE any micro-batch runs (a bad expiry
     // would otherwise kill the query inside setTimeoutTimestamp) — so

@@ -589,6 +589,37 @@ class QualitySpec extends SparkSpecBase {
     assert(conf == Map(("xx", "xx") -> 1L, ("yy", "yy") -> 1L), conf.toString)
   }
 
+  test("LangIdStore: frozen classify == refit classify on the snapshot; " +
+    "mix drift zero on the snapshot itself, surge and vanish both visible") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lidstore").toString
+    val snapshot = Seq(
+      (1L, "aa aa aa", "xx"), (2L, "aa aa", "xx"),
+      (3L, "bb bb bb", "yy"), (4L, "bb bb", "yy"))
+      .toDF("doc_id", "text", "lang")
+    LangIdStore.createAt(spark, snapshot, s"$tmp/lid", topM = 64)
+    // frozen classify == LangId.classify with profiles refit on the
+    // same snapshot (one codepath, persisted)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val refit = LangId.classify(snapshot, "doc_id", "text",
+      LangId.langProfiles(snapshot, "lang", "text", 64), 64)
+    assert(asMap(LangIdStore.classify(spark, s"$tmp/lid", snapshot)) == asMap(refit))
+    // self-mix: predicted == labeled on this separable corpus -> every
+    // share_delta is exactly 0
+    val self = LangIdStore.mixDrift(spark, s"$tmp/lid", snapshot)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(self == Map("xx" -> 0.0, "yy" -> 0.0), self.toString)
+    // arrivals: all-'aa' feed -> xx surges to share 1.0 (+0.5), yy
+    // vanishes but keeps its row at share 0 (-0.5)
+    val arrivals = Seq((10L, "aa aa", "??"), (11L, "aa", "??"))
+      .toDF("doc_id", "text", "lang")
+    val drift = LangIdStore.mixDrift(spark, s"$tmp/lid", arrivals)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(drift("xx") == ((2L, 1.0, 0.5)) && drift("yy") == ((0L, 0.0, -0.5)),
+      drift.toString)
+  }
+
   test("naiveBayesLogOdds prior: balanced classes contribute ln(N+/N-)") {
     // one doc per class with the SAME single token: the token weight
     // cancels (identical smoothed counts), leaving exactly the prior
