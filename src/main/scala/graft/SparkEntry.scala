@@ -1560,8 +1560,7 @@ object SparkEntry {
     * relabel the groups. */
   def q126PredLangSliceEval(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val profiles = graft.ops.LangId.langProfiles(docs, "lang", "text", topM = 64)
-    val pred = graft.ops.LangId.classify(docs, "doc_id", "text", profiles, topM = 64)
+    val pred = graft.ops.LangId.selfClassify(docs, "doc_id", "lang", "text", topM = 64)
       .select(col("doc_id"), col("pred_lang"))
     val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
       .join(docs.select(col("doc_id"),
@@ -1762,6 +1761,50 @@ object SparkEntry {
       s, s"$tmp/tok", docs.filter(col("doc_id") % 25 =!= 0))
   }
 
+  /** Corpus snapshot diff — the release audit
+    * ([[graft.ops.CorpusDiff]]): per source, documents added /
+    * removed / content-changed / unchanged between the previous
+    * release (doc_id % 7 ≠ 3) and the current one (doc_id % 5 ≠ 0,
+    * with every 11th document's text edited) — both snapshots carved
+    * deterministically from the corpus so the md5 content identity
+    * replays exactly. */
+  def q128CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(col("doc_id") % 7 =!= 3)
+    val now = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.ops.CorpusDiff.diff(prev, now)
+  }
+
+  /** Vocabulary-aging report under the frozen LM store
+    * ([[graft.ops.LmStore.oovReport]]): fit the vocabulary once on
+    * the reference split (doc_id % 25 ≠ 0, q103's store), then report
+    * per-language OOV mass over arrivals (doc_id % 25 = 0) where
+    * every even-id arrival carries one genuinely new token — the
+    * deterministic stand-in for real vocabulary drift. The oracle
+    * replays fit, frozen probe and the per-language rollup. */
+  def q129LmOovDrift(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_lm_oov_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.LmStore.createAt(s, docs.filter(col("doc_id") % 25 =!= 0), s"$tmp/lm")
+    val arrivals = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("text", when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" nw"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+    graft.ops.LmStore.oovReport(s, s"$tmp/lm", arrivals)
+  }
+
+  /** Per-language vocabulary size, exact + HyperLogLog
+    * ([[graft.ops.CorpusStats.vocabSize]]): the distinct-count sketch
+    * the 100 TB run keeps (one pass, 4 KiB per language, map-side
+    * mergeable) gated by the exact count at test scale. The whole
+    * estimate — 60-bit md5 hashes, trailing-zero ranks, the
+    * fixed-point harmonic sum, linear-counting correction — replays
+    * digit-for-digit in the oracle. */
+  def q130VocabHll(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.vocabSize(Tables.documents(s, dir), "lang", "text", p = 12)
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1899,6 +1942,9 @@ object SparkEntry {
     "q125_norm_quantiles" -> (q125NormQuantiles _),
     "q126_predlang_slice_eval" -> (q126PredLangSliceEval _),
     "q127_langid_store_mix" -> (q127LangIdStoreMix _),
+    "q128_corpus_diff" -> (q128CorpusDiff _),
+    "q129_lm_oov_drift" -> (q129LmOovDrift _),
+    "q130_vocab_hll" -> (q130VocabHll _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2645,6 +2691,104 @@ object SparkEntry {
         |SELECT tl.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM pred JOIN tl USING (doc_id)
         |GROUP BY 1, 2""".stripMargin,
+    // q128: both snapshots and the simulated edit are deterministic
+    // carvings of the corpus; content identity is md5(text), compared
+    // null-safely (IS DISTINCT FROM).
+    "q128_corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, source, md5(text) AS h
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |now_ AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (
+        |  SELECT coalesce(n.source, p.source) AS source,
+        |    CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+        |    CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+        |    CASE WHEN p.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |          AND p.h IS DISTINCT FROM n.h THEN 1 ELSE 0 END AS changed,
+        |    CASE WHEN p.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |          AND p.h IS NOT DISTINCT FROM n.h THEN 1 ELSE 0 END AS unchanged
+        |  FROM prev p FULL OUTER JOIN now_ n ON p.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(sum(added) AS BIGINT) AS n_added,
+        |  CAST(sum(removed) AS BIGINT) AS n_removed,
+        |  CAST(sum(changed) AS BIGINT) AS n_changed,
+        |  CAST(sum(unchanged) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY 1""".stripMargin,
+    // q129: q103's fit split (doc_id % 25 <> 0) trains the frozen
+    // vocab; arrivals are the held-out split with every even id
+    // carrying one synthetic new token. The rollup counts tokens with
+    // multiplicity, like LmStore.score.
+    "q129_lm_oov_drift" ->
+      """WITH vtoks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+        |vocab AS (SELECT DISTINCT tok FROM vtoks),
+        |arr AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' nw' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0),
+        |atoks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM arr),
+        |pd AS (
+        |  SELECT a.doc_id, a.lang, count(*) AS n_tok,
+        |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM atoks a LEFT JOIN vocab v USING (tok)
+        |  GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+        |  CASE WHEN sum(n_tok) > 0
+        |    THEN round(CAST(sum(n_oov) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+        |  END AS oov_rate
+        |FROM pd GROUP BY 1""".stripMargin,
+    // q130: the FULL HyperLogLog estimate replayed — 60-bit md5
+    // hashes, register = low 12 bits, rank = trailing zeros of the
+    // remaining 48 bits + 1 (log2 of the isolated lowest set bit is
+    // exact in IEEE), harmonic sum as the exact integer
+    // sum(2^(49-rank)), the one double division at the end, and the
+    // linear-counting small-range branch. 562949953421312 = 2^49;
+    // 0.7213/(1+1.079/4096) is written with the same literals in the
+    // engine so both sides round identically.
+    "q130_vocab_hll" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT DISTINCT lang, tok FROM toks),
+        |h AS (SELECT lang,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h60 FROM dt),
+        |reg AS (
+        |  SELECT lang, h60 & 4095 AS idx,
+        |    CASE WHEN (h60 >> 12) = 0 THEN 49
+        |         ELSE CAST(log2((h60 >> 12) & (-(h60 >> 12))) AS INT) + 1 END AS rho
+        |  FROM h),
+        |regmax AS (SELECT lang, idx, max(rho) AS r FROM reg GROUP BY 1, 2),
+        |s AS (
+        |  SELECT lang, count(*) AS used,
+        |    sum(CAST(1 AS BIGINT) << (49 - r)) AS sf
+        |  FROM regmax GROUP BY 1),
+        |ex AS (SELECT lang, count(*) AS n_exact FROM dt GROUP BY 1),
+        |e AS (
+        |  SELECT lang, used,
+        |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 562949953421312.0
+        |      / CAST(sf + (4096 - used) * 562949953421312 AS DOUBLE) AS eraw
+        |  FROM s),
+        |fin AS (
+        |  SELECT lang,
+        |    CASE WHEN eraw <= 2.5 * 4096.0 AND used < 4096
+        |      THEN 4096.0 * ln(4096.0 / (4096 - used)) ELSE eraw END AS hll
+        |  FROM e)
+        |SELECT ex.lang, CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |  round(fin.hll, 6) AS hll_estimate,
+        |  round(abs(fin.hll - ex.n_exact) / ex.n_exact, 6) AS rel_error
+        |FROM ex JOIN fin USING (lang)""".stripMargin,
     "q69_pq_topk" -> PqOracleSql,
     // q103: the oracle refits the frozen LM from the train split
     // (doc_id % 25 <> 0) and scores the held-out split against it —

@@ -257,3 +257,88 @@ object WinnowMinima {
   def apply(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowMinima(ColumnBridge.expression(hashes), w))
 }
+
+/** `bpe_pieces(string) -> int`: the piece count of one token under a
+  * FROZEN, ordered BPE merge list — the whole frozen-encode kernel
+  * ([[graft.ops.Quality.bpeEncode]] / [[graft.ops.TokStore]]) in one
+  * codegen-friendly node.
+  *
+  * Bit-equal to `size(merges.foldLeft(filter(split(t, ""), s => s
+  * =!= ""))(applyMerge))` — the declarative greedy left-to-right fold
+  * ([[graft.ops.Quality.applyMerge]], parity-pinned in
+  * ExpressionParitySpec): symbols start as the token's code points
+  * (Java's zero-width regex split is code-point aware, like Spark's
+  * `split(t, "")`), each merge (x, y) fuses greedily left-to-right
+  * ("aaa" under (a,a) → [aa, a]), merges apply in TRAINING ORDER so a
+  * later merge sees the earlier one's fused symbols. The declarative
+  * fold rebuilds an interpreted array per symbol per merge —
+  * O(len²·merges) allocations on the hottest monitoring path in the
+  * engine; this kernel is two primitive array walks per merge.
+  *
+  * The merge table rides inside the expression — driver-bounded by
+  * the same contract as [[graft.ops.TokStore]]'s `merges` layout.
+  */
+case class BpePieces(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bpe_pieces"
+
+  @transient private lazy val mergeTriples: Array[(String, String, String)] =
+    merges.map { case (x, y) => (x, y, x + y) }.toArray
+
+  def compute(tok: UTF8String): Int = {
+    val s = tok.toString
+    // Symbols start as code points (split(t, "") boundaries).
+    var syms = new Array[String](s.codePointCount(0, s.length))
+    var off = 0
+    var k = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      val w = Character.charCount(cp)
+      syms(k) = s.substring(off, off + w)
+      off += w
+      k += 1
+    }
+    var nSyms = syms.length
+    var m = 0
+    while (m < mergeTriples.length && nSyms > 1) {
+      val (x, y, xy) = mergeTriples(m)
+      val out = new Array[String](nSyms)
+      var o = 0
+      var i = 0
+      while (i < nSyms) {
+        val cur = syms(i)
+        if (o > 0 && out(o - 1) == x && cur == y) {
+          out(o - 1) = xy
+        } else {
+          out(o) = cur
+          o += 1
+        }
+        i += 1
+      }
+      syms = out
+      nSyms = o
+      m += 1
+    }
+    nSyms
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpePieces", this, classOf[BpePieces].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePieces =
+    copy(child = newChild)
+}
+
+object BpePieces {
+  def apply(tok: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpePieces(ColumnBridge.expression(tok), merges))
+}

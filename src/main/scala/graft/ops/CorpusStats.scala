@@ -198,4 +198,40 @@ object CorpusStats {
           (col("sz_a") + col("sz_b") - col("shared_grams")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Per-language vocabulary size, exact AND sketched — the
+    * distinct-count audit ([[graft.functions.HllSketchAgg]]): per
+    * language, the exact distinct whitespace-token count, the
+    * HyperLogLog estimate over the same tokens, and their relative
+    * error. The estimate column is what a 100 TB run keeps (one pass,
+    * map-side mergeable, 2^p bytes per language — no (lang, token)
+    * shuffle); the exact column is the gate that proves the sketch
+    * honest at test scale, the same sketch-plus-exact-confirm
+    * discipline as [[heavyHitters]]'s CMS and
+    * [[graft.ops.Quantiles]]'s KLL. Both replay digit-for-digit in
+    * SQL — see [[graft.functions.HllSketch]]'s determinism notes.
+    *
+    * Output: (lang, n_exact, hll_estimate, rel_error), rel_error =
+    * round(|hll − exact| / exact, 6).
+    */
+  def vocabSize(docs: DataFrame, langCol: String, textCol: String, p: Int = 12): DataFrame = {
+    import graft.functions.HllSketchAgg.hllSketch
+    import graft.functions.HllEstimate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+    toks
+      .groupBy(col("lang"))
+      .agg(
+        count_distinct(col("token")).as("n_exact"),
+        ColumnBridge.column(HllEstimate(ColumnBridge.expression(
+          hllSketch(Md5Prefix64(col("token")), p)))).as("hll_estimate"))
+      .select(col("lang"),
+        col("n_exact").cast("long").as("n_exact"),
+        round(col("hll_estimate"), 6).as("hll_estimate"),
+        round(abs(col("hll_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_error"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{CtBestLang, CtDocProfile, PaddedCharGrams, TextFunctions}
 
 /** Character-n-gram language identification — Cavnar & Trenkle 1994
   * ("N-Gram-Based Text Categorization"): per language, a PROFILE of
@@ -30,38 +30,47 @@ import graft.functions.TextFunctions
   * the lexicographically smallest language.
   *
   * Scale shape: the language profiles are (|langs| × topM) rows —
-  * broadcast; per-document work is one narrow gram projection, one
-  * per-document top-M window (partitioned by doc, data-parallel), and
-  * a (doc-profile × |langs|) expansion joined against the broadcast
-  * profiles — O(topM × |langs|) rows per document, independent of
-  * document length, no corpus-sized shuffle beyond the per-doc gram
-  * aggregate.
+  * they ride broadcast inside the [[CtBestLang]] kernel (the IVF
+  * centroid-matrix contract). Per-document work is one codegen'd gram
+  * expansion ([[PaddedCharGrams]]), one (doc, gram) count aggregate,
+  * one per-document top-M selection folded into the same aggregate
+  * pass (`array_sort` + `slice` — no window, no second corpus-wide
+  * sort), and one O(topM · |langs|) argmin projection. Two exchanges
+  * total, both keyed by document; nothing expands by |langs|.
   */
 object LangId {
 
-  /** All padded 2- and 3-grams of every token, one row per OCCURRENCE:
-    * (id, gram). */
-  private def gramRows(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+  /** All padded 2- and 3-grams of a token array — the declarative
+    * reference [[PaddedCharGrams]] is parity-pinned against
+    * (ExpressionParitySpec); kept as the oracle-transcribable form. */
+  private[graft] def gramsHof(tokens: Column): Column = {
     def gramsOf(tok: Column, n: Int): Column = {
       val padded = concat(lit("_"), tok, lit("_"))
       transform(sequence(lit(1), length(padded) - (n - 1)),
         i => padded.substr(i, lit(n)))
     }
-    docs
-      .filter(col(textCol).isNotNull)
-      .select(col(keyCol),
-        explode(flatten(transform(TextFunctions.tokens(col(textCol)),
-          t => concat(gramsOf(t, 2), gramsOf(t, 3))))).as("gram"))
+    flatten(transform(tokens, t => concat(gramsOf(t, 2), gramsOf(t, 3))))
   }
 
-  /** Rank grams per key by (count desc, gram asc), keep the top M:
-    * (key, gram, rank). The window partitions by the profile key —
-    * languages (bounded) or documents (data-parallel) — never a
-    * single global partition. */
-  private def profile(grams: DataFrame, keyCol: String, topM: Int): DataFrame =
-    grams
-      .groupBy(col(keyCol), col("gram"))
+  /** Gram OCCURRENCE rows: (keyCol..., gram), one row per occurrence. */
+  private def gramRows(docs: DataFrame, keyCols: Seq[String], textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(keyCols.map(col) :+
+        explode(PaddedCharGrams(TextFunctions.tokens(col(textCol)))).as("gram"): _*)
+
+  /** Distinct gram counts per key: (keyCol..., gram, cnt). */
+  private def gramCounts(docs: DataFrame, keyCols: Seq[String], textCol: String): DataFrame =
+    gramRows(docs, keyCols, textCol)
+      .groupBy(keyCols.map(col) :+ col("gram"): _*)
       .agg(count(lit(1)).as("cnt"))
+
+  /** Rank pre-aggregated gram counts per key by (count desc, gram
+    * asc), keep the top M: (key, gram, rank). The window partitions
+    * by the profile key — languages, bounded — never a single global
+    * partition. */
+  private def rankTop(counts: DataFrame, keyCol: String, topM: Int): DataFrame =
+    counts
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("cnt").desc, col("gram"))))
       .filter(col("rank") <= topM)
@@ -74,22 +83,62 @@ object LangId {
       langCol: String,
       textCol: String,
       topM: Int = 64): DataFrame =
-    profile(gramRows(docs.select(col(langCol).as("lang"), col(textCol)),
-      "lang", textCol), "lang", topM)
+    rankTop(gramCounts(docs.select(col(langCol).as("lang"), col(textCol)),
+      Seq("lang"), textCol), "lang", topM)
 
   /** Classify every document against trained `profiles`
     * ([[langProfiles]]'s shape): (doc_id, pred_lang, distance).
     * Documents with no grams (null/whitespace-only text) are absent —
-    * no profile, no honest prediction. */
+    * no profile, no honest prediction.
+    *
+    * ZERO-shuffle: every gram of a document comes from the same row,
+    * so the per-document profile ([[CtDocProfile]]) and the
+    * rank-distance argmin ([[CtBestLang]], trained table riding
+    * broadcast inside the expression) are one narrow projection —
+    * O(batch) work, no exchange at any scale. */
   def classify(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       profiles: DataFrame,
       topM: Int = 64): DataFrame = {
-    val docProf = profile(
-      gramRows(docs.select(col(idCol).as("doc_id"), col(textCol)),
-        "doc_id", textCol), "doc_id", topM)
+    // Driver-bounded by contract: |langs| × topM rows, the same
+    // boundedness as the IVF codebook collects.
+    val rows = profiles.select(col("lang"), col("gram"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Number](2).intValue))
+      .toSeq
+    val prof = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        CtDocProfile(TextFunctions.tokens(col(textCol)), topM).as("profile"))
+      .filter(size(col("profile")) > 0)
+    if (rows.isEmpty) {
+      // No trained languages: no honest prediction (the join reference
+      // yields the empty set too).
+      prof.filter(lit(false))
+        .select(col("doc_id"), lit("").as("pred_lang"), lit(0L).as("distance"))
+    } else {
+      prof
+        .select(col("doc_id"), CtBestLang(col("profile"), rows, topM).as("best"))
+        .select(col("doc_id"), col("best.pred_lang").as("pred_lang"),
+          col("best.distance").as("distance"))
+    }
+  }
+
+  /** The expand-join-window reference formulation of [[classify]] —
+    * what the DuckDB oracles transcribe; [[classify]] is
+    * parity-pinned against it (QualitySpec). Never on the hot path:
+    * it expands every document profile × |langs| and pays two more
+    * exchanges. */
+  private[graft] def classifyJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      profiles: DataFrame,
+      topM: Int = 64): DataFrame = {
+    val docProf = rankTop(
+      gramCounts(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        Seq("doc_id"), textCol), "doc_id", topM)
     val langs = profiles.select(col("lang")).distinct()
     val dist = docProf
       .join(broadcast(langs))
@@ -104,6 +153,23 @@ object LangId {
           .orderBy(col("distance"), col("lang"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"), col("distance"))
+  }
+
+  /** Fit-and-classify on the SAME corpus: (doc_id, pred_lang,
+    * distance). Training is the one corpus-sized gram aggregate
+    * ([[langProfiles]]); classification is the zero-shuffle
+    * [[classify]] projection over the staged corpus. */
+  def selfClassify(
+      docs: DataFrame,
+      idCol: String,
+      langCol: String,
+      textCol: String,
+      topM: Int = 64): DataFrame = {
+    val staged = Parallelism.stage(docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"), col(textCol)))
+    classify(staged, "doc_id", textCol,
+      langProfiles(staged, "lang", textCol, topM), topM)
   }
 
   /** Self-classification confusion matrix — fit profiles on the
@@ -121,8 +187,8 @@ object LangId {
     val staged = Parallelism.stage(docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"), col(textCol)))
-    val profiles = langProfiles(staged, "lang", textCol, topM)
-    classify(staged, "doc_id", textCol, profiles, topM)
+    classify(staged, "doc_id", textCol,
+      langProfiles(staged, "lang", textCol, topM), topM)
       .join(staged.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))

@@ -100,6 +100,39 @@ object LmStore {
             inVocabCnt.cast("double"), 6)).as("avg_logprob"))
   }
 
+  /** Vocabulary-aging report — the OOV complement of
+    * [[graft.ops.TokStore.fertilityDrift]]: per language of an
+    * arriving batch, documents, tokens, tokens OUTSIDE the frozen
+    * vocabulary, and the OOV rate. Rising oov_rate on a language =
+    * what now arrives speaks words the snapshot never saw — the
+    * retrain trigger for the LM gate (the score itself stays honest —
+    * [[score]] separates OOV mass — but a gate scoring mostly-unseen
+    * text is a gate measuring nothing). On the fitting corpus itself
+    * every rate is exactly 0 (QualitySpec pins it). Cost: one
+    * [[score]] pass over the batch (O(batch), store side bucketed)
+    * plus a language-sized aggregate.
+    *
+    * Output: (lang, n_docs, n_tokens, n_oov, oov_rate), oov_rate =
+    * round(Σ n_oov / Σ n_tokens, 6), null for a language arriving
+    * with zero tokens.
+    */
+  def oovReport(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      langCol: String = "lang"): DataFrame =
+    score(spark, path, docs)
+      .join(docs.select(col("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("n_oov").cast("long").as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") > 0L,
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("oov_rate"))
+
   private def tableFor(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString

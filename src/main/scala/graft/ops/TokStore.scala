@@ -107,19 +107,18 @@ object TokStore {
           .as("fertility_delta"))
 
   /** Per-language fertility under a fixed merge list — one narrow
-    * projection (the [[Quality.bpeEncode]] fold with `lang` carried
-    * instead of `doc_id`) into a language-sized aggregate. */
+    * projection (the [[Quality.bpeEncode]] kernel,
+    * [[graft.functions.BpePieces]], with `lang` carried instead of
+    * `doc_id`) into a language-sized aggregate. */
   private[graft] def perLangFertility(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
-    val encodedTok = (t: Column) => {
-      val chars = filter(split(t, ""), s => s =!= "")
-      merges.foldLeft(chars)((syms, m) => Quality.applyMerge(syms, m.left, m.right))
-    }
+    val pairs = merges.map(m => (m.left, m.right))
     docs
       .filter(col("text").isNotNull)
       .select(col("lang"), TextFunctions.tokens(col("text")).as("tk"))
       .select(col("lang"),
         size(col("tk")).cast("long").as("n_words"),
-        aggregate(transform(col("tk"), t => size(encodedTok(t)).cast("long")),
+        aggregate(transform(col("tk"),
+          t => graft.functions.BpePieces(t, pairs).cast("long")),
           lit(0L), (acc, n) => acc + n).as("n_pieces"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

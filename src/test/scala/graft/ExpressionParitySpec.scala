@@ -235,4 +235,97 @@ class ExpressionParitySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("padded_char_grams equals the per-token substr HOF") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(61)
+    // Non-empty tokens only: the tokenizer contract (RegexTokens drops
+    // empties) is the kernel's declared domain.
+    // Sample whole CODE POINTS (never half a surrogate pair) \u2014 broken
+    // UTF-16 is outside the tokenizer's producible domain.
+    def cps(s: String): IndexedSeq[String] =
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toIndexedSeq
+    val alphabets = Seq("abcde", "\u00e9\u00fc\u00df\u00f1o", "\u4e16\u754c\u8bed\u8a00",
+      "ab" + new String(Character.toChars(0x1D54F))).map(cps) // incl. a non-BMP code point
+    val arrays: Seq[Seq[String]] = Seq(Seq("a"), Seq("ab", "c"),
+      Seq(new String(Character.toChars(0x1D54F)))) ++
+      (0 until 300).map { _ =>
+        val alpha = alphabets(rnd.nextInt(alphabets.length))
+        Seq.fill(1 + rnd.nextInt(6)) {
+          val n = 1 + rnd.nextInt(7)
+          (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        }
+      }
+    val df = arrays.toDF("toks").repartition(4)
+    val rows = df.select(
+      graft.functions.PaddedCharGrams(col("toks")).as("native"),
+      graft.ops.LangId.gramsHof(col("toks")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r"))
+    assert(rows.length == arrays.length)
+  }
+
+  test("bpe_pieces equals size(foldLeft(applyMerge)) on random merge chains") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(67)
+    val docs = ((0 until 200).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(10)) {
+        new String(Array.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar))
+      }
+      (i.toLong, words.mkString(" "))
+    } :+ ((1000L, "aaa aaaa \u00e9\u00e9\u00e9"))).toDF("doc_id", "text")
+    // Cascading merge chains: later merges consume earlier fusions.
+    val mergeTables: Seq[Seq[(String, String)]] = Seq(
+      Seq.empty,
+      Seq(("a", "a")),
+      Seq(("a", "a"), ("aa", "a")),
+      Seq(("a", "b"), ("ab", "c"), ("b", "a"), ("c", "d"), ("abc", "d")),
+      Seq(("\u00e9", "\u00e9")))
+    mergeTables.foreach { pairs =>
+      val merges = pairs.zipWithIndex.map { case ((x, y), i) =>
+        graft.ops.Quality.BpeMerge(i + 1, x, y, x + y, 0L)
+      }
+      val native = graft.ops.Quality.bpeEncode(docs, merges)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val hof = graft.ops.Quality.bpeEncodeHof(docs, merges)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(native == hof, s"merge table $pairs")
+    }
+  }
+
+  test("LangId.classify equals the expand-join-window reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(71)
+    val langs = Seq("aa", "bb", "cc", "uu")
+    val train = (0 until 120).map { i =>
+      val lang = langs(i % langs.length)
+      // Skewed per-language alphabets so profiles differ but overlap;
+      // 'uu' mixes multibyte and non-BMP code points to pin the
+      // profile tie-break to BINARY string order (UTF8String), not
+      // UTF-16 String.compareTo.
+      val alpha: IndexedSeq[String] = (lang match {
+        case "aa" => "abcdx"; case "bb" => "cdefx"; case "cc" => "efghx"
+        case _ => "abé世" + new String(Character.toChars(0x1D54F))
+      }).codePoints().toArray.map(cp => new String(Character.toChars(cp))).toIndexedSeq
+      val words = Seq.fill(3 + rnd.nextInt(10)) {
+        (0 until 1 + rnd.nextInt(6)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      (i.toLong, words.mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    for (topM <- Seq(3, 16, 64)) {
+      val profiles = graft.ops.LangId.langProfiles(train, "lang", "text", topM)
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val fast = asMap(graft.ops.LangId.classify(train, "doc_id", "text", profiles, topM))
+      val ref = asMap(graft.ops.LangId.classifyJoin(train, "doc_id", "text", profiles, topM))
+      assert(fast == ref, s"topM=$topM")
+      assert(fast.size == 120)
+      // selfClassify (one shared gram pass) == fit-then-classify
+      val self = asMap(graft.ops.LangId.selfClassify(train, "doc_id", "lang", "text", topM))
+      assert(self == ref, s"selfClassify topM=$topM")
+    }
+  }
 }

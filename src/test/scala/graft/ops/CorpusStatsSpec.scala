@@ -336,4 +336,78 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(1500))
   }
+
+  // ---- HyperLogLog vocab sketch -------------------------------------
+
+  test("HllSketch: estimate within the standard error envelope at " +
+    "cardinalities spanning both correction branches") {
+    // p=12 -> sigma ~ 1.04/sqrt(4096) ~ 1.6%; 5% is ~3 sigma. The
+    // hash is deterministic, so these are fixed outcomes, not flaky
+    // draws. 50 and 500 exercise linear counting, 50_000 the raw HLL
+    // branch.
+    for (card <- Seq(50, 500, 5000, 50000)) {
+      val sk = new graft.functions.HllSketch(12)
+      (0 until card).foreach { i =>
+        // duplicates must not move the estimate
+        val h = graft.functions.HashKernels.md5Prefix64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"item_$i"))
+        sk.insert(h); sk.insert(h)
+      }
+      val est = sk.estimate
+      val rel = math.abs(est - card) / card.toDouble
+      assert(rel < 0.05, s"card=$card est=$est rel=$rel")
+    }
+  }
+
+  test("HllSketch: merge of split sketches equals the single-pass sketch, " +
+    "registers and estimate; serialization round-trips") {
+    val whole = new graft.functions.HllSketch(10)
+    val a = new graft.functions.HllSketch(10)
+    val b = new graft.functions.HllSketch(10)
+    (0 until 20000).foreach { i =>
+      val h = graft.functions.HashKernels.md5Prefix64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"m_$i"))
+      whole.insert(h)
+      if (i % 3 == 0) a.insert(h) else b.insert(h)
+    }
+    val merged = a.merge(b)
+    assert(merged.registers.toSeq == whole.registers.toSeq)
+    assert(merged.estimate == whole.estimate)
+    val rt = graft.functions.HllSketch.deserialize(whole.serialize)
+    assert(rt.p == whole.p && rt.registers.toSeq == whole.registers.toSeq)
+    assert(rt.estimate == whole.estimate)
+  }
+
+  test("vocabSize: exact column equals countDistinct; sketch column within " +
+    "the envelope; distributed agg equals the single-threaded sketch") {
+    val docs = (0 until 400).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val words = (0 until 30).map(j => s"${lang}_w${(i * 31 + j * 7) % 997}")
+      (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(8)
+    val got = CorpusStats.vocabSize(docs, "lang", "text", p = 12)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = docs
+      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("lang").agg(count_distinct(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (lang, (nExact, est, relErr)) =>
+      assert(nExact == exact(lang), s"$lang exact")
+      assert(relErr < 0.05, s"$lang rel_error=$relErr")
+      // the distributed TypedImperativeAggregate must agree with a
+      // single-threaded sketch over the same distinct tokens
+      val sk = new graft.functions.HllSketch(12)
+      docs.select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+        .filter(col("lang") === lang).select("t").distinct()
+        .collect().map(_.getString(0)).foreach { t =>
+          sk.insert(graft.functions.HashKernels.md5Prefix64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+        }
+      assert(est == math.rint(sk.estimate * 1e6) / 1e6 ||
+        math.abs(est - sk.estimate) < 1e-6, s"$lang est=$est vs ${sk.estimate}")
+    }
+  }
 }

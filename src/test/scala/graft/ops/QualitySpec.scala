@@ -315,6 +315,32 @@ class QualitySpec extends SparkSpecBase {
     assert(rows(8L) == ((2L, 2L, None)))
   }
 
+  test("LmStore.oovReport: zero on the fitting corpus; hand-computed OOV " +
+    "rollup per language; all-new language reports rate 1") {
+    import spark.implicits._
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_lm3").toString}/lm"
+    graft.ops.LmStore.createAt(spark,
+      Seq((1L, "aa aa bb", "en"), (2L, "cc bb", "de"))
+        .toDF("doc_id", "text", "lang"), path, buckets = 2)
+    // On the fitting corpus itself: every rate exactly 0.
+    val self = graft.ops.LmStore.oovReport(spark, path,
+        Seq((1L, "aa aa bb", "en"), (2L, "cc bb", "de")).toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(self == Map("en" -> ((1L, 3L, 0L, 0.0)), "de" -> ((1L, 2L, 0L, 0.0))), self.toString)
+    // Arrivals: en doc has 1 OOV of 4 tokens (multiplicity counts:
+    // 'zz' twice in doc 11 -> 2 OOV of 3); fr entirely unseen.
+    val got = graft.ops.LmStore.oovReport(spark, path, Seq(
+        (10L, "aa bb cc zz", "en"),
+        (11L, "zz zz aa", "en"),
+        (12L, "xx yy", "fr"))
+      .toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("en") == ((2L, 7L, 3L, math.rint(3.0 / 7.0 * 1e6) / 1e6)), got.toString)
+    assert(got("fr") == ((1L, 2L, 2L, 1.0)), got.toString)
+  }
+
   test("LmStore: scoring probes the vocab store with zero store-side exchanges") {
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
     val orig = spark.conf.get(thresholdKey)
