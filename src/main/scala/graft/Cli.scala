@@ -1060,12 +1060,51 @@ object Cli {
         val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
         graft.ops.LmStore.createAt(spark, spark.read.parquet(in), store, buckets)
         println(s"unigram LM store created at $store ($buckets buckets)")
+      } else if (m.contains("--oov")) {
+        val out = one(m, "-o", "--output")
+        val langCol = m.get("--lang").flatMap(_.headOption).getOrElse("lang")
+        graft.ops.LmStore.oovReport(spark, store, spark.read.parquet(in), langCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"OOV aging report written to $out")
       } else {
         val out = one(m, "-o", "--output")
         graft.ops.LmStore.score(spark, store, spark.read.parquet(in))
           .write.mode("overwrite").parquet(out)
         println(s"LM scores written to $out")
       }
+      0
+
+    case "corpus-diff" :: rest =>
+      // Snapshot release audit: per source, docs added / removed /
+      // content-changed / unchanged between two corpus releases.
+      val m = opts(rest)
+      val prev = one(m, "--prev")
+      val now = one(m, "--now")
+      val out = one(m, "-o", "--output")
+      val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val srcCol = m.get("--source").flatMap(_.headOption).getOrElse("source")
+      val spark = session()
+      graft.ops.CorpusDiff.diff(
+          spark.read.parquet(prev), spark.read.parquet(now), idCol, textCol, srcCol)
+        .write.mode("overwrite").parquet(out)
+      println(s"corpus diff written to $out")
+      0
+
+    case "vocab-size" :: rest =>
+      // Per-group vocabulary size, exact + HyperLogLog estimate (the
+      // sketch is what a full-scale run keeps; the exact column gates
+      // it honest at test scale).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val out = one(m, "-o", "--output")
+      val group = m.get("--group").flatMap(_.headOption).getOrElse("lang")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val p = m.get("--p").flatMap(_.headOption).map(_.toInt).getOrElse(12)
+      val spark = session()
+      graft.ops.CorpusStats.vocabSize(spark.read.parquet(in), group, textCol, p)
+        .write.mode("overwrite").parquet(out)
+      println(s"vocabulary-size report written to $out")
       0
 
     case "nb-store" :: rest =>
@@ -1751,7 +1790,9 @@ object Cli {
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
            |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--seed <sql-bool-expr>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json; --seed adds measured per-stage quality + decontam_audit/)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
-           |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
+           |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet> | --oov -i <batch.parquet> -s <store-dir> -o <out.parquet> [--lang lang]
+           |  corpus-diff --prev <a.parquet> --now <b.parquet> -o <out.parquet> [--id doc_id] [--text text] [--source source]
+           |  vocab-size -i <docs.parquet> -o <out.parquet> [--group lang] [--p 12] [--text text]
            |  nb-store   --create -i <docs.parquet> -s <store-dir> --seed <sql-bool-expr> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  cluster-sample -i <emb.parquet> -o <out.parquet> [-k 8] [--nlist 24] [--dim 64] [--id vec_id] [--vec embedding] | --stream -i <landing-dir> --index <ivf-index> -o <store-dir> --checkpoint <dir> [-k 8]
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]

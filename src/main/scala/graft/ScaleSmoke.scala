@@ -183,7 +183,8 @@ object ScaleSmoke {
       "q119_embedding_dim_stats", "q120_filtered_ann",
       "q121_banding_report", "q122_prefix_dup_profile",
       "q123_tok_store_drift", "q124_langid_confusion", "q125_norm_quantiles",
-      "q126_predlang_slice_eval", "q127_langid_store_mix")
+      "q126_predlang_slice_eval", "q127_langid_store_mix",
+      "q128_corpus_diff", "q129_lm_oov_drift", "q130_vocab_hll")
     // q88 (BM25) is EXCLUDED from the sweep for the same class of
     // reason as q23: the synthetic corpus has a ~31-token vocabulary,
     // so every one of the sweep's 2,000 query docs lexically matches
@@ -968,6 +969,33 @@ object ScaleSmoke {
     checks += ("KLL sketch+confirm quantiles == exact rank elements over 20k norms" ->
       f"4 quantiles exact, $kqSec%.1f s")
 
+    // 18. HLL vocabulary sketch at 10×: per-language estimate within
+    // the 3σ envelope of the exact distinct count (p=12 → σ≈1.6%),
+    // and the q128 snapshot diff conserves documents (every `now` doc
+    // is added|changed|unchanged, every `prev` doc is
+    // removed|changed|unchanged).
+    val hd0 = System.nanoTime()
+    val hllRows = SparkEntry.queries("q130_vocab_hll")(spark, workDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(hllRows.nonEmpty, "vocab_hll returned no languages at 10x")
+    hllRows.foreach { case (lang, nExact, relErr) =>
+      assert(relErr < 0.05, f"HLL rel_error $relErr%.4f breached 5%% on $lang (n=$nExact)")
+    }
+    val docs10 = Tables.documents(spark, workDir)
+    val prevN = docs10.filter(col("doc_id") % 7 =!= 3).count()
+    val nowN = docs10.filter(col("doc_id") % 5 =!= 0).count()
+    val diffAgg = SparkEntry.queries("q128_corpus_diff")(spark, workDir)
+      .agg(sum("n_added"), sum("n_removed"), sum("n_changed"), sum("n_unchanged"))
+      .head()
+    assert(diffAgg.getLong(0) + diffAgg.getLong(2) + diffAgg.getLong(3) == nowN,
+      s"corpus diff lost `now` docs: $diffAgg vs $nowN")
+    assert(diffAgg.getLong(1) + diffAgg.getLong(2) + diffAgg.getLong(3) == prevN,
+      s"corpus diff lost `prev` docs: $diffAgg vs $prevN")
+    val hdSec = (System.nanoTime() - hd0) / 1e9
+    checks += ("HLL vocab estimate within 3σ per language; corpus diff conserves both snapshots" ->
+      (f"${hllRows.length} languages < 5%% rel error, " +
+        f"$nowN now-docs and $prevN prev-docs both conserved, $hdSec%.1f s"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"
@@ -1006,16 +1034,20 @@ JVM. Its pinned invariant is the exchange budget (3·batches−2), which
 is what survives the move to a cluster — the per-stage work spreads
 across executors there, the plan shape does not change.
 
-Of the round-11 additions, q126 (and q124 inside it) is the
-costliest: language identification expands each document's top-64
-gram profile against every language's broadcast profile — O(64·langs)
-rows per document, independent of document length, so the cost is
-row-linear and embarrassingly parallel (the per-document top-64
-window partitions by doc). q123's cost is the five training argmaxes
-over the SNAPSHOT split only; its monitoring path (the frozen
-encode) is the same narrow fold q117's encode half runs. q125 is one
-sketch pass plus four bracket-sized confirm jobs over the staged
-norms.
+Of the round-11 additions, q126 (and q124 inside it) was the
+costliest until the native-kernel rewrite: classification is now a
+ZERO-shuffle projection (CtDocProfile builds each document's top-64
+gram profile row-locally, CtBestLang carries the trained table
+broadcast inside the expression), so per-document cost is
+O(profile·langs) integer ops with no exchange at any scale; the one
+remaining corpus-sized aggregate is profile TRAINING's (lang, gram)
+count. q123's cost is the five training argmaxes over the SNAPSHOT
+split only; its monitoring path is the BpePieces kernel — a narrow
+primitive-array walk per token. q125 is one sketch pass plus four
+bracket-sized confirm jobs over the staged norms. q130's sketch is
+one pass and 4 KiB per language; its exact column (the gate) is the
+only part that shuffles distinct tokens, and it is precisely the
+column a 100 TB run drops.
 """
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -388,6 +388,38 @@ class DomainSpec extends SparkSpecBase {
     assert(got == want, s"CLI ledger row $got != batchEval $want")
   }
 
+  test("CLI corpus-diff / vocab-size / lm-store --oov: outputs re-derive " +
+    "from their operators") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_diff").toString
+    val d = spark.read.parquet(docs)
+    d.filter(col("doc_id") % 3 =!= 0).write.parquet(s"$tmp/prev")
+    d.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$tmp/now")
+    assert(graft.Cli.run(Array("corpus-diff", "--prev", s"$tmp/prev",
+      "--now", s"$tmp/now", "-o", s"$tmp/diff")) == 0)
+    val gotDiff = spark.read.parquet(s"$tmp/diff").collect().map(_.toSeq).toSet
+    val wantDiff = graft.ops.CorpusDiff.diff(
+        spark.read.parquet(s"$tmp/prev"), spark.read.parquet(s"$tmp/now"))
+      .collect().map(_.toSeq).toSet
+    assert(gotDiff == wantDiff)
+
+    assert(graft.Cli.run(Array("vocab-size", "-i", docs, "-o", s"$tmp/vs")) == 0)
+    val gotVs = spark.read.parquet(s"$tmp/vs").collect().map(_.toSeq).toSet
+    val wantVs = graft.ops.CorpusStats.vocabSize(d, "lang", "text")
+      .collect().map(_.toSeq).toSet
+    assert(gotVs == wantVs)
+
+    graft.ops.LmStore.createAt(spark, d.filter(col("doc_id") % 2 === 0), s"$tmp/lm")
+    d.filter(col("doc_id") % 2 === 1).write.parquet(s"$tmp/arr")
+    assert(graft.Cli.run(Array("lm-store", "--oov", "-i", s"$tmp/arr",
+      "-s", s"$tmp/lm", "-o", s"$tmp/oov")) == 0)
+    val gotOov = spark.read.parquet(s"$tmp/oov").collect().map(_.toSeq).toSet
+    val wantOov = graft.ops.LmStore.oovReport(
+        spark, s"$tmp/lm", spark.read.parquet(s"$tmp/arr"))
+      .collect().map(_.toSeq).toSet
+    assert(gotOov == wantOov)
+  }
+
   test("CLI data-card: every section re-derives from its own operator") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_card").toString

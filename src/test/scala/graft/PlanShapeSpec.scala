@@ -73,6 +73,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles == 1, s"q109 expected exactly 1 shuffle (the cell window), got $shuffles")
   }
 
+  test("langid classify is a zero-exchange narrow projection; q130 sketch agg") {
+    // classify's 100-TB contract: the per-document profile and the
+    // rank-distance argmin are row-local kernels (CtDocProfile /
+    // CtBestLang), so classification itself plans with NO exchange at
+    // any scale — the only corpus-sized shuffle in the family is
+    // profile TRAINING's (lang, gram) count.
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val profiles = graft.ops.LangId.langProfiles(docs, "lang", "text", topM = 16)
+    val cls = graft.ops.LangId.classify(docs, "doc_id", "text", profiles, topM = 16)
+    val p = cls.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"classify gained an exchange:\n$p")
+    assert(p.contains("ct_best_lang") && p.contains("ct_doc_profile"),
+      "classify lost its native kernels")
+    // q130: the sketch aggregate rides the one (lang)-keyed aggregation
+    // tree (the exact count-distinct adds its Expand); never a join or
+    // cartesian — the whole report is one aggregation of the token
+    // stream.
+    val vp = SparkEntry.queries("q130_vocab_hll")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(vp.contains("hll_sketch"), "q130 lost the HLL sketch aggregate")
+    assert(!vp.contains("CartesianProduct") && !vp.contains("Join"),
+      s"q130 should be pure aggregation, found a join:\n$vp")
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_agg_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
