@@ -1314,7 +1314,49 @@ object Cli {
           }
           res.write.mode("overwrite").parquet(out)
           println(s"classifier evaluation -> $out")
+        case "calibration" =>
+          val score = m.get("--score").flatMap(_.headOption).getOrElse("log_odds")
+          val label = m.get("--label").flatMap(_.headOption).getOrElse("y")
+          val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+          val bins = m.get("--bins").flatMap(_.headOption).map(_.toInt).getOrElse(10)
+          graft.ops.Eval.calibration(spark.read.parquet(in), idCol, score, label, bins)
+            .write.mode("overwrite").parquet(out)
+          println(s"calibration report ($bins bins) -> $out")
         case other => sys.error(s"evaluate: unknown --mode $other")
+      }
+      0
+
+    case "psi-store" :: rest =>
+      // Frozen score-distribution reference for PSI drift monitoring:
+      // --create fits exact quantile cut-points on a reference column
+      // and freezes them with the reference bin counts; the default
+      // mode bins an arriving batch under the FROZEN cuts and reports
+      // per-bin shares + PSI terms; --stream appends the same report
+      // per micro-batch.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val valueCol = m.get("--col").flatMap(_.headOption).getOrElse("value")
+      val spark = session()
+      if (m.contains("--create")) {
+        val qs = m.get("--qs").flatMap(_.headOption)
+          .map(_.split(",").toSeq.map(_.toDouble))
+          .getOrElse(Seq(0.2, 0.4, 0.6, 0.8))
+        graft.ops.PsiStore.createAt(spark, spark.read.parquet(in), valueCol, store, qs)
+        println(s"PSI reference frozen at $store (${qs.size + 1} bins on $valueCol)")
+      } else if (m.contains("--stream")) {
+        val out = one(m, "-o", "--output")
+        val ckpt = one(m, "--checkpoint")
+        val schema = spark.read.parquet(in).schema
+        val q = graft.streaming.PsiStream.maintain(
+          spark, in, store, out, ckpt, schema, valueCol)
+        q.awaitTermination()
+        println(s"PSI ledger appended to $out")
+      } else {
+        val out = one(m, "-o", "--output")
+        graft.ops.PsiStore.psi(spark, store, spark.read.parquet(in), valueCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"PSI report written to $out")
       }
       0
 
@@ -1798,7 +1840,8 @@ object Cli {
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  eval-stream -i <labeled-landing-dir> -s <nb-store> -o <ledger-dir> --checkpoint <dir> [--label y]
            |  data-card  -i <docs.parquet> -o <out-dir> [--budget N --epochs 2]   (writes card.json)
-           |  evaluate   --mode retrieval -i <results.parquet> -t <truth.parquet> -o <out-dir> [-k 10] | --mode classifier -i <scored.parquet> -o <out.parquet> [--score log_odds --pred predicted --label y] [--group source]
+           |  evaluate   --mode retrieval -i <results.parquet> -t <truth.parquet> -o <out-dir> [-k 10] | --mode classifier -i <scored.parquet> -o <out.parquet> [--score log_odds --pred predicted --label y] [--group source] | --mode calibration -i <scored.parquet> -o <out.parquet> [--score log_odds --label y --bins 10 --id doc_id]
+           |  psi-store  --create -i <ref.parquet> -s <store-dir> [--col value] [--qs 0.2,0.4,0.6,0.8] | -i <batch.parquet> -s <store-dir> -o <out.parquet> [--col value] | --stream -i <landing-dir> -s <store-dir> -o <ledger-dir> --checkpoint <dir> [--col value]
            |  mixture-plan -i <docs.parquet> -o <out.parquet> --budget <tokens> [--epochs 2] [--alpha 0.5] [--group source]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)
            |  bpe-train  -i <docs.parquet> -o <merges.tsv> [--merges 32] [--text text]

@@ -1805,6 +1805,43 @@ object SparkEntry {
   def q130VocabHll(s: SparkSession, dir: String): DataFrame =
     graft.ops.CorpusStats.vocabSize(Tables.documents(s, dir), "lang", "text", p = 12)
 
+  /** PSI score-distribution drift over the frozen quantile store
+    * ([[graft.ops.PsiStore]]): quintile cut-points fit ONCE (exact
+    * rank elements) on the reference embedding norms (vec_id % 5 ≠ 0),
+    * frozen, then the arriving norms (vec_id % 5 = 0) bin under them —
+    * per bin: reference/arriving counts and shares and the PSI term
+    * (arr − ref)·ln(arr/ref). The oracle replays cut-point selection
+    * by explicit rank, the ties-go-low binning, and the share
+    * arithmetic. */
+  def q131ScorePsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val tmp = tempDirCleanedOnExit("graft_psi_q")
+    val norms = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+      .select(col("vec_id"), round(sqrt(dot(col("vd"), col("vd"))), 6).as("norm"))
+    graft.ops.PsiStore.createAt(
+      s, norms.filter(col("vec_id") % 5 =!= 0), "norm", s"$tmp/psi")
+    graft.ops.PsiStore.psi(
+      s, s"$tmp/psi", norms.filter(col("vec_id") % 5 === 0), "norm")
+  }
+
+  /** Calibration / reliability report of the NB seed filter
+    * ([[graft.ops.Eval.calibration]]): q108's log-odds scores against
+    * the true label, cut into 10 equal-frequency bins by (6dp score,
+    * doc id) — per bin, size, mean predicted probability (sigmoid,
+    * fixed-point accumulated) and empirical positive rate; the gap
+    * column is the bin's unweighted ECE contribution. AUC (q112)
+    * measures ranking; this measures whether the scores MEAN what
+    * they claim — the gate on using filter scores as sampling weights
+    * rather than thresholds. */
+  def q132Calibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
+    graft.ops.Eval.calibration(scored, "doc_id", "log_odds", "y", nBins = 10)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1945,6 +1982,8 @@ object SparkEntry {
     "q128_corpus_diff" -> (q128CorpusDiff _),
     "q129_lm_oov_drift" -> (q129LmOovDrift _),
     "q130_vocab_hll" -> (q130VocabHll _),
+    "q131_score_psi" -> (q131ScorePsi _),
+    "q132_calibration" -> (q132Calibration _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2789,6 +2828,59 @@ object SparkEntry {
         |  round(fin.hll, 6) AS hll_estimate,
         |  round(abs(fin.hll - ex.n_exact) / ex.n_exact, 6) AS rel_error
         |FROM ex JOIN fin USING (lang)""".stripMargin,
+    // q131: cut-points by explicit rank (the q125 recipe) on the
+    // reference split, ties-go-low binning (count of cuts strictly
+    // below), shares as one double division each, PSI term
+    // (a-r)*ln(a/r) rounded 6dp; null when either side of a bin is
+    // empty (the log is undefined — categorical alarm, not a term).
+    "q131_score_psi" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS val
+        |  FROM embeddings),
+        |ref0 AS (SELECT val FROM v WHERE vec_id % 5 <> 0),
+        |arr0 AS (SELECT val FROM v WHERE vec_id % 5 = 0),
+        |n AS (SELECT count(*) AS n FROM ref0),
+        |qs AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
+        |r AS (SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rk FROM qs, n),
+        |srt AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM ref0),
+        |cuts AS (SELECT q, val FROM r JOIN srt ON srt.rn = r.rk),
+        |cl AS (SELECT list(val ORDER BY q) AS c FROM cuts),
+        |ragg AS (
+        |  SELECT CAST((SELECT count(*) FROM cuts WHERE ref0.val > cuts.val) AS INT) AS bin,
+        |    count(*) AS n_ref
+        |  FROM ref0 GROUP BY 1),
+        |aagg AS (
+        |  SELECT CAST((SELECT count(*) FROM cuts WHERE arr0.val > cuts.val) AS INT) AS bin,
+        |    count(*) AS n_arr
+        |  FROM arr0 GROUP BY 1),
+        |rt AS (SELECT count(*) AS t FROM ref0),
+        |at AS (SELECT count(*) AS t FROM arr0),
+        |bins AS (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS bin),
+        |base AS (
+        |  SELECT bins.bin,
+        |    CASE WHEN bins.bin = 0 THEN NULL ELSE cl.c[bins.bin] END AS lo,
+        |    CASE WHEN bins.bin = 4 THEN NULL ELSE cl.c[bins.bin + 1] END AS hi,
+        |    CAST(coalesce(ragg.n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(aagg.n_arr, 0) AS BIGINT) AS n_arr,
+        |    rt.t AS rt, at.t AS at
+        |  FROM bins
+        |  LEFT JOIN ragg USING (bin)
+        |  LEFT JOIN aagg USING (bin)
+        |  CROSS JOIN cl CROSS JOIN rt CROSS JOIN at)
+        |SELECT bin, lo, hi, n_ref,
+        |  round(CAST(n_ref AS DOUBLE) / CAST(rt AS DOUBLE), 6) AS ref_share,
+        |  n_arr,
+        |  CASE WHEN at > 0
+        |    THEN round(CAST(n_arr AS DOUBLE) / CAST(at AS DOUBLE), 6)
+        |    ELSE 0.0 END AS share,
+        |  CASE WHEN n_ref > 0 AND n_arr > 0 AND at > 0
+        |    THEN round((CAST(n_arr AS DOUBLE) / CAST(at AS DOUBLE)
+        |              - CAST(n_ref AS DOUBLE) / CAST(rt AS DOUBLE))
+        |           * ln((CAST(n_arr AS DOUBLE) / CAST(at AS DOUBLE))
+        |              / (CAST(n_ref AS DOUBLE) / CAST(rt AS DOUBLE))), 6)
+        |  END AS psi_term
+        |FROM base""".stripMargin,
     "q69_pq_topk" -> PqOracleSql,
     // q103: the oracle refits the frozen LM from the train split
     // (doc_id % 25 <> 0) and scores the held-out split against it —
@@ -2929,6 +3021,31 @@ object SparkEntry {
     // prediction. Every branch (null AUC on a one-class corpus, null
     // precision/recall on empty denominators, f1=0 at tp=0) mirrors
     // Eval.classifierMetrics exactly.
+    // q132: q108's scores (shared CTEs) cut into 10 equal-frequency
+    // bins by (6dp score, doc_id) — ntile semantics identical in both
+    // engines; confidence accumulates the per-row sigmoid in fixed
+    // point (x1e9 longs) so the bin mean is order-independent.
+    "q132_calibration" ->
+      s"""WITH $NbScoreCtes,
+        |lbl AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS s6, lbl.y
+        |  FROM s CROSS JOIN pri JOIN lbl ON lbl.doc_id = s.doc_id),
+        |b AS (SELECT *, ntile(10) OVER (ORDER BY s6, doc_id) AS bin FROM sc),
+        |t AS (
+        |  SELECT bin, y,
+        |    CAST(round(1.0 / (1.0 + exp(s6 * -1)) * 1000000000.0, 0) AS BIGINT) AS p9
+        |  FROM b),
+        |agg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(p9) AS DOUBLE) / 1000000000.0
+        |      / CAST(count(*) AS DOUBLE), 6) AS conf,
+        |    round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(bin AS INT) AS bin, n, conf, acc,
+        |  round(abs(conf - acc), 6) AS gap
+        |FROM agg""".stripMargin,
     "q112_classifier_eval" ->
       s"""WITH $NbScoreCtes,
         |scored AS (

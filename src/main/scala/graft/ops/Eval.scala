@@ -215,4 +215,59 @@ object Eval {
       round(Quality.fromFixedPoint9(
         sum(Quality.fixedPoint9(col("ndcg")))) /
         count(lit(1)).cast("double"), 6).as("mean_ndcg"))
+
+  /** Calibration report + ECE terms — the reliability diagram of a
+    * score-producing filter (Guo et al. 2017's evaluation protocol,
+    * over the classical equal-frequency binning): documents rank into
+    * `nBins` equal-frequency bins by score (ntile over the 6dp-rounded
+    * score with the id as the tiebreak — the [[Quality.qualityBuckets]]
+    * determinism recipe, so bin membership is exact and
+    * engine-portable), and each bin reports its size, CONFIDENCE (mean
+    * predicted probability, sigmoid of the log-odds score accumulated
+    * in fixed point) and ACCURACY (empirical positive rate). A
+    * well-calibrated filter has conf ≈ acc in every bin; the gap
+    * column is the bin's ECE contribution before weighting —
+    * ECE = Σ_b (n_b / N) · gap_b, left to the consumer so slices can
+    * be re-weighted.
+    *
+    * AUC (already in [[classifierMetrics]]) measures RANKING; this
+    * measures whether the scores mean what they claim — the check
+    * that gates using a filter's score as a sampling weight or a
+    * mixture temperature rather than just a threshold.
+    *
+    * Scale shape: one row per document into an `nBins`-sized
+    * aggregate; the ntile's single-partition window carries only
+    * (score9, id, y) — at 100 TB the swap is frozen PSI-style
+    * cut-points ([[PsiStore]]), which this report's bin semantics
+    * deliberately match (equal-frequency on the reference).
+    *
+    * Output: (bin, n, conf, acc, gap), bin 1..nBins ascending score.
+    */
+  def calibration(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = scored.select(
+      col(idCol).as("id"),
+      round(col(scoreCol).cast("double"), 6).as("s6"),
+      col(labelCol).cast("int").as("y"))
+    val binned = base.withColumn("bin",
+      ntile(nBins).over(Window.orderBy(col("s6"), col("id"))))
+    binned
+      .select(col("bin"), col("y"),
+        Quality.fixedPoint9(lit(1.0) / (lit(1.0) + exp(col("s6") * -1))).as("p9"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("p9")).as("p9sum"),
+        sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bin"), col("n"),
+        round(Quality.fromFixedPoint9(col("p9sum")) / col("n").cast("double"), 6)
+          .as("conf"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("acc"))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+  }
 }

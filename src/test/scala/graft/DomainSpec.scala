@@ -420,6 +420,36 @@ class DomainSpec extends SparkSpecBase {
     assert(gotOov == wantOov)
   }
 
+  test("CLI psi-store / evaluate --mode calibration: outputs re-derive " +
+    "from their operators") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_psi").toString
+    val ref = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    ref.write.parquet(s"$tmp/ref")
+    assert(graft.Cli.run(Array("psi-store", "--create", "-i", s"$tmp/ref",
+      "-s", s"$tmp/psi")) == 0)
+    val arr = (20 to 60).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    arr.write.parquet(s"$tmp/arr")
+    assert(graft.Cli.run(Array("psi-store", "-i", s"$tmp/arr",
+      "-s", s"$tmp/psi", "-o", s"$tmp/rep")) == 0)
+    val gotPsi = spark.read.parquet(s"$tmp/rep").collect().map(_.toSeq).toSet
+    val wantPsi = graft.ops.PsiStore.psi(spark, s"$tmp/psi",
+        spark.read.parquet(s"$tmp/arr"), "value")
+      .collect().map(_.toSeq).toSet
+    assert(gotPsi == wantPsi)
+
+    val scored = (0 until 40)
+      .map(i => (i.toLong, (i % 7).toDouble - 3.0, if (i % 3 == 0) 1 else 0))
+      .toDF("doc_id", "log_odds", "y")
+    scored.write.parquet(s"$tmp/scored")
+    assert(graft.Cli.run(Array("evaluate", "--mode", "calibration",
+      "-i", s"$tmp/scored", "-o", s"$tmp/cal", "--bins", "4")) == 0)
+    val gotCal = spark.read.parquet(s"$tmp/cal").collect().map(_.toSeq).toSet
+    val wantCal = graft.ops.Eval.calibration(scored, "doc_id", "log_odds", "y", 4)
+      .collect().map(_.toSeq).toSet
+    assert(gotCal == wantCal)
+  }
+
   test("CLI data-card: every section re-derives from its own operator") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_card").toString

