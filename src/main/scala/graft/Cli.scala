@@ -1107,6 +1107,42 @@ object Cli {
       println(s"vocabulary-size report written to $out")
       0
 
+    case "hll-store" :: rest =>
+      // Persisted per-language HLL registers: --create freezes the
+      // reference corpus's registers; --growth reports per-language
+      // estimated vocabulary before/after an arriving batch without
+      // folding; --ingest folds the batch in (register-wise max,
+      // replay-idempotent); --stream appends a growth ledger per
+      // micro-batch and folds each batch after reporting.
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val langCol = m.get("--lang").flatMap(_.headOption).getOrElse("lang")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      if (m.contains("--create")) {
+        val p = m.get("--p").flatMap(_.headOption).map(_.toInt).getOrElse(12)
+        graft.ops.HllStore.createAt(spark, spark.read.parquet(in), store, langCol, textCol, p)
+        println(s"HLL register store created at $store (p=$p)")
+      } else if (m.contains("--ingest")) {
+        graft.ops.HllStore.ingest(spark, store, spark.read.parquet(in), langCol, textCol)
+        println(s"batch folded into $store")
+      } else if (m.contains("--stream")) {
+        val out = one(m, "-o", "--output")
+        val ckpt = one(m, "--checkpoint")
+        val schema = spark.read.parquet(in).schema
+        val q = graft.streaming.HllStream.maintain(
+          spark, in, store, out, ckpt, schema, langCol, textCol)
+        q.awaitTermination()
+        println(s"vocabulary-growth ledger appended to $out")
+      } else {
+        val out = one(m, "-o", "--output")
+        graft.ops.HllStore.growth(spark, store, spark.read.parquet(in), langCol, textCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"vocabulary-growth report written to $out")
+      }
+      0
+
     case "nb-store" :: rest =>
       // Frozen Naive Bayes classifier: --create fits the class-
       // conditional histograms on a labeled reference corpus (seed
@@ -1841,6 +1877,7 @@ object Cli {
            |  eval-stream -i <labeled-landing-dir> -s <nb-store> -o <ledger-dir> --checkpoint <dir> [--label y]
            |  data-card  -i <docs.parquet> -o <out-dir> [--budget N --epochs 2]   (writes card.json)
            |  evaluate   --mode retrieval -i <results.parquet> -t <truth.parquet> -o <out-dir> [-k 10] | --mode classifier -i <scored.parquet> -o <out.parquet> [--score log_odds --pred predicted --label y] [--group source] | --mode calibration -i <scored.parquet> -o <out.parquet> [--score log_odds --label y --bins 10 --id doc_id]
+           |  hll-store  --create -i <ref.parquet> -s <store-dir> [--p 12] [--lang lang] [--text text] | --growth -i <batch.parquet> -s <store-dir> -o <out.parquet> | --ingest -i <batch.parquet> -s <store-dir> | --stream -i <landing-dir> -s <store-dir> -o <ledger-dir> --checkpoint <dir>
            |  psi-store  --create -i <ref.parquet> -s <store-dir> [--col value] [--qs 0.2,0.4,0.6,0.8] | -i <batch.parquet> -s <store-dir> -o <out.parquet> [--col value] | --stream -i <landing-dir> -s <store-dir> -o <ledger-dir> --checkpoint <dir> [--col value]
            |  mixture-plan -i <docs.parquet> -o <out.parquet> --budget <tokens> [--epochs 2] [--alpha 0.5] [--group source]
            |  export-shards -i <docs.parquet> -o <out-dir> [--shards 16] [--id doc_id] [--text text]   (writes shards/ + manifest.json)

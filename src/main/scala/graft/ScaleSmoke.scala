@@ -185,7 +185,7 @@ object ScaleSmoke {
       "q123_tok_store_drift", "q124_langid_confusion", "q125_norm_quantiles",
       "q126_predlang_slice_eval", "q127_langid_store_mix",
       "q128_corpus_diff", "q129_lm_oov_drift", "q130_vocab_hll",
-      "q131_score_psi", "q132_calibration")
+      "q131_score_psi", "q132_calibration", "q133_vocab_growth")
     // q88 (BM25) is EXCLUDED from the sweep for the same class of
     // reason as q23: the synthetic corpus has a ~31-token vocabulary,
     // so every one of the sweep's 2,000 query docs lexically matches

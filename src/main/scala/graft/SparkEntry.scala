@@ -1842,6 +1842,27 @@ object SparkEntry {
     graft.ops.Eval.calibration(scored, "doc_id", "log_odds", "y", nBins = 10)
   }
 
+  /** Incremental vocabulary-growth monitor over the persisted HLL
+    * registers ([[graft.ops.HllStore]]): the reference split's
+    * per-language registers persist once; the arriving split (every
+    * even id carrying one genuinely new token) sketches itself and
+    * register-max-merges — per language, the stored estimate, the
+    * post-union estimate and the growth. Set union without re-reading
+    * the snapshot — the operation exact distinct counting cannot do
+    * incrementally. The oracle replays BOTH estimates digit for digit
+    * (registers over the reference, registers over the union it never
+    * materializes as state). */
+  def q133VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_hll_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.HllStore.createAt(s, docs.filter(col("doc_id") % 25 =!= 0), s"$tmp/hll")
+    val arrivals = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("text", when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" nw"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+    graft.ops.HllStore.growth(s, s"$tmp/hll", arrivals)
+  }
+
   // ---------------------------------------------------------------
   // Contract surface
   // ---------------------------------------------------------------
@@ -1984,6 +2005,7 @@ object SparkEntry {
     "q130_vocab_hll" -> (q130VocabHll _),
     "q131_score_psi" -> (q131ScorePsi _),
     "q132_calibration" -> (q132Calibration _),
+    "q133_vocab_growth" -> (q133VocabGrowth _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2390,6 +2412,29 @@ object SparkEntry {
     * used verbatim by the q108 score oracle and the q112 evaluation
     * oracle so the evaluated scores can never diverge from the
     * scoring operator. */
+  /** The q130 HLL-estimate chain over a (lang, tok) CTE, prefixed so
+    * two instantiations can share one statement (the q133 oracle
+    * estimates the reference and the union in one query). Kept
+    * generated so the register math can never drift between the two
+    * uses or from the q130 hand-written replay. */
+  private def hllLangEstSql(pref: String, tokCte: String): String =
+    s"""${pref}reg AS (
+      |  SELECT lang, h60 & 4095 AS idx,
+      |    CASE WHEN (h60 >> 12) = 0 THEN 49
+      |         ELSE CAST(log2((h60 >> 12) & (-(h60 >> 12))) AS INT) + 1 END AS rho
+      |  FROM (SELECT lang, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h60
+      |        FROM $tokCte) ${pref}h),
+      |${pref}rm AS (SELECT lang, idx, max(rho) AS r FROM ${pref}reg GROUP BY 1, 2),
+      |${pref}s AS (SELECT lang, count(*) AS used,
+      |    sum(CAST(1 AS BIGINT) << (49 - r)) AS sf FROM ${pref}rm GROUP BY 1),
+      |${pref}e AS (SELECT lang, used,
+      |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 562949953421312.0
+      |      / CAST(sf + (4096 - used) * 562949953421312 AS DOUBLE) AS eraw FROM ${pref}s),
+      |${pref}fin AS (SELECT lang,
+      |    CASE WHEN eraw <= 2.5 * 4096.0 AND used < 4096
+      |      THEN 4096.0 * ln(4096.0 / (4096 - used)) ELSE eraw END AS hll FROM ${pref}e)"""
+      .stripMargin
+
   private val NbScoreCtes: String =
     """toks AS (
       |  SELECT doc_id, lang = 'en' AS is_seed,
@@ -3021,6 +3066,32 @@ object SparkEntry {
     // prediction. Every branch (null AUC on a one-class corpus, null
     // precision/recall on empty denominators, f1=0 at tp=0) mirrors
     // Eval.classifierMetrics exactly.
+    // q133: both estimates replayed with the q130 register math (the
+    // generated chain) — est_before over the reference split's
+    // distinct (lang, tok) set, est_after over its union with the
+    // mutated arrivals; register max over a union == max of the two
+    // sides' registers, which is exactly what the store's merge does.
+    "q133_vocab_growth" ->
+      (s"""WITH rtoks AS (
+        |  SELECT DISTINCT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+        |atoks AS (
+        |  SELECT DISTINCT lang,
+        |    unnest(list_filter(string_split_regex(lower(
+        |      CASE WHEN doc_id % 2 = 0 THEN text || ' nw' || CAST(doc_id AS VARCHAR)
+        |           ELSE text END), '\\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0),
+        |utoks AS (SELECT lang, tok FROM rtoks UNION SELECT lang, tok FROM atoks),
+        |""" + hllLangEstSql("b", "rtoks") + ",\n" + hllLangEstSql("u", "utoks") + """
+        |SELECT ufin.lang,
+        |  CASE WHEN bfin.lang IS NOT NULL THEN round(bfin.hll, 6) ELSE 0.0 END
+        |    AS est_before,
+        |  round(ufin.hll, 6) AS est_after,
+        |  round(round(ufin.hll, 6) -
+        |    CASE WHEN bfin.lang IS NOT NULL THEN round(bfin.hll, 6) ELSE 0.0 END, 6)
+        |    AS est_growth
+        |FROM ufin LEFT JOIN bfin USING (lang)""").stripMargin,
     // q132: q108's scores (shared CTEs) cut into 10 equal-frequency
     // bins by (6dp score, doc_id) — ntile semantics identical in both
     // engines; confidence accumulates the per-row sigmoid in fixed

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
@@ -182,4 +183,56 @@ object HllSketchAgg {
   /** `hllDistinct(hashCol, p)` — the estimate directly. */
   def hllDistinct(hash: Column, p: Int): Column =
     ColumnBridge.column(HllEstimate(ColumnBridge.expression(hllSketch(hash, p))))
+}
+
+/** `hll_merge(binary, binary) -> binary`: register-wise max of two
+  * serialized [[HllSketch]]es — HLL set union. Null-tolerant on
+  * EITHER side (a language absent from one operand passes the other
+  * through unchanged), which is what a store's full-outer maintenance
+  * join produces. */
+case class HllMerge(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def prettyName: String = "hll_merge"
+
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllSketch.deserialize(a).merge(HllSketch.deserialize(b)).serialize
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null) b
+    else if (b == null) a
+    else compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hllMerge", this, classOf[HllMerge].getName)
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull} && ${rightGen.isNull};
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          if (${leftGen.isNull}) { ${ev.value} = ${rightGen.value}; }
+          else if (${rightGen.isNull}) { ${ev.value} = ${leftGen.value}; }
+          else { ${ev.value} = $ref.compute(${leftGen.value}, ${rightGen.value}); }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllMerge =
+    copy(left = newLeft, right = newRight)
+}
+
+object HllMerge {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(HllMerge(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

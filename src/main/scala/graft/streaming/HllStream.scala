@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.HllStore
+
+/** Streaming vocabulary-growth monitor over the persisted HLL
+  * registers ([[HllStore]]): per micro-batch, report each language's
+  * estimated vocabulary before/after the batch ([[HllStore.growth]]),
+  * append the report to the ledger, then FOLD the batch's registers
+  * into the store ([[HllStore.ingest]]) so the next batch's "before"
+  * includes this one — a truly incremental distinct-count state no
+  * exact counter can keep without holding the full token set.
+  *
+  * Crash semantics: the fold is register-wise max — replaying a batch
+  * is a no-op on the STORE, which therefore always equals the
+  * single-shot sketch of everything ingested (StreamingSpec pins it).
+  * The ledger row is computed before the fold; a retry that lands
+  * after a completed fold re-records that batch's growth as ~0 (its
+  * ledger partition is overwritten, never duplicated) — the store
+  * stays exact, only that one report row degrades, the same
+  * at-least-once honesty trade the other monitor ledgers make.
+  */
+object HllStream {
+
+  def maintain(
+      spark: SparkSession,
+      landingDir: String,
+      storePath: String,
+      outDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      langCol: String = "lang",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        HllStore.growth(spark, storePath, batch, langCol, textCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        HllStore.ingest(spark, storePath, batch, langCol, textCol)
+        ()
+      }
+      .start()
+}

@@ -450,6 +450,30 @@ class DomainSpec extends SparkSpecBase {
     assert(gotCal == wantCal)
   }
 
+  test("CLI hll-store: growth and ingest re-derive from the operators") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_hll").toString
+    val ref = Seq((1L, "en", "aa bb cc"), (2L, "de", "dd")).toDF("doc_id", "lang", "text")
+    ref.write.parquet(s"$tmp/ref")
+    assert(graft.Cli.run(Array("hll-store", "--create", "-i", s"$tmp/ref",
+      "-s", s"$tmp/hll", "--p", "10")) == 0)
+    val batch = Seq((3L, "en", "ee ff")).toDF("doc_id", "lang", "text")
+    batch.write.parquet(s"$tmp/batch")
+    assert(graft.Cli.run(Array("hll-store", "--growth", "-i", s"$tmp/batch",
+      "-s", s"$tmp/hll", "-o", s"$tmp/rep")) == 0)
+    val got = spark.read.parquet(s"$tmp/rep").collect().map(_.toSeq).toSet
+    val want = graft.ops.HllStore.growth(spark, s"$tmp/hll",
+        spark.read.parquet(s"$tmp/batch"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(graft.Cli.run(Array("hll-store", "--ingest", "-i", s"$tmp/batch",
+      "-s", s"$tmp/hll")) == 0)
+    val zero = graft.ops.HllStore.growth(spark, s"$tmp/hll",
+        spark.read.parquet(s"$tmp/batch"))
+      .collect().map(r => r.getDouble(3)).toSeq
+    assert(zero.forall(_ == 0.0), "ingest did not fold the batch")
+  }
+
   test("CLI data-card: every section re-derives from its own operator") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_card").toString

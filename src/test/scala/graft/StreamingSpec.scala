@@ -1057,6 +1057,37 @@ class StreamingSpec extends SparkSpecBase {
       s"mixed-OOV kl ${r.getDouble(3)} != ln(4/3)")
   }
 
+  test("HLL vocab-growth monitor: folded store == single-shot sketch of " +
+    "all landings; ledger partitioned per batch") {
+    import graft.streaming.HllStream
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hllstream").toString
+    val ref = Seq((1L, "en", "aa bb"), (2L, "de", "cc")).toDF("doc_id", "lang", "text")
+    graft.ops.HllStore.createAt(spark, ref, s"$tmp/hll", p = 10)
+    val b0 = Seq((3L, "en", "dd ee")).toDF("doc_id", "lang", "text")
+    val b1 = Seq((4L, "de", "ff"), (5L, "fr", "gg hh")).toDF("doc_id", "lang", "text")
+    b0.coalesce(1).write.parquet(s"$tmp/in")
+    b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val q = HllStream.maintain(spark, s"$tmp/in", s"$tmp/hll", s"$tmp/ledger",
+      s"$tmp/ckpt", b0.schema,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.processAllAvailable() finally q.stop()
+    // the store after the stream == one-shot registers over everything
+    val got = spark.read.parquet(s"$tmp/hll/regs")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_hllstream2").toString
+    graft.ops.HllStore.createAt(spark, ref.union(b0).union(b1), s"$tmp2/hll", p = 10)
+    val want = spark.read.parquet(s"$tmp2/hll/regs")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got == want, "streamed folds diverged from the single-shot sketch")
+    // ledger: one partition per batch, rows per language touched-or-stored
+    val ledger = spark.read.parquet(s"$tmp/ledger")
+    assert(ledger.select("batch").distinct().count() >= 1)
+    // 'fr' appears with est_before 0 in whichever batch introduced it
+    val fr = ledger.filter(col("lang") === "fr").collect()
+    assert(fr.nonEmpty && fr.forall(_.getDouble(1) == 0.0))
+  }
+
   test("PSI monitor: streamed ledger rows == batch PsiStore.psi per landing") {
     import graft.streaming.PsiStream
     import spark.implicits._
