@@ -109,8 +109,46 @@ object HllStore {
     val merged = stored.select(col("lang"), col("sketch").as("s_store"))
       .join(batch.select(col("lang"), col("sketch").as("s_batch")), Seq("lang"), "full_outer")
       .select(col("lang"), graft.functions.HllMerge(col("s_store"), col("s_batch")).as("sketch"))
-      .localCheckpoint(false) // sever lineage from the store files being overwritten
+      // EAGER checkpoint: the write below overwrites the very files
+      // this plan reads, so the read must complete BEFORE the delete —
+      // lazy checkpointing only severs lineage if something else
+      // happens to materialize it first (the DownloadExecutor
+      // read-then-overwrite precedent).
+      .localCheckpoint(true)
     merged.coalesce(1).write.mode("overwrite").parquet(s"$path/regs")
     merged
+  }
+
+  /** [[growth]] + [[ingest]] from ONE store read, ONE batch sketch
+    * and ONE join — the per-micro-batch step of
+    * [[graft.streaming.HllStream]], where running the two operations
+    * separately would re-read the store and re-sketch the batch.
+    * Returns the growth report; the fold is committed before
+    * returning. */
+  def growthAndIngest(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val (stored, p) = attach(spark, path)
+    val batch = sketchOf(docs, langCol, textCol, p)
+    // Eager: materializes the store read + batch sketch ONCE; both the
+    // report and the merged registers derive narrowly from it, and the
+    // regs overwrite below is safe because nothing re-reads the files.
+    val joined = stored.select(col("lang"), col("sketch").as("s_store"))
+      .join(batch.select(col("lang"), col("sketch").as("s_batch")), Seq("lang"), "full_outer")
+      .localCheckpoint(true)
+    joined
+      .select(col("lang"), graft.functions.HllMerge(col("s_store"), col("s_batch")).as("sketch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/regs")
+    def est(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(HllEstimate(ColumnBridge.expression(c)))
+    joined
+      .select(col("lang"),
+        when(col("s_store").isNotNull, round(est(col("s_store")), 6))
+          .otherwise(lit(0.0)).as("est_before"),
+        round(est(graft.functions.HllMerge(col("s_store"), col("s_batch"))), 6).as("est_after"))
+      .withColumn("est_growth", round(col("est_after") - col("est_before"), 6))
   }
 }

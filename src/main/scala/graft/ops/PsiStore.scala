@@ -52,9 +52,13 @@ object PsiStore {
       qs: Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8)): Unit = {
     require(qs == qs.sorted && qs.distinct == qs,
       s"quantiles must be strictly increasing, got $qs")
-    val vals = Parallelism.stage(
-      values.filter(col(valueCol).isNotNull)
-        .select(round(col(valueCol).cast("double"), 6).as("v")))
+    // NOT staged here: exactQuantiles stages its own copy of the
+    // projection for its sketch+confirm passes, and staging twice
+    // would pin two persistent duplicates of the reference column for
+    // the life of the session. The two narrow re-reads below (binning
+    // + count) are fit-time-only cost.
+    val vals = values.filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol).cast("double"), 6).as("v"))
     val cuts = Quantiles.exactQuantiles(vals, "v", qs)
     cuts.coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
     val cutVals = cuts.orderBy("quantile").collect().map(_.getDouble(1)).toSeq
@@ -90,21 +94,30 @@ object PsiStore {
     val (cuts, ref) = attach(spark, path)
     val vals = values.filter(col(valueCol).isNotNull)
       .select(round(col(valueCol).cast("double"), 6).as("v"))
-    val arr = binned(vals, "v", cuts)
-      .groupBy(col("bin")).agg(count(lit(1)).as("n_arr"))
     import spark.implicits._
+    // ONE pass over the batch: the binned aggregate is bins-sized by
+    // contract, so it collects; the total falls out of the same rows
+    // (computing it with a second .agg would re-scan and re-bin the
+    // whole batch). Same for the bins-sized ref table.
+    val arrRows = binned(vals, "v", cuts)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_arr"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val refRows = ref.collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).longValue)).toSeq
+    val arr = arrRows.toDF("bin", "n_arr")
+    val refDf = refRows.toDF("bin", "n_ref")
     val boundsDf = (0 to cuts.size).map { i =>
       (i,
         if (i == 0) null else java.lang.Double.valueOf(cuts(i - 1)),
         if (i == cuts.size) null else java.lang.Double.valueOf(cuts(i)))
     }.toDF("bin", "lo", "hi")
-    val refTot = ref.agg(coalesce(sum("n_ref"), lit(0L)).cast("long")).head().getLong(0)
-    val arrTot = arr.agg(coalesce(sum("n_arr"), lit(0L)).cast("long")).head().getLong(0)
+    val refTot = refRows.map(_._2).sum
+    val arrTot = arrRows.map(_._2).sum
     require(refTot > 0L, s"PSI store at $path has an empty reference")
     val refShare = col("n_ref").cast("double") / lit(refTot).cast("double")
     val arrShare = col("n_arr").cast("double") / lit(arrTot).cast("double")
     broadcast(boundsDf)
-      .join(broadcast(ref), Seq("bin"), "left")
+      .join(broadcast(refDf), Seq("bin"), "left")
       .join(broadcast(arr), Seq("bin"), "left")
       .select(col("bin"), col("lo"), col("hi"),
         coalesce(col("n_ref"), lit(0L)).cast("long").as("n_ref"),

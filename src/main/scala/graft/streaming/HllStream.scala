@@ -17,11 +17,12 @@ import graft.ops.HllStore
   * Crash semantics: the fold is register-wise max — replaying a batch
   * is a no-op on the STORE, which therefore always equals the
   * single-shot sketch of everything ingested (StreamingSpec pins it).
-  * The ledger row is computed before the fold; a retry that lands
-  * after a completed fold re-records that batch's growth as ~0 (its
-  * ledger partition is overwritten, never duplicated) — the store
-  * stays exact, only that one report row degrades, the same
-  * at-least-once honesty trade the other monitor ledgers make.
+  * The growth report derives from the join materialized BEFORE the
+  * fold commits; a retry that lands after a completed fold re-records
+  * that batch's growth as ~0 (its ledger partition is overwritten,
+  * never duplicated) — the store stays exact, only that one report
+  * row degrades, the same at-least-once honesty trade the other
+  * monitor ledgers make.
   */
 object HllStream {
 
@@ -40,9 +41,11 @@ object HllStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        HllStore.growth(spark, storePath, batch, langCol, textCol)
+        // One store read + one batch sketch per micro-batch: the fused
+        // op commits the fold and returns the growth report derived
+        // from the same materialized join.
+        HllStore.growthAndIngest(spark, storePath, batch, langCol, textCol)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        HllStore.ingest(spark, storePath, batch, langCol, textCol)
         ()
       }
       .start()

@@ -12,8 +12,9 @@ import graft.ops.PsiStore
   * tokenizer fertility, [[LangIdStream]] language mix, [[EvalStream]]
   * classifier quality; this watches any numeric column (quality
   * scores, embedding norms, document lengths) against the FROZEN
-  * quantile reference. Each micro-batch appends one ledger row per
-  * frozen bin; Σ psi_term per batch is the drift alarm
+  * quantile reference. Each micro-batch writes one ledger row per
+  * frozen bin into its own `batch=<id>` partition (overwrite —
+  * replay-idempotent); Σ psi_term per batch is the drift alarm
   * (< 0.1 stable, > 0.25 shifted).
   *
   * The cut-points and reference counts are frozen by definition, so
@@ -38,9 +39,14 @@ object PsiStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Per-batch partition OVERWRITE (the EvalStream/HllStream
+        // idempotency shape): an at-least-once replay rewrites the
+        // same batch=<id> rows instead of appending a duplicate set —
+        // a doubled ledger would double the per-batch PSI sum and
+        // fire a false population-shift alarm.
         PsiStore.psi(spark, storePath, batch, valueCol)
-          .withColumn("batch", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
       }
       .start()
 }

@@ -1105,15 +1105,18 @@ class StreamingSpec extends SparkSpecBase {
     val ledger = spark.read.parquet(s"$tmp/ledger")
     // every batch's rows re-derive from the batch operator over the
     // union of landings it saw (AvailableNow may fold both files into
-    // one micro-batch — check the union invariant, not the count)
-    val batches = ledger.select("batch").distinct().collect().map(_.getLong(0)).sorted
+    // one micro-batch — check the union invariant, not the count);
+    // `batch` is a discovered partition column, so coerce rather than
+    // assume its inferred width
+    val batches = ledger.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
     assert(batches.nonEmpty)
     val streamed = ledger.drop("batch")
     // per-bin n_arr across ALL ledger rows sums to the landings' mass
     val totalArr = ledger.agg(sum("n_arr")).head().getLong(0)
     assert(totalArr == 30L + 41L, s"ledger lost arrivals: $totalArr")
     if (batches.length == 2) {
-      val row0 = ledger.filter(col("batch") === batches(0)).drop("batch")
+      val row0 = ledger.filter(col("batch").cast("long") === batches(0)).drop("batch")
         .collect().map(_.toSeq).toSet
       val w0 = graft.ops.PsiStore.psi(spark, s"$tmp/psi", b0, "value")
         .collect().map(_.toSeq).toSet
