@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
   *    and leading zero counts are equally geometric under a uniform
   *    hash — this choice is pure SQL portability;
   *  - harmonic sum: Σ 2^−r_j accumulated as the INTEGER
-  *    Σ 2^(maxRank−r_j) (maxRank ≤ 49 and m ≤ 2^14 keep it < 2^63),
+  *    Σ 2^(maxRank−r_j). Safe for every allowed p: maxRank = 61−p,
+  *    so the sum is at most m·2^maxRank = 2^p·2^(61−p) = 2^61 < 2^63,
   *    divided once at the end — no float-accumulation order anywhere.
   *
   * The 32-bit large-range correction of the paper is deliberately

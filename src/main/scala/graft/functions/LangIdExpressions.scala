@@ -113,7 +113,12 @@ object PaddedCharGrams {
   * gram → per-language rank (0 = absent), so each document costs
   * O(|profile| · |langs|) integer ops and one O(1) lookup per gram —
   * no expansion, no second shuffle, no window. Languages are held
-  * SORTED so the argmin tie-break (smallest language) is positional.
+  * SORTED IN UTF-8 BYTE ORDER — Catalyst's binary string ordering,
+  * which the declarative `row_number` tie-break uses — so the argmin
+  * tie-break (smallest language) is positional. Scala's `String`
+  * ordering (UTF-16 code units) diverges from UTF-8 byte order for
+  * supplementary (non-BMP) labels, so the sort goes through
+  * [[UTF8String]] like the gram tie-break in [[CtDocProfile]].
   *
   * The trained table is langs × topM entries — driver-bounded by the
   * same contract as the IVF centroid matrix
@@ -128,7 +133,10 @@ case class CtBestLang(
     extends UnaryExpression with ExpectsInputTypes {
 
   require(langs.nonEmpty, "ct_best_lang requires at least one trained language")
-  require(langs == langs.sorted, "langs must be pre-sorted (argmin tie-break is positional)")
+  require(langs.sliding(2).forall {
+    case Seq(a, b) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    case _         => true
+  }, "langs must be pre-sorted in UTF-8 byte order (argmin tie-break is positional)")
   require(topM >= 1, s"topM must be >= 1, got $topM")
 
   override def inputTypes: Seq[DataType] = Seq(
@@ -202,7 +210,8 @@ object CtBestLang {
     * sorted; per gram, one rank per language (0 = not in that
     * language's top-M). */
   def apply(profile: Column, rows: Seq[(String, String, Int)], topM: Int): Column = {
-    val langs = rows.map(_._1).distinct.sorted
+    val langs = rows.map(_._1).distinct
+      .sortWith((a, b) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
     val idx = langs.zipWithIndex.toMap
     val table = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (gram, rs) =>
       val ranks = new Array[Int](langs.length)

@@ -270,4 +270,43 @@ object Eval {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("acc"))
       .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
   }
+
+  /** [[calibration]] against FROZEN cut-points — the 100-TB path the
+    * equal-frequency report's scale note promises. Bin assignment is
+    * a zero-exchange projection (`1 + #cuts strictly below the
+    * score`, scores rounded to the same 1e-6 grid as
+    * [[calibration]]), so no single-partition window ever carries
+    * per-document rows; the only exchange is the nBins-sized final
+    * aggregate. `cuts` come from wherever the reference distribution
+    * was frozen — [[Quantiles.exactQuantiles]] boundaries or a
+    * [[PsiStore]]'s cut-points — and a score EQUAL to a cut lands in
+    * the bin the cut closes, matching ntile when each cut is its
+    * bin's maximum element. Output schema identical to
+    * [[calibration]]; bins with no rows are absent (the frozen cuts
+    * name nBins = cuts.length + 1 possible bins, arrivals may miss
+    * some). */
+  def calibrationAtCuts(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "calibrationAtCuts requires at least one cut-point")
+    require(cuts == cuts.sorted, "cut-points must be ascending")
+    val s6 = round(col(scoreCol).cast("double"), 6)
+    val bin = cuts.map(c => when(s6 > round(lit(c), 6), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    scored
+      .select(bin.as("bin"),
+        col(labelCol).cast("int").as("y"),
+        Quality.fixedPoint9(lit(1.0) / (lit(1.0) + exp(s6 * -1))).as("p9"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("p9")).as("p9sum"),
+        sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bin"), col("n"),
+        round(Quality.fromFixedPoint9(col("p9sum")) / col("n").cast("double"), 6)
+          .as("conf"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("acc"))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+  }
 }

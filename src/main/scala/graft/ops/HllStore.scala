@@ -123,14 +123,23 @@ object HllStore {
     * and ONE join — the per-micro-batch step of
     * [[graft.streaming.HllStream]], where running the two operations
     * separately would re-read the store and re-sketch the batch.
-    * Returns the growth report; the fold is committed before
-    * returning. */
+    *
+    * Commit ordering: the growth report goes through `reportSink`
+    * BEFORE the register fold is committed. Either order is
+    * at-least-once-correct (the HLL fold is a register-wise max, so a
+    * replayed ingest is idempotent), but ledger-first means a crash
+    * between the two replays the batch against the UNMODIFIED store
+    * and overwrites the ledger partition with the same numbers —
+    * whereas fold-first would make the replayed report read ~0 growth.
+    * Returns the growth report (narrow re-read of the checkpointed
+    * join) for callers that want it in-memory. */
   def growthAndIngest(
       spark: SparkSession,
       path: String,
       docs: DataFrame,
       langCol: String = "lang",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      reportSink: DataFrame => Unit = _ => ()): DataFrame = {
     val (stored, p) = attach(spark, path)
     val batch = sketchOf(docs, langCol, textCol, p)
     // Eager: materializes the store read + batch sketch ONCE; both the
@@ -139,16 +148,18 @@ object HllStore {
     val joined = stored.select(col("lang"), col("sketch").as("s_store"))
       .join(batch.select(col("lang"), col("sketch").as("s_batch")), Seq("lang"), "full_outer")
       .localCheckpoint(true)
-    joined
-      .select(col("lang"), graft.functions.HllMerge(col("s_store"), col("s_batch")).as("sketch"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/regs")
     def est(c: org.apache.spark.sql.Column) =
       ColumnBridge.column(HllEstimate(ColumnBridge.expression(c)))
-    joined
+    val report = joined
       .select(col("lang"),
         when(col("s_store").isNotNull, round(est(col("s_store")), 6))
           .otherwise(lit(0.0)).as("est_before"),
         round(est(graft.functions.HllMerge(col("s_store"), col("s_batch"))), 6).as("est_after"))
       .withColumn("est_growth", round(col("est_after") - col("est_before"), 6))
+    reportSink(report)
+    joined
+      .select(col("lang"), graft.functions.HllMerge(col("s_store"), col("s_batch")).as("sketch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/regs")
+    report
   }
 }

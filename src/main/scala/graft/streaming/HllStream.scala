@@ -41,11 +41,14 @@ object HllStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // One store read + one batch sketch per micro-batch: the fused
-        // op commits the fold and returns the growth report derived
-        // from the same materialized join.
-        HllStore.growthAndIngest(spark, storePath, batch, langCol, textCol)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // One store read + one batch sketch per micro-batch. The
+        // ledger partition is written BEFORE the fold commits (the
+        // reportSink hook): a crash between the two replays the batch
+        // against the unmodified store, so the rewritten ledger row
+        // carries the same growth numbers instead of ~0.
+        HllStore.growthAndIngest(spark, storePath, batch, langCol, textCol,
+          reportSink =
+            _.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
         ()
       }
       .start()

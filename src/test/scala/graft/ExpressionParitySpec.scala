@@ -328,4 +328,31 @@ class ExpressionParitySpec extends SparkSpecBase {
       assert(self == ref, s"selfClassify topM=$topM")
     }
   }
+
+  test("LangId.classify tie-break follows UTF-8 byte order for " +
+    "supplementary-plane language labels") {
+    val spark2 = spark
+    import spark2.implicits._
+    // U+FFFF (3-byte UTF-8) vs U+10000 (4-byte, a surrogate pair in
+    // UTF-16): Scala String ordering puts the surrogate pair FIRST
+    // (0xD800 < 0xFFFF), UTF-8 byte order puts it LAST (0xEF < 0xF0).
+    // The argmin tie-break must follow Catalyst's binary order, i.e.
+    // the declarative classifyJoin's row_number.
+    val langHi = "\uffff"
+    val langSupp = new String(Character.toChars(0x10000))
+    // identical training text for both labels -> identical profiles ->
+    // every document's distance ties; the winner is purely the tie-break
+    val train = Seq(
+      (1L, "abc abd abe", langHi),
+      (2L, "abc abd abe", langSupp)).toDF("doc_id", "text", "lang")
+    val profiles = graft.ops.LangId.langProfiles(train, "lang", "text", 16)
+    val docs = Seq((10L, "abc ab"), (11L, "abd abe")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val fast = asMap(graft.ops.LangId.classify(docs, "doc_id", "text", profiles, 16))
+    val ref = asMap(graft.ops.LangId.classifyJoin(docs, "doc_id", "text", profiles, 16))
+    assert(fast == ref)
+    assert(fast.values.forall(_._1 == langHi),
+      s"tie must resolve to the UTF-8-smaller label U+FFFF, got $fast")
+  }
 }

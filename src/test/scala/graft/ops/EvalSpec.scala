@@ -205,4 +205,37 @@ class EvalSpec extends SparkSpecBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(bins == Map(1 -> 5L, 2 -> 5L))
   }
+
+  test("calibrationAtCuts equals calibration when the cuts are the " +
+    "equal-frequency bin maxima (frozen-cut 100-TB path parity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // distinct scores by construction, so rank-based and value-based
+    // binning agree exactly
+    val rows = (0 until 200).map(i => (i.toLong, -1.0 + i * 0.01, rnd.nextInt(2)))
+    val scored = rows.toDF("doc_id", "log_odds", "y")
+    val sortedScores = rows.map(_._2).sorted
+    val nBins = 4
+    val cuts = (1 until nBins).map(b => sortedScores(b * rows.size / nBins - 1))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val rankBased = rowsOf(Eval.calibration(scored, "doc_id", "log_odds", "y", nBins))
+    val cutBased = rowsOf(Eval.calibrationAtCuts(scored, "log_odds", "y", cuts))
+    assert(cutBased == rankBased)
+  }
+
+  test("calibrationAtCuts: boundary scores close the bin; out-of-range " +
+    "arrivals land in the edge bins") {
+    import spark.implicits._
+    // cuts frozen from some reference distribution; arrivals drift
+    // beyond both ends — the monitoring scenario the frozen path is for
+    val scored = Seq(
+      (1L, -99.0, 0), (2L, 0.0, 0), (3L, 0.000001, 1), (4L, 99.0, 1))
+      .toDF("doc_id", "log_odds", "y")
+    val got = Eval.calibrationAtCuts(scored, "log_odds", "y", Seq(0.0))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // score == cut (doc 2) stays in bin 1; strictly-above goes to bin 2
+    assert(got == Map(1 -> 2L, 2 -> 2L))
+  }
 }
