@@ -33,6 +33,20 @@ object TextFunctions {
   val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPattern: String = "https?://[^ \\t\\n\\r]+"
 
+  /** North-American-shaped phone numbers: optional +CC, optional
+    * parenthesized area code, separator in [-. ] between groups —
+    * `+1 415 555 0100`, `(415) 555-0100`, `415-555-0100`. Stays in
+    * the Java∩RE2 subset (no lookaround); deliberately requires
+    * separators so bare digit runs (ids, years) never match. */
+  val PhonePattern: String =
+    "\\+?[0-9]{1,2}[-. ]\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}|\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Dotted-quad IPv4 with per-octet range check (0–255) and word
+    * boundaries, so over-long digit runs (`999.999.999.999`) and
+    * digit-adjacent positions never yield partial matches. */
+  val Ipv4Pattern: String =
+    "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+
   /** Count of pattern matches in `text` (0 for no match). */
   def patternCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")

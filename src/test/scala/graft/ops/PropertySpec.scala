@@ -325,6 +325,36 @@ class PropertySpec extends SparkSpecBase {
       s"redaction mismatch:\n${got.zip(rows).mkString("\n")}")
   }
 
+  test("redaction: crafted phones/IPv4 scrub in order, range checks and " +
+    "boundaries hold") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val rows = Seq(
+      // (text, n_phones, n_ips, redacted)
+      ("call +1 415 555 0100 now", 1L, 0L, "call <PHONE> now"),
+      ("call (415) 555-0100 or 415.555.0100", 2L, 0L, "call <PHONE> or <PHONE>"),
+      ("host 10.0.3.45 and 255.255.255.0", 0L, 2L, "host <IP> and <IP>"),
+      // over-range octets and over-long runs must NOT match
+      ("bad 999.999.999.999 and 256.1.1.1", 0L, 0L, "bad 999.999.999.999 and 256.1.1.1"),
+      // digit-adjacent quad (\b) and version-string prefix must NOT match
+      ("v1.2.3.4 and 51.2.3.45", 0L, 1L, "v1.2.3.4 and <IP>"),
+      // bare digit runs (ids, years) are not phones
+      ("order 4155550100 in 2026", 0L, 0L, "order 4155550100 in 2026"),
+      // phone first, then IP, one of each in one doc
+      ("+1 415 555 0100 at 10.0.0.1", 1L, 1L, "<PHONE> at <IP>"),
+      ("", 0L, 0L, ""))
+    val got = rows.map(_._1).toDF("text")
+      .select(
+        patternCount(col("text"), PhonePattern).as("np"),
+        redact(col("text"), PhonePattern, "<PHONE>").as("p"))
+      .select(col("np"),
+        patternCount(col("p"), Ipv4Pattern).as("ni"),
+        redact(col("p"), Ipv4Pattern, "<IP>").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == rows.map(t => (t._2, t._3, t._4)),
+      s"pii battery mismatch:\n${got.zip(rows).mkString("\n")}")
+  }
+
   test("property: canonicalEqual invariant under row and column permutation") {
     import spark.implicits._
     val df = (1 to 30).map(i => (s"k$i", i % 7, i * 1.5)).toDF("k", "a", "b")
