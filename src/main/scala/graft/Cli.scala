@@ -561,7 +561,14 @@ object Cli {
         budgetPerSource = lOpt("--budget", 10000L))
       val spark = session()
       import org.apache.spark.sql.functions.col
-      val docs = spark.read.parquet(in)
+      // --ct-lang: replace the incoming lang labels with the
+      // Cavnar–Trenkle classifier's prediction (fit once on those
+      // labels) before curating — the pluggable lang source for
+      // corpora whose labels aren't trusted. Default keeps the
+      // arriving labels (the q79 contract).
+      val raw = spark.read.parquet(in)
+      val docs =
+        if (m.contains("--ct-lang")) graft.ops.Curation.withCtLang(raw) else raw
       val bench = m.get("--bench").flatMap(_.headOption) match {
         case Some(p) => spark.read.parquet(p).select("doc_id", "text")
         case None => docs
@@ -1866,7 +1873,7 @@ object Cli {
            |  download   -m <manifest.tsv: name md5sum url> -o <raw-dir>
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
-           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--seed <sql-bool-expr>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json; --seed adds measured per-stage quality + decontam_audit/)
+           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--ct-lang] [--seed <sql-bool-expr>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json; --seed adds measured per-stage quality + decontam_audit/)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet> | --oov -i <batch.parquet> -s <store-dir> -o <out.parquet> [--lang lang]
            |  corpus-diff --prev <a.parquet> --now <b.parquet> -o <out.parquet> [--id doc_id] [--text text] [--source source]
@@ -1886,7 +1893,7 @@ object Cli {
            |  vocab      -i <docs.parquet> -o <out.tsv> [-k 1000] [--text text]
            |  split      -i <docs.parquet> -o <out.parquet> [--train 80] [--valid 10] [--id doc_id]
            |  budget     -i <docs.parquet> -o <out.parquet> -B <tokens-per-key> [--key source] [--id doc_id] [--text text]
-           |  sample     -i <docs.parquet | landing-dir> -o <out.parquet | store-dir> [-k 12] [--group source] [--weight 'ln(1 + n_chars)'] [--stream --checkpoint <dir>] [--id doc_id]
+           |  sample     -i <docs.parquet | landing-dir> -o <out.parquet | store-dir> [-k 12] [--group source] [--weight 'ln(2 + n_chars)'] [--stream --checkpoint <dir>] [--id doc_id]
            |  pack       -i <docs.parquet | landing-dir> -o <out> [--budget 512] [--window 50] [--stride 40] [--stream [--checkpoint <dir>]] [--id doc_id] [--text text]
            |  pack       --compact -o <streamed-pack-store> [--budget N]   (restore global order between maintenance windows; --budget only for stores predating the _budget pin)
            |  decontaminate -i <docs.parquet> -b <bench.parquet> -o <out.parquet> [-n 5] [--bloom] [--trim] [--id doc_id] [--text text]

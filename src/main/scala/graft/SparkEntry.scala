@@ -600,13 +600,20 @@ object SparkEntry {
     * signals + exact-dedup survivor semi-join → per-language corpus
     * stats. One narrow scoring pass, one fingerprint aggregate, one
     * final skinny aggregate — the canonical "filter then count what
-    * survived" curation report. */
+    * survived" curation report. The lang column comes from the ONE
+    * language-ID surface, the Cavnar–Trenkle operator ([[graft.ops
+    * .LangId.langColumn]], profiles fit on the corpus's own labels —
+    * q124/q126's convention), not the marker-token heuristic: fit is
+    * one (lang, gram) aggregate, classification stays a zero-exchange
+    * projection riding the same scoring pass. */
   def q49Curation(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.Parallelism.ensure(Tables.documents(s, dir))
+    val ctRows = graft.ops.LangId.profileRows(
+      graft.ops.LangId.langProfiles(docs, "lang", "text", topM = 64))
     val scored = docs.select(
       col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"),
-      TextFunctions.langIdHeuristic(col("text")).as("lang"),
+      graft.ops.LangId.langColumn(col("text"), ctRows, topM = 64).as("lang"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       col("text"))
     val keepers = Dedup.exact(docs, "doc_id", "text")
@@ -938,6 +945,15 @@ object SparkEntry {
     import TextFunctions.{EmailPattern, UrlPattern, patternCount, redact}
     Tables.documents(s, dir)
       .filter(col("text").isNotNull)
+      // The gate corpus is PII-free by construction, so PII is PLANTED
+      // deterministically inside the query (q129's planted-token
+      // recipe): every third document gains a doc_id-derived email and
+      // URL, and the oracle value-compares the real replacements —
+      // without this the green row certifies only the identity path.
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+          lit("@example.com https://x.io/d"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
       // URLs scrubbed first, emails counted on the URL-scrubbed text:
       // an address inside a URL query string is one URL, not also an
       // email (counts stay consistent with what redaction removed).
@@ -947,6 +963,32 @@ object SparkEntry {
       .select(col("doc_id"), col("n_urls"),
         patternCount(col("u"), EmailPattern).as("n_emails"),
         redact(col("u"), EmailPattern, "<EMAIL>").as("redacted"))
+  }
+
+  /** Wider PII battery — phone numbers and IPv4 addresses, the two
+    * patterns the r11 verdict named as missing. Same planted-PII
+    * discipline as [[q66Redact]]: every fourth document gains a
+    * doc_id-derived phone + IP so both the replacement and the
+    * identity path are value-oracled. Phones are scrubbed FIRST; the
+    * dotted-quad shape cannot produce the phone pattern's 4-digit
+    * terminal group, so the two passes never interact. Zero-shuffle
+    * codegen'd regex map pass, like the email/URL battery. */
+  def q134PiiBattery(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.{Ipv4Pattern, PhonePattern, patternCount, redact}
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("text", when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" call +1 415 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 3 + 1) % 256).cast("string")))
+        .otherwise(col("text")))
+      .select(col("doc_id"),
+        patternCount(col("text"), PhonePattern).as("n_phones"),
+        redact(col("text"), PhonePattern, "<PHONE>").as("p"))
+      .select(col("doc_id"), col("n_phones"),
+        patternCount(col("p"), Ipv4Pattern).as("n_ips"),
+        redact(col("p"), Ipv4Pattern, "<IP>").as("redacted"))
   }
 
   /** Pack materialization: the [[q63Pack]] assignment grouped into
@@ -2006,6 +2048,7 @@ object SparkEntry {
     "q131_score_psi" -> (q131ScorePsi _),
     "q132_calibration" -> (q132Calibration _),
     "q133_vocab_growth" -> (q133VocabGrowth _),
+    "q134_pii_battery" -> (q134PiiBattery _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2435,6 +2478,44 @@ object SparkEntry {
       |      THEN 4096.0 * ln(4096.0 / (4096 - used)) ELSE eraw END AS hll FROM ${pref}e)"""
       .stripMargin
 
+  /** Cavnar–Trenkle language-ID replay — fit profiles on the whole
+    * labeled corpus, classify the same corpus (topM 64, the
+    * [[graft.ops.LangId.selfClassify]] convention) — yielding
+    * lpred(doc_id, pred_lang). Shared by the q126 slice relabel and
+    * the q49 curation lang source (one language-ID surface, one
+    * transcription). */
+  private val CtPredCtes: String =
+    """ltoks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |lg AS (
+      |  SELECT doc_id, lang, gr FROM (SELECT doc_id, lang, '_' || tok || '_' AS p FROM ltoks) t,
+      |  UNNEST(list_concat(
+      |    list_transform(generate_series(1, len(p) - 1), i -> substr(p, i, 2)),
+      |    list_transform(generate_series(1, len(p) - 2), i -> substr(p, i, 3)))) AS u(gr)),
+      |llc AS (SELECT lang, gr AS gram, count(*) AS cnt FROM lg GROUP BY 1, 2),
+      |llp AS (SELECT lang, gram, rank FROM (
+      |  SELECT lang, gram,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+      |  FROM llc) t WHERE rank <= 64),
+      |ldc AS (SELECT doc_id, gr AS gram, count(*) AS cnt FROM lg GROUP BY 1, 2),
+      |ldp AS (SELECT doc_id, gram, rank FROM (
+      |  SELECT doc_id, gram,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rank
+      |  FROM ldc) t WHERE rank <= 64),
+      |llangs AS (SELECT DISTINCT lang FROM llp),
+      |ldist AS (
+      |  SELECT ldp.doc_id, llangs.lang,
+      |    CAST(sum(coalesce(abs(ldp.rank - llp.rank), 64)) AS BIGINT) AS distance
+      |  FROM ldp CROSS JOIN llangs
+      |  LEFT JOIN llp ON llp.lang = llangs.lang AND llp.gram = ldp.gram
+      |  GROUP BY 1, 2),
+      |lpred AS (SELECT doc_id, lang AS pred_lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rk
+      |  FROM ldist) t WHERE rk = 1)""".stripMargin
+
   private val NbScoreCtes: String =
     """toks AS (
       |  SELECT doc_id, lang = 'en' AS is_seed,
@@ -2649,36 +2730,7 @@ object SparkEntry {
     // with the NB chain's toks/pd).
     "q126_predlang_slice_eval" ->
       s"""WITH $NbScoreCtes,
-        |ltoks AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |lg AS (
-        |  SELECT doc_id, lang, gr FROM (SELECT doc_id, lang, '_' || tok || '_' AS p FROM ltoks) t,
-        |  UNNEST(list_concat(
-        |    list_transform(generate_series(1, len(p) - 1), i -> substr(p, i, 2)),
-        |    list_transform(generate_series(1, len(p) - 2), i -> substr(p, i, 3)))) AS u(gr)),
-        |llc AS (SELECT lang, gr AS gram, count(*) AS cnt FROM lg GROUP BY 1, 2),
-        |llp AS (SELECT lang, gram, rank FROM (
-        |  SELECT lang, gram,
-        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
-        |  FROM llc) t WHERE rank <= 64),
-        |ldc AS (SELECT doc_id, gr AS gram, count(*) AS cnt FROM lg GROUP BY 1, 2),
-        |ldp AS (SELECT doc_id, gram, rank FROM (
-        |  SELECT doc_id, gram,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rank
-        |  FROM ldc) t WHERE rank <= 64),
-        |llangs AS (SELECT DISTINCT lang FROM llp),
-        |ldist AS (
-        |  SELECT ldp.doc_id, llangs.lang,
-        |    CAST(sum(coalesce(abs(ldp.rank - llp.rank), 64)) AS BIGINT) AS distance
-        |  FROM ldp CROSS JOIN llangs
-        |  LEFT JOIN llp ON llp.lang = llangs.lang AND llp.gram = ldp.gram
-        |  GROUP BY 1, 2),
-        |lpred AS (SELECT doc_id, lang AS pred_lang FROM (
-        |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rk
-        |  FROM ldist) t WHERE rk = 1),
+        |$CtPredCtes,
         |scored AS (
         |  SELECT s.doc_id,
         |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score,
@@ -3871,10 +3923,17 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
         |FROM k""".stripMargin,
     "q66_redact" ->
-      """WITH u AS (
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' u' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com https://x.io/d' || CAST(doc_id AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
         |  SELECT doc_id, text,
         |    regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS ut
-        |  FROM documents WHERE text IS NOT NULL)
+        |  FROM pl)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(ut,
@@ -3882,6 +3941,31 @@ object SparkEntry {
         |  regexp_replace(ut,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
         |FROM u""".stripMargin,
+    "q134_pii_battery" ->
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' call +1 415 555 '
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |           || '.' || CAST((doc_id * 3 + 1) % 256 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\+?[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+        |    regexp_replace(text,
+        |      '\+?[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+        |      '<PHONE>', 'g') AS pt
+        |  FROM pl)
+        |SELECT doc_id, n_phones,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(pt,
+        |    '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b',
+        |    '<IP>', 'g') AS redacted
+        |FROM p""".stripMargin,
     "q64_length_quantiles" ->
       """WITH t AS (
         |  SELECT lang,
@@ -4399,8 +4483,12 @@ object SparkEntry {
         |  FROM documents)
         |SELECT token, count(*) AS n FROM toks
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // q49: lang comes from the CT classifier replay (CtPredCtes), not
+    // the marker-token heuristic — the one language-ID surface. Plain
+    // concatenation (not s-interp): the praw regex contains \[ \].
     "q49_curation" ->
-      """WITH base AS (
+      ("""WITH """ + CtPredCtes + """,
+        |base AS (
         |  SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
         |  FROM documents),
@@ -4412,21 +4500,15 @@ object SparkEntry {
         |    CASE WHEN len(toks) > 0
         |      THEN len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(toks)
         |      ELSE 0.0 END AS sraw,
-        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS h_es,
-        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS h_de,
-        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une'], t))) AS h_fr,
         |    md5(array_to_string(toks, ' ')) AS fp
         |  FROM base),
         |m2 AS (
-        |  SELECT doc_id, fp, n_tokens,
+        |  SELECT m.doc_id, fp, n_tokens,
         |    round(least(n_tokens / 20.0, 1.0) * 0.4
         |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
         |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality,
-        |    CASE WHEN h_es > h_de AND h_es > h_fr THEN 'es'
-        |         WHEN h_de > h_es AND h_de > h_fr THEN 'de'
-        |         WHEN h_fr > h_es AND h_fr > h_de THEN 'fr'
-        |         ELSE 'en' END AS lang
-        |  FROM m),
+        |    lp.pred_lang AS lang
+        |  FROM m LEFT JOIN lpred lp ON lp.doc_id = m.doc_id),
         |keep AS (
         |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS kid FROM m2)
         |SELECT lang, count(*) AS n_docs,
@@ -4434,7 +4516,7 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM keep
         |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
-        |GROUP BY lang""".stripMargin,
+        |GROUP BY lang""").stripMargin,
     "q53_split" ->
       """WITH b AS (
         |  SELECT doc_id,

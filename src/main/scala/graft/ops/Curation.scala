@@ -95,6 +95,29 @@ object Curation {
   def pipeline(docs: DataFrame, bench: DataFrame, cfg: Config = Config()): DataFrame =
     stages(docs, bench, cfg).budgeted
 
+  /** The pipeline's pluggable language source, production default:
+    * REPLACE the incoming `lang` column with the Cavnar–Trenkle
+    * classifier's prediction ([[LangId]]), profiles fit once on the
+    * incoming labels. Callers that trust their labels pass `docs`
+    * straight to [[pipeline]]; callers that don't (scraped corpora,
+    * mixed-provenance merges) wrap with this first, so every lang the
+    * pipeline groups, gates, or reports comes from ONE surface — the
+    * oracle-gated CT operator — not the marker-token heuristic.
+    * Classification is [[LangId.langColumn]], a zero-exchange
+    * projection; the fit is the one (lang, gram) corpus aggregate.
+    * Docs whose text yields no grams keep a null lang (they carry no
+    * evidence either way). */
+  def withCtLang(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text",
+      topM: Int = 64): DataFrame = {
+    val rows = LangId.profileRows(
+      LangId.langProfiles(docs, langCol, textCol, topM))
+    docs.withColumn(langCol,
+      LangId.langColumn(col(textCol), rows, topM))
+  }
+
   /** [[pipeline]] plus the per-stage row-count ledger a curation run
     * ships with its output — the operational audit trail ("n in, n
     * survived dedup, n passed gates, n decontaminated, n under

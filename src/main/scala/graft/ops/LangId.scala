@@ -96,17 +96,33 @@ object LangId {
     * rank-distance argmin ([[CtBestLang]], trained table riding
     * broadcast inside the expression) are one narrow projection —
     * O(batch) work, no exchange at any scale. */
+  /** Collect trained profiles ([[langProfiles]]'s shape) into the
+    * driver-bounded row form the [[CtBestLang]] kernel consumes —
+    * |langs| × topM rows, the IVF-codebook boundedness contract. */
+  def profileRows(profiles: DataFrame): Seq[(String, String, Int)] =
+    profiles.select(col("lang"), col("gram"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Number](2).intValue))
+      .toSeq
+
+  /** The trained classifier as a pure COLUMN over a text column — the
+    * pluggable language source for pipelines (curation q49, the data
+    * card): attaches `pred_lang` to any frame as a ZERO-exchange
+    * codegen'd projection, no join, no re-shape. Null when the text
+    * yields no grams (null or whitespace-only), mirroring
+    * [[classify]]'s absent rows. */
+  def langColumn(text: Column, rows: Seq[(String, String, Int)], topM: Int = 64): Column = {
+    require(rows.nonEmpty, "langColumn requires trained profile rows")
+    val prof = CtDocProfile(TextFunctions.tokens(text), topM)
+    when(size(prof) > 0, CtBestLang(prof, rows, topM).getField("pred_lang"))
+  }
+
   def classify(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       profiles: DataFrame,
       topM: Int = 64): DataFrame = {
-    // Driver-bounded by contract: |langs| × topM rows, the same
-    // boundedness as the IVF codebook collects.
-    val rows = profiles.select(col("lang"), col("gram"), col("rank")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getAs[Number](2).intValue))
-      .toSeq
+    val rows = profileRows(profiles)
     val prof = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),

@@ -632,6 +632,29 @@ class DomainSpec extends SparkSpecBase {
       s"decontaminated corpus still retrieves leakage: $audit")
   }
 
+  test("curation lang source is pluggable: withCtLang relabels with the CT " +
+    "classifier and the pipeline's output lang agrees with LangId.selfClassify") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val relabeled = graft.ops.Curation.withCtLang(docs)
+    // per-doc agreement with the oracle-gated operator: ONE lang-ID surface
+    val viaOp = graft.ops.LangId.selfClassify(docs, "doc_id", "lang", "text")
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCol = relabeled.filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCol == viaOp, "withCtLang disagrees with LangId.selfClassify")
+    // and the pipeline consumes the relabeled column: every curated
+    // row's lang is the CT prediction for that document
+    val bench = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val out = graft.ops.Curation.pipeline(relabeled, bench).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(viaOp(id) == r.getAs[String]("lang"), s"doc $id lang mismatch")
+    }
+  }
+
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_llm").toString
