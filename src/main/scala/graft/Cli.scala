@@ -739,6 +739,38 @@ object Cli {
       println((if (d.rebuilt) "REBUILT" else "healthy") + s": ${d.reason}")
       0
 
+    case "retune" :: rest =>
+      // Act on the banding health (the reindex verb's sibling for the
+      // band stores): measure the persisted band table's candidate
+      // mass per stored doc/item and re-band ONLY on breach — a text
+      // band store re-signs the corpus (-i) under a tighter bucket
+      // cap; a signature store rebuilds from its own rows with fewer
+      // bands. Decision logged to <store>/retune.json either way.
+      val m = opts(rest)
+      val store = one(m, "-s", "--store")
+      val maxMass = m.get("--max-cand-per-doc").flatMap(_.headOption)
+        .map(_.toDouble).getOrElse(100.0)
+      val spark = session()
+      val d =
+        if (m.contains("--sig")) {
+          val newBands = m.get("--new-bands").flatMap(_.headOption)
+            .map(_.toInt).getOrElse(2)
+          val dd = graft.dedup.SigBandStore.retuneIfSkewed(
+            spark, store, maxMass, newBands)
+          (dd.retuned, dd.reason)
+        } else {
+          val in = one(m, "-i", "--input")
+          val cap = m.get("--bucket-cap").flatMap(_.headOption)
+            .map(_.toLong).getOrElse(1000L)
+          val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
+          val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+          val dd = graft.dedup.BandStore.retuneIfSkewed(
+            spark, store, spark.read.parquet(in), idCol, textCol, maxMass, cap)
+          (dd.retuned, dd.reason)
+        }
+      println((if (d._1) "RETUNED" else "healthy") + s": ${d._2}")
+      0
+
     case "vocab" :: rest =>
       // Corpus vocabulary: token frequencies, top-k as TSV.
       val m = opts(rest)
@@ -992,9 +1024,18 @@ object Cli {
       val out = one(m, "-o", "--output")
       val budget = m.get("--budget").flatMap(_.headOption).map(_.toLong).getOrElse(0L)
       val epochs = m.get("--epochs").flatMap(_.headOption).map(_.toLong).getOrElse(2L)
+      // drift posture: each provided frozen store adds its monitor's
+      // rows to the card's "drift" section (v2 datasheet health).
+      def storeOpt(k: String) = m.get(k).flatMap(_.headOption)
+      val drift = graft.ops.DataCard.DriftStores(
+        langIdStore = storeOpt("--langid-store"),
+        hllStore = storeOpt("--hll-store"),
+        tokStore = storeOpt("--tok-store"),
+        psiStore = storeOpt("--psi-store").map(p =>
+          (p, storeOpt("--psi-col").getOrElse("n_chars"))))
       val spark = session()
       graft.ops.DataCard.write(spark, spark.read.parquet(in), out,
-        budget = budget, maxEpochs = epochs)
+        budget = budget, maxEpochs = epochs, drift = drift)
       println(s"data card written to $out/card.json")
       0
 
@@ -1882,7 +1923,7 @@ object Cli {
            |  cluster-sample -i <emb.parquet> -o <out.parquet> [-k 8] [--nlist 24] [--dim 64] [--id vec_id] [--vec embedding] | --stream -i <landing-dir> --index <ivf-index> -o <store-dir> --checkpoint <dir> [-k 8]
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]
            |  eval-stream -i <labeled-landing-dir> -s <nb-store> -o <ledger-dir> --checkpoint <dir> [--label y]
-           |  data-card  -i <docs.parquet> -o <out-dir> [--budget N --epochs 2]   (writes card.json)
+           |  data-card  -i <docs.parquet> -o <out-dir> [--budget N --epochs 2] [--langid-store <dir>] [--hll-store <dir>] [--tok-store <dir>] [--psi-store <dir> [--psi-col n_chars]]   (writes card.json; stores add the drift section)
            |  evaluate   --mode retrieval -i <results.parquet> -t <truth.parquet> -o <out-dir> [-k 10] | --mode classifier -i <scored.parquet> -o <out.parquet> [--score log_odds --pred predicted --label y] [--group source] | --mode calibration -i <scored.parquet> -o <out.parquet> [--score log_odds --label y --bins 10 --id doc_id]
            |  hll-store  --create -i <ref.parquet> -s <store-dir> [--p 12] [--lang lang] [--text text] | --growth -i <batch.parquet> -s <store-dir> -o <out.parquet> | --ingest -i <batch.parquet> -s <store-dir> | --stream -i <landing-dir> -s <store-dir> -o <ledger-dir> --checkpoint <dir>
            |  psi-store  --create -i <ref.parquet> -s <store-dir> [--col value] [--qs 0.2,0.4,0.6,0.8] | -i <batch.parquet> -s <store-dir> -o <out.parquet> [--col value] | --stream -i <landing-dir> -s <store-dir> -o <ledger-dir> --checkpoint <dir> [--col value]
@@ -1919,6 +1960,7 @@ object Cli {
            |  langid-store --create -i <labeled.parquet> -s <store-dir> [--top-m 64] | --mix-drift -i <batch.parquet> -s <store-dir> -o <out.parquet> | -i <batch.parquet> -s <store-dir> -o <out.parquet>   (frozen profiles; classify O(batch))
            |  quantiles  -i <data.parquet> -o <out.parquet> [--col value] [--q 0.25,0.5,0.75,0.95] [--sketch-k 256]
            |  reindex    -s <ivf-index> [--max-occ-cv 1.0] [--max-sqerr <f>] [--iters 2]   (rebuilds only when breached; logs reindex.json)
+           |  retune     -s <band-store> (-i <docs.parquet> [--bucket-cap 1000] [--id doc_id] [--text text] | --sig [--new-bands 2]) [--max-cand-per-doc 100]   (re-bands only when breached; logs retune.json)
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

@@ -166,6 +166,83 @@ object BandStore {
       .bucketBy(buckets, "bkey").sortBy("bkey")
       .saveAsTable(table)
 
+  /** What [[retuneIfSkewed]] measured and decided — the same facts it
+    * logs to `<path>/retune.json`. */
+  final case class RetuneDecision(
+      candPairsPerDoc: Double,
+      maxBucket: Long,
+      retuned: Boolean,
+      reason: String)
+
+  /** Act on the banding health: measure the PERSISTED band table's
+    * candidate mass — Σ s·(s−1)/2 over buckets, the very `cand_pairs`
+    * column [[Dedup.bandingReport]] sizes the bands/maxBucketSize
+    * trade with, here read off the stored rows instead of re-signing
+    * the corpus — normalized per stored document, and RE-BAND the
+    * store with `cappedBucketSize` only when it exceeds
+    * `maxCandPairsPerDoc`. Otherwise the store is left untouched.
+    * The decision (measurement, threshold, what was done and why) is
+    * logged to `<path>/retune.json` the way [[graft.similarity
+    * .Similarity.reindexIfUnhealthy]] records its choice — the audit
+    * trail says why a store was or wasn't re-banded without replaying
+    * the measurement.
+    *
+    * The rebuild re-signs `reference` (band rows don't carry text, so
+    * the caller supplies the corpus the store covers) with the
+    * persisted signature parameters and the new cap. Capping drops
+    * candidates only from over-full buckets — boilerplate-dominated
+    * shingle mass whose pairs drown the probe — and every dropped
+    * candidate was headed for exact verification anyway, so links
+    * between documents that also share any uncapped bucket survive
+    * (the banded-recall property ScaleSmoke pins at 10×). No-op cost:
+    * one aggregate over the bucketed table, zero writes. */
+  def retuneIfSkewed(
+      spark: SparkSession,
+      path: String,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCandPairsPerDoc: Double,
+      cappedBucketSize: Long): RetuneDecision = {
+    val (table, (n, numHashes, bands, buckets)) = attach(spark, path)
+    val stored = spark.table(table)
+    val agg = stored.groupBy(col("bkey")).agg(count(lit(1)).as("s"))
+      .agg(sum(expr("s * (s - 1) DIV 2")).cast("long").as("cand"),
+        max(col("s")).cast("long").as("maxb"))
+      .head()
+    val cand = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val maxb = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val nDocs = stored.select(col("doc_id")).distinct().count()
+    val perDoc = if (nDocs == 0L) 0.0 else cand.toDouble / nDocs
+    val breached = perDoc > maxCandPairsPerDoc
+    if (breached) {
+      createAt(spark, reference, idCol, textCol, path,
+        n, numHashes, bands, cappedBucketSize, buckets)
+    }
+    val reason =
+      if (breached)
+        f"candidate mass $perDoc%.2f pairs/doc > $maxCandPairsPerDoc%.2f " +
+          f"(max bucket $maxb): re-banded with bucket cap $cappedBucketSize"
+      else
+        f"candidate mass $perDoc%.2f pairs/doc <= $maxCandPairsPerDoc%.2f " +
+          f"(max bucket $maxb): left untouched"
+    val decision = RetuneDecision(perDoc, maxb, breached, reason)
+    writeRetuneLog(spark, s"$path/retune.json",
+      s"""{"cand_pairs_per_doc":$perDoc,"max_bucket":$maxb,""" +
+        s""""max_cand_pairs_per_doc":$maxCandPairsPerDoc,""" +
+        s""""capped_bucket_size":$cappedBucketSize,"retuned":$breached,""" +
+        s""""reason":${graft.io.JsonUtil.quote(reason)}}""")
+    decision
+  }
+
+  private[dedup] def writeRetuneLog(
+      spark: SparkSession, at: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(at)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
   private def tableFor(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString

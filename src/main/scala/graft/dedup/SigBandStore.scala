@@ -182,6 +182,68 @@ object SigBandStore {
       .saveAsTable(table)
   }
 
+  /** What [[retuneIfSkewed]] measured and decided — logged to
+    * `<path>/retune.json`. */
+  final case class RetuneDecision(
+      candPairsPerItem: Double,
+      maxBucket: Long,
+      retuned: Boolean,
+      reason: String)
+
+  /** Act on the banding health: measure the persisted band table's
+    * candidate mass (Σ s·(s−1)/2 over buckets — the self-join volume
+    * a probe pays, normalized per stored item) and RE-BAND the store
+    * with `newBands` only on breach of `maxCandPairsPerItem`. Unlike
+    * [[BandStore.retuneIfSkewed]] the rebuild needs no external
+    * corpus: the store's rows carry the full signature (the verifier),
+    * so the distinct (id, sig) set IS the rebuild input — pinned
+    * executor-local first, because re-banding overwrites the files
+    * being read (the [[graft.similarity.Similarity.reindexIfUnhealthy]]
+    * discipline). FEWER bands = longer band chunks = geometrically
+    * fewer random collisions, at the price of a smaller guaranteed
+    * radius (`maxDist <= 2*bands−1` by pigeonhole) — the decision log
+    * records both so the trade is auditable. Callers re-[[attach]]
+    * after a retune to pick up the new parameters. No-op cost: one
+    * aggregate over the bucketed table, zero writes. */
+  def retuneIfSkewed(
+      spark: SparkSession,
+      path: String,
+      maxCandPairsPerItem: Double,
+      newBands: Int): RetuneDecision = {
+    val (table, (sigBits, bands, buckets)) = attach(spark, path)
+    validate(sigBits, newBands)
+    val stored = spark.table(table)
+    val agg = stored.groupBy(col("bkey")).agg(count(lit(1)).as("s"))
+      .agg(sum(expr("s * (s - 1) DIV 2")).cast("long").as("cand"),
+        max(col("s")).cast("long").as("maxb"))
+      .head()
+    val cand = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val maxb = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val items = stored.select(col("id"), col("sig")).distinct()
+    val nItems = items.count()
+    val perItem = if (nItems == 0L) 0.0 else cand.toDouble / nItems
+    val breached = perItem > maxCandPairsPerItem
+    if (breached) {
+      val pinned = items.localCheckpoint()
+      createAt(spark, pinned, "id", "sig", path, sigBits, newBands, buckets)
+    }
+    val reason =
+      if (breached)
+        f"candidate mass $perItem%.2f pairs/item > $maxCandPairsPerItem%.2f " +
+          f"(max bucket $maxb): re-banded $bands -> $newBands bands " +
+          f"(guaranteed radius now ${2 * newBands - 1})"
+      else
+        f"candidate mass $perItem%.2f pairs/item <= $maxCandPairsPerItem%.2f " +
+          f"(max bucket $maxb): left untouched"
+    val decision = RetuneDecision(perItem, maxb, breached, reason)
+    BandStore.writeRetuneLog(spark, s"$path/retune.json",
+      s"""{"cand_pairs_per_item":$perItem,"max_bucket":$maxb,""" +
+        s""""max_cand_pairs_per_item":$maxCandPairsPerItem,""" +
+        s""""bands":$bands,"new_bands":$newBands,"retuned":$breached,""" +
+        s""""reason":${graft.io.JsonUtil.quote(reason)}}""")
+    decision
+  }
+
   private def tableFor(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString

@@ -507,6 +507,59 @@ class DomainSpec extends SparkSpecBase {
     assert(allocs.map(_.getAs[Long]("alloc_tokens")).sum <= 20000L)
   }
 
+  test("data card v2: the drift section re-derives from each frozen monitor store") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = d.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = d.filter(col("doc_id") % 5 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_card_drift").toString
+    graft.ops.LangIdStore.createAt(spark, ref, s"$tmp/lid", topM = 16)
+    graft.ops.HllStore.createAt(spark, ref, s"$tmp/hll")
+    graft.ops.TokStore.createAt(spark, ref, s"$tmp/tok", nMerges = 5)
+    graft.ops.PsiStore.createAt(spark,
+      ref.select(col("doc_id"), col("n_chars")), "n_chars", s"$tmp/psi")
+    val json = graft.ops.DataCard.build(spark, arrivals,
+      drift = graft.ops.DataCard.DriftStores(
+        langIdStore = Some(s"$tmp/lid"),
+        hllStore = Some(s"$tmp/hll"),
+        tokStore = Some(s"$tmp/tok"),
+        psiStore = Some((s"$tmp/psi", "n_chars"))))
+    val card = spark.read.json(Seq(json).toDS()).collect()(0)
+    val drift = card.getAs[org.apache.spark.sql.Row]("drift")
+    type Rows = scala.collection.Seq[org.apache.spark.sql.Row]
+    // each family equals its own oracle-gated monitor's output
+    val lm = drift.getAs[org.apache.spark.sql.Row]("lang_mix")
+    val wantMix = graft.ops.LangIdStore.mixDrift(spark, s"$tmp/lid", arrivals)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4))).toSeq
+    val gotMix = lm.getAs[Rows]("rows").map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("n_docs"), r.getAs[Double]("share_delta"))).toSeq
+    assert(gotMix == wantMix)
+    assert(lm.getAs[Double]("max_abs_share_delta") ==
+      wantMix.map(t => math.abs(t._3)).max)
+    val vg = drift.getAs[org.apache.spark.sql.Row]("vocab_growth")
+    val wantGrowth = graft.ops.HllStore.growth(spark, s"$tmp/hll", arrivals)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(vg.getAs[Rows]("rows").map(r =>
+      (r.getAs[String]("lang"), r.getAs[Double]("est_growth"))).toSeq == wantGrowth)
+    val tf = drift.getAs[org.apache.spark.sql.Row]("tokenizer_fertility")
+    val wantFert = graft.ops.TokStore.fertilityDrift(spark, s"$tmp/tok", arrivals)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSeq
+    assert(tf.getAs[Rows]("rows").map(r =>
+      (r.getAs[String]("lang"), r.getAs[Double]("pieces_per_word"))).toSeq == wantFert)
+    val ps = drift.getAs[org.apache.spark.sql.Row]("psi")
+    assert(ps.getAs[String]("column") == "n_chars")
+    val wantPsi = graft.ops.PsiStore.psi(spark, s"$tmp/psi", arrivals, "n_chars")
+      .collect().flatMap(r => if (r.isNullAt(7)) None else Some(r.getDouble(7))).sum
+    assert(math.abs(ps.getAs[Double]("psi_total") -
+      math.rint(wantPsi * 1e6) / 1e6) < 1e-9)
+    // no stores -> no drift section at all (card schema unchanged)
+    val plain = graft.ops.DataCard.build(spark, arrivals)
+    assert(!plain.contains("\"drift\""))
+  }
+
   test("CLI evaluate + mixture-plan: verbs == library paths") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_eval2").toString
     // retrieval mode over a tiny ranked fixture
@@ -653,6 +706,99 @@ class DomainSpec extends SparkSpecBase {
       val id = r.getAs[Long]("doc_id")
       assert(viaOp(id) == r.getAs[String]("lang"), s"doc $id lang mismatch")
     }
+  }
+
+  test("band-store retune-on-breach: a skewed store re-bands with a bucket cap " +
+    "and keeps planted links; a balanced store is a logged no-op") {
+    import spark.implicits._
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    // reference: 2 originals + 30 verbatim boilerplate copies (whose
+    // identical signatures flood one bucket per band — the skew)
+    val reference = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")) ++
+      (100L until 130L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val twins = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (4L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_band_retune").toString
+    graft.dedup.BandStore.createAt(spark, reference, "doc_id", "text", s"$path/bs",
+      n = 2, numHashes = 64, bands = 16, buckets = 8)
+    def links(table: String, cap: Long) =
+      graft.dedup.BandStore.linkNew(spark, table, twins, reference,
+        "doc_id", "text", threshold = 0.5, n = 2, numHashes = 64, bands = 16,
+        maxBucketSize = cap)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = graft.dedup.BandStore.retuneIfSkewed(spark, s"$path/bs", reference,
+      "doc_id", "text", maxCandPairsPerDoc = 50.0, cappedBucketSize = 8L)
+    assert(d.retuned, s"boilerplate-flooded store should breach: $d")
+    assert(d.candPairsPerDoc > 50.0 && d.maxBucket >= 30L, d.toString)
+    // link parity: the re-banded (capped) store still finds the twins —
+    // the cap dropped only the boilerplate mass
+    val (table2, _) = graft.dedup.BandStore.attach(spark, s"$path/bs")
+    val got = links(table2, 8L)
+    assert(got.contains((1L, 2L)) && got.contains((3L, 4L)),
+      s"retuned store lost planted links: $got")
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "bs", "retune.json")), "UTF-8")
+    assert(log.contains("\"retuned\":true"), log)
+    // balanced store: unique texts, same thresholds -> logged no-op
+    val balanced = (0L until 20L)
+      .map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+      .toDF("doc_id", "text")
+    graft.dedup.BandStore.createAt(spark, balanced, "doc_id", "text", s"$path/ok",
+      n = 2, numHashes = 64, bands = 16, buckets = 8)
+    val d2 = graft.dedup.BandStore.retuneIfSkewed(spark, s"$path/ok", balanced,
+      "doc_id", "text", maxCandPairsPerDoc = 50.0, cappedBucketSize = 8L)
+    assert(!d2.retuned, d2.toString)
+    val log2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "ok", "retune.json")), "UTF-8")
+    assert(log2.contains("\"retuned\":false"), log2)
+  }
+
+  test("sig-band-store retune-on-breach: chunk-collision skew re-bands from the " +
+    "store's own rows and keeps twin links; balanced store is a logged no-op") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // 30 items share the low 16 bits (collide in band 0 at bands=4,
+    // 16-bit chunks; DISTINCT at bands=2, 32-bit chunks) + 2 twin
+    // pairs at hamming <= 3 (inside the bands=2 guaranteed radius).
+    def lo16(x: Long) = (x & ~0xffffL) | 0xabcdL
+    val skewed = (0 until 30).map(i => (s"s$i", lo16(rnd.nextLong())))
+    val a = rnd.nextLong(); val b = rnd.nextLong()
+    val twins = Seq(
+      ("t1", a), ("t1_twin", a ^ 7L),          // hamming 3
+      ("t2", b), ("t2_twin", b ^ 1L))          // hamming 1
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_retune").toString
+    graft.dedup.SigBandStore.createAt(spark,
+      (skewed ++ twins.take(1) ++ twins.slice(2, 3)).toDF("name", "sig"),
+      "name", "sig", s"$path/ss", sigBits = 64, bands = 4, buckets = 8)
+    val d = graft.dedup.SigBandStore.retuneIfSkewed(spark, s"$path/ss",
+      maxCandPairsPerItem = 5.0, newBands = 2)
+    assert(d.retuned, s"chunk-collision skew should breach: $d")
+    // the rebuild used the store's own rows; attach sees the new bands
+    val (table2, (sigBits2, bands2, _)) =
+      graft.dedup.SigBandStore.attach(spark, s"$path/ss")
+    assert(bands2 == 2 && sigBits2 == 64)
+    // mass actually dropped: a second measurement at the same
+    // threshold is now a no-op
+    val d2 = graft.dedup.SigBandStore.retuneIfSkewed(spark, s"$path/ss",
+      maxCandPairsPerItem = 5.0, newBands = 2)
+    assert(!d2.retuned && d2.candPairsPerItem < d.candPairsPerItem, s"$d -> $d2")
+    // link parity: twins still found through the re-banded store
+    val got = graft.dedup.SigBandStore.linkNew(spark, table2,
+      twins.filter(_._1.endsWith("_twin")).toDF("name", "sig"),
+      "name", "sig", maxDist = 3, sigBits = 64, bands = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("t1", "t1_twin")) && got.contains(("t2", "t2_twin")),
+      s"retuned sig store lost twin links: $got")
+    // retune.json tracks the LATEST decision — the post-rebuild
+    // re-measurement above, a no-op at the already-retuned bands=2
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "ss", "retune.json")), "UTF-8")
+    assert(log.contains("\"retuned\":false") && log.contains("\"bands\":2"), log)
   }
 
   test("CLI dedup/curate/vocab: training-data subcommands produce sane outputs") {
