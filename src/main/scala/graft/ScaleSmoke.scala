@@ -997,6 +997,338 @@ object ScaleSmoke {
       (f"${hllRows.length} languages < 5%% rel error, " +
         f"$nowN now-docs and $prevN prev-docs both conserved, $hdSec%.1f s"))
 
+    // 19. Incremental AUDIO near-dup through the persisted signature
+    // store at 300 clips (closes the r11 audio half of the stretch):
+    // synthesized canonical WAVs — 150 LCG-sample originals + one
+    // single-window-boosted twin each — signed by the REAL
+    // energyHash64 decode, originals persisted once, twins arriving
+    // in two waves (the SigStream body: link-cross → pair-within →
+    // append); the union of emitted pairs must equal the
+    // twin-involving subset of the brute-force signature truth.
+    val au0 = System.nanoTime()
+    def wavBytes(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16); bb.putShort(1); bb.putShort(1) // canonical PCM, mono
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(bb.putShort); bb.array()
+    }
+    val audioCorpus = (0 until 150).flatMap { i =>
+      var x = i * 104729L + 13
+      def nextS(): Short = {
+        x = 6364136223846793005L * x + 1442695040888963407L
+        ((x >>> 40) % 12000).toShort
+      }
+      val base = Array.fill(1024)(nextS())
+      val twin = base.clone()
+      // boost ONE 16-sample window to 9000 (clip mean ~6000): that
+      // window's energy bit goes hot while the clip mean drifts by
+      // only ~47, so most twins stay within hamming 6 — the truth is
+      // the brute force over the actual signatures either way
+      val w = i % 64
+      var j = w * 16; while (j < (w + 1) * 16) { twin(j) = 9000; j += 1 }
+      Seq((f"clip_$i%04d.wav", wavBytes(base)),
+        (f"clip_$i%04d_twin.wav", wavBytes(twin)))
+    }
+    val auSigs = graft.multimodal.AudioOps.energyHash64(
+      spark, audioCorpus.toDF("path", "content")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val auWant = (for {
+      (na, sa) <- auSigs; (nb, sb) <- auSigs if na < nb
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (na, nb, d.toLong)).toSet
+    val auTwinWant = auWant.filter { case (a, b, _) =>
+      a.endsWith("_twin.wav") || b.endsWith("_twin.wav") }
+    assert(auTwinWant.size >= 100,
+      s"audio twin corpus should be near-dup heavy: ${auTwinWant.size}")
+    val auDf = auSigs.toSeq.toDF("name", "sig")
+    val auTable = graft.dedup.SigBandStore.createAt(spark,
+      auDf.filter(!col("name").endsWith("_twin.wav")), "name", "sig",
+      s"$workDir/audio_sig_store", sigBits = 64, bands = 4, buckets = 32)
+    def auWave(waveSigs: DataFrame): Set[(String, String, Long)] = {
+      val sigs = waveSigs.localCheckpoint(false)
+      val cross = graft.dedup.SigBandStore.linkNew(spark, auTable, sigs,
+          "name", "sig", maxDist = 6, sigBits = 64, bands = 4)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+        .filter(col("id_a") =!= col("id_b"))
+      val within = Dedup.bandedHammingPairs(sigs, "name", "sig",
+        sigBits = 64, bands = 4, maxDist = 6)
+      val out = cross.unionByName(within).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      graft.dedup.SigBandStore.append(spark, auTable, sigs, "name", "sig",
+        sigBits = 64, bands = 4, buckets = 32)
+      out
+    }
+    val auTwinSigs = auDf.filter(col("name").endsWith("_twin.wav"))
+      .withColumn("famIdx", substring(col("name"), 6, 4).cast("int"))
+    val auStreamed =
+      auWave(auTwinSigs.filter(col("famIdx") % 2 === 0).drop("famIdx")) ++
+        auWave(auTwinSigs.filter(col("famIdx") % 2 === 1).drop("famIdx"))
+    assert(auStreamed == auTwinWant,
+      s"incremental audio sig-store pairs diverged from batch truth: " +
+        s"${auStreamed.size} vs ${auTwinWant.size}")
+    val auSec = (System.nanoTime() - au0) / 1e9
+    checks += ("incremental audio near-dup (SigBandStore, twins in 2 waves) == batch truth" ->
+      f"${auStreamed.size}%d pairs identical over 300 synthesized WAVs (real decode), $auSec%.1f s")
+
+    // 20. Incremental VIDEO frame near-dup through the persisted
+    // signature store (the r11 stretch's video half): 60 synthesized
+    // canonical 24bpp DIB AVIs (8 LCG frames each) + one twin video
+    // per original (every frame 3-cell-brightened, the check-13
+    // image construction), frames signed by the REAL container walk
+    // + DIB decode (frameAHash), original videos' frames persisted
+    // once, twin videos arriving in two waves.
+    val vi0 = System.nanoTime()
+    def putLE32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def aviBytes(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val avih = new Array[Byte](56)
+      putLE32(avih, 0, 33333L)            // us_per_frame
+      putLE32(avih, 16, frames.length.toLong)
+      putLE32(avih, 32, w.toLong); putLE32(avih, 36, h.toLong)
+      val frameChunks = frames.map { px =>
+        val payload = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var xx = 0
+          while (xx < w) {
+            val d = (h - 1 - y) * rowBytes + xx * 3 // bottom-up BGR
+            val s = (y * w + xx) * 3
+            payload(d) = px(s + 2).toByte
+            payload(d + 1) = px(s + 1).toByte
+            payload(d + 2) = px(s).toByte
+            xx += 1
+          }
+          y += 1
+        }
+        payload
+      }
+      val chunks = ("avih", avih) +: frameChunks.map(("00db", _))
+      val totalLen = 12 + chunks.map(c => 8 + c._2.length + (c._2.length & 1)).sum
+      val bb = java.nio.ByteBuffer.allocate(totalLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(totalLen - 8)
+      bb.put("AVI ".getBytes("US-ASCII"))
+      chunks.foreach { case (cc, p) =>
+        bb.put(cc.getBytes("US-ASCII")); bb.putInt(p.length); bb.put(p)
+        if ((p.length & 1) == 1) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    def vidPixels(seed: Long): Array[Int] = {
+      var x = seed
+      Array.fill(16 * 16 * 3) {
+        x = 6364136223846793005L * x + 1442695040888963407L
+        ((x >>> 33) & 0xff).toInt
+      }
+    }
+    val videoCorpus = (0 until 60).flatMap { v =>
+      val baseFrames = (0 until 8).map(f => vidPixels(v * 7919L + f * 101L + 5))
+      val twinFrames = baseFrames.zipWithIndex.map { case (px, f) =>
+        val t = px.clone()
+        var c = 0
+        while (c < 3) { // the check-13 twin construction, per frame
+          val cell = ((v + f + c * 83) % 64)
+          val sy = (cell / 8) * 2; val sx = (cell % 8) * 2
+          val p = (sy * 16 + sx) * 3
+          t(p) = 255; t(p + 1) = 255; t(p + 2) = 255
+          c += 1
+        }
+        t
+      }
+      Seq((f"vid_$v%04d.avi", aviBytes(baseFrames, 16, 16)),
+        (f"vid_$v%04d_twin.avi", aviBytes(twinFrames, 16, 16)))
+    }
+    val viBins = videoCorpus.toDF("path", "content").localCheckpoint(false)
+    val viSigs = graft.multimodal.VideoOps.frameAHash(spark, viBins).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val viWant = (for {
+      (na, sa) <- viSigs; (nb, sb) <- viSigs if na < nb
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (na, nb, d.toLong)).toSet
+    val viTwinWant = viWant.filter { case (a, b, _) =>
+      a.contains("_twin.avi") || b.contains("_twin.avi") }
+    assert(viTwinWant.size >= 250,
+      s"video twin corpus should be frame-near-dup heavy: ${viTwinWant.size}")
+    val viTable = graft.dedup.SigBandStore.createAt(spark,
+      graft.multimodal.VideoOps.frameAHash(spark,
+        viBins.filter(!col("path").contains("_twin.avi"))),
+      "name", "sig", s"$workDir/video_sig_store",
+      sigBits = 64, bands = 4, buckets = 32)
+    def viWave(waveBins: DataFrame): Set[(String, String, Long)] = {
+      val sigs = graft.multimodal.VideoOps.frameAHash(spark, waveBins)
+        .localCheckpoint(false)
+      val cross = graft.dedup.SigBandStore.linkNew(spark, viTable, sigs,
+          "name", "sig", maxDist = 6, sigBits = 64, bands = 4)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+        .filter(col("id_a") =!= col("id_b"))
+      val within = Dedup.bandedHammingPairs(sigs, "name", "sig",
+        sigBits = 64, bands = 4, maxDist = 6)
+      val out = cross.unionByName(within).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      graft.dedup.SigBandStore.append(spark, viTable, sigs, "name", "sig",
+        sigBits = 64, bands = 4, buckets = 32)
+      out
+    }
+    val viTwinBins = viBins.filter(col("path").contains("_twin.avi"))
+      .withColumn("famIdx", substring(col("path"), 5, 4).cast("int"))
+    val viStreamed =
+      viWave(viTwinBins.filter(col("famIdx") % 2 === 0).drop("famIdx")) ++
+        viWave(viTwinBins.filter(col("famIdx") % 2 === 1).drop("famIdx"))
+    assert(viStreamed == viTwinWant,
+      s"incremental video sig-store pairs diverged from batch truth: " +
+        s"${viStreamed.size} vs ${viTwinWant.size}")
+    val viSec = (System.nanoTime() - vi0) / 1e9
+    checks += ("incremental video frame near-dup (SigBandStore, twin videos in 2 waves) == batch truth" ->
+      (f"${viStreamed.size}%d pairs identical over 960 frames from 120 synthesized AVIs " +
+        f"(real container walk + DIB decode), $viSec%.1f s"))
+
+    // 21. BPE training cost curve at 10× (r11 task 5): bpeMerges is
+    // one driver-scheduled argmax job per merge over the VOCAB table
+    // (distinct whitespace tokens), fine at the gate's nMerges=5 —
+    // this measures whether wall-clock per merge stays flat when the
+    // loop count grows toward realistic vocab sizes. The curve is
+    // recorded in SCALE.md; super-linear growth would trigger the
+    // non-overlapping-merge batching rewrite.
+    val bpTimes = Seq(16, 64, 256).map { nm =>
+      val t0 = System.nanoTime()
+      val ms = graft.ops.Quality.bpeMerges(docs, nm)
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(ms.nonEmpty && ms.size <= nm, s"bpeMerges returned ${ms.size} for $nm")
+      (nm, ms.size, dt)
+    }
+    val bpPerMerge = bpTimes.map { case (nm, got, dt) => (nm, dt / math.max(got, 1)) }
+    // flatness gate: per-merge cost at 256 within 3x of per-merge at
+    // 16 — linear-in-merges overall, no super-linear blowup from the
+    // chained vocab checkpoints
+    assert(bpPerMerge.last._2 <= 3.0 * bpPerMerge.head._2,
+      s"BPE per-merge cost grew super-linearly: $bpPerMerge")
+    checks += ("BPE training cost is linear in nMerges at 10x (16/64/256 measured)" ->
+      bpTimes.map { case (nm, got, dt) =>
+        f"$nm asked/$got%d trained ${dt}%.1f s (${dt / got}%.3f s/merge)" }.mkString("; "))
+
+    // 22. Composed streaming rehearsal at 10× (r11 stretch): ONE
+    // landing directory, the curation stream plus the frozen-store
+    // monitors (tok fertility, LM KL/OOV drift, PSI over n_chars,
+    // HLL vocab growth, lang-mix) all tailing the SAME feed in three
+    // increasing-id waves; every ledger must reconcile with the
+    // corresponding batch operator run on the same waves.
+    val cs0 = System.nanoTime()
+    val csDir = s"$workDir/composed_stream"
+    val csRef = docs.filter(col("doc_id") % 4 === 0)
+      .localCheckpoint(false) // stores frozen on this slice
+    val csArr = docs.filter(col("doc_id") % 4 =!= 0)
+    val csBench = docs
+      .filter(graft.functions.TextFunctions.hashSplit(col("doc_id")) === "valid")
+      .select("doc_id", "text").localCheckpoint(false)
+    graft.dedup.FingerprintStore.createAt(spark, docs.limit(0), "doc_id", "text",
+      s"$csDir/fp", buckets = 32)
+    graft.ops.TokStore.createAt(spark, csRef, s"$csDir/tok", nMerges = 5)
+    graft.ops.LmStore.createAt(spark, csRef, s"$csDir/lm")
+    graft.ops.PsiStore.createAt(spark,
+      csRef.select(col("doc_id"), col("n_chars")), "n_chars", s"$csDir/psi")
+    graft.ops.HllStore.createAt(spark, csRef, s"$csDir/hll")
+    graft.ops.HllStore.createAt(spark, csRef, s"$csDir/hll_twin") // replay twin
+    graft.ops.LangIdStore.createAt(spark, csRef, s"$csDir/lid", topM = 64)
+    val (loId, hiId) = {
+      val r = csArr.agg(min("doc_id"), max("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val csCut1 = loId + (hiId - loId) / 3
+    val csCut2 = loId + 2 * (hiId - loId) / 3
+    val waves = Seq(
+      csArr.filter(col("doc_id") <= csCut1),
+      csArr.filter(col("doc_id") > csCut1 && col("doc_id") <= csCut2),
+      csArr.filter(col("doc_id") > csCut2)).map(_.localCheckpoint(false))
+    val csSchema = org.apache.spark.sql.types.StructType(
+      graft.streaming.StreamCurate.docSchema.fields :+
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType))
+    waves.foreach { w =>
+      w.select("doc_id", "text", "source", "lang", "n_chars")
+        .write.mode("append").parquet(s"$csDir/landing")
+      def run(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        try q.processAllAvailable() finally q.stop()
+      run(graft.streaming.StreamCurate.maintain(spark, s"$csDir/landing",
+        s"$csDir/fp", csBench, s"$csDir/curated", s"$csDir/ck_cur"))
+      run(graft.streaming.TokStream.maintain(spark, s"$csDir/landing",
+        s"$csDir/tok", s"$csDir/led_tok", s"$csDir/ck_tok", csSchema))
+      run(graft.streaming.StreamDrift.maintain(spark, s"$csDir/landing",
+        s"$csDir/lm", s"$csDir/led_lm", s"$csDir/ck_lm", csSchema, "source"))
+      run(graft.streaming.PsiStream.maintain(spark, s"$csDir/landing",
+        s"$csDir/psi", s"$csDir/led_psi", s"$csDir/ck_psi", csSchema, "n_chars"))
+      run(graft.streaming.HllStream.maintain(spark, s"$csDir/landing",
+        s"$csDir/hll", s"$csDir/led_hll", s"$csDir/ck_hll", csSchema))
+      run(graft.streaming.LangIdStream.maintain(spark, s"$csDir/landing",
+        s"$csDir/lid", s"$csDir/led_lid", s"$csDir/ck_lid", csSchema))
+    }
+    def rowSet(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    // (a) curation: streamed first-arrival-wins over increasing-id
+    // waves == batch per-doc gates + decontam + min-id exact keeper
+    // over the union
+    val csU = waves.reduce(_ unionByName _)
+    val csGated = csU.filter(col("text").isNotNull)
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 1000))
+    val csClean = graft.streaming.StreamDecontam.sharedGramCount(
+        csGated, csBench, "text", n = 5)
+      .filter(col("shared_grams") === 0L).drop("shared_grams")
+      .localCheckpoint(false)
+    val csKeep = Dedup.exact(csClean, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val wantCurated = csClean.join(csKeep, Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotCurated = spark.read.parquet(s"$csDir/curated/corpus")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(gotCurated == wantCurated,
+      s"composed curate stream diverged: ${gotCurated.size} vs ${wantCurated.size}")
+    // (b) per-wave monitor ledgers == the batch operators on that wave
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val tokLed = spark.read.parquet(s"$csDir/led_tok")
+        .filter(col("batch") === i).drop("batch")
+      assert(rowSet(tokLed) ==
+        rowSet(graft.ops.TokStore.fertilityDrift(spark, s"$csDir/tok", w)),
+        s"tok ledger batch $i diverged")
+      val lmLed = spark.read.parquet(s"$csDir/led_lm")
+        .filter(col("batch") === i).drop("batch")
+      assert(rowSet(lmLed) ==
+        rowSet(graft.streaming.StreamDrift.batchDrift(spark, s"$csDir/lm", w, "source")),
+        s"lm ledger batch $i diverged")
+      assert(rowSet(spark.read.parquet(s"$csDir/led_psi/batch=$i")) ==
+        rowSet(graft.ops.PsiStore.psi(spark, s"$csDir/psi", w, "n_chars")),
+        s"psi ledger batch $i diverged")
+      val lidLed = spark.read.parquet(s"$csDir/led_lid")
+        .filter(col("batch") === i).drop("batch")
+      assert(rowSet(lidLed) ==
+        rowSet(graft.ops.LangIdStore.mixDrift(spark, s"$csDir/lid", w)),
+        s"langid ledger batch $i diverged")
+      // HLL: replay against the twin store — growth per batch, then fold
+      assert(rowSet(spark.read.parquet(s"$csDir/led_hll/batch=$i")) ==
+        rowSet(graft.ops.HllStore.growth(spark, s"$csDir/hll_twin", w)),
+        s"hll ledger batch $i diverged")
+      graft.ops.HllStore.ingest(spark, s"$csDir/hll_twin", w)
+    }
+    // (c) the maintained HLL store absorbed every wave: zero growth
+    // on the union, and twin == maintained register-for-register
+    val csFinal = graft.ops.HllStore.growth(spark, s"$csDir/hll", csU)
+      .agg(sum(abs(col("est_growth")))).head().getDouble(0)
+    assert(csFinal == 0.0, s"maintained HLL store missed arrivals: growth $csFinal")
+    val csSec = (System.nanoTime() - cs0) / 1e9
+    checks += ("composed streaming rehearsal: 6 streams on one landing feed, all ledgers == batch operators" ->
+      (f"3 waves x ${csArr.count()}%d arrivals: curate ${gotCurated.size}%d accepted == batch union, " +
+        f"tok/lm/psi/langid ledgers row-equal per wave, HLL replay row-equal + zero residual growth, $csSec%.1f s"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -287,7 +287,15 @@ object SparkEntry {
 
   /** Text-analysis battery: token/subword counts, quality score,
     * language ID, punctuation/stopword ratios, fingerprint. All
-    * codegen'd built-in compositions — one narrow pass, no shuffle. */
+    * codegen'd built-in compositions — one narrow pass, no shuffle.
+    *
+    * `lang_guess` here stays the marker-token heuristic BY DESIGN:
+    * this battery is the zero-fit, zero-shuffle first pass over raw
+    * arrivals (no trained artifact exists yet), i.e. exactly the
+    * "cheap pre-pass" role; the pipeline's authoritative `lang` is
+    * the trained Cavnar–Trenkle operator ([[graft.ops.LangId]] —
+    * q49/q124/q126/q127 and [[graft.ops.Curation.withCtLang]]), the
+    * one production language-ID surface. */
   def q21TextStats(s: SparkSession, dir: String): DataFrame = {
     val d = graft.ops.Parallelism.ensure(Tables.documents(s, dir))
     val toks = TextFunctions.tokens(col("text"))
