@@ -1191,6 +1191,41 @@ object Cli {
       }
       0
 
+    case "cms-store" :: rest =>
+      // Frozen Count-Min-Sketch counters: --create folds the reference
+      // corpus's token occurrences into a d x w counter matrix;
+      // --surge reports an arriving batch's top-k tokens with exact
+      // batch counts, frozen CMS reference estimates and surge ratios
+      // (the template/spam alarm); --stream appends the surge report
+      // per micro-batch at batch=<id> (overwrite, replay-idempotent).
+      val m = opts(rest)
+      val in = one(m, "-i", "--input")
+      val store = one(m, "-s", "--store")
+      val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
+      val spark = session()
+      if (m.contains("--create")) {
+        val d = m.get("--d").flatMap(_.headOption).map(_.toInt).getOrElse(4)
+        val w = m.get("--w").flatMap(_.headOption).map(_.toInt).getOrElse(1024)
+        graft.ops.CmsStore.createAt(spark, spark.read.parquet(in), store, d, w, textCol)
+        println(s"CMS counter store created at $store (d=$d, w=$w)")
+      } else if (m.contains("--stream")) {
+        val out = one(m, "-o", "--output")
+        val ckpt = one(m, "--checkpoint")
+        val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(20)
+        val schema = spark.read.parquet(in).schema
+        val q = graft.streaming.CmsStream.maintain(
+          spark, in, store, out, ckpt, schema, k, textCol)
+        q.awaitTermination()
+        println(s"surge ledger written under $out")
+      } else {
+        val out = one(m, "-o", "--output")
+        val k = m.get("-k").flatMap(_.headOption).map(_.toInt).getOrElse(20)
+        graft.ops.CmsStore.surge(spark, store, spark.read.parquet(in), k, textCol)
+          .write.mode("overwrite").parquet(out)
+        println(s"heavy-hitter surge report written to $out")
+      }
+      0
+
     case "nb-store" :: rest =>
       // Frozen Naive Bayes classifier: --create fits the class-
       // conditional histograms on a labeled reference corpus (seed
@@ -1919,6 +1954,7 @@ object Cli {
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet> | --oov -i <batch.parquet> -s <store-dir> -o <out.parquet> [--lang lang]
            |  corpus-diff --prev <a.parquet> --now <b.parquet> -o <out.parquet> [--id doc_id] [--text text] [--source source]
            |  vocab-size -i <docs.parquet> -o <out.parquet> [--group lang] [--p 12] [--text text]
+           |  cms-store  --create -i <ref.parquet> -s <store-dir> [--d 4] [--w 1024] [--text text] | --surge -i <batch.parquet> -s <store-dir> -o <out.parquet> [-k 20] | --stream -i <landing-dir> -s <store-dir> -o <ledger-dir> --checkpoint <dir> [-k 20]
            |  nb-store   --create -i <docs.parquet> -s <store-dir> --seed <sql-bool-expr> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet>
            |  cluster-sample -i <emb.parquet> -o <out.parquet> [-k 8] [--nlist 24] [--dim 64] [--id vec_id] [--vec embedding] | --stream -i <landing-dir> --index <ivf-index> -o <store-dir> --checkpoint <dir> [-k 8]
            |  drift-stream -i <landing-dir> -s <lm-store> -o <ledger-dir> --checkpoint <dir> [--group source]

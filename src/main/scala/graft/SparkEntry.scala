@@ -1902,6 +1902,27 @@ object SparkEntry {
     * incrementally. The oracle replays BOTH estimates digit for digit
     * (registers over the reference, registers over the union it never
     * materializes as state). */
+  /** Heavy-hitter SURGE under the frozen CMS store
+    * ([[graft.ops.CmsStore]] — the persisted twin of q89's sketch):
+    * d×w counters fit once on the reference split (doc_id % 25 ≠ 0),
+    * then the arriving split (doc_id % 25 = 0, every non-null doc
+    * carrying one of three PLANTED tokens `zz0`/`zz1`/`zz2` — the
+    * q129 deterministic-injection recipe) reports its top-20 tokens
+    * with exact batch counts, frozen CMS reference estimates
+    * (min-over-rows of the md5-bucketed counters) and surge ratios.
+    * The planted tokens must dominate the ratio column: heavy NOW,
+    * never heavy when the store froze. The oracle replays counter
+    * fit, bucket math, min and top-k integer-for-integer. */
+  def q135HitterSurge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_cms_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.CmsStore.createAt(s, docs.filter(col("doc_id") % 25 =!= 0), s"$tmp/cms")
+    val arrivals = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("text",
+        concat(col("text"), lit(" zz"), (col("doc_id") % 3).cast("string")))
+    graft.ops.CmsStore.surge(s, s"$tmp/cms", arrivals, k = 20)
+  }
+
   def q133VocabGrowth(s: SparkSession, dir: String): DataFrame = {
     val tmp = tempDirCleanedOnExit("graft_hll_store_q")
     val docs = Tables.documents(s, dir)
@@ -2057,6 +2078,7 @@ object SparkEntry {
     "q132_calibration" -> (q132Calibration _),
     "q133_vocab_growth" -> (q133VocabGrowth _),
     "q134_pii_battery" -> (q134PiiBattery _),
+    "q135_hitter_surge" -> (q135HitterSurge _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -3949,6 +3971,36 @@ object SparkEntry {
         |  regexp_replace(ut,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
         |FROM u""".stripMargin,
+    "q135_hitter_surge" ->
+      """WITH rt AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+        |rc AS (SELECT tok, count(*) AS c FROM rt GROUP BY 1),
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+        |ctr AS (
+        |  SELECT rw,
+        |    CAST(concat('0x', substr(md5(CAST(rw AS VARCHAR) || '_' || tok), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM rc CROSS JOIN rws GROUP BY 1, 2),
+        |plz AS (
+        |  SELECT text || ' zz' || CAST(doc_id % 3 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |bt AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM plz WHERE text IS NOT NULL),
+        |bc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_batch FROM bt GROUP BY 1),
+        |topk AS (SELECT tok, n_batch FROM bc ORDER BY n_batch DESC, tok LIMIT 20),
+        |est AS (
+        |  SELECT t.tok, t.n_batch, CAST(min(coalesce(ctr.cnt, 0)) AS BIGINT) AS est_ref
+        |  FROM topk t CROSS JOIN rws r
+        |  LEFT JOIN ctr ON ctr.rw = r.rw AND ctr.bucket =
+        |    CAST(concat('0x', substr(md5(CAST(r.rw AS VARCHAR) || '_' || t.tok), 1, 15)) AS BIGINT) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT tok AS token, n_batch, est_ref,
+        |  round(CAST(n_batch AS DOUBLE) / CAST(est_ref + 1 AS DOUBLE), 6) AS surge_ratio
+        |FROM est""".stripMargin,
     "q134_pii_battery" ->
       """WITH pl AS (
         |  SELECT doc_id,

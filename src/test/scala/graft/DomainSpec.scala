@@ -474,6 +474,25 @@ class DomainSpec extends SparkSpecBase {
     assert(zero.forall(_ == 0.0), "ingest did not fold the batch")
   }
 
+  test("CLI cms-store: create + surge re-derive from the operators") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_cms").toString
+    val ref = Seq((1L, "aa aa bb"), (2L, "bb cc cc cc")).toDF("doc_id", "text")
+    ref.write.parquet(s"$tmp/ref")
+    assert(graft.Cli.run(Array("cms-store", "--create", "-i", s"$tmp/ref",
+      "-s", s"$tmp/cms", "--d", "3", "--w", "256")) == 0)
+    val batch = Seq((3L, "cc zz zz")).toDF("doc_id", "text")
+    batch.write.parquet(s"$tmp/batch")
+    assert(graft.Cli.run(Array("cms-store", "--surge", "-i", s"$tmp/batch",
+      "-s", s"$tmp/cms", "-o", s"$tmp/rep", "-k", "5")) == 0)
+    val got = spark.read.parquet(s"$tmp/rep").collect().map(_.toSeq).toSet
+    val want = graft.ops.CmsStore.surge(spark, s"$tmp/cms",
+        spark.read.parquet(s"$tmp/batch"), k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.exists(r => r.head == "zz"), s"novel token missing: $got")
+  }
+
   test("CLI data-card: every section re-derives from its own operator") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli_card").toString

@@ -1128,6 +1128,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledger.groupBy("batch").count().collect().forall(_.getLong(1) == 5L))
   }
 
+  test("heavy-hitter surge monitor: streamed ledger == batch surge per wave; " +
+    "an empty re-run adds nothing") {
+    import graft.streaming.CmsStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmsstream").toString
+    val docs = Tables.documents(spark, sfDir)
+    graft.ops.CmsStore.createAt(spark,
+      docs.filter(col("doc_id") % 25 =!= 0), s"$tmp/cms")
+    val arr = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("text",
+        concat(col("text"), lit(" zz"), (col("doc_id") % 3).cast("string")))
+      .select("doc_id", "text")
+    val w0 = arr.filter(col("doc_id") % 2 === 0).localCheckpoint(false)
+    val w1 = arr.filter(col("doc_id") % 2 === 1).localCheckpoint(false)
+    def runOnce(): Unit = {
+      val q = CmsStream.maintain(spark, s"$tmp/in", s"$tmp/cms", s"$tmp/led",
+        s"$tmp/ck", w0.schema,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try q.processAllAvailable() finally q.stop()
+    }
+    w0.coalesce(1).write.parquet(s"$tmp/in")
+    runOnce()
+    w1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    def want(w: org.apache.spark.sql.DataFrame) =
+      graft.ops.CmsStore.surge(spark, s"$tmp/cms", w)
+        .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$tmp/led/batch=0")
+      .collect().map(_.toSeq).toSet == want(w0), "batch 0 != batch operator")
+    assert(spark.read.parquet(s"$tmp/led/batch=1")
+      .collect().map(_.toSeq).toSet == want(w1), "batch 1 != batch operator")
+    // no new landings: a third run must not add or change ledger rows
+    val before = spark.read.parquet(s"$tmp/led").collect().map(_.toSeq).toSet
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/led").collect().map(_.toSeq).toSet == before)
+  }
+
   test("tokenizer fertility monitor: streamed drift == batch fertilityDrift; per-batch ledger") {
     import graft.ops.TokStore
     import graft.streaming.TokStream
