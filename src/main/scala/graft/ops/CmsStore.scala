@@ -123,8 +123,21 @@ object CmsStore {
       .orderBy(col("c").desc, col("tok"))
       .limit(k)
       .select(col("tok"), col("c").cast("long").as("n_batch"))
+    // n_batch rides THROUGH the estimate (grouped alongside the token)
+    // instead of joining topk back against itself — a self-join on the
+    // limit would hang a second consumer off the batch-sized count
+    // aggregate; this way the corpus-sized work has exactly one
+    // consumer and the only join is the broadcast counter lookup
+    // (PlanShapeSpec pins the shape).
     topk
-      .join(estimateRef(topk, counters, d, w), Seq("tok"))
+      .select(col("tok"), col("n_batch"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("row"), bucketOf(r, col("tok"), w).as("bucket"))): _*)).as("rb"))
+      .select(col("tok"), col("n_batch"),
+        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("row", "bucket"), "left")
+      .groupBy("tok", "n_batch")
+      .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est_ref"))
       .select(col("tok").as("token"), col("n_batch"), col("est_ref"),
         round(col("n_batch").cast("double") /
           (col("est_ref") + lit(1L)).cast("double"), 6).as("surge_ratio"))

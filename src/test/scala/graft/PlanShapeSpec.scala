@@ -22,6 +22,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles == 1, s"expected exactly 1 shuffle (the group window), got $shuffles")
   }
 
+  test("q135: CMS surge probe — one batch count exchange, counters broadcast, " +
+    "no self-join on the top-k") {
+    // The monitoring contract (CmsStore.surge): the only corpus-sized
+    // work is the batch token count (one hash exchange feeding the
+    // TakeOrdered head); the counter lookup is a broadcast join over
+    // a d*w-row table; n_batch rides through the estimate so the
+    // count aggregate has exactly ONE consumer (no self-join, no
+    // second batch pass).
+    val p = plan("q135_hitter_surge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost the TakeOrdered head")
+    assert(p.contains("BroadcastHashJoin"), "counter lookup stopped broadcasting")
+    assert(!p.contains("SortMergeJoin"), "counter lookup must never sort-merge")
+    val batchCounts = "Exchange hashpartitioning\\(tok".r.findAllIn(p).size
+    assert(batchCounts == 1,
+      s"expected exactly 1 token-count exchange (one batch pass), got $batchCounts:\n" +
+        p.take(2000))
+  }
+
   test("q105: cube report is one Expand + one exchange, never four jobs") {
     // cube's scale contract: each row expands into its 4 grouping
     // sets BEFORE the partial aggregate, so the whole multi-
