@@ -564,11 +564,17 @@ object Cli {
       // --ct-lang: replace the incoming lang labels with the
       // Cavnar–Trenkle classifier's prediction (fit once on those
       // labels) before curating — the pluggable lang source for
-      // corpora whose labels aren't trusted. Default keeps the
+      // corpora whose labels aren't trusted. --lang-store <path>:
+      // same relabeling from a FROZEN LangIdStore instead (fit paid
+      // at store creation — the production shape; StoreBench's
+      // curation_lang row measures the split). Default keeps the
       // arriving labels (the q79 contract).
       val raw = spark.read.parquet(in)
-      val docs =
-        if (m.contains("--ct-lang")) graft.ops.Curation.withCtLang(raw) else raw
+      val docs = m.get("--lang-store").flatMap(_.headOption) match {
+        case Some(storePath) => graft.ops.Curation.withStoreLang(spark, storePath, raw)
+        case None =>
+          if (m.contains("--ct-lang")) graft.ops.Curation.withCtLang(raw) else raw
+      }
       val bench = m.get("--bench").flatMap(_.headOption) match {
         case Some(p) => spark.read.parquet(p).select("doc_id", "text")
         case None => docs
@@ -1587,12 +1593,22 @@ object Cli {
       // still names the query source when --queries-where selects
       // from it. --mode tfidf swaps the scoring to cosine over
       // tf-idf weights (in-memory only: the posting store's ledger
-      // carries BM25's stats, not document norms).
+      // carries BM25's stats, not document norms). --max-term-df N is
+      // the DECLARED approximation for boilerplate-heavy query
+      // batches (bm25 only): query terms with corpus df > N are
+      // dropped from scoring — probe cost bounded by Σ df over
+      // admitted terms (q137's oracle-visible contract).
       val mode = m.get("--mode").flatMap(_.headOption).getOrElse("bm25")
+      val maxDf = m.get("--max-term-df").flatMap(_.headOption)
+        .map(_.toLong).getOrElse(Long.MaxValue)
+      if (maxDf != Long.MaxValue && mode != "bm25")
+        sys.error("--max-term-df applies to --mode bm25 only")
       val hits = (m.get("-s").orElse(m.get("--store")).flatMap(_.headOption), mode) match {
-        case (Some(store), "bm25") => graft.ops.PostingStore.retrieve(spark, store, queries, k)
+        case (Some(store), "bm25") =>
+          graft.ops.PostingStore.retrieve(spark, store, queries, k, maxTermDf = maxDf)
         case (Some(_), other) => sys.error(s"retrieve --store supports bm25 only, got $other")
-        case (None, "bm25") => graft.ops.Retrieval.bm25TopK(corpus, queries, k)
+        case (None, "bm25") =>
+          graft.ops.Retrieval.bm25TopK(corpus, queries, k, maxTermDf = maxDf)
         case (None, "tfidf") => graft.ops.Retrieval.tfidfTopK(corpus, queries, k)
         case (None, other) => sys.error(s"retrieve --mode must be bm25|tfidf, got $other")
       }
@@ -1682,7 +1698,7 @@ object Cli {
       val spark = session()
       val links = m.get("-s").orElse(m.get("--store")).flatMap(_.headOption) match {
         case Some(store) =>
-          val (table, (sn, snh, sb, _)) = graft.dedup.BandStore.attach(spark, store)
+          val (table, (sn, snh, sb, _, _)) = graft.dedup.BandStore.attach(spark, store)
           graft.dedup.BandStore.linkNew(
             spark, table, spark.read.parquet(in), spark.read.parquet(ref),
             idCol, textCol, threshold, n = sn, numHashes = snh, bands = sb,
@@ -1722,10 +1738,12 @@ object Cli {
           n = n, numHashes = 64, bands = 16, buckets = buckets)
         println(s"band store created at $store ($buckets buckets)")
       } else {
-        val (table, (sn, snh, sb, sbk)) = graft.dedup.BandStore.attach(spark, store)
+        val (table, (sn, snh, sb, sbk, scap)) = graft.dedup.BandStore.attach(spark, store)
+        // appended rows honor the store's PERSISTED cap — a retuned
+        // (capped) store stays capped as it grows
         graft.dedup.BandStore.append(
           spark, table, spark.read.parquet(in), idCol, textCol,
-          n = sn, numHashes = snh, bands = sb, buckets = sbk)
+          n = sn, numHashes = snh, bands = sb, maxBucketSize = scap, buckets = sbk)
         println(s"band rows appended to $store")
       }
       0
@@ -1949,7 +1967,7 @@ object Cli {
            |  download   -m <manifest.tsv: name md5sum url> -o <raw-dir>
            |  dedup      -i <docs.parquet> -o <out.parquet> [--mode exact|near] [--max-bucket 10000] [--id doc_id] [--text text]
            |  curate     -i <docs.parquet> -o <out.parquet> [--min-quality 0.5] [--id doc_id] [--text text]
-           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--ct-lang] [--seed <sql-bool-expr>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json; --seed adds measured per-stage quality + decontam_audit/)
+           |  curate-pipeline -i <docs.parquet> -o <out-dir> [--bench <parquet>] [--ct-lang] [--lang-store <langid-store-path>] [--seed <sql-bool-expr>] [--min-quality 0.5] [--min-tokens 5] [--max-tokens 1000] [--jaccard 0.8] [--budget 10000]   (writes corpus/ + ledger.json; --seed adds measured per-stage quality + decontam_audit/; --lang-store relabels from a frozen langid-store instead of an in-run CT fit)
            |  curate-stream -i <landing-dir> -s <fp-store> --bench <parquet> -o <out-dir> --checkpoint <dir> [--min-quality 0.5]
            |  lm-store   --create -i <docs.parquet> -s <store-dir> [--buckets 64] | --score -i <batch.parquet> -s <store-dir> -o <out.parquet> | --oov -i <batch.parquet> -s <store-dir> -o <out.parquet> [--lang lang]
            |  corpus-diff --prev <a.parquet> --now <b.parquet> -o <out.parquet> [--id doc_id] [--text text] [--source source]
@@ -1979,7 +1997,7 @@ object Cli {
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|bigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
-           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--id doc_id] [--text text]
+           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--max-term-df N] [--id doc_id] [--text text]   (--max-term-df: drop query terms with corpus df > N from scoring — the declared probe-cost cap, bm25 only)
            |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi|drift] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--group source] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)

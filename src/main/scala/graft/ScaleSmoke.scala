@@ -683,6 +683,53 @@ object ScaleSmoke {
     checks += ("persisted posting store at 50k docs: pruned probe == in-memory rows" ->
       (f"${psRows.length} hit rows bit-identical, PartitionFilters verified, " +
         f"build $psBuildSec%.1f s, build+probe $psSec%.1f s"))
+    // The maxTermDf scale hatch on the SAME store: every query here is
+    // a full document, so its filler terms (df ≈ |corpus|) dominate
+    // probe candidate volume — Σ_t df(t) over query terms — while all
+    // the ranking signal sits in the rare family term (df ≈ 9). The
+    // cap must (a) collapse candidate volume by orders of magnitude,
+    // (b) stay bit-identical to the capped in-memory path (one
+    // contract, two plans — the q137 oracle transcribes the same
+    // rule), and (c) keep the planted-family precision: dropped terms
+    // carried no signal.
+    val pcap = 1000L
+    val pc0 = System.nanoTime()
+    val pcDf = graft.ops.PostingStore.retrieve(spark, psPath, bmQueries,
+      k = 5, maxTermDf = pcap)
+    val pcRows = pcDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val pcSec = (System.nanoTime() - pc0) / 1e9
+    val pcMem = graft.ops.Retrieval.bm25TopK(bmCorpus, bmQueries,
+      k = 5, maxTermDf = pcap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(pcRows == pcMem,
+      "capped posting-store retrieval diverged from the capped in-memory path at 10x")
+    val pcTop1 = pcRows.filter(_._3 == 1L)
+    val pcPrec = pcTop1.count { case (q, d, _, _) => d % 5000 == q }
+      .toDouble / pcTop1.length
+    assert(pcPrec >= 0.95,
+      f"df cap lost the planted families: top-1 precision $pcPrec%.3f")
+    // candidate volume = Σ df over (distinct query term, df) pairs the
+    // probe admits — measured off the store's df ledger, the exact
+    // quantity the posting join materializes before its aggregate
+    val pcVol = {
+      val qt = bmQueries
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .distinct()
+      val df = spark.read.parquet(s"$psPath/dfreq")
+        .groupBy("term").agg(sum("df").cast("long").as("df"))
+        .join(qt, Seq("term")).localCheckpoint(false)
+      (df.agg(coalesce(sum("df"), lit(0L))).head().getLong(0),
+        df.filter(col("df") <= pcap)
+          .agg(coalesce(sum("df"), lit(0L))).head().getLong(0))
+    }
+    assert(pcVol._2 * 100L <= pcVol._1,
+      s"expected >=100x candidate-volume cut, got ${pcVol._1} -> ${pcVol._2}")
+    checks += (s"posting-store maxTermDf=$pcap probe: capped == capped in-memory, volume cut measured" ->
+      (f"matched-posting volume ${pcVol._1}%d -> ${pcVol._2}%d " +
+        f"(${pcVol._1.toDouble / math.max(pcVol._2, 1L)}%.0fx cut), " +
+        f"top-1 family precision $pcPrec%.3f over ${pcTop1.length}%d queries, " +
+        f"probe $pcSec%.1f s"))
     // TF-IDF cosine over the SAME idf-selective corpus: the rare
     // family term dominates both weight and norm, so the family
     // members must outrank the filler-sharing bulk — the same idf
@@ -1219,9 +1266,10 @@ object ScaleSmoke {
     // 22. Composed streaming rehearsal at 10× (r11 stretch): ONE
     // landing directory, the curation stream plus the frozen-store
     // monitors (tok fertility, LM KL/OOV drift, PSI over n_chars,
-    // HLL vocab growth, lang-mix) all tailing the SAME feed in three
-    // increasing-id waves; every ledger must reconcile with the
-    // corresponding batch operator run on the same waves.
+    // HLL vocab growth, lang-mix, CMS heavy-hitter surge) all tailing
+    // the SAME feed in three increasing-id waves; every ledger must
+    // reconcile with the corresponding batch operator run on the same
+    // waves.
     val cs0 = System.nanoTime()
     val csDir = s"$workDir/composed_stream"
     val csRef = docs.filter(col("doc_id") % 4 === 0)
@@ -1239,6 +1287,7 @@ object ScaleSmoke {
     graft.ops.HllStore.createAt(spark, csRef, s"$csDir/hll")
     graft.ops.HllStore.createAt(spark, csRef, s"$csDir/hll_twin") // replay twin
     graft.ops.LangIdStore.createAt(spark, csRef, s"$csDir/lid", topM = 64)
+    graft.ops.CmsStore.createAt(spark, csRef, s"$csDir/cms")
     val (loId, hiId) = {
       val r = csArr.agg(min("doc_id"), max("doc_id")).head()
       (r.getLong(0), r.getLong(1))
@@ -1270,6 +1319,8 @@ object ScaleSmoke {
         s"$csDir/hll", s"$csDir/led_hll", s"$csDir/ck_hll", csSchema))
       run(graft.streaming.LangIdStream.maintain(spark, s"$csDir/landing",
         s"$csDir/lid", s"$csDir/led_lid", s"$csDir/ck_lid", csSchema))
+      run(graft.streaming.CmsStream.maintain(spark, s"$csDir/landing",
+        s"$csDir/cms", s"$csDir/led_cms", s"$csDir/ck_cms", csSchema))
     }
     def rowSet(df: DataFrame): Set[Seq[Any]] =
       df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
@@ -1318,6 +1369,11 @@ object ScaleSmoke {
         rowSet(graft.ops.HllStore.growth(spark, s"$csDir/hll_twin", w)),
         s"hll ledger batch $i diverged")
       graft.ops.HllStore.ingest(spark, s"$csDir/hll_twin", w)
+      // CMS: the surge monitor is read-only over the frozen counters,
+      // so the per-wave ledger must equal the batch operator directly
+      assert(rowSet(spark.read.parquet(s"$csDir/led_cms/batch=$i")) ==
+        rowSet(graft.ops.CmsStore.surge(spark, s"$csDir/cms", w, k = 20)),
+        s"cms ledger batch $i diverged")
     }
     // (c) the maintained HLL store absorbed every wave: zero growth
     // on the union, and twin == maintained register-for-register
@@ -1325,9 +1381,9 @@ object ScaleSmoke {
       .agg(sum(abs(col("est_growth")))).head().getDouble(0)
     assert(csFinal == 0.0, s"maintained HLL store missed arrivals: growth $csFinal")
     val csSec = (System.nanoTime() - cs0) / 1e9
-    checks += ("composed streaming rehearsal: 6 streams on one landing feed, all ledgers == batch operators" ->
+    checks += ("composed streaming rehearsal: 7 streams on one landing feed, all ledgers == batch operators" ->
       (f"3 waves x ${csArr.count()}%d arrivals: curate ${gotCurated.size}%d accepted == batch union, " +
-        f"tok/lm/psi/langid ledgers row-equal per wave, HLL replay row-equal + zero residual growth, $csSec%.1f s"))
+        f"tok/lm/psi/langid/cms ledgers row-equal per wave, HLL replay row-equal + zero residual growth, $csSec%.1f s"))
 
     val total = timings.map(_._2).sum
     val md = new StringBuilder

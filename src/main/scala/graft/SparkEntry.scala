@@ -618,10 +618,22 @@ object SparkEntry {
     val docs = graft.ops.Parallelism.ensure(Tables.documents(s, dir))
     val ctRows = graft.ops.LangId.profileRows(
       graft.ops.LangId.langProfiles(docs, "lang", "text", topM = 64))
+    curationReport(docs,
+      graft.ops.LangId.langColumn(col("text"), ctRows, topM = 64))
+  }
+
+  /** q49's scoring pass + dedup semi-join + per-language aggregate
+    * with the language SOURCE pluggable — the column q49 fits in-query
+    * and q136 reads from the frozen [[graft.ops.LangIdStore]]. One
+    * body, so the two gate rows share one oracle by construction
+    * (and [[StoreBench]]'s `curation_lang` probe times exactly it). */
+  private[graft] def curationReport(
+      docs: DataFrame,
+      langColumn: org.apache.spark.sql.Column): DataFrame = {
     val scored = docs.select(
       col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"),
-      graft.ops.LangId.langColumn(col("text"), ctRows, topM = 64).as("lang"),
+      langColumn.as("lang"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       col("text"))
     val keepers = Dedup.exact(docs, "doc_id", "text")
@@ -635,6 +647,24 @@ object SparkEntry {
         (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
           .as("avg_quality"),
         sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
+  /** q49 through the FROZEN language-ID store — the production split
+    * of the curation report's language source (the q92-vs-q88
+    * one-contract-two-plans precedent): the Cavnar–Trenkle profiles
+    * are fit ONCE and persisted ([[graft.ops.LangIdStore.createAt]],
+    * here on the same labeled corpus so the contract is exactly
+    * q49's), and the measured report consumes them as a zero-exchange
+    * classification projection ([[graft.ops.LangIdStore.langColumn]])
+    * — the per-batch monitoring path pays O(batch) classification,
+    * never the (lang, gram) corpus fit. Identical oracle to q49;
+    * StoreBench times the fit/probe split (`curation_lang`). */
+  def q136CurationStoreLang(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_curation_lid_q")
+    val docs = graft.ops.Parallelism.ensure(Tables.documents(s, dir))
+    graft.ops.LangIdStore.createAt(s, docs, s"$tmp/lid", topM = 64)
+    curationReport(docs,
+      graft.ops.LangIdStore.langColumn(s, s"$tmp/lid", col("text")))
   }
 
   /** Embedding-space duplicate clusters: LSH-bucketed cosine near-dup
@@ -980,7 +1010,15 @@ object SparkEntry {
     * identity path are value-oracled. Phones are scrubbed FIRST; the
     * dotted-quad shape cannot produce the phone pattern's 4-digit
     * terminal group, so the two passes never interact. Zero-shuffle
-    * codegen'd regex map pass, like the email/URL battery. */
+    * codegen'd regex map pass, like the email/URL battery.
+    *
+    * Every doc_id % 4 == 1 document additionally plants a LONG
+    * digit/separator serial (`sn 20415-555-01001`) — the phone
+    * pattern's documented no-lookaround boundary: the phone-shaped
+    * interior window matches, redacting the serial's middle
+    * (`sn 20<PHONE>1`). Planting it keeps the known over-redaction
+    * oracle-visible instead of prose-only ([[TextFunctions
+    * .PhonePattern]]'s KNOWN BOUNDARY note). */
   def q134PiiBattery(s: SparkSession, dir: String): DataFrame = {
     import TextFunctions.{Ipv4Pattern, PhonePattern, patternCount, redact}
     Tables.documents(s, dir)
@@ -990,6 +1028,8 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
           lit("."), ((col("doc_id") * 3 + 1) % 256).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" sn 20415-555-01001")))
         .otherwise(col("text")))
       .select(col("doc_id"),
         patternCount(col("text"), PhonePattern).as("n_phones"),
@@ -1232,6 +1272,30 @@ object SparkEntry {
       docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("q_id"), col("text")),
       k = 10)
+  }
+
+  /** q92's store probe under the `maxTermDf` scale hatch — the
+    * DECLARED approximation for boilerplate-heavy query batches:
+    * query terms with ledger df > 375 are dropped from scoring and
+    * their partitions from the posting scan, bounding probe candidate
+    * volume by Σ df over admitted terms ([[graft.ops.PostingStore
+    * .retrieve]]). On the gate corpus the cap splits the vocabulary
+    * (~half the filler terms drop, the rare high-idf terms and the
+    * low-df tail stay), so the row exercises BOTH sides of the rule.
+    * The approximation is transcribed into the oracle (`HAVING
+    * df <= 375` — the q19 banding precedent): any drift between the
+    * capped engine path and the capped replay is a bug, not tuning. */
+  def q137Bm25Capped(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_posting_cap_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.PostingStore.create(
+      docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text"),
+      s"$tmp/store")
+    graft.ops.PostingStore.retrieve(
+      s, s"$tmp/store",
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      k = 10, maxTermDf = 375L)
   }
 
   /** CCNet-style head/middle/tail quality buckets: per-language
@@ -1892,6 +1956,32 @@ object SparkEntry {
     graft.ops.Eval.calibration(scored, "doc_id", "log_odds", "y", nBins = 10)
   }
 
+  /** Calibration against FROZEN cut-points — the 100-TB form of q132
+    * ([[graft.ops.Eval.calibrationAtCuts]]): quintile cuts are fit
+    * ONCE on the reference split's scores (doc_id % 5 ≠ 0) and
+    * persisted through a [[graft.ops.PsiStore]] (the same frozen
+    * artifact the PSI drift monitor reads), then the ARRIVING split
+    * (doc_id % 5 = 0) bins under them as a zero-exchange projection —
+    * no single-partition `ntile` window ever carries per-document
+    * rows; the only exchange is the bins-sized final aggregate. The
+    * oracle replays cut selection by explicit rank (the q131 recipe)
+    * and the ties-go-low binning. Scores are q108's NB log-odds
+    * (shared CTEs), fit on the full corpus as in q132 — the frozen
+    * artifact under test here is the CUTS, not the classifier. */
+  def q138CalibrationFrozen(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_cal_cuts_q")
+    val docs = Tables.documents(s, dir)
+    val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
+      .localCheckpoint(false) // two consumers: the cut fit + the probe
+    graft.ops.PsiStore.createAt(
+      s, scored.filter(col("doc_id") % 5 =!= 0), "log_odds", s"$tmp/cuts")
+    val (cuts, _) = graft.ops.PsiStore.attach(s, s"$tmp/cuts")
+    graft.ops.Eval.calibrationAtCuts(
+      scored.filter(col("doc_id") % 5 === 0), "log_odds", "y", cuts)
+  }
+
   /** Incremental vocabulary-growth monitor over the persisted HLL
     * registers ([[graft.ops.HllStore]]): the reference split's
     * per-language registers persist once; the arriving split (every
@@ -2079,6 +2169,9 @@ object SparkEntry {
     "q133_vocab_growth" -> (q133VocabGrowth _),
     "q134_pii_battery" -> (q134PiiBattery _),
     "q135_hitter_surge" -> (q135HitterSurge _),
+    "q136_curation_store_lang" -> (q136CurationStoreLang _),
+    "q137_bm25_capped" -> (q137Bm25Capped _),
+    "q138_calibration_frozen" -> (q138CalibrationFrozen _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2207,19 +2300,24 @@ object SparkEntry {
     * Jaccard pair set (even-id reference × odd-id batch, no banding).
     * Shared verbatim by q86 (in-memory band join) and q87 (persisted
     * band store): one contract, two physical strategies. */
-  // q88/q92 shared oracle: the BM25 float path transcribed operator-
-  // for-operator (same parenthesization, same left-assoc * and /);
-  // per-term scores quantize to nano-scaled longs, so the per-(q,d)
-  // sum is associative integer addition (no fold order at all) and
-  // the rank cut compares ROUNDED scores - nothing engine-dependent.
-  private val Bm25OracleSql: String =
-    """WITH corpus AS (
+  // q88/q92/q137 shared oracle: the BM25 float path transcribed
+  // operator-for-operator (same parenthesization, same left-assoc *
+  // and /); per-term scores quantize to nano-scaled longs, so the
+  // per-(q,d) sum is associative integer addition (no fold order at
+  // all) and the rank cut compares ROUNDED scores - nothing engine-
+  // dependent. `maxTermDf` transcribes the q137 scale hatch: capped
+  // terms leave the dfreq CTE, so they score for no document — the
+  // approximation is part of the contract, not hidden from the
+  // replay (the q19 banding precedent).
+  private def bm25OracleSql(maxTermDf: Option[Long]): String =
+    ("""WITH corpus AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
         |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
         |pd AS (
         |  SELECT doc_id, len(tk) AS dl, tok AS term, count(*) AS tf
         |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1""" +
+      maxTermDf.map(c => s" HAVING count(*) <= $c").getOrElse("") + """),
         |stats AS (
         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl
         |  FROM (SELECT DISTINCT doc_id, dl FROM pd)),
@@ -2240,7 +2338,47 @@ object SparkEntry {
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored) t
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""").stripMargin
+
+  private val Bm25OracleSql: String = bm25OracleSql(None)
+
+  /** q49/q136 shared oracle: the curation report with lang from the
+    * CT classifier replay (CtPredCtes) — the one language-ID surface,
+    * one transcription, consumed by the in-query-fit row (q49) and
+    * the frozen-store row (q136) alike. Plain concatenation (not
+    * s-interp): the praw regex contains \[ \]. Lazy: CtPredCtes is
+    * initialized further down the object body. */
+  private lazy val CurationReportOracleSql: String =
+    ("""WITH """ + CtPredCtes + """,
+      |base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    CASE WHEN len(text) > 0
+      |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1.0 / len(text)
+      |      ELSE 0.0 END AS praw,
+      |    CASE WHEN len(toks) > 0
+      |      THEN len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(toks)
+      |      ELSE 0.0 END AS sraw,
+      |    md5(array_to_string(toks, ' ')) AS fp
+      |  FROM base),
+      |m2 AS (
+      |  SELECT m.doc_id, fp, n_tokens,
+      |    round(least(n_tokens / 20.0, 1.0) * 0.4
+      |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
+      |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality,
+      |    lp.pred_lang AS lang
+      |  FROM m LEFT JOIN lpred lp ON lp.doc_id = m.doc_id),
+      |keep AS (
+      |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS kid FROM m2)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM keep
+      |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
+      |GROUP BY lang""").stripMargin
 
   private val FuzzyJoinOracleSql: String =
     """WITH toks AS (
@@ -3199,6 +3337,41 @@ object SparkEntry {
         |SELECT CAST(bin AS INT) AS bin, n, conf, acc,
         |  round(abs(conf - acc), 6) AS gap
         |FROM agg""".stripMargin,
+    // q138: q132's scores against FROZEN quintile cuts — cut-points
+    // by explicit rank over the reference split's 6dp scores (the
+    // q131 recipe), ties-go-low binning transcribed as 1 + count of
+    // cuts strictly below; conf/acc/gap arithmetic identical to q132.
+    // Arrival-empty bins are absent (frozen cuts name 5 possible
+    // bins, the GROUP BY only sees occupied ones).
+    "q138_calibration_frozen" ->
+      s"""WITH $NbScoreCtes,
+        |lbl AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS s6, lbl.y
+        |  FROM s CROSS JOIN pri JOIN lbl ON lbl.doc_id = s.doc_id),
+        |ref0 AS (SELECT s6 AS val FROM sc WHERE doc_id % 5 <> 0),
+        |arr0 AS (SELECT doc_id, s6, y FROM sc WHERE doc_id % 5 = 0),
+        |nn AS (SELECT count(*) AS n FROM ref0),
+        |qs AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
+        |r AS (SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rk FROM qs, nn),
+        |srt AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM ref0),
+        |cuts AS (SELECT q, val FROM r JOIN srt ON srt.rn = r.rk),
+        |t AS (
+        |  SELECT
+        |    CAST(1 + (SELECT count(*) FROM cuts WHERE arr0.s6 > cuts.val) AS INT) AS bin,
+        |    y,
+        |    CAST(round(1.0 / (1.0 + exp(s6 * -1)) * 1000000000.0, 0) AS BIGINT) AS p9
+        |  FROM arr0),
+        |agg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(p9) AS DOUBLE) / 1000000000.0
+        |      / CAST(count(*) AS DOUBLE), 6) AS conf,
+        |    round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc
+        |  FROM t GROUP BY 1)
+        |SELECT bin, n, conf, acc,
+        |  round(abs(conf - acc), 6) AS gap
+        |FROM agg""".stripMargin,
     "q112_classifier_eval" ->
       s"""WITH $NbScoreCtes,
         |scored AS (
@@ -4009,6 +4182,7 @@ object SparkEntry {
         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
         |           || '.' || CAST((doc_id * 3 + 1) % 256 AS VARCHAR)
+        |      WHEN doc_id % 4 = 1 THEN text || ' sn 20415-555-01001'
         |      ELSE text END AS text
         |  FROM documents WHERE text IS NOT NULL),
         |p AS (
@@ -4434,6 +4608,11 @@ object SparkEntry {
     // q92 (the persisted posting store) shares q88's oracle VERBATIM:
     // the store round-trip must change the physical plan, never a row.
     "q92_bm25_indexed" -> Bm25OracleSql,
+    // q137: the SAME BM25 contract with the maxTermDf probe cap — the
+    // approximation itself is transcribed (dfreq keeps only df <= 375,
+    // so capped terms score for no document), the q19 banding
+    // precedent for oracle-visible scale hatches.
+    "q137_bm25_capped" -> bm25OracleSql(Some(375L)),
     // q89's oracle is the plain exact aggregate: the CMS prefilter
     // never under-counts, so prefilter + exact confirm ≡ exact.
     "q89_heavy_hitters" ->
@@ -4546,37 +4725,13 @@ object SparkEntry {
     // q49: lang comes from the CT classifier replay (CtPredCtes), not
     // the marker-token heuristic — the one language-ID surface. Plain
     // concatenation (not s-interp): the praw regex contains \[ \].
-    "q49_curation" ->
-      ("""WITH """ + CtPredCtes + """,
-        |base AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, len(toks) AS n_tokens,
-        |    CASE WHEN len(text) > 0
-        |      THEN (len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1.0 / len(text)
-        |      ELSE 0.0 END AS praw,
-        |    CASE WHEN len(toks) > 0
-        |      THEN len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(toks)
-        |      ELSE 0.0 END AS sraw,
-        |    md5(array_to_string(toks, ' ')) AS fp
-        |  FROM base),
-        |m2 AS (
-        |  SELECT m.doc_id, fp, n_tokens,
-        |    round(least(n_tokens / 20.0, 1.0) * 0.4
-        |      + greatest(1.0 - abs(sraw - 0.25) * 2.0, 0.0) * 0.3
-        |      + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 6) AS quality,
-        |    lp.pred_lang AS lang
-        |  FROM m LEFT JOIN lpred lp ON lp.doc_id = m.doc_id),
-        |keep AS (
-        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS kid FROM m2)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM keep
-        |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
-        |GROUP BY lang""").stripMargin,
+    "q49_curation" -> CurationReportOracleSql,
+    // q136 is the SAME curation-report contract with the language
+    // column read from the frozen LangIdStore (fit on the same
+    // corpus): sharing q49's oracle verbatim IS the test — the store
+    // may only change the cost model, never the rows (the q92-vs-q88
+    // precedent).
+    "q136_curation_store_lang" -> CurationReportOracleSql,
     "q53_split" ->
       """WITH b AS (
         |  SELECT doc_id,

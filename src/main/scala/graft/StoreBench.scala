@@ -7,10 +7,10 @@ import graft.model.Tables
 
 /** Build/probe split benchmark for the persisted-store families.
   *
-  * Seven oracle-gated queries (q92, q103, q110, q123, q127, q131,
-  * q133) time store CREATION and the frozen MONITORING PROBE as one
-  * number, because the DuckDB gate has to replay the fit to validate
-  * the probe. That makes the headline bench cost dominated by build
+  * The store-backed oracle-gated queries (q92, q103, q110, q123,
+  * q127, q131, q133, q135, q136) time store CREATION and the frozen
+  * MONITORING PROBE as one number, because the DuckDB gate has to
+  * replay the fit to validate the probe. That makes the headline bench cost dominated by build
   * work the stores exist to amortize — and leaves the core 100-TB
   * claim ("monitoring is O(batch) against a frozen artifact") argued
   * in prose. This main measures the two sides separately:
@@ -49,7 +49,9 @@ object StoreBench {
 
     val root = java.nio.file.Files.createTempDirectory("graft_store_bench").toString
 
-    def docs = Tables.documents(spark, sfDir)
+    // Parallelism.ensure: the gate queries' shape (q49/q92/q136 all
+    // stage the documents read the same way).
+    def docs = graft.ops.Parallelism.ensure(Tables.documents(spark, sfDir))
     def norms = {
       import graft.functions.VectorFunctions.dot
       Tables.embeddings(spark, sfDir)
@@ -101,7 +103,27 @@ object StoreBench {
       StoreCase("hll", "q133_vocab_growth",
         () => graft.ops.HllStore.createAt(
           spark, docs.filter(col("doc_id") % 25 =!= 0), s"$root/hll"),
-        () => graft.ops.HllStore.growth(spark, s"$root/hll", hllArrivals)))
+        () => graft.ops.HllStore.growth(spark, s"$root/hll", hllArrivals)),
+      // q135's splits: reference counters frozen on doc_id % 25 != 0,
+      // arrivals carry the three planted zz tokens.
+      StoreCase("cms", "q135_hitter_surge",
+        () => graft.ops.CmsStore.createAt(
+          spark, docs.filter(col("doc_id") % 25 =!= 0), s"$root/cms"),
+        () => graft.ops.CmsStore.surge(
+          spark, s"$root/cms",
+          docs.filter(col("doc_id") % 25 === 0)
+            .withColumn("text", concat(col("text"),
+              lit(" zz"), (col("doc_id") % 3).cast("string"))),
+          k = 20)),
+      // q136's split: the CT language profiles are the build (one
+      // (lang, gram) corpus fit, frozen); the probe is the FULL q49
+      // curation report consuming them as a zero-exchange projection —
+      // the number that shows the 2.4x q49 bench movement of r12 was
+      // fit cost riding inside the measured query, not probe cost.
+      StoreCase("curation_lang", "q136_curation_store_lang",
+        () => graft.ops.LangIdStore.createAt(spark, docs, s"$root/curlid", topM = 64),
+        () => SparkEntry.curationReport(docs,
+          graft.ops.LangIdStore.langColumn(spark, s"$root/curlid", col("text")))))
 
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

@@ -63,8 +63,13 @@ object BandStore {
     val p = new org.apache.hadoop.fs.Path(s"$path/_band_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
+    // maxBucketSize persists WITH the signature parameters: a capped
+    // store (retuneIfSkewed's rebuild) must be distinguishable from an
+    // uncapped one at attach time, or a later createAt-style rebuild
+    // and every append would silently drop the cap.
     try os.write(
-      s"""{"n": $n, "numHashes": $numHashes, "bands": $bands, "buckets": $buckets}"""
+      (s"""{"n": $n, "numHashes": $numHashes, "bands": $bands, """ +
+        s""""buckets": $buckets, "maxBucketSize": $maxBucketSize}""")
         .getBytes("UTF-8"))
     finally os.close()
     table
@@ -73,8 +78,9 @@ object BandStore {
   /** Re-attach a store written by [[createAt]] in a fresh session
     * (bucketing lives in the catalog, not the files). Returns the
     * table name and the persisted signature parameters
-    * (n, numHashes, bands, buckets). */
-  def attach(spark: SparkSession, path: String): (String, (Int, Int, Int, Int)) = {
+    * (n, numHashes, bands, buckets, maxBucketSize) — the cap defaults
+    * to Long.MaxValue for stores written before it was persisted. */
+  def attach(spark: SparkSession, path: String): (String, (Int, Int, Int, Int, Long)) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_band_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -82,7 +88,9 @@ object BandStore {
     def field(k: String): Int = (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"malformed _band_store.json at $path: $json"))
-    val params = (field("n"), field("numHashes"), field("bands"), field("buckets"))
+    val cap = """"maxBucketSize"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(Long.MaxValue)
+    val params = (field("n"), field("numHashes"), field("bands"), field("buckets"), cap)
     val table = tableFor(path)
     XenaOps.declareBucketedTable(spark, table, s"$path/bands", "bkey", params._4)
     (table, params)
@@ -204,7 +212,7 @@ object BandStore {
       textCol: String,
       maxCandPairsPerDoc: Double,
       cappedBucketSize: Long): RetuneDecision = {
-    val (table, (n, numHashes, bands, buckets)) = attach(spark, path)
+    val (table, (n, numHashes, bands, buckets, _)) = attach(spark, path)
     val stored = spark.table(table)
     val agg = stored.groupBy(col("bkey")).agg(count(lit(1)).as("s"))
       .agg(sum(expr("s * (s - 1) DIV 2")).cast("long").as("cand"),

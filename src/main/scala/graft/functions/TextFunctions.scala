@@ -36,8 +36,14 @@ object TextFunctions {
   /** North-American-shaped phone numbers: optional +CC, optional
     * parenthesized area code, separator in [-. ] between groups —
     * `+1 415 555 0100`, `(415) 555-0100`, `415-555-0100`. Stays in
-    * the Java∩RE2 subset (no lookaround); deliberately requires
-    * separators so bare digit runs (ids, years) never match. */
+    * the Java∩RE2 subset (no lookaround); requiring separators means
+    * separator-FREE digit runs (ids, years) never match. KNOWN
+    * BOUNDARY: without lookaround there is no digit-boundary guard,
+    * so a phone-shaped window INSIDE a longer digit/separator run
+    * still matches — `20415-555-01001` redacts to `20<PHONE>1`
+    * (over-redaction of long serials, conservative in the safe
+    * direction for PII). Both engines agree on the window (q134
+    * plants this case and value-oracles it). */
   val PhonePattern: String =
     "\\+?[0-9]{1,2}[-. ]\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}|\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 

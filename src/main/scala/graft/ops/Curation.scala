@@ -106,17 +106,38 @@ object Curation {
     * Classification is [[LangId.langColumn]], a zero-exchange
     * projection; the fit is the one (lang, gram) corpus aggregate.
     * Docs whose text yields no grams keep a null lang (they carry no
-    * evidence either way). */
+    * evidence either way). Null INCOMING labels are excluded from the
+    * fit (a mixed-provenance corpus — exactly this method's target —
+    * carries them): a null label is no evidence for any language, and
+    * a null-language profile row would poison the argmin kernel. */
   def withCtLang(
       docs: DataFrame,
       langCol: String = "lang",
       textCol: String = "text",
       topM: Int = 64): DataFrame = {
     val rows = LangId.profileRows(
-      LangId.langProfiles(docs, langCol, textCol, topM))
+      LangId.langProfiles(docs.filter(col(langCol).isNotNull),
+        langCol, textCol, topM))
     docs.withColumn(langCol,
       LangId.langColumn(col(textCol), rows, topM))
   }
+
+  /** [[withCtLang]] with the fit HOISTED OUT of the pipeline run — the
+    * production labeling shape: profiles come from a persisted
+    * [[LangIdStore]] (fit once on a trusted snapshot, frozen), so the
+    * curation pass pays only the zero-exchange classification
+    * projection per batch and no batch's labels can move another
+    * batch's. Same contract as [[withCtLang]] when the store was fit
+    * on the same corpus (the q92-vs-q88 one-contract-two-plans
+    * precedent); StoreBench measures the split. */
+  def withStoreLang(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    docs.withColumn(langCol,
+      LangIdStore.langColumn(spark, storePath, col(textCol)))
 
   /** [[pipeline]] plus the per-stage row-count ledger a curation run
     * ships with its output — the operational audit trail ("n in, n

@@ -127,10 +127,14 @@ object HllStore {
     * Commit ordering: the growth report goes through `reportSink`
     * BEFORE the register fold is committed. Either order is
     * at-least-once-correct (the HLL fold is a register-wise max, so a
-    * replayed ingest is idempotent), but ledger-first means a crash
-    * between the two replays the batch against the UNMODIFIED store
-    * and overwrites the ledger partition with the same numbers —
-    * whereas fold-first would make the replayed report read ~0 growth.
+    * replayed ingest is idempotent), and ledger-first NARROWS — not
+    * eliminates — the ~0-growth replay window: a crash between the
+    * two writes replays the batch against the UNMODIFIED store and
+    * overwrites the ledger partition with the same numbers
+    * (HllStoreSpec kills a sink there and asserts the replayed row),
+    * while the residual window — a crash after the fold but before
+    * the CALLER's own commit (the streaming offset) — still replays
+    * against the folded store and re-reports ~0.
     * Returns the growth report (narrow re-read of the checkpointed
     * join) for callers that want it in-memory. */
   def growthAndIngest(

@@ -77,25 +77,20 @@ object LangId {
       .select(col(keyCol), col("gram"), col("rank"))
 
   /** Train per-language profiles from a LABELED corpus:
-    * (lang, gram, rank), rank 1..topM per language. */
+    * (lang, gram, rank), rank 1..topM per language. Rows with a NULL
+    * label are excluded: a null is no evidence for any language, and
+    * a null-language profile row would make every downstream
+    * [[CtBestLang]] argmin throw on the null-vs-string tie-break. */
   def langProfiles(
       docs: DataFrame,
       langCol: String,
       textCol: String,
       topM: Int = 64): DataFrame =
-    rankTop(gramCounts(docs.select(col(langCol).as("lang"), col(textCol)),
+    rankTop(gramCounts(
+      docs.filter(col(langCol).isNotNull)
+        .select(col(langCol).as("lang"), col(textCol)),
       Seq("lang"), textCol), "lang", topM)
 
-  /** Classify every document against trained `profiles`
-    * ([[langProfiles]]'s shape): (doc_id, pred_lang, distance).
-    * Documents with no grams (null/whitespace-only text) are absent —
-    * no profile, no honest prediction.
-    *
-    * ZERO-shuffle: every gram of a document comes from the same row,
-    * so the per-document profile ([[CtDocProfile]]) and the
-    * rank-distance argmin ([[CtBestLang]], trained table riding
-    * broadcast inside the expression) are one narrow projection —
-    * O(batch) work, no exchange at any scale. */
   /** Collect trained profiles ([[langProfiles]]'s shape) into the
     * driver-bounded row form the [[CtBestLang]] kernel consumes —
     * |langs| × topM rows, the IVF-codebook boundedness contract. */
@@ -116,6 +111,16 @@ object LangId {
     when(size(prof) > 0, CtBestLang(prof, rows, topM).getField("pred_lang"))
   }
 
+  /** Classify every document against trained `profiles`
+    * ([[langProfiles]]'s shape): (doc_id, pred_lang, distance).
+    * Documents with no grams (null/whitespace-only text) are absent —
+    * no profile, no honest prediction.
+    *
+    * ZERO-shuffle: every gram of a document comes from the same row,
+    * so the per-document profile ([[CtDocProfile]]) and the
+    * rank-distance argmin ([[CtBestLang]], trained table riding
+    * broadcast inside the expression) are one narrow projection —
+    * O(batch) work, no exchange at any scale. */
   def classify(
       docs: DataFrame,
       idCol: String,

@@ -72,6 +72,21 @@ object LangIdStore {
     LangId.classify(docs, "doc_id", "text", profiles, topM)
   }
 
+  /** The frozen classifier as a pure COLUMN ([[LangId.langColumn]]
+    * over the persisted profiles) — the store-backed pluggable
+    * language source for pipelines ([[Curation.withStoreLang]], q136):
+    * attaching costs one driver-bounded profile read (langs × topM
+    * rows); the column itself is the same zero-exchange codegen'd
+    * projection as the in-query fit, with the fit already paid at
+    * [[createAt]] time. */
+  def langColumn(
+      spark: SparkSession,
+      path: String,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (profiles, topM) = attach(spark, path)
+    LangId.langColumn(text, LangId.profileRows(profiles), topM)
+  }
+
   /** Language-mix drift of an arriving batch against the snapshot:
     * one row per TRAINED language (predictions can only land on
     * trained languages) — predicted docs, predicted share of the

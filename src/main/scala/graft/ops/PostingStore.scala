@@ -158,14 +158,28 @@ object PostingStore {
   /** BM25 top-`k` of `queries` (q_id, text) against the ledger —
     * [[Retrieval.bm25TopK]]'s result on the union of ingested
     * batches, with the corpus-sized tokenize replaced by a
-    * bucket-pruned posting scan. */
+    * bucket-pruned posting scan.
+    *
+    * `maxTermDf` is the probe's EXPLICITLY-APPROXIMATE scale hatch
+    * (same contract as [[Retrieval.bm25TopK]]'s): query terms whose
+    * ledger-wide df exceeds the cap are dropped from scoring, AND
+    * their partitions are dropped from the posting scan — probe
+    * candidate volume is Σ_t df(t) over ADMITTED terms, so one
+    * boilerplate query term can no longer force a df ≈ |corpus|
+    * posting read (the 10× ScaleSmoke point measures the cut). The
+    * df side-table is still read for all query-term buckets (vocab-
+    * delta-sized — that read is how the cap learns each df); only
+    * the corpus-sized posting scan shrinks. Dropped terms change
+    * scores (idf > 0 always), so the cap is oracle-visible: q137
+    * transcribes the same `df <= cap` rule. Default = exact. */
   def retrieve(
       spark: SparkSession,
       path: String,
       queries: DataFrame,
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxTermDf: Long = Long.MaxValue): DataFrame = {
     val (nDocs, totalDl, nBuckets, committed) = readMeta(spark, path)
     // Materialized once: feeds the driver-side bucket collect and the
     // two broadcast joins — a re-evaluated source could otherwise
@@ -174,6 +188,25 @@ object PostingStore {
       .withColumn("tb", termBucket(col("term"), nBuckets))
       .localCheckpoint(false)
     val buckets = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    // Global df re-derived from the probed buckets' deltas: integer
+    // sums are order-independent, so this equals the df a single
+    // whole-corpus build would have written. (Read before the posting
+    // scan so the cap can restrict which posting partitions are read.)
+    val dfreqAll = spark.read.parquet(s"$path/dfreq")
+      .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+    val capped = maxTermDf != Long.MaxValue
+    val dfreq =
+      if (capped) dfreqAll.filter(col("df") <= maxTermDf) else dfreqAll
+    // Under a cap, the posting scan prunes to the buckets of SURVIVING
+    // query terms only (bucket recomputed from the term — the same
+    // static-partition-filter contract as the uncapped probe, one
+    // extra driver collect over the query-vocab-bounded df table).
+    val postBuckets =
+      if (!capped) buckets
+      else dfreq.join(qterms.select("term").distinct(), Seq("term"))
+        .select(termBucket(col("term"), nBuckets).as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
     // Both scans are gated on the COMMITTED tag set (batch is a
     // partition column, so this prunes statically): a concurrent
     // append/micro-batch's postings become file-visible the moment
@@ -186,13 +219,7 @@ object PostingStore {
     // it (the q88 lesson); structurally a no-op once the store is big.
     val postings = Parallelism.ensure(
       spark.read.parquet(s"$path/postings")
-        .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*)))
-    // Global df re-derived from the probed buckets' deltas: integer
-    // sums are order-independent, so this equals the df a single
-    // whole-corpus build would have written.
-    val dfreq = spark.read.parquet(s"$path/dfreq")
-      .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*))
-      .groupBy("term").agg(sum("df").cast("long").as("df"))
+        .filter(col("batch").isin(committed: _*) && col("tb").isin(postBuckets: _*)))
     // avg(dl) over integer-valued doubles == total/count exactly.
     val avgdl = totalDl.toDouble / nDocs.toDouble
     Retrieval.scoreTopK(

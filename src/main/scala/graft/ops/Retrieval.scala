@@ -129,6 +129,16 @@ object Retrieval {
     * ranks by (rounded score desc, doc_id) — no engine-dependent
     * float ordering anywhere.
     *
+    * `maxTermDf` is the EXPLICITLY-APPROXIMATE scale hatch: query
+    * terms whose corpus document frequency exceeds it are dropped
+    * from scoring entirely. Probe cost is Σ_t df(t) over query terms
+    * — one boilerplate term with df ≈ |corpus| makes a single query
+    * cost a corpus scan — and the cap bounds it by construction.
+    * idf > 0 always (the +1 inside the log), so dropped terms DO
+    * change scores: the cap is a declared approximation, oracle-
+    * visible (q137 transcribes it — the q19 banding precedent), not
+    * a silent optimization. Default Long.MaxValue = exact BM25.
+    *
     * Output: (query_id, doc_id, rank, score).
     */
   def bm25TopK(
@@ -136,7 +146,8 @@ object Retrieval {
       queries: DataFrame,
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxTermDf: Long = Long.MaxValue): DataFrame = {
     // Materialized once for three consumers (probe, df, stats) —
     // corpus-sized, so the storage strategy is pluggable
     // (Parallelism.stage: localCheckpoint default, DISK_ONLY persist
@@ -146,7 +157,14 @@ object Retrieval {
     // queries and must not inherit a single partition.
     val postings = Parallelism.ensureCheckpointed(
       Parallelism.stage(buildPostings(corpus)))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // The df cap restricts SCORING terms only; corpus statistics
+    // (n_docs, avgdl) and surviving terms' df stay those of the full
+    // corpus — the cap drops terms, it does not re-weigh the rest.
+    // Uncapped keeps the exact q88 plan (no vacuous Filter node).
+    val dfreqAll = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (maxTermDf == Long.MaxValue) dfreqAll
+      else dfreqAll.filter(col("df") <= maxTermDf)
     // N and avgdl from the distinct (doc_id, dl) projection of the
     // postings — bounded by |corpus| rows, 2 columns.
     val stats = postings

@@ -17,8 +17,10 @@ import graft.ops.HllStore
   * Crash semantics: the fold is register-wise max — replaying a batch
   * is a no-op on the STORE, which therefore always equals the
   * single-shot sketch of everything ingested (StreamingSpec pins it).
-  * The growth report derives from the join materialized BEFORE the
-  * fold commits; a retry that lands after a completed fold re-records
+  * The growth report's ledger partition is written before the fold
+  * commits, so a crash between the two writes replays to the SAME
+  * growth numbers; the residual window is a crash after the fold but
+  * before the streaming offset commit, where the retry re-records
   * that batch's growth as ~0 (its ledger partition is overwritten,
   * never duplicated) — the store stays exact, only that one report
   * row degrades, the same at-least-once honesty trade the other
@@ -43,9 +45,15 @@ object HllStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // One store read + one batch sketch per micro-batch. The
         // ledger partition is written BEFORE the fold commits (the
-        // reportSink hook): a crash between the two replays the batch
+        // reportSink hook): a crash BETWEEN the two replays the batch
         // against the unmodified store, so the rewritten ledger row
-        // carries the same growth numbers instead of ~0.
+        // carries the same growth numbers. This NARROWS the ~0-growth
+        // replay window, it does not eliminate it — a crash after the
+        // fold commits but before the streaming offset does still
+        // replays the batch against the already-folded store and
+        // overwrites this batch's ledger row with ~0 growth (the
+        // store itself stays exact either way; HllStoreSpec pins the
+        // between-the-two-writes replay).
         HllStore.growthAndIngest(spark, storePath, batch, langCol, textCol,
           reportSink =
             _.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))

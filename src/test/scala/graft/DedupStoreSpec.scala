@@ -104,8 +104,8 @@ class DedupStoreSpec extends SparkSpecBase {
     // attach in the same session (fresh catalog declaration) + append
     // a doc that near-dups an odd batch doc: the link must appear
     // WITHOUT re-signing the original reference
-    val (table2, (n2, nh2, b2, bk2)) = graft.dedup.BandStore.attach(spark, path)
-    assert((n2, nh2, b2, bk2) == ((2, 64, 16, 64)))
+    val (table2, (n2, nh2, b2, bk2, cap2)) = graft.dedup.BandStore.attach(spark, path)
+    assert((n2, nh2, b2, bk2, cap2) == ((2, 64, 16, 64, Long.MaxValue)))
     val oddOne = odd.limit(1).collect()(0)
     val newRef = Seq((oddOne.getLong(0) + 1000000L,
       oddOne.getString(1))).toDF("doc_id", "text")

@@ -725,6 +725,37 @@ class DomainSpec extends SparkSpecBase {
       val id = r.getAs[Long]("doc_id")
       assert(viaOp(id) == r.getAs[String]("lang"), s"doc $id lang mismatch")
     }
+    // mixed-provenance corpus: null incoming labels are excluded from
+    // the fit (no null-language profile row, no argmin NPE) and the
+    // labeled documents' predictions are unchanged by the null rows
+    val mixed = docs.withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("lang")))
+    val relabeledMixed = graft.ops.Curation.withCtLang(mixed)
+    val viaMixed = relabeledMixed.filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaOpLabeled = graft.ops.LangId.selfClassify(
+      mixed.filter(col("lang").isNotNull), "doc_id", "lang", "text")
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc (null-labeled included) classifies under the profiles
+    // fit on the LABELED subset
+    assert(viaMixed.keySet.size >= viaOpLabeled.size,
+      s"null-labeled docs lost their predictions: ${viaMixed.size}")
+    viaOpLabeled.foreach { case (id, lang) =>
+      assert(viaMixed(id) == lang, s"doc $id lang moved under mixed labels")
+    }
+
+    // store-backed source: withStoreLang == withCtLang when the store
+    // was fit on the same corpus (the q136-vs-q49 contract)
+    val lidPath = java.nio.file.Files
+      .createTempDirectory("graft_curation_store_lang").toString + "/lid"
+    graft.ops.LangIdStore.createAt(spark, docs, lidPath, topM = 64)
+    val viaStore = graft.ops.Curation.withStoreLang(spark, lidPath, docs)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaStore == viaCol, "withStoreLang diverged from withCtLang on the same fit")
   }
 
   test("band-store retune-on-breach: a skewed store re-bands with a bucket cap " +
@@ -755,7 +786,9 @@ class DomainSpec extends SparkSpecBase {
     assert(d.candPairsPerDoc > 50.0 && d.maxBucket >= 30L, d.toString)
     // link parity: the re-banded (capped) store still finds the twins —
     // the cap dropped only the boilerplate mass
-    val (table2, _) = graft.dedup.BandStore.attach(spark, s"$path/bs")
+    val (table2, (_, _, _, _, cap2)) = graft.dedup.BandStore.attach(spark, s"$path/bs")
+    assert(cap2 == 8L,
+      s"retuned store must persist its bucket cap in the sidecar, got $cap2")
     val got = links(table2, 8L)
     assert(got.contains((1L, 2L)) && got.contains((3L, 4L)),
       s"retuned store lost planted links: $got")
@@ -980,6 +1013,22 @@ class DomainSpec extends SparkSpecBase {
     val hits2 = spark.read.parquet(s"$tmp/hits2")
     assert(hits2.exceptAll(hits).isEmpty && hits.exceptAll(hits2).isEmpty,
       "store-backed retrieve diverged from the in-memory scoring")
+
+    // --max-term-df: the capped CLI probe == the q137 operator (store
+    // path, same 375 cap), and differs from the uncapped rows — the
+    // hatch is exercised, not vacuous
+    assert(graft.Cli.run(Array(
+      "retrieve", "-i", corpusOnly, "-q", queriesOnly,
+      "-s", s"$tmp/pstore", "-o", s"$tmp/hits_cap", "-k", "10",
+      "--max-term-df", "375")) == 0)
+    val hitsCap = spark.read.parquet(s"$tmp/hits_cap")
+    val cappedDirect = SparkEntry.queries("q137_bm25_capped")(
+      spark, "/root/testdata/sf0.001")
+    assert(hitsCap.exceptAll(cappedDirect).isEmpty &&
+      cappedDirect.exceptAll(hitsCap).isEmpty,
+      "CLI --max-term-df diverged from the q137 operator")
+    assert(hitsCap.exceptAll(hits2).count() > 0,
+      "df cap changed nothing — the hatch is vacuous on this corpus")
 
     assert(graft.Cli.run(Array(
       "corpus-stats", "-i", docs, "-o", s"$tmp/hh",

@@ -329,6 +329,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p49.contains("CartesianProduct"))
   }
 
+  test("q136/q137/q138: frozen-store probes keep their scale shapes") {
+    // q136 — curation with the STORE-backed language column: the
+    // classification must stay the zero-exchange kernel projection
+    // (no join, no re-shape for lang), and the report keeps q49's
+    // survivor semi-join; the CT fit is store-build-time, so no
+    // (lang, gram) aggregate appears in the probe plan.
+    val p136 = plan("q136_curation_store_lang")
+    assert(p136.contains("ct_best_lang"),
+      "store-lang curation lost the native classification kernel")
+    assert(p136.contains("LeftSemi"), "store-lang curation lost the survivor semi join")
+    assert(!p136.contains("CartesianProduct"))
+    // q137 — the capped posting-store probe must keep the static
+    // bucket pruning contract (PartitionFilters on tb) AND the q88
+    // broadcast/group-limit shape: the cap only shrinks the admitted
+    // bucket set, never the plan's strategy.
+    val p137 = plan("q137_bm25_capped")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(p137).isDefined,
+      "capped posting-store probe lost bucket pruning:\n" + p137.take(1500))
+    assert(p137.contains("BroadcastHashJoin") && p137.contains("WindowGroupLimit"))
+    assert(!p137.contains("CartesianProduct"))
+    // q138 — frozen-cut calibration: binning is a projection (cuts are
+    // literals), so NO window of any kind survives in the plan — the
+    // single-partition ntile this row exists to retire would show as
+    // a Window over an empty partition spec.
+    val p138 = plan("q138_calibration_frozen")
+    assert(!p138.contains("Window"),
+      "frozen-cut calibration gained a window:\n" + p138.take(1500))
+    assert(!p138.contains("CartesianProduct"))
+  }
+
   test("q54: benchmark gram set broadcasts; corpus side joins without a shuffle") {
     val p = plan("q54_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

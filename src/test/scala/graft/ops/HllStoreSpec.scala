@@ -59,4 +59,48 @@ class HllStoreSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(regs2 == want, "folded store != single-shot sketch of the union")
   }
+
+  test("growthAndIngest ledger-first ordering: a crash between the ledger " +
+    "write and the register fold replays to the SAME growth row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll4").toString
+    val ref = docsOf((1L, "en", "aa bb"), (2L, "de", "cc"))
+    val batch = docsOf((3L, "en", "dd ee"), (4L, "de", "cc ff"))
+    HllStore.createAt(spark, ref, s"$tmp/hll", p = 10)
+    val regsBefore = spark.read.parquet(s"$tmp/hll/regs")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // First attempt: the sink persists the ledger partition, then the
+    // "process" dies BEFORE growthAndIngest reaches the register fold —
+    // exactly the window the ledger-first ordering exists for.
+    val boom = intercept[RuntimeException] {
+      HllStore.growthAndIngest(spark, s"$tmp/hll", batch,
+        reportSink = { df =>
+          df.write.mode("overwrite").parquet(s"$tmp/ledger/batch=0")
+          throw new RuntimeException("crash between ledger and fold")
+        })
+    }
+    assert(boom.getMessage.contains("between ledger and fold"))
+    val firstLedger = spark.read.parquet(s"$tmp/ledger/batch=0")
+      .collect().map(_.toSeq.toVector).toSet
+    // the fold never committed: the store is byte-identical
+    val regsAfterCrash = spark.read.parquet(s"$tmp/hll/regs")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(regsAfterCrash == regsBefore, "crashed run moved the registers")
+    // Replay (at-least-once): same batch against the unmodified store
+    // must overwrite the ledger partition with the SAME growth numbers,
+    // not ~0 — and this time the fold commits.
+    HllStore.growthAndIngest(spark, s"$tmp/hll", batch,
+      reportSink = _.write.mode("overwrite").parquet(s"$tmp/ledger/batch=0"))
+    val replayedLedger = spark.read.parquet(s"$tmp/ledger/batch=0")
+      .collect().map(_.toSeq.toVector).toSet
+    assert(replayedLedger == firstLedger,
+      s"replayed ledger row diverged: $replayedLedger vs $firstLedger")
+    // and the batch really grew the store (the report was not a no-op)
+    assert(replayedLedger.exists(r => r.last match {
+      case d: Double => d > 0.0
+      case _ => false
+    }), s"expected positive growth in $replayedLedger")
+    val after = HllStore.growth(spark, s"$tmp/hll", batch)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(after.values.forall(_ == 0.0), s"fold did not absorb the batch: $after")
+  }
 }
