@@ -1272,6 +1272,17 @@ object ScaleSmoke {
     // waves.
     val cs0 = System.nanoTime()
     val csDir = s"$workDir/composed_stream"
+    // Clean slate: the landing feed (append-mode) and the stream
+    // checkpoints ACCUMULATE across runs of a reused workDir. The
+    // coupling is silent for streams whose checkpoints also persist
+    // (prior files are marked processed, and the deterministic corpus
+    // makes the stale ledger rows value-identical), but any stream
+    // added with a FRESH checkpoint receives every prior run's
+    // leftover files as its batch 0 — exactly how the CMS ledger
+    // first diverged here.
+    val csPath = new org.apache.hadoop.fs.Path(csDir)
+    csPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(csPath, true)
     val csRef = docs.filter(col("doc_id") % 4 === 0)
       .localCheckpoint(false) // stores frozen on this slice
     val csArr = docs.filter(col("doc_id") % 4 =!= 0)
