@@ -1676,12 +1676,37 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val pred = graft.ops.LangId.selfClassify(docs, "doc_id", "lang", "text", topM = 64)
       .select(col("doc_id"), col("pred_lang"))
+    predLangSliceEval(docs, pred)
+  }
+
+  /** q126's grouped rank-sum AUC body with the PREDICTION SOURCE
+    * pluggable — selfClassify in-query (q126) or the frozen
+    * [[graft.ops.LangIdStore]] (q139). One body, one oracle. */
+  private def predLangSliceEval(docs: DataFrame, pred: DataFrame): DataFrame = {
     val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
       .join(docs.select(col("doc_id"),
         (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
       .join(pred, Seq("doc_id"))
     graft.ops.Eval.groupedClassifierMetrics(
       scored, "pred_lang", "log_odds", "predicted", "y")
+  }
+
+  /** q126 through the FROZEN language-ID store — the q136 split
+    * applied to the slice-eval: profiles fit once on the corpus's own
+    * labels and persisted ([[graft.ops.LangIdStore]]), the measured
+    * evaluation consumes the frozen classification (O(batch), no
+    * (lang, gram) fit in the probe). Fit-on-own-labels makes the
+    * store round-trip contract-identical to [[q126PredLangSliceEval]]
+    * (string/int profile rows survive parquet losslessly), so q126's
+    * oracle applies VERBATIM — the r13 COVERAGE note that this needed
+    * a new contract was wrong, and this row is the proof. */
+  def q139SliceEvalStoreLang(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_slice_lid_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.LangIdStore.createAt(s, docs, s"$tmp/lid", topM = 64)
+    val pred = graft.ops.LangIdStore.classify(s, s"$tmp/lid", docs)
+      .select(col("doc_id"), col("pred_lang"))
+    predLangSliceEval(docs, pred)
   }
 
   /** Frozen language-ID store — the production labeling shape: fit
@@ -2172,6 +2197,7 @@ object SparkEntry {
     "q136_curation_store_lang" -> (q136CurationStoreLang _),
     "q137_bm25_capped" -> (q137Bm25Capped _),
     "q138_calibration_frozen" -> (q138CalibrationFrozen _),
+    "q139_slice_eval_store_lang" -> (q139SliceEvalStoreLang _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2379,6 +2405,57 @@ object SparkEntry {
       |FROM keep
       |WHERE doc_id = kid AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000
       |GROUP BY lang""").stripMargin
+
+  /** q126/q139 shared oracle: q114's grouped metric math with the
+    * group relabeled by the full q124 langid replay (l*-prefixed CTEs
+    * to avoid clashing with the NB chain's toks/pd). Lazy: NbScoreCtes
+    * and CtPredCtes are initialized further down the object body. */
+  private lazy val PredLangSliceEvalOracleSql: String =
+    s"""WITH $NbScoreCtes,
+      |$CtPredCtes,
+      |scored AS (
+      |  SELECT s.doc_id,
+      |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score,
+      |    CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
+      |      THEN 1 ELSE 0 END AS pred
+      |  FROM s, pri),
+      |b AS (
+      |  SELECT lp.pred_lang, CAST(round(score * 1000000000.0, 0) AS BIGINT) AS s9k,
+      |    pred, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM scored JOIN documents d USING (doc_id) JOIN lpred lp USING (doc_id)),
+      |g AS (SELECT pred_lang, s9k, CAST(sum(y) AS BIGINT) AS pos_k,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS neg_k FROM b GROUP BY 1, 2),
+      |w AS (SELECT *, CAST(coalesce(sum(neg_k) OVER (PARTITION BY pred_lang
+      |        ORDER BY s9k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS cum FROM g),
+      |a AS (SELECT pred_lang, CAST(sum(pos_k) AS BIGINT) AS n_pos,
+      |        CAST(sum(neg_k) AS BIGINT) AS n_neg,
+      |        sum(CAST(pos_k AS HUGEINT) * CAST(cum * 2 + neg_k AS HUGEINT)) AS num
+      |      FROM w GROUP BY 1),
+      |c AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |        CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |        CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |        CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |      FROM b GROUP BY 1)
+      |SELECT c.pred_lang, n, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    round(CAST(num AS DOUBLE) /
+      |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6) END AS auc,
+      |  tp, fp, fn, tn,
+      |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+      |  CASE WHEN tp + fp > 0 THEN
+      |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+      |  CASE WHEN tp + fn > 0 THEN
+      |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+      |  CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN
+      |    CASE WHEN tp = 0 THEN 0.0 ELSE
+      |      round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+      |                * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+      |            / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+      |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
+      |  END AS f1
+      |FROM c JOIN a USING (pred_lang)""".stripMargin
 
   private val FuzzyJoinOracleSql: String =
     """WITH toks AS (
@@ -2895,53 +2972,12 @@ object SparkEntry {
         |FROM base""".stripMargin,
     // q126: q114's grouped metric math with the group relabeled by
     // the full q124 langid replay (l*-prefixed CTEs to avoid clashing
-    // with the NB chain's toks/pd).
-    "q126_predlang_slice_eval" ->
-      s"""WITH $NbScoreCtes,
-        |$CtPredCtes,
-        |scored AS (
-        |  SELECT s.doc_id,
-        |    round(prior + CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score,
-        |    CASE WHEN prior + CAST(s9 AS DOUBLE) / 1000000000.0 > 0
-        |      THEN 1 ELSE 0 END AS pred
-        |  FROM s, pri),
-        |b AS (
-        |  SELECT lp.pred_lang, CAST(round(score * 1000000000.0, 0) AS BIGINT) AS s9k,
-        |    pred, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-        |  FROM scored JOIN documents d USING (doc_id) JOIN lpred lp USING (doc_id)),
-        |g AS (SELECT pred_lang, s9k, CAST(sum(y) AS BIGINT) AS pos_k,
-        |        CAST(count(*) - sum(y) AS BIGINT) AS neg_k FROM b GROUP BY 1, 2),
-        |w AS (SELECT *, CAST(coalesce(sum(neg_k) OVER (PARTITION BY pred_lang
-        |        ORDER BY s9k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |        AS BIGINT) AS cum FROM g),
-        |a AS (SELECT pred_lang, CAST(sum(pos_k) AS BIGINT) AS n_pos,
-        |        CAST(sum(neg_k) AS BIGINT) AS n_neg,
-        |        sum(CAST(pos_k AS HUGEINT) * CAST(cum * 2 + neg_k AS HUGEINT)) AS num
-        |      FROM w GROUP BY 1),
-        |c AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |        CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |        CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        |        CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |      FROM b GROUP BY 1)
-        |SELECT c.pred_lang, n, n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    round(CAST(num AS DOUBLE) /
-        |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6) END AS auc,
-        |  tp, fp, fn, tn,
-        |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
-        |  CASE WHEN tp + fp > 0 THEN
-        |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
-        |  CASE WHEN tp + fn > 0 THEN
-        |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
-        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN
-        |    CASE WHEN tp = 0 THEN 0.0 ELSE
-        |      round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
-        |                * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
-        |            / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
-        |             + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
-        |  END AS f1
-        |FROM c JOIN a USING (pred_lang)""".stripMargin,
+    // with the NB chain's toks/pd). q139 is the SAME contract with
+    // the classification read from the frozen LangIdStore (fit on the
+    // corpus's own labels, so the store round-trip changes no row) —
+    // sharing this oracle verbatim IS the test, the q136 precedent.
+    "q126_predlang_slice_eval" -> PredLangSliceEvalOracleSql,
+    "q139_slice_eval_store_lang" -> PredLangSliceEvalOracleSql,
     // q125: the engine's sketch+confirm selection returns the exact
     // rank-⌈q·N⌉ element of the 6dp-rounded norms; the oracle picks
     // the same element by explicit rank (DuckDB can afford the sort

@@ -30,18 +30,20 @@ object DataCard {
     * to score the card's corpus against. Each present store adds one
     * family of rows to the card's "drift" section, composed verbatim
     * from the corresponding oracle-gated monitor (q127 lang-mix, q133
-    * vocab growth, q123 tokenizer fertility, q131 PSI) — the card
-    * adds no math, so the health section is as trustworthy as the
-    * gates behind it. `psiStore` carries the store path and the docs
-    * column to bin (the column the store's cut-points were frozen
-    * over, e.g. `n_chars` for a length-distribution monitor). Every
-    * monitor is the store's O(batch) probe path; outputs are
-    * language- or bin-sized. */
+    * vocab growth, q123 tokenizer fertility, q131 PSI, q135
+    * heavy-hitter surge) — the card adds no math, so the health
+    * section is as trustworthy as the gates behind it. `psiStore`
+    * carries the store path and the docs column to bin (the column
+    * the store's cut-points were frozen over, e.g. `n_chars` for a
+    * length-distribution monitor). Every monitor is the store's
+    * O(batch) probe path; outputs are language-, bin- or
+    * top-k-sized. */
   final case class DriftStores(
       langIdStore: Option[String] = None,
       hllStore: Option[String] = None,
       tokStore: Option[String] = None,
-      psiStore: Option[(String, String)] = None)
+      psiStore: Option[(String, String)] = None,
+      cmsStore: Option[String] = None)
 
   /** The card's "drift" JSON fragment (empty string when no store is
     * given): per-monitor rows plus one headline number each — the
@@ -90,6 +92,20 @@ object DataCard {
         val psiTotal = rows.filterNot(_.isNullAt(7)).map(_.getDouble(7)).sum
         s""""psi":{"column":${JsonUtil.quote(valueCol)},""" +
           s""""psi_total":${math.rint(psiTotal * 1e6) / 1e6},"rows":[$body]}"""
+      },
+      stores.cmsStore.map { p =>
+        // q135's probe verbatim (k = the gate's 20): the corpus's top
+        // tokens vs the frozen reference counters — a high max ratio
+        // is template spam / a scraper loop that arrived AFTER the
+        // reference froze, visible on the datasheet itself.
+        val rows = CmsStore.surge(spark, p, docs, k = 20)
+          .orderBy(col("n_batch").desc, col("token")).collect()
+        val body = rows.map(r =>
+          s"""{"token":${JsonUtil.quote(r.getString(0))},"n_batch":${r.getLong(1)},""" +
+            s""""est_ref":${r.getLong(2)},"surge_ratio":${r.getDouble(3).toString}}""")
+          .mkString(",")
+        val maxRatio = if (rows.isEmpty) 0.0 else rows.map(_.getDouble(3)).max
+        s""""hitter_surge":{"max_surge_ratio":${maxRatio.toString},"rows":[$body]}"""
       }).flatten
     if (parts.isEmpty) "" else s""","drift":{${parts.mkString(",")}}"""
   }

@@ -537,12 +537,14 @@ class DomainSpec extends SparkSpecBase {
     graft.ops.TokStore.createAt(spark, ref, s"$tmp/tok", nMerges = 5)
     graft.ops.PsiStore.createAt(spark,
       ref.select(col("doc_id"), col("n_chars")), "n_chars", s"$tmp/psi")
+    graft.ops.CmsStore.createAt(spark, ref, s"$tmp/cms")
     val json = graft.ops.DataCard.build(spark, arrivals,
       drift = graft.ops.DataCard.DriftStores(
         langIdStore = Some(s"$tmp/lid"),
         hllStore = Some(s"$tmp/hll"),
         tokStore = Some(s"$tmp/tok"),
-        psiStore = Some((s"$tmp/psi", "n_chars"))))
+        psiStore = Some((s"$tmp/psi", "n_chars")),
+        cmsStore = Some(s"$tmp/cms")))
     val card = spark.read.json(Seq(json).toDS()).collect()(0)
     val drift = card.getAs[org.apache.spark.sql.Row]("drift")
     type Rows = scala.collection.Seq[org.apache.spark.sql.Row]
@@ -574,6 +576,15 @@ class DomainSpec extends SparkSpecBase {
       .collect().flatMap(r => if (r.isNullAt(7)) None else Some(r.getDouble(7))).sum
     assert(math.abs(ps.getAs[Double]("psi_total") -
       math.rint(wantPsi * 1e6) / 1e6) < 1e-9)
+    // CMS surge section == the q135 probe verbatim (k = 20)
+    val hs = drift.getAs[org.apache.spark.sql.Row]("hitter_surge")
+    val wantSurge = graft.ops.CmsStore.surge(spark, s"$tmp/cms", arrivals, k = 20)
+      .orderBy(col("n_batch").desc, col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(hs.getAs[Rows]("rows").map(r => (r.getAs[String]("token"),
+      r.getAs[Long]("n_batch"), r.getAs[Long]("est_ref"),
+      r.getAs[Double]("surge_ratio"))).toSeq == wantSurge)
+    assert(hs.getAs[Double]("max_surge_ratio") == wantSurge.map(_._4).max)
     // no stores -> no drift section at all (card schema unchanged)
     val plain = graft.ops.DataCard.build(spark, arrivals)
     assert(!plain.contains("\"drift\""))
