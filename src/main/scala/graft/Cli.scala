@@ -1596,21 +1596,21 @@ object Cli {
       // tf-idf weights (in-memory only: the posting store's ledger
       // carries BM25's stats, not document norms). --max-term-df N is
       // the DECLARED approximation for boilerplate-heavy query
-      // batches (bm25 only): query terms with corpus df > N are
-      // dropped from scoring — probe cost bounded by Σ df over
-      // admitted terms (q137's oracle-visible contract).
+      // batches: query terms with corpus df > N are dropped from
+      // scoring — probe cost bounded by Σ df over admitted terms
+      // (q137/q140's oracle-visible contracts; for tf-idf the cap
+      // restricts the dot probe only, norms keep every term).
       val mode = m.get("--mode").flatMap(_.headOption).getOrElse("bm25")
       val maxDf = m.get("--max-term-df").flatMap(_.headOption)
         .map(_.toLong).getOrElse(Long.MaxValue)
-      if (maxDf != Long.MaxValue && mode != "bm25")
-        sys.error("--max-term-df applies to --mode bm25 only")
       val hits = (m.get("-s").orElse(m.get("--store")).flatMap(_.headOption), mode) match {
         case (Some(store), "bm25") =>
           graft.ops.PostingStore.retrieve(spark, store, queries, k, maxTermDf = maxDf)
         case (Some(_), other) => sys.error(s"retrieve --store supports bm25 only, got $other")
         case (None, "bm25") =>
           graft.ops.Retrieval.bm25TopK(corpus, queries, k, maxTermDf = maxDf)
-        case (None, "tfidf") => graft.ops.Retrieval.tfidfTopK(corpus, queries, k)
+        case (None, "tfidf") =>
+          graft.ops.Retrieval.tfidfTopK(corpus, queries, k, maxTermDf = maxDf)
         case (None, other) => sys.error(s"retrieve --mode must be bm25|tfidf, got $other")
       }
       hits.write.mode("overwrite").parquet(out)
@@ -1998,7 +1998,7 @@ object Cli {
            |  dup-windows -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|bigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
-           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--max-term-df N] [--id doc_id] [--text text]   (--max-term-df: drop query terms with corpus df > N from scoring — the declared probe-cost cap, bm25 only)
+           |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--max-term-df N] [--id doc_id] [--text text]   (--max-term-df: drop query terms with corpus df > N from scoring — the declared probe-cost cap; tf-idf keeps full-vocabulary norms and caps the dot probe only)
            |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi|drift] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--group source] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)

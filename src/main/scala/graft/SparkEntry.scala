@@ -1409,6 +1409,22 @@ object SparkEntry {
       k = 10)
   }
 
+  /** q98 under the tf-idf `maxTermDf` probe hatch — the cosine twin
+    * of q137: norms keep EVERY term (the vector space is the fit
+    * side), the dot-product probe joins only terms with df <= 375, so
+    * a capped score can only shrink and probe cost is bounded by
+    * Σ df over admitted terms. The cap splits the gate vocabulary
+    * like q137's, and the oracle transcribes the same dots-side
+    * `df <= 375` rule — approximation in the contract, not hidden. */
+  def q140TfidfCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Retrieval.tfidfTopK(
+      corpus = docs.filter(col("doc_id") % 25 =!= 0),
+      queries = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      k = 10, maxTermDf = 375L)
+  }
+
   /** Perceptual near-duplicate audio (the q95 shape, audio modality):
     * energy-hash signatures over the PCM payload, band-bucketed
     * candidates, exact hamming verifier — never a self-join. The
@@ -2198,6 +2214,7 @@ object SparkEntry {
     "q137_bm25_capped" -> (q137Bm25Capped _),
     "q138_calibration_frozen" -> (q138CalibrationFrozen _),
     "q139_slice_eval_store_lang" -> (q139SliceEvalStoreLang _),
+    "q140_tfidf_capped" -> (q140TfidfCapped _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -2367,6 +2384,56 @@ object SparkEntry {
         |WHERE rank <= 10""").stripMargin
 
   private val Bm25OracleSql: String = bm25OracleSql(None)
+
+  /** q98/q140 shared oracle body. `maxTermDf` transcribes the q140
+    * probe hatch: the DOTS join drops terms with df > cap, while both
+    * norm passes keep the full vocabulary — the engine contract
+    * (capped scores can only shrink) replayed exactly. */
+  private def tfidfOracleSql(maxTermDf: Option[Long]): String =
+    ("""WITH corpus AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
+      |pd AS (
+      |  SELECT doc_id, tok AS term, count(*) AS tf
+      |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+      |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pd),
+      |wd AS (
+      |  SELECT doc_id, term,
+      |    CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE))) + 1.0) AS w
+      |  FROM pd JOIN dfreq USING (term), stats),
+      |dn AS (
+      |  SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(w * w * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS nrm
+      |  FROM wd GROUP BY 1),
+      |qp AS (
+      |  SELECT q_id, tok AS term, count(*) AS tf
+      |  FROM (SELECT doc_id AS q_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+      |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)
+      |  GROUP BY 1, 2),
+      |wq AS (
+      |  SELECT q_id, term,
+      |    CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(coalesce(df, 0) AS DOUBLE))) + 1.0) AS w
+      |  FROM qp LEFT JOIN dfreq USING (term), stats),
+      |qn AS (
+      |  SELECT q_id,
+      |    sqrt(CAST(sum(CAST(round(w * w * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS nrm
+      |  FROM wq GROUP BY 1),
+      |dots AS (
+      |  SELECT wq.q_id, wd.doc_id,
+      |    sum(CAST(round(wq.w * wd.w * 10000.0, 0) AS BIGINT)) AS d4
+      |  FROM wq JOIN wd USING (term) JOIN dfreq USING (term)""" +
+      maxTermDf.map(c => s" WHERE dfreq.df <= $c").getOrElse("") +
+      """ GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT dots.q_id, dots.doc_id,
+      |    round((CAST(d4 AS DOUBLE) / 10000.0) / (qn.nrm * dn.nrm), 6) AS score
+      |  FROM dots JOIN qn USING (q_id) JOIN dn USING (doc_id))
+      |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10""").stripMargin
 
   /** q49/q136 shared oracle: the curation report with lang from the
     * CT classifier replay (CtPredCtes) — the one language-ID surface,
@@ -5119,53 +5186,14 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |  AND c.ts < p.ts + INTERVAL 1 HOUR
         |GROUP BY 1""".stripMargin,
-    // q98: the TF-IDF float path transcribed operator-for-operator
-    // (same parenthesization); norms and dots quantize to ×10⁴ longs
-    // so every sum is associative integer addition, and the rank cut
-    // compares ROUNDED scores — nothing engine-dependent.
-    "q98_tfidf_topk" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 <> 0),
-        |pd AS (
-        |  SELECT doc_id, tok AS term, count(*) AS tf
-        |  FROM corpus, unnest(tk) u(tok) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
-        |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pd),
-        |wd AS (
-        |  SELECT doc_id, term,
-        |    CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE))) + 1.0) AS w
-        |  FROM pd JOIN dfreq USING (term), stats),
-        |dn AS (
-        |  SELECT doc_id,
-        |    sqrt(CAST(sum(CAST(round(w * w * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS nrm
-        |  FROM wd GROUP BY 1),
-        |qp AS (
-        |  SELECT q_id, tok AS term, count(*) AS tf
-        |  FROM (SELECT doc_id AS q_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
-        |        FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0)
-        |  GROUP BY 1, 2),
-        |wq AS (
-        |  SELECT q_id, term,
-        |    CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE)) / (1.0 + CAST(coalesce(df, 0) AS DOUBLE))) + 1.0) AS w
-        |  FROM qp LEFT JOIN dfreq USING (term), stats),
-        |qn AS (
-        |  SELECT q_id,
-        |    sqrt(CAST(sum(CAST(round(w * w * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS nrm
-        |  FROM wq GROUP BY 1),
-        |dots AS (
-        |  SELECT wq.q_id, wd.doc_id,
-        |    sum(CAST(round(wq.w * wd.w * 10000.0, 0) AS BIGINT)) AS d4
-        |  FROM wq JOIN wd USING (term) GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT dots.q_id, dots.doc_id,
-        |    round((CAST(d4 AS DOUBLE) / 10000.0) / (qn.nrm * dn.nrm), 6) AS score
-        |  FROM dots JOIN qn USING (q_id) JOIN dn USING (doc_id))
-        |SELECT q_id AS query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 10""".stripMargin,
+    // q98/q140 shared: the TF-IDF float path transcribed operator-
+    // for-operator (same parenthesization); norms and dots quantize
+    // to ×10⁴ longs so every sum is associative integer addition, and
+    // the rank cut compares ROUNDED scores — nothing engine-dependent.
+    // q140's cap restricts the DOTS join only (df <= 375) — norms
+    // keep the full vocabulary, matching the engine contract.
+    "q98_tfidf_topk" -> tfidfOracleSql(None),
+    "q140_tfidf_capped" -> tfidfOracleSql(Some(375L)),
     // q100: DuckDB's native ASOF LEFT JOINs chained — the independent
     // oracle for COMPOSING the as-of operator (null flow through the
     // second hop, inclusive <= at both hops). Clickless purchases are

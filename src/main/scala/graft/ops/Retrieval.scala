@@ -210,9 +210,24 @@ object Retrieval {
     * rows reduced before their one exchange, and the norm attach
     * joins the match-bounded score table, never the corpus.
     *
+    * `maxTermDf` is the same EXPLICITLY-APPROXIMATE probe hatch as
+    * [[bm25TopK]]'s, adapted to the cosine contract: NORMS stay
+    * computed over EVERY term (they define the vector space — the
+    * query-independent fit side), while the dot-product probe joins
+    * only terms with df <= cap. A dropped term contributes 0 to the
+    * dot but still weighs both norms, so a capped score can only
+    * SHRINK — conservative, and transcribed into the q140 oracle
+    * (dots restricted by the same df rule). Probe cost is bounded by
+    * Σ df over admitted terms, the same bound as BM25's; the norm
+    * pass is fit-side cost, paid regardless of the query batch.
+    *
     * Output: (query_id, doc_id, rank, score).
     */
-  def tfidfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+  def tfidfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      maxTermDf: Long = Long.MaxValue): DataFrame = {
     val postings = Parallelism.ensureCheckpointed(
       Parallelism.stage(buildPostings(corpus)))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
@@ -257,9 +272,14 @@ object Retrieval {
     // the document-side weight, then the query weights); the corpus
     // never shuffles for the probe. The document weight here equals
     // the norm pass's `weight` for matched terms by construction
-    // (same expression over the same (tf, df, n_docs)).
+    // (same expression over the same (tf, df, n_docs)). Under a df
+    // cap only the PROBE side shrinks — the norm passes above keep
+    // the full vocabulary by contract.
+    val probeDf =
+      if (maxTermDf == Long.MaxValue) dfreq
+      else dfreq.filter(col("df") <= maxTermDf)
     val dots = postings
-      .join(broadcast(dfreq.join(qpost.select("term").distinct(), Seq("term"))), Seq("term"))
+      .join(broadcast(probeDf.join(qpost.select("term").distinct(), Seq("term"))), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"), weight.as("w"))
       .join(broadcast(wq.select(col("q_id"), col("term"), col("w").as("wq"))), Seq("term"))
