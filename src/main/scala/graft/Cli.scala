@@ -569,6 +569,9 @@ object Cli {
       // at store creation — the production shape; StoreBench's
       // curation_lang row measures the split). Default keeps the
       // arriving labels (the q79 contract).
+      if (m.contains("--ct-lang") && m.contains("--lang-store"))
+        sys.error("pass either --ct-lang (in-run fit) or --lang-store " +
+          "(frozen store), not both — the two name different label sources")
       val raw = spark.read.parquet(in)
       val docs = m.get("--lang-store").flatMap(_.headOption) match {
         case Some(storePath) => graft.ops.Curation.withStoreLang(spark, storePath, raw)

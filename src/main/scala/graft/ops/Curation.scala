@@ -107,17 +107,17 @@ object Curation {
     * projection; the fit is the one (lang, gram) corpus aggregate.
     * Docs whose text yields no grams keep a null lang (they carry no
     * evidence either way). Null INCOMING labels are excluded from the
-    * fit (a mixed-provenance corpus — exactly this method's target —
-    * carries them): a null label is no evidence for any language, and
-    * a null-language profile row would poison the argmin kernel. */
+    * fit by [[LangId.langProfiles]]' contract (a mixed-provenance
+    * corpus — exactly this method's target — carries them): a null
+    * label is no evidence for any language, and a null-language
+    * profile row would poison the argmin kernel. */
   def withCtLang(
       docs: DataFrame,
       langCol: String = "lang",
       textCol: String = "text",
       topM: Int = 64): DataFrame = {
     val rows = LangId.profileRows(
-      LangId.langProfiles(docs.filter(col(langCol).isNotNull),
-        langCol, textCol, topM))
+      LangId.langProfiles(docs, langCol, textCol, topM))
     docs.withColumn(langCol,
       LangId.langColumn(col(textCol), rows, topM))
   }

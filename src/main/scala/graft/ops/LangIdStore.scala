@@ -37,7 +37,15 @@ object LangIdStore {
     LangId.langProfiles(staged, "lang", "text", topM)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/profiles")
-    val counts = staged.filter(col("text").isNotNull)
+    // Null-labeled docs are excluded from the mix for the same reason
+    // [[LangId.langProfiles]] excludes them from the fit: a null label
+    // is no evidence for any language. Counting them here would leave
+    // the frozen store internally contradictory on mixed-provenance
+    // corpora — a phantom lang=null reference row [[mixDrift]] could
+    // never match (classify never predicts null), reading as permanent
+    // vanished-language drift, and every real language's train_share
+    // diluted by documents the profiles never saw.
+    val counts = staged.filter(col("text").isNotNull && col("lang").isNotNull)
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum("n").as("t"))
     counts.crossJoin(broadcast(tot))

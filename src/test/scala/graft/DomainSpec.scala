@@ -767,6 +767,23 @@ class DomainSpec extends SparkSpecBase {
       .select(col("doc_id"), col("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaStore == viaCol, "withStoreLang diverged from withCtLang on the same fit")
+
+    // a store frozen on the MIXED corpus stays internally consistent:
+    // the mix excludes null labels exactly as the profile fit does —
+    // no phantom lang=null reference row (a permanent vanished-language
+    // alarm mixDrift could never clear), no train_share diluted by
+    // documents the profiles never saw
+    val mixedPath = java.nio.file.Files
+      .createTempDirectory("graft_mixed_store_lang").toString + "/lid"
+    graft.ops.LangIdStore.createAt(spark, mixed, mixedPath, topM = 16)
+    val mixRows = spark.read.parquet(s"$mixedPath/mix")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(!mixRows.contains(None), s"null label leaked into the frozen mix: $mixRows")
+    assert(math.abs(mixRows.values.sum - 1.0) < 1e-4,
+      s"train_share diluted by excluded null-label docs: $mixRows")
+    val mixedDrift = graft.ops.LangIdStore.mixDrift(spark, mixedPath, mixed)
+    assert(mixedDrift.filter(col("lang").isNull).count() == 0,
+      "mixDrift emitted a phantom null-language row")
   }
 
   test("band-store retune-on-breach: a skewed store re-bands with a bucket cap " +
