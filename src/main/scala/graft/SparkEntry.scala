@@ -1425,6 +1425,31 @@ object SparkEntry {
       k = 10, maxTermDf = 375L)
   }
 
+  /** q98 through the persisted posting store with FROZEN document
+    * norms — the tf-idf twin of q92's one-contract-two-plans split:
+    * the corpus tokenize and the full-vocabulary norm pass are paid
+    * once at [[graft.ops.PostingStore.freezeNorms]] time (per corpus
+    * release), and the measured probe is bucket-pruned posting/df
+    * scans + broadcast query weights + the frozen-norm attach
+    * ([[graft.ops.PostingStore.retrieveTfidf]]). Bit-identical to
+    * [[q98TfidfTopK]] by the shared-expression contract
+    * ([[graft.ops.Retrieval.tfidfScoreTopK]] is one tree), so q98's
+    * oracle applies VERBATIM; StoreBench times the fit/probe split
+    * (`tfidf`). */
+  def q141TfidfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDirCleanedOnExit("graft_tfidf_store_q")
+    val docs = Tables.documents(s, dir)
+    graft.ops.PostingStore.create(
+      docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text"),
+      s"$tmp/store")
+    graft.ops.PostingStore.freezeNorms(s, s"$tmp/store")
+    graft.ops.PostingStore.retrieveTfidf(
+      s, s"$tmp/store",
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      k = 10)
+  }
+
   /** Perceptual near-duplicate audio (the q95 shape, audio modality):
     * energy-hash signatures over the PCM payload, band-bucketed
     * candidates, exact hamming verifier — never a self-join. The
@@ -1698,7 +1723,7 @@ object SparkEntry {
   /** q126's grouped rank-sum AUC body with the PREDICTION SOURCE
     * pluggable — selfClassify in-query (q126) or the frozen
     * [[graft.ops.LangIdStore]] (q139). One body, one oracle. */
-  private def predLangSliceEval(docs: DataFrame, pred: DataFrame): DataFrame = {
+  private[graft] def predLangSliceEval(docs: DataFrame, pred: DataFrame): DataFrame = {
     val scored = graft.ops.Quality.naiveBayesLogOdds(docs, col("lang") === "en")
       .join(docs.select(col("doc_id"),
         (col("lang") === "en").cast("int").as("y")), Seq("doc_id"))
@@ -2215,6 +2240,7 @@ object SparkEntry {
     "q138_calibration_frozen" -> (q138CalibrationFrozen _),
     "q139_slice_eval_store_lang" -> (q139SliceEvalStoreLang _),
     "q140_tfidf_capped" -> (q140TfidfCapped _),
+    "q141_tfidf_indexed" -> (q141TfidfIndexed _),
   )
 
   /** Shared CTE body of the q61 chunking + q63 global-cumsum packing
@@ -5194,6 +5220,11 @@ object SparkEntry {
     // keep the full vocabulary, matching the engine contract.
     "q98_tfidf_topk" -> tfidfOracleSql(None),
     "q140_tfidf_capped" -> tfidfOracleSql(Some(375L)),
+    // q141: the persisted-store probe with frozen norms returns q98's
+    // rows bit-for-bit (one shared scoring tree; integer df/stat sums
+    // are order-independent) — q98's oracle VERBATIM, the q92/q136
+    // one-contract-two-plans precedent.
+    "q141_tfidf_indexed" -> tfidfOracleSql(None),
     // q100: DuckDB's native ASOF LEFT JOINs chained — the independent
     // oracle for COMPOSING the as-of operator (null flow through the
     // second hop, inclusive <= at both hops). Clickless purchases are

@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Largest input [[calibration]] will accept without
+    * `allowExact = true`: 2^20 rows. The equal-frequency ntile
+    * funnels one row per document through a SINGLE partition — past
+    * this the exact rank-based report is a scale bug, not a query;
+    * the 100-TB form is [[calibrationAtCuts]] under frozen
+    * [[PsiStore]]/[[Quantiles.exactQuantiles]] cut-points, whose bin
+    * assignment is a zero-exchange projection. Same contract
+    * discipline as [[graft.similarity.Similarity.MaxExactPairsRows]]:
+    * the engine refuses the scale-unsafe form instead of silently
+    * planning it. */
+  val MaxExactCalibrationRows: Long = 1L << 20
+
   /** Per-query metrics for `results` (query_id, doc_id, rank — rank
     * 1-based, already cut or cuttable at `k`) against `truth`
     * (query_id, doc_id). Output: (query_id, n_rel, n_hits, recall,
@@ -237,9 +249,14 @@ object Eval {
     *
     * Scale shape: one row per document into an `nBins`-sized
     * aggregate; the ntile's single-partition window carries only
-    * (score9, id, y) — at 100 TB the swap is frozen PSI-style
-    * cut-points ([[PsiStore]]), which this report's bin semantics
-    * deliberately match (equal-frequency on the reference).
+    * (score9, id, y) — but a single partition is still a single
+    * partition, so inputs past [[MaxExactCalibrationRows]] are
+    * REFUSED unless `allowExact = true` (hatched callers skip the
+    * guard's count job, so their plan is byte-identical to the
+    * unguarded original). At 100 TB the swap is frozen PSI-style
+    * cut-points ([[PsiStore]]) via [[calibrationAtCuts]], which this
+    * report's bin semantics deliberately match (equal-frequency on
+    * the reference).
     *
     * Output: (bin, n, conf, acc, gap), bin 1..nBins ascending score.
     */
@@ -248,9 +265,19 @@ object Eval {
       idCol: String,
       scoreCol: String,
       labelCol: String,
-      nBins: Int = 10): DataFrame = {
+      nBins: Int = 10,
+      allowExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    if (!allowExact) {
+      val n = scored.count()
+      require(n <= MaxExactCalibrationRows,
+        s"calibration's equal-frequency ntile carries every input row through " +
+          s"ONE partition and the input has $n rows (guard cap " +
+          s"$MaxExactCalibrationRows). Freeze cut-points (Quantiles.exactQuantiles " +
+          "or a PsiStore) and use calibrationAtCuts for the zero-window scale " +
+          "path, or pass allowExact = true if the single-partition sort is intended.")
+    }
     val base = scored.select(
       col(idCol).as("id"),
       round(col(scoreCol).cast("double"), 6).as("s6"),

@@ -137,7 +137,7 @@ object PostingStore {
   def create(corpus: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, path)
-    Seq("postings", "dfreq", "stats").foreach { d =>
+    Seq("postings", "dfreq", "stats", "norms").foreach { d =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
     }
     writeText(spark, s"$path/store.json", s"""{"n_buckets":$nBuckets}""")
@@ -227,5 +227,92 @@ object PostingStore {
       qterms.select("q_id", "term"), dfreq,
       withStats = _.withColumn("n_docs", lit(nDocs)).withColumn("avgdl", lit(avgdl)),
       k = k, k1 = k1, b = b)
+  }
+
+  /** Freeze the tf-idf document norms of the CURRENT committed ledger
+    * — the fit side of the vector space ([[Retrieval.tfidfTopK]]'s
+    * `dnorm` pass, ONE shared expression tree) — under
+    * `norms/data` parquet plus a `norms/_tags` manifest naming the
+    * batch set the norms cover. This is what makes
+    * [[retrieveTfidf]] a PROBE: a norm depends on every term's
+    * GLOBAL df, so it cannot be written per-batch like postings —
+    * it is refit once per corpus release (after the appends settle),
+    * and every query batch after that reads it instead of re-scanning
+    * the full posting ledger. An [[append]] after a freeze makes the
+    * norms STALE; [[retrieveTfidf]] refuses the mismatch loudly
+    * (re-run freezeNorms) rather than scoring new documents in an old
+    * vector space. */
+  def freezeNorms(spark: SparkSession, path: String): Unit = {
+    val (nDocs, _, _, committed) = readMeta(spark, path)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("batch").isin(committed: _*))
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+      .filter(col("batch").isin(committed: _*))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+    Retrieval.tfidfDocNorms(
+        postings.select("doc_id", "term", "tf"), dfreq,
+        withStats = _.withColumn("n_docs", lit(nDocs)))
+      .write.mode("overwrite").parquet(s"$path/norms/data")
+    writeText(spark, s"$path/norms/_tags", committed.sorted.mkString("\n"))
+  }
+
+  /** TF-IDF cosine top-`k` of `queries` (q_id, text) against the
+    * ledger — [[Retrieval.tfidfTopK]]'s result on the union of
+    * ingested batches, bit-identical by the shared-expression
+    * contract ([[retrieve]]'s equality discipline): df is the integer
+    * sum of the probed buckets' deltas, n_docs comes from the stats
+    * ledger, document norms come FROZEN from [[freezeNorms]], and
+    * the probe tail is [[Retrieval.tfidfScoreTopK]] verbatim.
+    *
+    * Scale shape: the tokenize and the full-vocabulary norm pass are
+    * paid at freeze time; a query batch costs the bucket-pruned
+    * posting/df scans (the [[retrieve]] pruning contract), broadcast
+    * query weights, one match-bounded aggregate, and a doc_id-keyed
+    * join of the match-bounded score table against the norm table
+    * (at 100 TB the norms would be written bucketed by doc_id so
+    * that join co-locates — the [[graft.io.BucketedStore]] recipe).
+    *
+    * `maxTermDf` is [[Retrieval.tfidfTopK]]'s EXPLICITLY-APPROXIMATE
+    * probe hatch: frozen norms keep every term by construction, the
+    * dot-product probe joins only terms with df <= cap, so a capped
+    * score can only shrink — same oracle-transcribed rule. */
+  def retrieveTfidf(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 10,
+      maxTermDf: Long = Long.MaxValue): DataFrame = {
+    val (nDocs, _, nBuckets, committed) = readMeta(spark, path)
+    val normTags = {
+      val p = s"$path/norms/_tags"
+      if (!fs(spark, path).exists(new org.apache.hadoop.fs.Path(p)))
+        sys.error(s"no frozen norms at $path/norms — run freezeNorms after the " +
+          "ledger settles; tf-idf document norms depend on every term's global " +
+          "df and cannot be derived per-batch.")
+      readText(spark, p).split("\n").toSeq.filter(_.nonEmpty)
+    }
+    require(normTags == committed.sorted,
+      s"frozen norms at $path cover batches [${normTags.mkString(",")}] but the " +
+        s"ledger has committed [${committed.sorted.mkString(",")}] — the vector " +
+        "space is stale; re-run freezeNorms before probing.")
+    val qterms = Retrieval.queryTerms(queries)
+      .withColumn("tb", termBucket(col("term"), nBuckets))
+      .localCheckpoint(false)
+    val buckets = qterms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    // Query-term-bucket df, summed over the ledger — equals the full
+    // in-memory df on every query term (integer delta sums), which is
+    // all tfidfScoreTopK reads from it.
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+      .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+    val postings = Parallelism.ensure(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*)))
+    Retrieval.tfidfScoreTopK(
+      postings.select("doc_id", "term", "tf"),
+      queries, dfreq,
+      dnorm = spark.read.parquet(s"$path/norms/data"),
+      withStats = _.withColumn("n_docs", lit(nDocs)),
+      k = k, maxTermDf = maxTermDf)
   }
 }

@@ -233,23 +233,58 @@ object Retrieval {
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = postings.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
-    val idf = log((lit(1.0) + col("n_docs").cast("double")) /
-      (lit(1.0) + col("df").cast("double"))) + lit(1.0)
-    val weight = col("tf").cast("double") * idf
-
+    val withStats: DataFrame => DataFrame = _.crossJoin(broadcast(stats))
     // Document norms need EVERY term's idf, so this is the one place
     // the full vocab-sized df table joins the corpus postings — term-
     // keyed, consumed directly by the norm aggregate (map-side
     // combined, one row per doc). No second corpus-sized
-    // materialization: the probe below re-reads the postings
-    // CHECKPOINT, whose scan is cheaper than holding a weighted copy.
-    val dnorm = postings.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), weight.as("w"))
+    // materialization: the probe re-reads the postings CHECKPOINT,
+    // whose scan is cheaper than holding a weighted copy.
+    tfidfScoreTopK(postings, queries,
+      dfreq, tfidfDocNorms(postings, dfreq, withStats), withStats, k, maxTermDf)
+  }
+
+  /** The sklearn-style smooth-idf tf-idf weight — ONE expression tree
+    * shared by the in-memory ([[tfidfTopK]]) and persisted
+    * ([[PostingStore.retrieveTfidf]]) paths, the [[scoreTopK]]
+    * discipline: reads (tf, df, n_docs) columns. */
+  private[ops] def tfidfWeight: Column =
+    col("tf").cast("double") *
+      (log((lit(1.0) + col("n_docs").cast("double")) /
+        (lit(1.0) + col("df").cast("double"))) + lit(1.0))
+
+  /** Per-document tf-idf norms over the FULL vocabulary (the
+    * query-independent fit side of the vector space): exact integer
+    * sum of round(w²·10⁴) per doc, one sqrt. `withStats` attaches
+    * `n_docs` — a 1-row broadcast cross in the in-memory path,
+    * a literal from ledger metadata in the persisted path. */
+  private[ops] def tfidfDocNorms(
+      postings: DataFrame,
+      dfreq: DataFrame,
+      withStats: DataFrame => DataFrame): DataFrame =
+    withStats(postings.join(dfreq, Seq("term")))
+      .select(col("doc_id"), tfidfWeight.as("w"))
       .groupBy(col("doc_id"))
       .agg(sqrt(sum(round(col("w") * col("w") * lit(1.0e4), 0).cast("long"))
         .cast("double") / lit(1.0e4)).as("dnorm"))
 
+  /** Shared probe/ranking tail of the in-memory and store-backed
+    * tf-idf paths ([[scoreTopK]]'s sibling): query weighting, dots,
+    * norm attach, 6dp rounding, (score desc, doc_id) top-k cut.
+    * `dfreq` must cover every query term present in the corpus
+    * (full vocab in-memory; the probed buckets' ledger sum in the
+    * persisted path — equal on query terms by construction);
+    * `dnorm` is the full-vocabulary norm table ([[tfidfDocNorms]]
+    * live, or the store's frozen copy). */
+  private[ops] def tfidfScoreTopK(
+      postings: DataFrame,
+      queries: DataFrame,
+      dfreq: DataFrame,
+      dnorm: DataFrame,
+      withStats: DataFrame => DataFrame,
+      k: Int,
+      maxTermDf: Long): DataFrame = {
+    val weight = tfidfWeight
     // Query side: small by contract — same weighting with df looked
     // up in the corpus vocabulary (0 when absent), then broadcast.
     val qpost = queries
@@ -257,10 +292,9 @@ object Retrieval {
       .select(col("q_id"), TextFunctions.tokens(col("text")).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("term"))
       .groupBy(col("q_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val wq = qpost
+    val wq = withStats(qpost
       .join(dfreq, Seq("term"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .crossJoin(broadcast(stats))
+      .withColumn("df", coalesce(col("df"), lit(0L))))
       .select(col("q_id"), col("term"), weight.as("w"))
       .localCheckpoint(false) // two consumers: qnorm + the dot probe
     val qnorm = wq.groupBy(col("q_id"))
@@ -278,9 +312,8 @@ object Retrieval {
     val probeDf =
       if (maxTermDf == Long.MaxValue) dfreq
       else dfreq.filter(col("df") <= maxTermDf)
-    val dots = postings
-      .join(broadcast(probeDf.join(qpost.select("term").distinct(), Seq("term"))), Seq("term"))
-      .crossJoin(broadcast(stats))
+    val dots = withStats(postings
+      .join(broadcast(probeDf.join(qpost.select("term").distinct(), Seq("term"))), Seq("term")))
       .select(col("term"), col("doc_id"), weight.as("w"))
       .join(broadcast(wq.select(col("q_id"), col("term"), col("w").as("wq"))), Seq("term"))
       .groupBy(col("q_id"), col("doc_id"))

@@ -176,6 +176,47 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(viaStore == direct)
   }
 
+  test("PostingStore.retrieveTfidf (frozen norms) == tfidfTopK, capped and " +
+    "uncapped; stale norms refused") {
+    val docs = Tables()
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tfstore").toString
+    PostingStore.create(corpus, s"$tmp/store")
+    // probing before any freeze names the missing fit loudly
+    val e0 = intercept[RuntimeException](
+      PostingStore.retrieveTfidf(spark, s"$tmp/store", queries, k = 10).collect())
+    assert(e0.getMessage.contains("freezeNorms"))
+    PostingStore.freezeNorms(spark, s"$tmp/store")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(PostingStore.retrieveTfidf(spark, s"$tmp/store", queries, k = 10)) ==
+      rows(Retrieval.tfidfTopK(corpus, queries, k = 10)),
+      "frozen-norm store probe diverged from in-memory tf-idf")
+    assert(rows(PostingStore.retrieveTfidf(spark, s"$tmp/store", queries,
+        k = 10, maxTermDf = 7L)) ==
+      rows(Retrieval.tfidfTopK(corpus, queries, k = 10, maxTermDf = 7L)),
+      "capped store probe diverged from capped in-memory tf-idf")
+    // an append makes the frozen vector space stale: refuse, then a
+    // re-freeze equals a from-scratch fit on the grown corpus
+    PostingStore.append(docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")),
+      s"$tmp/store", "b1")
+    val e1 = intercept[IllegalArgumentException](
+      PostingStore.retrieveTfidf(spark, s"$tmp/store", queries, k = 10))
+    assert(e1.getMessage.contains("stale"))
+    PostingStore.freezeNorms(spark, s"$tmp/store")
+    val grown = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .filter(col("doc_id") % 25 =!= 0 || col("doc_id") >= 1000000L)
+    assert(rows(PostingStore.retrieveTfidf(spark, s"$tmp/store", queries, k = 10)) ==
+      rows(Retrieval.tfidfTopK(grown, queries, k = 10)),
+      "re-frozen grown store diverged from a from-scratch tf-idf")
+  }
+
   test("PostingStore probe scan is bucket-pruned (PartitionFilters on tb)") {
     val docs = Tables()
     val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_plan").toString

@@ -225,6 +225,26 @@ class EvalSpec extends SparkSpecBase {
     assert(cutBased == rankBased)
   }
 
+  test("calibration exact-path guard: oversized input refused, hatch accepted") {
+    // Guard fires on the COUNT, before the single-partition ntile is
+    // ever planned — so an over-cap frame is cheap to build.
+    val big = spark.range(Eval.MaxExactCalibrationRows + 1)
+      .select(col("id").as("doc_id"),
+        (col("id") % 7).cast("double").as("log_odds"),
+        (col("id") % 2).cast("int").as("y"))
+    val e = intercept[IllegalArgumentException](
+      Eval.calibration(big, "doc_id", "log_odds", "y", nBins = 10))
+    assert(e.getMessage.contains("allowExact"))
+    assert(e.getMessage.contains("calibrationAtCuts"),
+      "refusal must name the zero-window scale path")
+
+    // Hatched: the same oversized frame plans and runs (tiny nBins
+    // keeps the collect bounded); result is still nBins rows.
+    val hatched = Eval.calibration(big.limit(64), "doc_id", "log_odds", "y",
+      nBins = 2, allowExact = true).collect()
+    assert(hatched.length == 2)
+  }
+
   test("calibrationAtCuts: boundary scores close the bin; out-of-range " +
     "arrivals land in the edge bins") {
     import spark.implicits._
