@@ -168,6 +168,40 @@ object Bench {
     val inflated = run2.count { case (n, t) => t > 3.0 * math.max(officialMap(n), 1e-9) }
     val contentionSuspected =
       inflated >= 3 || run2.map(_._2).sum > 1.5 * official.map(_._2).sum
+    // Probe-only officials for the store-backed gate rows: each of
+    // those queries REBUILDS its frozen store inside the measured pass
+    // (the DuckDB oracle must replay the fit, so the gate rows stay
+    // as-is), which makes their headline numbers build-dominated —
+    // work a production deployment pays once per corpus release, not
+    // per query. This stage pre-builds every store UNTIMED (the
+    // warmup discipline) from the shared StoreProbes registry (same
+    // splits/parameters as the gate queries and StoreBench, so the
+    // figures reconcile by construction) and times the monitoring
+    // probe alone: one untimed warm pass, then min of two measured
+    // passes. Emitted as `probe_official` keyed by GATE QUERY name,
+    // next to the existing official figure — never replacing it.
+    val probeRoot = java.nio.file.Files.createTempDirectory("graft_bench_stores").toString
+    passBoundary()
+    val probeOfficial: Seq[(String, Double)] = StoreProbes.all.flatMap { c =>
+      val caseRoot = s"$probeRoot/${c.name}"
+      try {
+        c.build(spark, sfDir, caseRoot) // untimed: once-per-release work
+        isolate()
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          c.probe(spark, sfDir, caseRoot).write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          isolate()
+          dt
+        }
+        one() // warm (codegen/JIT), untimed
+        Some(c.gateQuery -> math.min(one(), one()))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] store probe ${c.name} failed: ${e.getMessage}")
+          None
+      }
+    }
     def qjson(rs: Seq[(String, Double)], f: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     def full(v: Double): String = String.format(java.util.Locale.ROOT, "%.9f", Double.box(v))
@@ -190,9 +224,10 @@ object Bench {
          |"measured_queries":${qjson(run2, full)},
          |"third_pass":${qjson(third, full)},
          |"noise_ratios":${qjson(ratios, fmt)},
+         |"probe_official":${qjson(probeOfficial, full)},
          |"official_queries":${qjson(official, full)}}
          |""".stripMargin)
-    println(s"""{"metric":"total","value":${fmt(tOfficial)},"unit":"sec","queries":${qjson(official, fmt)},"warmup_total":${fmt(t1)},"measured_total":${fmt(t2)},"contention_suspected":$contentionSuspected,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(tOfficial)},"unit":"sec","queries":${qjson(official, fmt)},"probe_official":${qjson(probeOfficial, fmt)},"warmup_total":${fmt(t1)},"measured_total":${fmt(t2)},"contention_suspected":$contentionSuspected,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -150,6 +150,12 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The whole rehearsal starts from a CLEAN work dir (refuse-or-wipe
+    // guard): every append-mode landing feed, stream checkpoint and
+    // persisted store below would otherwise accumulate across runs —
+    // the check-22 stale-state class, now impossible by construction.
+    Harness.freshWorkDir(spark, workDir)
+
     val t0 = System.nanoTime()
     tenX(spark, baseDir, workDir)
     val genSec = (System.nanoTime() - t0) / 1e9
