@@ -1596,8 +1596,9 @@ object Cli {
       // --create`) instead of tokenizing the corpus in this run; -i
       // still names the query source when --queries-where selects
       // from it. --mode tfidf swaps the scoring to cosine over
-      // tf-idf weights (in-memory only: the posting store's ledger
-      // carries BM25's stats, not document norms). --max-term-df N is
+      // tf-idf weights (with --store it needs the frozen document
+      // norms of `posting-store --freeze-norms`, refit per corpus
+      // release — the q141 contract). --max-term-df N is
       // the DECLARED approximation for boilerplate-heavy query
       // batches: query terms with corpus df > N are dropped from
       // scoring — probe cost bounded by Σ df over admitted terms
@@ -1609,7 +1610,9 @@ object Cli {
       val hits = (m.get("-s").orElse(m.get("--store")).flatMap(_.headOption), mode) match {
         case (Some(store), "bm25") =>
           graft.ops.PostingStore.retrieve(spark, store, queries, k, maxTermDf = maxDf)
-        case (Some(_), other) => sys.error(s"retrieve --store supports bm25 only, got $other")
+        case (Some(store), "tfidf") =>
+          graft.ops.PostingStore.retrieveTfidf(spark, store, queries, k, maxTermDf = maxDf)
+        case (Some(_), other) => sys.error(s"retrieve --store supports bm25|tfidf, got $other")
         case (None, "bm25") =>
           graft.ops.Retrieval.bm25TopK(corpus, queries, k, maxTermDf = maxDf)
         case (None, "tfidf") =>
@@ -1626,14 +1629,18 @@ object Cli {
       // --ingest appends NEW docs (dedup upstream). Probe with
       // `retrieve --store`.
       val m = opts(rest)
-      val in = one(m, "-i", "--input")
       val store = one(m, "-s", "--store")
       val idCol = m.get("--id").flatMap(_.headOption).getOrElse("doc_id")
       val textCol = m.get("--text").flatMap(_.headOption).getOrElse("text")
       val spark = session()
       import org.apache.spark.sql.functions.col
-      val docs = spark.read.parquet(in)
-        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // -i names the corpus for --create/--ingest; --freeze-norms
+      // reads only the store's own ledger.
+      def docs = {
+        val in = one(m, "-i", "--input")
+        spark.read.parquet(in)
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      }
       if (m.contains("--create")) {
         val buckets = m.get("--buckets").flatMap(_.headOption).map(_.toInt).getOrElse(64)
         graft.ops.PostingStore.create(docs, store, buckets)
@@ -1644,8 +1651,15 @@ object Cli {
         // a new tag appends a new batch.
         val tag = one(m, "--tag")
         graft.ops.PostingStore.append(docs, store, tag)
-        println(s"posting store at $store grown with $in (tag $tag)")
-      } else sys.error("posting-store needs --create or --ingest")
+        println(s"posting store at $store grown (tag $tag)")
+      } else if (m.contains("--freeze-norms")) {
+        // Freeze the tf-idf document norms of the committed ledger —
+        // the once-per-release fit `retrieve --store --mode tfidf`
+        // probes against; an --ingest after a freeze makes the norms
+        // stale and the probe refuses until this re-runs.
+        graft.ops.PostingStore.freezeNorms(spark, store)
+        println(s"tf-idf norms frozen at $store")
+      } else sys.error("posting-store needs --create, --ingest or --freeze-norms")
       0
 
     case "corpus-stats" :: rest =>
@@ -2002,7 +2016,7 @@ object Cli {
            |  dedup-trim -i <docs.parquet> -o <out.parquet> [--w 8] [--id doc_id] [--text text]
            |  quality    -i <docs.parquet> -o <out.parquet> [--mode heuristic|unigram-lm|bigram-lm|importance|novelty|buckets] [--target-where '<pred>'] [--buckets 64] [--n-buckets 3] [-n 3] [--id doc_id] [--text text]
            |  retrieve   -i <corpus.parquet> -o <out.parquet> (-q <queries.parquet> | --queries-where '<pred>') [-s <posting-store>] [--mode bm25|tfidf] [-k 10] [--max-term-df N] [--id doc_id] [--text text]   (--max-term-df: drop query terms with corpus df > N from scoring — the declared probe-cost cap; tf-idf keeps full-vocabulary norms and caps the dot probe only)
-           |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag>   [--id doc_id] [--text text]
+           |  posting-store --create -i <corpus.parquet> -s <store-dir> [--buckets 64] | --ingest -i <new-docs.parquet> -s <store-dir> --tag <batch-tag> | --freeze-norms -s <store-dir>   [--id doc_id] [--text text]   (--freeze-norms: persist the tf-idf document norms of the committed ledger — required by retrieve --store --mode tfidf, refit after each ingest)
            |  corpus-stats -i <docs.parquet> -o <out.parquet> [--mode hitters|pmi|drift] [--min-count 1000] [--window 3] [--min-pair 5] [-k 20] [--group source] [--text text]
            |  link       -i <batch.parquet> -r <reference.parquet> -o <out.parquet> [-s <band-store>] [-n 2] [--threshold 0.8] [--max-bucket 10000] [--id doc_id] [--text text]   (doc_a = reference, doc_b = batch)
            |  band-store --create -i <reference.parquet> -s <store-dir> [-n 2] [--buckets 64] | --ingest -i <new-ref.parquet> -s <store-dir>   [--id doc_id] [--text text]

@@ -1402,6 +1402,152 @@ object ScaleSmoke {
       (f"3 waves x ${csArr.count()}%d arrivals: curate ${gotCurated.size}%d accepted == batch union, " +
         f"tok/lm/psi/langid/cms ledgers row-equal per wave, HLL replay row-equal + zero residual growth, $csSec%.1f s"))
 
+    // 23. Composed MAINTENANCE rehearsal at 10× (r13 task 4): the
+    // index/pack maintainers — [[graft.streaming.PostingStream]] and
+    // [[graft.streaming.PackStream]] tailing ONE shared document
+    // landing feed, [[graft.streaming.AnnIndexStream]] tailing the
+    // embedding feed, [[graft.streaming.ImageSigStream]] tailing a
+    // blob feed — driven in the same increasing-id waves as check 22,
+    // with per-wave store == batch-operator equality. Composition is
+    // where checkpoint/offset interactions bite (the check-22
+    // lesson); the run-start freshWorkDir guard gives every feed and
+    // checkpoint here a clean slate by construction.
+    val cm0 = System.nanoTime()
+    val cmDir = s"$workDir/composed_maint"
+    def runQ(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.processAllAvailable() finally q.stop()
+
+    // (a)+(b) one landing feed, two maintainers. The posting store is
+    // seeded with the reference split (the corpus-release build);
+    // waves of NEW doc_ids append through the ledger maintainer while
+    // the pack maintainer chunks and pack-assigns the same drops with
+    // the token cumsum continuing across batches.
+    val cmRef = docs.filter(col("doc_id") % 4 === 0)
+    graft.ops.PostingStore.create(cmRef.select("doc_id", "text"), s"$cmDir/posting")
+    val cmQueries = docs.filter(col("doc_id") % 2500 === 0)
+      .select(col("doc_id").as("q_id"), col("text")).localCheckpoint(false)
+    val pkCols = Seq("doc_id", "chunk_seq", "n_tokens", "pack_id", "pack_offset")
+    var cmSoFar = cmRef.select("doc_id", "text")
+    var cmWavesSoFar: Option[DataFrame] = None
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.select("doc_id", "text").write.mode("append").parquet(s"$cmDir/landing")
+      runQ(graft.streaming.PostingStream.maintain(spark, s"$cmDir/landing",
+        s"$cmDir/posting", s"$cmDir/ck_post"))
+      runQ(graft.streaming.PackStream.maintain(spark, s"$cmDir/landing",
+        s"$cmDir/pack", s"$cmDir/ck_pack"))
+      cmSoFar = cmSoFar.unionByName(w.select("doc_id", "text")).localCheckpoint(false)
+      cmWavesSoFar = Some(cmWavesSoFar
+        .map(_.unionByName(w.select("doc_id", "text"))).getOrElse(w.select("doc_id", "text"))
+        .localCheckpoint(false))
+      // posting ledger after wave i == in-memory BM25 over ref ∪ arrivals
+      assert(rowSet(graft.ops.PostingStore.retrieve(
+          spark, s"$cmDir/posting", cmQueries, k = 10)) ==
+        rowSet(graft.ops.Retrieval.bm25TopK(cmSoFar, cmQueries, k = 10)),
+        s"posting maintainer diverged from batch BM25 after wave $i")
+      // pack offset chain: the next batch's start == total chunk
+      // tokens landed so far (the exactly-once offset ledger)
+      assert(graft.streaming.PackStream.startOffsetFor(
+          spark, s"$cmDir/pack", (i + 1).toLong) ==
+        graft.ops.Packing.chunk(cmWavesSoFar.get)
+          .agg(sum("n_tokens")).head().getLong(0),
+        s"pack offset chain broke after wave $i")
+    }
+    // key-ordered waves => streamed pack assignment == the batch q63
+    // prefix sum over the union, row for row
+    assert(rowSet(graft.streaming.PackStream.packed(spark, s"$cmDir/pack")
+        .select(pkCols.head, pkCols.tail: _*)) ==
+      rowSet(graft.ops.Packing.assign(
+          graft.ops.Packing.chunk(cmWavesSoFar.get), 512L, 0L)
+        .select(pkCols.head, pkCols.tail: _*)),
+      "3-wave streamed pack != batch assignment on the union")
+
+    // (c) IVF index maintainer on the embedding feed: the quantizer is
+    // frozen at the reference build; three waves of arrivals append
+    // through the maintainer; the store must equal the frozen-kernel
+    // batch assignment after every wave, and the probe must equal a
+    // one-shot batch-append twin at the end.
+    val annRef = emb10.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding").localCheckpoint(false)
+    val annArr = emb10.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding")
+    graft.similarity.Similarity.writeIvfIndex(annRef, "vec_id", "embedding",
+      dim = 64, nlist = 16, path = s"$cmDir/ivf")
+    graft.similarity.Similarity.writeIvfIndex(annRef, "vec_id", "embedding",
+      dim = 64, nlist = 16, path = s"$cmDir/ivf_twin")
+    val annMeta = graft.similarity.Similarity.readIvfIndexMeta(spark, s"$cmDir/ivf")
+    val (aLo, aHi) = {
+      val r = annArr.agg(min("vec_id"), max("vec_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (aCut1, aCut2) = (aLo + (aHi - aLo) / 3, aLo + 2 * (aHi - aLo) / 3)
+    val annWaves = Seq(
+      annArr.filter(col("vec_id") <= aCut1),
+      annArr.filter(col("vec_id") > aCut1 && col("vec_id") <= aCut2),
+      annArr.filter(col("vec_id") > aCut2)).map(_.localCheckpoint(false))
+    var annSoFar: Option[DataFrame] = None
+    annWaves.zipWithIndex.foreach { case (w, i) =>
+      w.write.mode("append").parquet(s"$cmDir/landing_emb")
+      runQ(graft.streaming.AnnIndexStream.maintain(spark, s"$cmDir/landing_emb",
+        s"$cmDir/ivf", s"$cmDir/ck_ann"))
+      annSoFar = Some(annSoFar.map(_.unionByName(w)).getOrElse(w))
+      val expect = rowSet(
+        graft.streaming.AnnIndexStream.assigned(annRef.unionByName(annSoFar.get), annMeta)
+          .select("vec_id", "cell"))
+      assert(rowSet(spark.read.parquet(s"$cmDir/ivf/vectors")
+          .select("vec_id", "cell")) == expect,
+        s"IVF maintainer store diverged from frozen-kernel assignment after wave $i")
+    }
+    graft.streaming.AnnIndexStream.assigned(annArr,
+        graft.similarity.Similarity.readIvfIndexMeta(spark, s"$cmDir/ivf_twin"))
+      .write.mode("append").partitionBy("cell").parquet(s"$cmDir/ivf_twin/vectors")
+    val annQ = emb10.filter(col("vec_id") % 2000 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    assert(rowSet(graft.similarity.Similarity.ivfTopKIndexed(spark, s"$cmDir/ivf", annQ,
+        "q_id", "q_vec", k = 5, nprobe = 4)) ==
+      rowSet(graft.similarity.Similarity.ivfTopKIndexed(spark, s"$cmDir/ivf_twin", annQ,
+        "q_id", "q_vec", k = 5, nprobe = 4)),
+      "3-wave streamed IVF probe != one-shot batch-append twin")
+
+    // (d) image signature maintainer on a blob feed: originals seed
+    // the store (check 15's corpus), twins land as PPM FILES in two
+    // waves through the REAL ImageSigStream maintainer (decode → sign
+    // → link-cross → pair-within → append, with checkpoints); the
+    // emitted-pairs ledger must equal the brute-force truth restricted
+    // to the twins seen so far, per wave.
+    graft.dedup.SigBandStore.createAt(spark,
+      imSigs.toSeq.toDF("name", "sig").filter(!col("name").endsWith("_twin")),
+      "name", "sig", s"$cmDir/img_store", sigBits = 64, bands = 4, buckets = 32)
+    val cmTwins = imgCorpus.collect().filter(_.name.endsWith("_twin"))
+    def famIdx(n: String): Int = n.substring(4, 8).toInt
+    val imgLanding = java.nio.file.Paths.get(s"$cmDir/landing_img")
+    java.nio.file.Files.createDirectories(imgLanding)
+    var seenPars = Set.empty[Int]
+    var lastImgPairs = 0
+    Seq(0, 1).foreach { par =>
+      cmTwins.filter(t => famIdx(t.name) % 2 == par).foreach { t =>
+        // files named WITHOUT an extension so streamed pair ids match
+        // the batch truth's names exactly
+        java.nio.file.Files.write(imgLanding.resolve(t.name),
+          (s"P3\n${t.width} ${t.height}\n255\n" + t.pixels.mkString(" ") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+      runQ(graft.streaming.ImageSigStream.maintain(spark, imgLanding.toString,
+        s"$cmDir/img_store", s"$cmDir/img_pairs", s"$cmDir/ck_img", maxHamming = 6))
+      seenPars += par
+      val want = wantTwin.filter { case (a, b, _) =>
+        Seq(a, b).forall(n => !n.endsWith("_twin") || seenPars.contains(famIdx(n) % 2)) }
+      val got = spark.read.parquet(s"$cmDir/img_pairs")
+        .select(col("img_a"), col("img_b"), col("hamming")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"image sig maintainer pairs diverged after wave $par: ${got.size} vs ${want.size}")
+      lastImgPairs = got.size
+    }
+    val cmSec = (System.nanoTime() - cm0) / 1e9
+    checks += ("composed maintenance rehearsal: posting+pack on ONE landing feed, IVF + image-sig maintainers, per-wave == batch" ->
+      (f"posting retrieve == batch BM25 after each of 3 waves, pack cumsum chained + final == batch q63, " +
+        f"IVF store frozen-kernel-equal per wave + probe == batch-append twin, " +
+        f"$lastImgPairs%d streamed sig pairs == batch truth, $cmSec%.1f s"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -1058,6 +1058,26 @@ class DomainSpec extends SparkSpecBase {
     assert(hitsCap.exceptAll(hits2).count() > 0,
       "df cap changed nothing — the hatch is vacuous on this corpus")
 
+    // tf-idf THROUGH the store needs the frozen norms: refused before
+    // the freeze, == the q141 operator (and the in-memory tfidf rows)
+    // after it
+    val eNoNorms = intercept[RuntimeException](graft.Cli.run(Array(
+      "retrieve", "-i", corpusOnly, "-q", queriesOnly, "--mode", "tfidf",
+      "-s", s"$tmp/pstore", "-o", s"$tmp/hits_tf2", "-k", "10")))
+    assert(eNoNorms.getMessage.contains("freezeNorms"))
+    assert(graft.Cli.run(Array(
+      "posting-store", "--freeze-norms", "-s", s"$tmp/pstore")) == 0)
+    assert(graft.Cli.run(Array(
+      "retrieve", "-i", corpusOnly, "-q", queriesOnly, "--mode", "tfidf",
+      "-s", s"$tmp/pstore", "-o", s"$tmp/hits_tf2", "-k", "10")) == 0)
+    val tfStore = spark.read.parquet(s"$tmp/hits_tf2")
+    val tfIndexed = SparkEntry.queries("q141_tfidf_indexed")(
+      spark, "/root/testdata/sf0.001")
+    assert(tfStore.exceptAll(tfIndexed).isEmpty && tfIndexed.exceptAll(tfStore).isEmpty,
+      "CLI store tfidf diverged from the q141 operator")
+    assert(tfStore.exceptAll(tfidfHits).isEmpty && tfidfHits.exceptAll(tfStore).isEmpty,
+      "frozen-norm store tfidf diverged from the in-memory q98 rows")
+
     assert(graft.Cli.run(Array(
       "corpus-stats", "-i", docs, "-o", s"$tmp/hh",
       "--mode", "hitters", "--min-count", "500")) == 0)
