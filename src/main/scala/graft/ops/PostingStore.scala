@@ -229,12 +229,21 @@ object PostingStore {
       k = k, k1 = k1, b = b)
   }
 
+  private def normsTableFor(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"tfidf_norms_$hex"
+  }
+
   /** Freeze the tf-idf document norms of the CURRENT committed ledger
     * — the fit side of the vector space ([[Retrieval.tfidfTopK]]'s
-    * `dnorm` pass, ONE shared expression tree) — under
-    * `norms/data` parquet plus a `norms/_tags` manifest naming the
-    * batch set the norms cover. This is what makes
-    * [[retrieveTfidf]] a PROBE: a norm depends on every term's
+    * `dnorm` pass, ONE shared expression tree) — as a BUCKETED-BY-
+    * doc_id table under `norms/data` (the [[LmStore]] persistence
+    * recipe: [[XenaOps.writeBucketed]], re-attached per session from
+    * the `norms/_norms.json` sidecar), so [[retrieveTfidf]]'s norm
+    * attach never exchanges the corpus-sized side: only the match-
+    * bounded score table shuffles to the bucket layout. This is what
+    * makes [[retrieveTfidf]] a PROBE: a norm depends on every term's
     * GLOBAL df, so it cannot be written per-batch like postings —
     * it is refit once per corpus release (after the appends settle),
     * and every query batch after that reads it instead of re-scanning
@@ -243,17 +252,20 @@ object PostingStore {
     * (re-run freezeNorms) rather than scoring new documents in an old
     * vector space. */
   def freezeNorms(spark: SparkSession, path: String): Unit = {
-    val (nDocs, _, _, committed) = readMeta(spark, path)
+    val (nDocs, _, nBuckets, committed) = readMeta(spark, path)
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("batch").isin(committed: _*))
     val dfreq = spark.read.parquet(s"$path/dfreq")
       .filter(col("batch").isin(committed: _*))
       .groupBy("term").agg(sum("df").cast("long").as("df"))
-    Retrieval.tfidfDocNorms(
+    XenaOps.writeBucketed(
+      Retrieval.tfidfDocNorms(
         postings.select("doc_id", "term", "tf"), dfreq,
-        withStats = _.withColumn("n_docs", lit(nDocs)))
-      .write.mode("overwrite").parquet(s"$path/norms/data")
-    writeText(spark, s"$path/norms/_tags", committed.sorted.mkString("\n"))
+        withStats = _.withColumn("n_docs", lit(nDocs))),
+      normsTableFor(path), "doc_id", nBuckets, Some(s"$path/norms/data"))
+    writeText(spark, s"$path/norms/_norms.json",
+      s"""{"buckets":$nBuckets,"schema":"`doc_id` BIGINT,`dnorm` DOUBLE",""" +
+        s""""tags":[${committed.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
   }
 
   /** TF-IDF cosine top-`k` of `queries` (q_id, text) against the
@@ -268,9 +280,10 @@ object PostingStore {
     * paid at freeze time; a query batch costs the bucket-pruned
     * posting/df scans (the [[retrieve]] pruning contract), broadcast
     * query weights, one match-bounded aggregate, and a doc_id-keyed
-    * join of the match-bounded score table against the norm table
-    * (at 100 TB the norms would be written bucketed by doc_id so
-    * that join co-locates — the [[graft.io.BucketedStore]] recipe).
+    * join of the match-bounded score table against the norm table —
+    * which is persisted BUCKETED by doc_id ([[freezeNorms]]), so at
+    * any corpus size the norm side streams into the join with no
+    * exchange and no sort; only the match-bounded side shuffles.
     *
     * `maxTermDf` is [[Retrieval.tfidfTopK]]'s EXPLICITLY-APPROXIMATE
     * probe hatch: frozen norms keep every term by construction, the
@@ -283,14 +296,22 @@ object PostingStore {
       k: Int = 10,
       maxTermDf: Long = Long.MaxValue): DataFrame = {
     val (nDocs, _, nBuckets, committed) = readMeta(spark, path)
-    val normTags = {
-      val p = s"$path/norms/_tags"
+    val normsJson = {
+      val p = s"$path/norms/_norms.json"
       if (!fs(spark, path).exists(new org.apache.hadoop.fs.Path(p)))
         sys.error(s"no frozen norms at $path/norms — run freezeNorms after the " +
           "ledger settles; tf-idf document norms depend on every term's global " +
           "df and cannot be derived per-batch.")
-      readText(spark, p).split("\n").toSeq.filter(_.nonEmpty)
+      readText(spark, p)
     }
+    val normTags = "\"([A-Za-z0-9_-]+)\"".r.findAllMatchIn(
+      "\"tags\":\\[([^\\]]*)\\]".r.findFirstMatchIn(normsJson)
+        .getOrElse(sys.error(s"malformed _norms.json at $path: $normsJson")).group(1))
+      .map(_.group(1)).toSeq
+    val normBuckets = "\"buckets\":(\\d+)".r.findFirstMatchIn(normsJson)
+      .getOrElse(sys.error(s"malformed _norms.json at $path: $normsJson"))
+      .group(1).toInt
+    val normSchema = "\"schema\":\"([^\"]*)\"".r.findFirstMatchIn(normsJson).map(_.group(1))
     require(normTags == committed.sorted,
       s"frozen norms at $path cover batches [${normTags.mkString(",")}] but the " +
         s"ledger has committed [${committed.sorted.mkString(",")}] — the vector " +
@@ -308,10 +329,15 @@ object PostingStore {
     val postings = Parallelism.ensure(
       spark.read.parquet(s"$path/postings")
         .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*)))
+    // Re-attach the bucketed norm table (bucketing lives in the
+    // catalog, not the files): the corpus-sized norm side then
+    // streams into the score join exchange- and sort-free.
+    XenaOps.declareBucketedTable(spark, normsTableFor(path),
+      s"$path/norms/data", "doc_id", normBuckets, normSchema)
     Retrieval.tfidfScoreTopK(
       postings.select("doc_id", "term", "tf"),
       queries, dfreq,
-      dnorm = spark.read.parquet(s"$path/norms/data"),
+      dnorm = spark.table(normsTableFor(path)),
       withStats = _.withColumn("n_docs", lit(nDocs)),
       k = k, maxTermDf = maxTermDf)
   }

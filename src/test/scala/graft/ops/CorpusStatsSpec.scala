@@ -217,6 +217,31 @@ class CorpusStatsSpec extends SparkSpecBase {
       "re-frozen grown store diverged from a from-scratch tf-idf")
   }
 
+  test("retrieveTfidf norm attach streams off its buckets: one doc_id " +
+    "exchange in the whole probe (the match-bounded side), never two") {
+    val docs = Tables()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tfplan").toString
+    PostingStore.create(docs.filter(col("doc_id") % 25 =!= 0), s"$tmp/store")
+    PostingStore.freezeNorms(spark, s"$tmp/store")
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    // Disable size-based broadcasts so the norm join takes the shape
+    // it has at scale (corpus-sized norms can't broadcast); the
+    // probe's own broadcast() hints are explicit and survive.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = PostingStore.retrieveTfidf(spark, s"$tmp/store", queries, k = 10)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("tfidf_norms_"), "probe lost the catalog norm table:\n" + p.take(1500))
+      assert(p.contains("SortMergeJoin"), "norm attach is not a merge join:\n" + p.take(1500))
+      val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+      assert(docExchanges == 1,
+        s"expected exactly 1 doc_id exchange (match-bounded score side only; " +
+          s"the bucketed norm side must stream), got $docExchanges:\n" + p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("PostingStore probe scan is bucket-pruned (PartitionFilters on tb)") {
     val docs = Tables()
     val tmp = java.nio.file.Files.createTempDirectory("graft_pstore_plan").toString
