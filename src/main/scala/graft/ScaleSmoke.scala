@@ -1548,6 +1548,73 @@ object ScaleSmoke {
         f"IVF store frozen-kernel-equal per wave + probe == batch-append twin, " +
         f"$lastImgPairs%d streamed sig pairs == batch truth, $cmSec%.1f s"))
 
+    // 24. BandStore retune fires under PLANTED skew (r13 task 6):
+    // `retuneIfSkewed` + the persisted cap are spec-verified, but no
+    // 10× check had planted a hot-bucket corpus and MEASURED the
+    // retune engaging with before/after candidate volumes. Corpus:
+    // 400 "normal" docs with fully distinct 12-token texts (their
+    // band buckets are singletons) + 1,200 boilerplate docs sharing
+    // one 200-token block with a 1-token unique tail — ~199 of each
+    // boilerplate doc's 200 bigrams are shared, so nearly every band
+    // minhash comes from the shared gram set and each of the 16 bands
+    // funnels the whole family into ONE bucket (~1,000+ docs): the
+    // exact skew shape boilerplate creates at corpus scale. The probe
+    // is a twin batch of the NORMAL docs only (J = 10/12 vs their
+    // original): its links ride singleton buckets, so the retune — a
+    // rebuild under `cappedBucketSize` that DROPS over-full buckets
+    // wholesale — must not cost it a single verified pair.
+    val rt0 = System.nanoTime()
+    val boiler = (1 to 200).map(j => s"boil$j").mkString(" ")
+    val rtNormal = spark.range(400).select(
+      (col("id") + 1000000L).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(t =>
+        format_string(s"w${t}_%d", col("id"))): _*).as("text"))
+    val rtBoiler = spark.range(1200).select(
+      (col("id") + 2000000L).as("doc_id"),
+      concat(lit(boiler), lit(" uniq"), col("id").cast("string")).as("text"))
+    val rtRef = rtNormal.unionByName(rtBoiler).localCheckpoint(false)
+    val rtTwins = spark.range(400).select(
+      (col("id") + 1500000L).as("doc_id"),
+      concat_ws(" ", ((0 until 11).map(t =>
+        format_string(s"w${t}_%d", col("id"))) :+ lit("tw")): _*)
+        .as("text")).localCheckpoint(false)
+    val rtPath = s"$workDir/band_retune_store"
+    val rtTable = graft.dedup.BandStore.createAt(spark, rtRef, "doc_id", "text",
+      rtPath, n = 2, numHashes = 64, bands = 16, buckets = 32)
+    def rtProbe(): Set[(Long, Long)] =
+      graft.dedup.BandStore.linkNew(spark, rtTable, rtTwins, rtRef,
+        "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rtPairsPre = rtProbe()
+    val rtDecision = graft.dedup.BandStore.retuneIfSkewed(spark, rtPath, rtRef,
+      "doc_id", "text", maxCandPairsPerDoc = 50.0, cappedBucketSize = 8L)
+    assert(rtDecision.retuned,
+      s"retune did not fire on the planted hot-bucket corpus: $rtDecision")
+    assert(rtDecision.maxBucket >= 1000,
+      s"planted skew too mild to be a skew test: max bucket ${rtDecision.maxBucket}")
+    // Post-rebuild measurement through the SAME instrument: a second
+    // retuneIfSkewed must find the mass below threshold (convergence —
+    // the rebuild actually cured what the first call measured) and is
+    // contract-bound to leave the cured store untouched.
+    val rtPost = graft.dedup.BandStore.retuneIfSkewed(spark, rtPath, rtRef,
+      "doc_id", "text", maxCandPairsPerDoc = 50.0, cappedBucketSize = 8L)
+    assert(!rtPost.retuned, s"retuned store still breaches the threshold: $rtPost")
+    assert(rtPost.maxBucket <= 8L,
+      s"capped rebuild left a bucket over the cap: ${rtPost.maxBucket}")
+    val rtPairsPost = rtProbe()
+    assert(rtPairsPre == rtPairsPost,
+      s"retune cost the normal-twin probe verified pairs: " +
+        s"${rtPairsPre.size} pre vs ${rtPairsPost.size} post")
+    assert(rtPairsPre.size >= 390 &&
+      rtPairsPre.forall { case (a, b) => b - a == 500000L },
+      s"twin probe off: ${rtPairsPre.size} pairs")
+    val rtSec = (System.nanoTime() - rt0) / 1e9
+    checks += ("BandStore retune fires under planted boilerplate skew; twin probe loses nothing" ->
+      (f"cand mass ${rtDecision.candPairsPerDoc}%.0f -> ${rtPost.candPairsPerDoc}%.2f pairs/doc, " +
+        f"max bucket ${rtDecision.maxBucket}%d -> ${rtPost.maxBucket}%d (cap 8), " +
+        f"verified twin pairs ${rtPairsPre.size}%d == ${rtPairsPost.size}%d, $rtSec%.1f s"))
+
     val total = timings.map(_._2).sum
     val md = new StringBuilder
     md ++= "# SCALE — 10× rehearsal (sf1-equivalent text/vector/event surface)\n\n"

@@ -1013,12 +1013,13 @@ object SparkEntry {
     * codegen'd regex map pass, like the email/URL battery.
     *
     * Every doc_id % 4 == 1 document additionally plants a LONG
-    * digit/separator serial (`sn 20415-555-01001`) — the phone
-    * pattern's documented no-lookaround boundary: the phone-shaped
-    * interior window matches, redacting the serial's middle
-    * (`sn 20<PHONE>1`). Planting it keeps the known over-redaction
-    * oracle-visible instead of prose-only ([[TextFunctions
-    * .PhonePattern]]'s KNOWN BOUNDARY note). */
+    * digit/separator serial (`sn 20415-555-01001`) — historically the
+    * phone pattern's no-lookaround false positive (its interior
+    * window used to redact to `sn 20<PHONE>1`). The pattern's
+    * zero-width `\b` digit-boundary anchors now refuse the interior
+    * window, and this row value-oracles the NO-match: the serial must
+    * survive redaction byte-identical in both engines
+    * ([[TextFunctions.PhonePattern]]). */
   def q134PiiBattery(s: SparkSession, dir: String): DataFrame = {
     import TextFunctions.{Ipv4Pattern, PhonePattern, patternCount, redact}
     Tables.documents(s, dir)
@@ -4317,9 +4318,9 @@ object SparkEntry {
         |p AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text,
-        |      '\+?[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+        |      '\+?\b[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b|\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
         |    regexp_replace(text,
-        |      '\+?[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+        |      '\+?\b[0-9]{1,2}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b|\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b',
         |      '<PHONE>', 'g') AS pt
         |  FROM pl)
         |SELECT doc_id, n_phones,

@@ -37,15 +37,19 @@ object TextFunctions {
     * parenthesized area code, separator in [-. ] between groups —
     * `+1 415 555 0100`, `(415) 555-0100`, `415-555-0100`. Stays in
     * the Java∩RE2 subset (no lookaround); requiring separators means
-    * separator-FREE digit runs (ids, years) never match. KNOWN
-    * BOUNDARY: without lookaround there is no digit-boundary guard,
-    * so a phone-shaped window INSIDE a longer digit/separator run
-    * still matches — `20415-555-01001` redacts to `20<PHONE>1`
-    * (over-redaction of long serials, conservative in the safe
-    * direction for PII). Both engines agree on the window (q134
-    * plants this case and value-oracles it). */
+    * separator-FREE digit runs (ids, years) never match. Each
+    * alternative is anchored by ZERO-WIDTH `\b` word boundaries at
+    * its first and last digit (after the optional `+`/`(` literal,
+    * which is itself a non-word char and so supplies the boundary
+    * when present), so a phone-shaped window INSIDE a longer
+    * digit/separator run never matches — `20415-555-01001` stays
+    * intact (q134 plants this case and value-oracles the no-match).
+    * `\b` assertions consume nothing, so adjacent phones separated
+    * by one char both match, `patternCount` sees bare phone text,
+    * and Java and RE2 agree byte-for-byte on ASCII (the same
+    * contract [[Ipv4Pattern]] already relies on). */
   val PhonePattern: String =
-    "\\+?[0-9]{1,2}[-. ]\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}|\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    "\\+?\\b[0-9]{1,2}[-. ]\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b|\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   /** Dotted-quad IPv4 with per-octet range check (0–255) and word
     * boundaries, so over-long digit runs (`999.999.999.999`) and

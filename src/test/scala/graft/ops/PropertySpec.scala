@@ -340,6 +340,13 @@ class PropertySpec extends SparkSpecBase {
       ("v1.2.3.4 and 51.2.3.45", 0L, 1L, "v1.2.3.4 and <IP>"),
       // bare digit runs (ids, years) are not phones
       ("order 4155550100 in 2026", 0L, 0L, "order 4155550100 in 2026"),
+      // long digit/separator serial: the \b anchors refuse the
+      // phone-shaped interior window (was 20<PHONE>1 pre-anchor)
+      ("sn 20415-555-01001 ok", 0L, 0L, "sn 20415-555-01001 ok"),
+      ("sn 415-555-01001 and 20415-555-0100", 0L, 0L,
+        "sn 415-555-01001 and 20415-555-0100"),
+      // zero-width anchors: adjacent phones one char apart both match
+      ("415-555-0100,415.555.0101", 2L, 0L, "<PHONE>,<PHONE>"),
       // phone first, then IP, one of each in one doc
       ("+1 415 555 0100 at 10.0.0.1", 1L, 1L, "<PHONE> at <IP>"),
       ("", 0L, 0L, ""))
