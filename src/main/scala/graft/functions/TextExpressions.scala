@@ -342,3 +342,75 @@ object BpePieces {
   def apply(tok: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpePieces(ColumnBridge.expression(tok), merges))
 }
+
+/** `term_counts(array<string>) -> map<string,long>`: occurrence count
+  * of every distinct element, keys in first-occurrence order. The
+  * per-DOCUMENT half of the `explode(toks) → groupBy(id, tok) →
+  * count` pattern every token-statistics operator opens with: when the
+  * grouping key is row-unique (a doc_id), that aggregation's exchange
+  * moves one corpus-sized (id, token) row per occurrence ACROSS the
+  * cluster only to land counts that were computable row-locally.
+  * `explode(term_counts(toks))` yields the same (token, count) pairs
+  * as the groupBy — bit-equal values, zero exchange
+  * (ExpressionParitySpec pins the parity).
+  *
+  * Keys are defensive copies: the input array may be a pointer into a
+  * reused unsafe row buffer, and map keys outlive the row.
+  */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "term_counts"
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = a.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long](Math.max(8, n * 2))
+    var i = 0
+    while (i < n) {
+      // Null elements are representable via the SQL-registered array
+      // type; the groupBy form would count them under a null key, but
+      // map keys cannot be null — skip them (the tokenizer kernels
+      // never emit nulls, so the declared queries cannot see the
+      // difference).
+      if (!a.isNullAt(i)) {
+        val k = a.getUTF8String(i).clone()
+        // absent unboxes to 0L, and a stored count is always >= 1
+        counts.put(k, counts.get(k) + 1L)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCounts", this, classOf[TermCounts].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(${classOf[org.apache.spark.sql.catalyst.util.MapData].getName}) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  def apply(toks: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(toks)))
+}

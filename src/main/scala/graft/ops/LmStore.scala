@@ -78,11 +78,14 @@ object LmStore {
   def score(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     val (table, total) = attach(spark, path)
     require(total > 0L, s"LM store at $path is empty — fit it on a corpus first")
+    // Row-local batch counts ([[graft.functions.TermCounts]] — the
+    // unigramLogprob recipe): no exchange for the row-unique doc key;
+    // the probe's exchanges are the bucketed-vocab join + per-doc sum.
     val pd = Parallelism.ensure(docs)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(graft.functions.TermCounts(col("tk"))).as(Seq("tok", "cnt")))
     val inVocabCnt = sum(when(col("c").isNotNull, col("cnt")).otherwise(0L)).cast("long")
     pd
       .join(spark.table(table).select(col("tok"), col("cnt").as("c")), Seq("tok"), "left")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TermCounts, TextFunctions}
 
 /** Persisted FROZEN Naive Bayes model: fit the class-conditional
   * unigram histograms once on a labeled reference corpus, score
@@ -45,12 +45,14 @@ object NbStore {
       path: String,
       buckets: Int = 64): String = {
     val table = tableFor(path)
+    // Row-local per-doc counts ([[TermCounts]] — the naiveBayesLogOdds
+    // recipe): no corpus exchange for the row-unique (doc, is_seed) key.
     val pd = Parallelism.ensure(docs)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), isSeed.as("is_seed"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("is_seed"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+        TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("is_seed"),
+        explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
       .transform(Parallelism.stage) // two consumers: histogram write + doc prior
     val model = pd.groupBy("tok").agg(
       sum(when(col("is_seed"), col("cnt")).otherwise(0L)).as("pos"),
@@ -101,11 +103,12 @@ object NbStore {
   def score(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     val (table, tpos, tneg, v, npos, nneg) = attach(spark, path)
     require(v > 0L, s"NB store at $path is empty — fit it on a labeled corpus first")
+    // Row-local batch counts ([[TermCounts]]): the only exchanges the
+    // probe pays are the bucketed-model join and the per-doc sum.
     val pd = Parallelism.ensure(docs)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
     // ONE weight expression covers in-vocab and OOV: Laplace treats an
     // unseen token as a zero-count token (coalesce), the same
     // float-op order as naiveBayesLogOdds so the oracle transcribes it

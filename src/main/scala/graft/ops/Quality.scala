@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Md5Prefix64, TextFunctions}
+import graft.functions.{Md5Prefix64, TermCounts, TextFunctions}
 
 /** Corpus-level quality / data-selection operators for training-data
   * pipelines: hashed-n-gram importance weighting (the DSIR recipe),
@@ -131,11 +131,15 @@ object Quality {
     // ONE tokenize pass (the importanceWeights argument): per-doc
     // token counts materialize first, the vocabulary LM derives from
     // them by a second-stage sum — never a second corpus explode.
+    // Counts are computed ROW-LOCALLY ([[TermCounts]]): the grouping
+    // key was row-unique (doc_id), so the old `explode → groupBy`
+    // exchange moved corpus-sized (doc, tok) rows for counts no
+    // shuffle was needed to produce — and no consumer reused its
+    // partitioning (vocab re-keys by tok, the final sum by doc_id).
     val pd = docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
       .transform(Parallelism.stage)
     val vocab = pd.groupBy("tok").agg(sum("cnt").as("c"))
     val total = vocab.agg(sum("c").as("t"))
@@ -173,13 +177,14 @@ object Quality {
     * per-doc sum accumulates in fixed point ([[fixedPoint9]]).
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
+    // Row-local bigram counts ([[TermCounts]] over the shingle array —
+    // the unigramLogprob recipe): no corpus exchange for a row-unique
+    // grouping key.
     val pd = docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        explode(TextFunctions.wordNgrams(
-          TextFunctions.tokens(col("text")), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), TextFunctions.wordNgrams(
+        TextFunctions.tokens(col("text")), 2).as("gs"))
+      .select(col("doc_id"), explode(TermCounts(col("gs"))).as(Seq("bg", "cnt")))
       .transform(Parallelism.stage)
     val bgc = pd.groupBy("bg").agg(sum("cnt").as("c"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -502,12 +507,15 @@ object Quality {
     * keyed by doc_id for the final sum.
     */
   def naiveBayesLogOdds(docs: DataFrame, isSeed: Column): DataFrame = {
+    // Row-local per-doc counts ([[TermCounts]] — the unigramLogprob
+    // recipe): the (doc, is_seed) key is row-unique, so the old
+    // groupBy exchange moved corpus-sized rows for row-local counts.
     val pd = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), isSeed.as("is_seed"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("is_seed"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+        TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("is_seed"),
+        explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
       .transform(Parallelism.stage) // three consumers: histograms, prior, score join
     val hist = pd.groupBy("tok").agg(
       sum(when(col("is_seed"), col("cnt")).otherwise(0L)).as("pos"),

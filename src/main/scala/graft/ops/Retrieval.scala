@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Md5Prefix64, TextFunctions}
+import graft.functions.{Md5Prefix64, TermCounts, TextFunctions}
 
 /** Sparse lexical retrieval over the corpus: BM25 scoring of a query
   * set against an inverted-index-shaped posting table. This is the
@@ -25,17 +25,21 @@ import graft.functions.{Md5Prefix64, TextFunctions}
   */
 object Retrieval {
 
-  /** One-pass posting build: (doc_id, dl, term, tf). `dl` (document
-    * length in tokens) rides the count aggregate as a functionally
-    * doc_id-dependent grouping column instead of costing a second
-    * doc_id-keyed exchange or window. */
+  /** One-pass posting build: (doc_id, dl, term, tf). ZERO-exchange:
+    * every posting of a document comes from the same row, so the tf
+    * counts are computed row-locally by the [[TermCounts]] kernel and
+    * exploded — where the historical `explode → groupBy(doc_id, dl,
+    * term)` form paid a corpus-sized exchange (one (doc, term) row per
+    * distinct term over the wire) whose partitioning NO downstream
+    * consumer reuses (df re-keys by term, stats/norms by doc_id).
+    * Values are bit-equal to the groupBy form (ExpressionParitySpec);
+    * `dl` (document length in tokens) stays a row-local projection. */
   private[ops] def buildPostings(corpus: DataFrame): DataFrame =
     corpus
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(TermCounts(col("tk"))).as(Seq("term", "tf")))
 
   /** Distinct (q_id, term) pairs of the query batch. */
   private[ops] def queryTerms(queries: DataFrame): DataFrame =
@@ -155,8 +159,12 @@ object Retrieval {
     // guard undoes AQE's coalesce-to-one on the frozen checkpoint —
     // the score fan-out below multiplies these rows by matching
     // queries and must not inherit a single partition.
+    // ensure BEFORE the tokenize (not only after the checkpoint): the
+    // zero-exchange posting build keeps the scan's partitioning, so on
+    // a physically-small input the whole tokenize would otherwise run
+    // in the scan's one or two tasks. Structurally a no-op at scale.
     val postings = Parallelism.ensureCheckpointed(
-      Parallelism.stage(buildPostings(corpus)))
+      Parallelism.stage(buildPostings(Parallelism.ensure(corpus))))
     // The df cap restricts SCORING terms only; corpus statistics
     // (n_docs, avgdl) and surviving terms' df stay those of the full
     // corpus — the cap drops terms, it does not re-weigh the rest.
@@ -229,7 +237,7 @@ object Retrieval {
       k: Int = 10,
       maxTermDf: Long = Long.MaxValue): DataFrame = {
     val postings = Parallelism.ensureCheckpointed(
-      Parallelism.stage(buildPostings(corpus)))
+      Parallelism.stage(buildPostings(Parallelism.ensure(corpus))))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = postings.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
@@ -312,8 +320,12 @@ object Retrieval {
     val probeDf =
       if (maxTermDf == Long.MaxValue) dfreq
       else dfreq.filter(col("df") <= maxTermDf)
+    // Query-term restriction read from the wq CHECKPOINT (wq is a 1:1
+    // weighting of qpost, so the term sets are identical): the qpost
+    // subtree — query scan, tokenize, count — is otherwise replanned
+    // and re-run a second time just to produce this distinct.
     val dots = withStats(postings
-      .join(broadcast(probeDf.join(qpost.select("term").distinct(), Seq("term"))), Seq("term")))
+      .join(broadcast(probeDf.join(wq.select("term").distinct(), Seq("term"))), Seq("term")))
       .select(col("term"), col("doc_id"), weight.as("w"))
       .join(broadcast(wq.select(col("q_id"), col("term"), col("w").as("wq"))), Seq("term"))
       .groupBy(col("q_id"), col("doc_id"))

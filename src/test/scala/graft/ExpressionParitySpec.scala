@@ -355,4 +355,27 @@ class ExpressionParitySpec extends SparkSpecBase {
     assert(fast.values.forall(_._1 == langHi),
       s"tie must resolve to the UTF-8-smaller label U+FFFF, got $fast")
   }
+
+  test("term_counts equals explode → groupBy(count) on a row-unique key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(41)
+    // ties, unicode, near-duplicates differing only by case, a token
+    // containing a space (possible for n-gram inputs), singletons
+    val vocab = Seq("a", "b", "the", "naïve", "π≈3", "x y", "A", "ab", "abc")
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))))
+    } :+ (1000L, Seq.empty[String]) // empty array -> no rows from either form
+    val df = docs.toDF("doc_id", "tk").repartition(4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2))
+    val native = df.select(col("doc_id"),
+      explode(graft.functions.TermCounts(col("tk"))).as(Seq("tok", "cnt")))
+      .collect().map(key).sorted.toSeq
+    val reference = df.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .collect().map(key).sorted.toSeq
+    assert(native == reference)
+    assert(native.nonEmpty)
+  }
 }
