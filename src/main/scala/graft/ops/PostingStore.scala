@@ -111,14 +111,23 @@ object PostingStore {
     val spark = docs.sparkSession
     val postings = Retrieval.buildPostings(Parallelism.ensure(docs))
       .localCheckpoint(false)
+    // repartition PINS the partition count to the bucket count: the
+    // keyless form defers to spark.sql.shuffle.partitions and AQE,
+    // which on a small batch coalesces the exchange to ONE partition —
+    // a single task then opens all `nBuckets` parquet writers and
+    // writes every bucket directory serially (measured 5.8s of q141's
+    // cold create; ~64x parallelism restored by pinning). Each tb
+    // hashes to exactly one partition either way, so file layout (one
+    // file per bucket per batch) is unchanged; `nBuckets` is the
+    // store's own write-parallelism parameter at any scale.
     postings
       .withColumn("tb", termBucket(col("term"), nBuckets))
-      .repartition(col("tb"))
+      .repartition(nBuckets, col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings/batch=$tag")
     postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("tb", termBucket(col("term"), nBuckets))
-      .repartition(col("tb"))
+      .repartition(nBuckets, col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/dfreq/batch=$tag")
     val st = postings.select(col("doc_id"), col("dl")).distinct()

@@ -503,7 +503,12 @@ object Similarity {
           struct(lit(t).as("t"), lshSignature(col(vecCol), dim, bits, t).as("sig"))): _*))
           .as("ts"))
       .select(col(idCol), col(vecCol), col("ts.t").as("t"), col("ts.sig").as("sig"))
-      .repartition(col("t"), col("sig"))
+      // pinned (capped) partition count: keyless repartition
+      // AQE-coalesces a small build to ONE task that writes every
+      // (t, sig) directory serially (the q141 posting-store lesson);
+      // each (t, sig) still hashes to exactly one partition, so the
+      // one-file-per-bucket layout is unchanged.
+      .repartition(math.min(tables << bits, 1024), col("t"), col("sig"))
       .write.mode("overwrite").partitionBy("t", "sig").parquet(s"$path/vectors")
     // Column names are caller-supplied strings: JSON-quote them, or a
     // quote/backslash in a name writes an index.json the reader can't
@@ -833,10 +838,13 @@ object Similarity {
       // Cluster rows by cell before the partitioned write: without
       // this every task writes a sliver into every cell directory
       // (tasks × nlist small files); with it each cell is one
-      // task's output (AQE splits oversized cells at real scale via
-      // rebalance semantics — tune with a repartition(n, col) when a
-      // cell outgrows a single task's file-size budget).
-      .repartition(col("cell"))
+      // task's output. The partition count is PINNED to nlist — the
+      // keyless form defers to AQE, which coalesces a small build's
+      // exchange to one partition and serializes every cell directory
+      // through a single writer task (the q141 posting-store lesson).
+      // Each cell hashes to one partition either way; nlist is the
+      // index's own write-parallelism parameter.
+      .repartition(nlist, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     // Index metadata via the Hadoop FS API (path-scheme-agnostic: the
     // same code writes to HDFS/S3A on a cluster).
@@ -1549,7 +1557,9 @@ object Similarity {
       quantized.select(col(idCol), encCol.as("qv")), idCol, m, ksub, dsub, pqIters)
     quantized
       .select(col(idCol), pqCodes(encCol, cbs, dsub).as("codes"), cellCol.as("cell"))
-      .repartition(col("cell"))
+      // pinned to nlist: see writeIvfIndex — keyless repartition
+      // AQE-coalesces a small build to one serial writer task
+      .repartition(nlist, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val meta = new StringBuilder
     meta ++= s"""{"scale":$scale,"idCol":${graft.io.JsonUtil.quote(idCol)},"""

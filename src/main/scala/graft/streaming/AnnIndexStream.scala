@@ -159,7 +159,9 @@ object AnnIndexStream {
     fs.delete(old, true)
     spark.read.parquet(vectors.toString)
       .dropDuplicates(meta.idCol)
-      .repartition(col("cell"))
+      // pinned to the cell count: keyless repartition AQE-coalesces a
+      // small store to one serial writer task (the q141 lesson)
+      .repartition(meta.centroids.length, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     require(fs.rename(vectors, old), s"compact: could not move $vectors aside")
     if (!fs.rename(tmp, vectors)) {
