@@ -186,9 +186,13 @@ object LangId {
       langCol: String,
       textCol: String,
       topM: Int = 64): DataFrame = {
-    val staged = Parallelism.stage(docs
+    // ensure BEFORE the stage: the selected frame is narrow, so the
+    // checkpoint would otherwise freeze a physically-small scan's one
+    // or two partitions and serialize both the gram fit and the
+    // classification projection (a no-op at scale).
+    val staged = Parallelism.stage(Parallelism.ensure(docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(langCol).as("lang"), col(textCol)))
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"), col(textCol))))
     classify(staged, "doc_id", textCol,
       langProfiles(staged, "lang", textCol, topM), topM)
   }
@@ -205,9 +209,9 @@ object LangId {
       langCol: String,
       textCol: String,
       topM: Int = 64): DataFrame = {
-    val staged = Parallelism.stage(docs
+    val staged = Parallelism.stage(Parallelism.ensure(docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(langCol).as("lang"), col(textCol)))
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"), col(textCol))))
     classify(staged, "doc_id", textCol,
       langProfiles(staged, "lang", textCol, topM), topM)
       .join(staged.select(col("doc_id"), col("lang")), Seq("doc_id"))

@@ -136,7 +136,12 @@ object Quality {
     // exchange moved corpus-sized (doc, tok) rows for counts no
     // shuffle was needed to produce — and no consumer reused its
     // partitioning (vocab re-keys by tok, the final sum by doc_id).
-    val pd = docs
+    // ensure BEFORE the tokenize: the row-local counts keep the scan's
+    // partitioning all the way into the staged checkpoint, so a
+    // physically-small scan would otherwise tokenize in one task AND
+    // freeze the checkpoint at one partition for every consumer.
+    // Structurally a no-op at scale (the Retrieval recipe).
+    val pd = Parallelism.ensure(docs)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
@@ -180,7 +185,7 @@ object Quality {
     // Row-local bigram counts ([[TermCounts]] over the shingle array —
     // the unigramLogprob recipe): no corpus exchange for a row-unique
     // grouping key.
-    val pd = docs
+    val pd = Parallelism.ensure(docs) // pre-tokenize guard: see unigramLogprob
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFunctions.wordNgrams(
         TextFunctions.tokens(col("text")), 2).as("gs"))
@@ -510,7 +515,7 @@ object Quality {
     // Row-local per-doc counts ([[TermCounts]] — the unigramLogprob
     // recipe): the (doc, is_seed) key is row-unique, so the old
     // groupBy exchange moved corpus-sized rows for row-local counts.
-    val pd = docs
+    val pd = Parallelism.ensure(docs) // pre-tokenize guard: see unigramLogprob
       .filter(col("text").isNotNull)
       .select(col("doc_id"), isSeed.as("is_seed"),
         TextFunctions.tokens(col("text")).as("tk"))
