@@ -128,7 +128,11 @@ object LangId {
       profiles: DataFrame,
       topM: Int = 64): DataFrame = {
     val rows = profileRows(profiles)
-    val prof = docs
+    // ensure: the profile projection is narrow, so a physically-small
+    // scan would serialize the whole per-document gram/argmin kernel
+    // on its one or two scan tasks (no-op at scale, and on staged
+    // checkpoints whose size is unknown).
+    val prof = Parallelism.ensure(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         CtDocProfile(TextFunctions.tokens(col(textCol)), topM).as("profile"))
