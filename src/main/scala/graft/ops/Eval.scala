@@ -269,19 +269,28 @@ object Eval {
       allowExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
-    if (!allowExact) {
-      val n = scored.count()
+    val narrow = scored.select(
+      col(idCol).as("id"),
+      round(col(scoreCol).cast("double"), 6).as("s6"),
+      col(labelCol).cast("int").as("y"))
+    // The guard's count and the binned report share ONE
+    // materialization of the 3-column projection: counting the raw
+    // frame would re-run the caller's whole scoring pipeline (q132's
+    // NB fit) a second time for the report. A guard-tripping caller
+    // materializes the projection before the refusal fires — bounded
+    // embarrassment, and the 100-TB caller is told to be on
+    // calibrationAtCuts regardless.
+    val base = if (allowExact) narrow else {
+      val staged = narrow.localCheckpoint(false)
+      val n = staged.count()
       require(n <= MaxExactCalibrationRows,
         s"calibration's equal-frequency ntile carries every input row through " +
           s"ONE partition and the input has $n rows (guard cap " +
           s"$MaxExactCalibrationRows). Freeze cut-points (Quantiles.exactQuantiles " +
           "or a PsiStore) and use calibrationAtCuts for the zero-window scale " +
           "path, or pass allowExact = true if the single-partition sort is intended.")
+      staged
     }
-    val base = scored.select(
-      col(idCol).as("id"),
-      round(col(scoreCol).cast("double"), 6).as("s6"),
-      col(labelCol).cast("int").as("y"))
     val binned = base.withColumn("bin",
       ntile(nBins).over(Window.orderBy(col("s6"), col("id"))))
     binned

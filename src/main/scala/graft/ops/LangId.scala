@@ -128,11 +128,12 @@ object LangId {
       profiles: DataFrame,
       topM: Int = 64): DataFrame = {
     val rows = profileRows(profiles)
-    // ensure: the profile projection is narrow, so a physically-small
-    // scan would serialize the whole per-document gram/argmin kernel
-    // on its one or two scan tasks (no-op at scale, and on staged
-    // checkpoints whose size is unknown).
-    val prof = Parallelism.ensure(docs)
+    // Deliberately NO parallelism guard here: classify's contract is a
+    // zero-exchange projection (PlanShapeSpec pins it) so it composes
+    // into callers' plans without a repartition. Callers that feed a
+    // physically-small RAW SCAN (the store probes) ensure parallelism
+    // at their boundary instead — see [[graft.ops.LangIdStore]].
+    val prof = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         CtDocProfile(TextFunctions.tokens(col(textCol)), topM).as("profile"))

@@ -77,7 +77,11 @@ object LangIdStore {
     * distance), O(batch). */
   def classify(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     val (profiles, topM) = attach(spark, path)
-    LangId.classify(docs, "doc_id", "text", profiles, topM)
+    // ensure at the store boundary: the classification projection is
+    // zero-exchange by contract, so a physically-small batch scan
+    // would otherwise run the whole gram/argmin kernel in one or two
+    // scan tasks (structural no-op at scale).
+    LangId.classify(Parallelism.ensure(docs), "doc_id", "text", profiles, topM)
   }
 
   /** The frozen classifier as a pure COLUMN ([[LangId.langColumn]]
@@ -115,7 +119,8 @@ object LangIdStore {
       topM: Int,
       ref: DataFrame,
       docs: DataFrame): DataFrame = {
-    val predCounts = LangId.classify(docs, "doc_id", "text", profiles, topM)
+    val predCounts = LangId.classify(
+      Parallelism.ensure(docs), "doc_id", "text", profiles, topM)
       .groupBy(col("pred_lang").as("lang"))
       .agg(count(lit(1)).as("n"))
     val tot = predCounts.agg(coalesce(sum("n"), lit(0L)).as("t"))

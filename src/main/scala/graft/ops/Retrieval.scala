@@ -41,12 +41,16 @@ object Retrieval {
       .select(col("doc_id"), size(col("tk")).as("dl"),
         explode(TermCounts(col("tk"))).as(Seq("term", "tf")))
 
-  /** Distinct (q_id, term) pairs of the query batch. */
+  /** Distinct (q_id, term) pairs of the query batch. Contract: one
+    * row per q_id (every caller builds queries from a unique-id doc
+    * slice), so the per-row `array_distinct` IS the distinct set and
+    * the cross-row `.distinct()` exchange the old form paid bought
+    * nothing. */
   private[ops] def queryTerms(queries: DataFrame): DataFrame =
     queries
       .filter(col("text").isNotNull)
-      .select(col("q_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-      .distinct()
+      .select(col("q_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
 
   /** Shared scoring/ranking tail of the in-memory and store-backed
     * paths — ONE expression tree, so the two are bit-identical and
