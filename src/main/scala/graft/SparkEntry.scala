@@ -1118,8 +1118,12 @@ object SparkEntry {
     * engines so even target_docs compares exactly.
     */
   def q67Mixture(s: SparkSession, dir: String): DataFrame = {
+    // Materialized once (|sources| rows): the total and the weight
+    // projection both consume cnt — without the checkpoint the corpus
+    // count aggregate ran twice (broadcast subtrees don't share plans).
     val cnt = Tables.documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
     val tot = cnt.agg(sum(sqrt(col("n_docs").cast("double"))).as("tpw"))
     cnt.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),

@@ -120,10 +120,15 @@ object Eval {
       scoreCol: String,
       predCol: String,
       labelCol: String): DataFrame = {
-    val base = scored.select(
+    // Staged: the AUC branch (distinct-score cumsum) and the
+    // confusion branch both consume `base`, and without a
+    // materialization each re-runs the caller's ENTIRE scoring
+    // pipeline (q112's NB fit ran twice, measured). The projection is
+    // 3 narrow columns — the "decide with small rows" proxy table.
+    val base = Parallelism.stage(scored.select(
       Quality.fixedPoint9(col(scoreCol)).as("s9k"),
       col(predCol).cast("int").as("pred"),
-      col(labelCol).cast("int").as("y"))
+      col(labelCol).cast("int").as("y")))
     val g = base.groupBy("s9k").agg(
       sum(col("y")).cast("long").as("pos_k"),
       (count(lit(1)) - sum(col("y"))).cast("long").as("neg_k"))
@@ -156,11 +161,14 @@ object Eval {
       scoreCol: String,
       predCol: String,
       labelCol: String): DataFrame = {
-    val base = scored.select(
+    // Staged for the same two-consumer reason as [[classifierMetrics]]
+    // (per-group AUC branch + confusion branch): without it the
+    // caller's whole scoring pipeline runs twice per report.
+    val base = Parallelism.stage(scored.select(
       col(groupCol),
       Quality.fixedPoint9(col(scoreCol)).as("s9k"),
       col(predCol).cast("int").as("pred"),
-      col(labelCol).cast("int").as("y"))
+      col(labelCol).cast("int").as("y")))
     val g = base.groupBy(col(groupCol), col("s9k")).agg(
       sum(col("y")).cast("long").as("pos_k"),
       (count(lit(1)) - sum(col("y"))).cast("long").as("neg_k"))

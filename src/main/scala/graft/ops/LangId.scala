@@ -59,7 +59,17 @@ object LangId {
       .select(keyCols.map(col) :+
         explode(PaddedCharGrams(TextFunctions.tokens(col(textCol)))).as("gram"): _*)
 
-  /** Distinct gram counts per key: (keyCol..., gram, cnt). */
+  /** Distinct gram counts per key: (keyCol..., gram, cnt).
+    *
+    * Deliberately the raw `explode → groupBy` form, NOT a row-local
+    * [[graft.functions.TermCounts]] pre-combine (the posting-build
+    * recipe): measured at gate scale, pre-counting each document's
+    * grams through the map kernel cost ~1.5× the plain explode — the
+    * grouping key here is NOT row-unique, so the partial hash
+    * aggregate already combines map-side in codegen'd unsafe rows,
+    * and the kernel's per-row boxed map only duplicated that work.
+    * (TermCounts earns its keep only where it REMOVES an exchange —
+    * the row-unique doc_id keys in Retrieval/Quality.) */
   private def gramCounts(docs: DataFrame, keyCols: Seq[String], textCol: String): DataFrame =
     gramRows(docs, keyCols, textCol)
       .groupBy(keyCols.map(col) :+ col("gram"): _*)

@@ -45,12 +45,18 @@ object LangIdStore {
     // never match (classify never predicts null), reading as permanent
     // vanished-language drift, and every real language's train_share
     // diluted by documents the profiles never saw.
+    // Counts materialized once (lang-bounded — tiny), total collected
+    // as a literal: the former `crossJoin(broadcast(tot))` re-ran the
+    // corpus-sized count aggregate a second time just to produce the
+    // 1-row total (tot's plan differs from counts', so no exchange or
+    // subtree reuse applied).
     val counts = staged.filter(col("text").isNotNull && col("lang").isNotNull)
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum("n").as("t"))
-    counts.crossJoin(broadcast(tot))
+      .localCheckpoint(false)
+    val t = counts.agg(coalesce(sum("n"), lit(0L)).cast("long")).head().getLong(0)
+    counts
       .select(col("lang"),
-        round(col("n").cast("double") / col("t").cast("double"), 6)
+        round(col("n").cast("double") / lit(t).cast("double"), 6)
           .as("train_share"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/mix")
@@ -119,10 +125,17 @@ object LangIdStore {
       topM: Int,
       ref: DataFrame,
       docs: DataFrame): DataFrame = {
+    // Materialized once (lang-bounded): the share join and the total
+    // both consume predCounts, and the two broadcast subtrees don't
+    // share plans — without the checkpoint the WHOLE classify pass
+    // (scan + gram/argmin kernel over the batch) ran twice per
+    // monitor call (measured: the two heaviest stages of q127's
+    // probe were the same classify, back to back).
     val predCounts = LangId.classify(
       Parallelism.ensure(docs), "doc_id", "text", profiles, topM)
       .groupBy(col("pred_lang").as("lang"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val tot = predCounts.agg(coalesce(sum("n"), lit(0L)).as("t"))
     ref
       .join(broadcast(predCounts), Seq("lang"), "left")

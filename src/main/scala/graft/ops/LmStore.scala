@@ -37,13 +37,16 @@ object LmStore {
       spark: SparkSession,
       docs: DataFrame,
       path: String,
-      buckets: Int = 64): String = {
+      buckets: Int = 0): String = {
+    // 0 = session-derived ([[XenaOps.defaultStoreBuckets]]); probes
+    // re-attach from the catalog/sidecar, so create-time only.
+    val nb = if (buckets > 0) buckets else XenaOps.defaultStoreBuckets(spark)
     val table = tableFor(path)
     val vocab = Parallelism.ensure(docs)
       .filter(col("text").isNotNull)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    XenaOps.writeBucketed(vocab, table, "tok", buckets, Some(s"$path/vocab"))
+    XenaOps.writeBucketed(vocab, table, "tok", nb, Some(s"$path/vocab"))
     // total from the WRITTEN table: one pass over the |vocab|-bounded
     // store instead of keeping the aggregate alive for two consumers
     val total = spark.table(table)
@@ -52,7 +55,7 @@ object LmStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(
-      s"""{"total": $total, "buckets": $buckets, "schema": "`tok` STRING,`cnt` BIGINT"}"""
+      s"""{"total": $total, "buckets": $nb, "schema": "`tok` STRING,`cnt` BIGINT"}"""
         .getBytes("UTF-8"))
     finally os.close()
     table

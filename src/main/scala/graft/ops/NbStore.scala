@@ -43,7 +43,10 @@ object NbStore {
       docs: DataFrame,
       isSeed: Column,
       path: String,
-      buckets: Int = 64): String = {
+      buckets: Int = 0): String = {
+    // 0 = session-derived ([[XenaOps.defaultStoreBuckets]]); probes
+    // re-attach from the catalog/sidecar, so create-time only.
+    val nb = if (buckets > 0) buckets else XenaOps.defaultStoreBuckets(spark)
     val table = tableFor(path)
     // Row-local per-doc counts ([[TermCounts]] — the naiveBayesLogOdds
     // recipe): no corpus exchange for the row-unique (doc, is_seed) key.
@@ -57,7 +60,7 @@ object NbStore {
     val model = pd.groupBy("tok").agg(
       sum(when(col("is_seed"), col("cnt")).otherwise(0L)).as("pos"),
       sum(when(!col("is_seed"), col("cnt")).otherwise(0L)).as("neg"))
-    XenaOps.writeBucketed(model, table, "tok", buckets, Some(s"$path/model"))
+    XenaOps.writeBucketed(model, table, "tok", nb, Some(s"$path/model"))
     // totals from the WRITTEN table (one pass over the vocab-bounded
     // store), doc counts from the checkpointed per-doc table
     val t = spark.table(table).agg(
@@ -76,7 +79,7 @@ object NbStore {
     val os = fs.create(p, true)
     try os.write(
       (s"""{"tpos": $tpos, "tneg": $tneg, "v": $v, "npos": $npos, "nneg": $nneg, """ +
-        s""""buckets": $buckets, "schema": "`tok` STRING,`pos` BIGINT,`neg` BIGINT"}""")
+        s""""buckets": $nb, "schema": "`tok` STRING,`pos` BIGINT,`neg` BIGINT"}""")
         .getBytes("UTF-8"))
     finally os.close()
     table

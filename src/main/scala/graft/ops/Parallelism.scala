@@ -75,6 +75,70 @@ object Parallelism {
         s"unknown spark.graft.stage.storage '$other' (local-checkpoint|disk|none)")
     }
 
+  /** [[ensure]] that spreads BY a key instead of round-robin, for
+    * inputs whose downstream reductions are keyed by that key: fires
+    * under the same provably-small-scan guard (structural no-op at
+    * scale), but when it does fire the exchange it adds is one every
+    * key-clustered consumer downstream reuses — a localCheckpoint
+    * preserves the plan's output partitioning into its LogicalRDD, so
+    * a doc-keyed aggregate over the staged result plans NO further
+    * exchange (guide §2.4: operations keyed the same way share one
+    * exchange). Key cardinality must be ≫ the target partition count
+    * (doc_id/row keys — always true here). */
+  def ensureBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (estimatedSplits(df) < target) df.repartition(target, key) else df
+  }
+
+  /** Doc-keyed spread for a PROBE-side scan whose downstream
+    * reductions are keyed by the document: repartition BY `key` into
+    * a pinned partition count (the session's shuffle partitions, or
+    * the caller's `numPartitions` when co-partitioning with a
+    * bucketed table). Two effects, both guide §2.4:
+    *
+    *  - the scan's rows land hash-clustered by document, so every
+    *    doc-keyed consumer — the (query, doc) score aggregate, a
+    *    doc-bucketed norm attach — satisfies its distribution from
+    *    THIS one exchange and plans no further shuffle;
+    *  - unlike the keyless [[ensure]], parallelism is restored
+    *    WITHOUT destroying key locality (round-robin splits one
+    *    document's rows across every partition, which is exactly what
+    *    un-combines the downstream partial aggregate).
+    *
+    * The exchange this ADDS is bounded by the probe's own matched
+    * volume (the scan it spreads is bucket/predicate-pruned), and it
+    * REPLACES a larger one: the fanned-out (query, doc) partial rows
+    * that would otherwise cross the wire barely combined (a store
+    * scan is term-clustered, so one document's postings scatter
+    * across partitions — measured 120 MB shuffled where the
+    * doc-clustered in-memory path ships 20 MB). The count is PINNED:
+    * AQE would coalesce a small probe's exchange to one partition and
+    * serialize the score fan-out behind it (the q88 lesson). */
+  def spreadBy(df: DataFrame, key: org.apache.spark.sql.Column,
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, key)
+  }
+
+  /** Join-strategy hint for a fit-side table whose EXACT row count
+    * the caller has already paid for (a totals aggregate collected to
+    * the driver): broadcast when that count fits under
+    * `spark.graft.broadcastVocabMaxRows`, leave the shuffle join
+    * otherwise. Guide §3.1 — pick the strategy deliberately, and from
+    * a real count rather than Catalyst's size estimate (which is
+    * routinely wrong above an aggregate). The cap's default (2M rows,
+    * ~100 MB built) is a per-executor-memory bound, not a local-mode
+    * tune: vocabularies past it — web-scale token sets — keep the
+    * exchange plan, and results are identical either way (same rows,
+    * same arithmetic; only the join strategy moves). */
+  def broadcastIfCounted(df: DataFrame, exactRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("spark.graft.broadcastVocabMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (exactRows <= cap) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   /** Estimate how many partitions the scan will plan, WITHOUT physical
     * planning (`df.rdd` would plan the subtree — thrown away whenever we
     * then wrap in repartition — and observes the pre-AQE count anyway).

@@ -143,14 +143,19 @@ object PostingStore {
     * REPLACED — its ledger dirs are cleared first, so a create over
     * stale data (or an older layout) can never leave mixed partition
     * trees behind for a later read to trip on. */
-  def create(corpus: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+  def create(corpus: DataFrame, path: String, nBuckets: Int = 0): Unit = {
     val spark = corpus.sparkSession
+    // 0 = session-derived ([[XenaOps.defaultStoreBuckets]]): buckets
+    // are the store's write-parallelism parameter; every later probe/
+    // append reads the count from store.json, so the choice is
+    // create-time only.
+    val nb = if (nBuckets > 0) nBuckets else XenaOps.defaultStoreBuckets(spark)
     val f = fs(spark, path)
     Seq("postings", "dfreq", "stats", "norms").foreach { d =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
     }
-    writeText(spark, s"$path/store.json", s"""{"n_buckets":$nBuckets}""")
-    writeBatch(corpus, path, "base", nBuckets)
+    writeText(spark, s"$path/store.json", s"""{"n_buckets":$nb}""")
+    writeBatch(corpus, path, "base", nb)
   }
 
   /** Grow the store with `newDocs` (doc_id, text) under `tag` —
@@ -223,12 +228,21 @@ object PostingStore {
     // stats land — without the gate a racing retrieve would score
     // those postings with missing df and stale (n_docs, total_dl).
     // With it, read visibility is atomic at the stats-file commit.
-    // Parallelism.ensure: a physically-small posting store packs into
-    // one file split, and the probe's query fan-out would serialize on
-    // it (the q88 lesson); structurally a no-op once the store is big.
-    val postings = Parallelism.ensure(
+    // spreadBy(doc_id): the store lays postings out by TERM bucket, so
+    // a document's rows scatter across files and the (q_id, doc_id)
+    // score aggregate downstream could barely combine map-side — its
+    // exchange carried the near-raw fan-out (measured 120 MB vs the
+    // doc-clustered in-memory path's 20 MB at gate scale). One
+    // doc-keyed exchange of the PRUNED scan (matched-volume-bounded)
+    // restores doc locality AND satisfies the aggregate's
+    // distribution, so the fan-out's own exchange disappears; it also
+    // replaces the keyless ensure (same q88 single-split lesson,
+    // without round-robin destroying the key locality it exists to
+    // exploit).
+    val postings = Parallelism.spreadBy(
       spark.read.parquet(s"$path/postings")
-        .filter(col("batch").isin(committed: _*) && col("tb").isin(postBuckets: _*)))
+        .filter(col("batch").isin(committed: _*) && col("tb").isin(postBuckets: _*)),
+      col("doc_id"))
     // avg(dl) over integer-valued doubles == total/count exactly.
     val avgdl = totalDl.toDouble / nDocs.toDouble
     Retrieval.scoreTopK(
@@ -335,9 +349,16 @@ object PostingStore {
     val dfreq = spark.read.parquet(s"$path/dfreq")
       .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*))
       .groupBy("term").agg(sum("df").cast("long").as("df"))
-    val postings = Parallelism.ensure(
+    // spreadBy(doc_id) at the NORM table's bucket count ([[retrieve]]'s
+    // rationale, plus co-partitioning: the dots aggregate inherits
+    // HashPartitioning(doc_id, normBuckets), so both the (q_id,
+    // doc_id) reduction AND the frozen-norm attach plan zero further
+    // exchanges — the probe's only remaining shuffle is the top-k
+    // window's, already WindowGroupLimit-pruned).
+    val postings = Parallelism.spreadBy(
       spark.read.parquet(s"$path/postings")
-        .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*)))
+        .filter(col("batch").isin(committed: _*) && col("tb").isin(buckets: _*)),
+      col("doc_id"), numPartitions = normBuckets)
     // Re-attach the bucketed norm table (bucketing lives in the
     // catalog, not the files): the corpus-sized norm side then
     // streams into the score join exchange- and sort-free.

@@ -97,9 +97,14 @@ object Quality {
         pmod(Md5Prefix64(concat(lit("dsir_"), col("tok"))), b).as("b"))
       .agg(count(lit(1)).as("cnt"))
       .transform(Parallelism.stage) // reused corpus-sized intermediate: pluggable storage
+    // Materialized once (`buckets` rows): totals and the log-ratio
+    // table both consume hist — without the checkpoint the
+    // corpus-sized bucket aggregate over the perDoc checkpoint ran
+    // twice (the two broadcast subtrees don't share plans).
     val hist = perDoc.groupBy("b").agg(
       sum("cnt").as("raw_cnt"),
       sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tgt_cnt"))
+      .localCheckpoint(false)
     val totals = hist.agg(
       sum("raw_cnt").as("raw_total"), sum("tgt_cnt").as("tgt_total"))
     val lr = hist.crossJoin(broadcast(totals)).select(col("b"),
@@ -146,14 +151,24 @@ object Quality {
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
       .transform(Parallelism.stage)
-    val vocab = pd.groupBy("tok").agg(sum("cnt").as("c"))
-    val total = vocab.agg(sum("c").as("t"))
+    // The LM table is materialized once (vocab-bounded — Heaps' law),
+    // its total collected as a LITERAL in the same pass that learns
+    // the exact vocab size, and the score join BROADCASTS the LM when
+    // that exact count fits ([[Parallelism.broadcastIfCounted]]).
+    // Before: the corpus-sized pd exchanged BY TOKEN for the join and
+    // again by doc_id for the final sum — and a skewed/small
+    // vocabulary collapses the token exchange to a handful of
+    // AQE-coalesced partitions (measured: ONE task carried the whole
+    // score join at gate scale). Broadcasting turns the scorer into
+    // map-side work; past the cap the former plan returns unchanged.
+    val vocab = Parallelism.stage(pd.groupBy("tok").agg(sum("cnt").as("c")))
+    val vt = vocab.agg(coalesce(sum("c"), lit(0L)).cast("long"), count(lit(1))).head()
+    val (total, vRows) = (vt.getLong(0), vt.getLong(1))
     pd
-      .join(vocab, Seq("tok"))
-      .crossJoin(broadcast(total))
+      .join(Parallelism.broadcastIfCounted(vocab, vRows), Seq("tok"))
       .select(col("doc_id"), col("cnt"),
         fixedPoint9(col("cnt").cast("double") *
-          log(col("c").cast("double") / col("t").cast("double"))).as("ts9"))
+          log(col("c").cast("double") / lit(total).cast("double"))).as("ts9"))
       .groupBy("doc_id")
       .agg(
         sum("cnt").cast("long").as("n_tokens"),
@@ -195,9 +210,16 @@ object Quality {
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .transform(Parallelism.stage)
     val pre = bgc.groupBy("w1").agg(sum("c").as("cp"))
+    // Exact bigram-vocab count (one bounded agg over the staged LM
+    // table) decides BOTH attach joins: broadcast under the cap —
+    // removing the two corpus-sized exchanges (by bg, then by w1) the
+    // shuffle form pays, which a small/skewed vocabulary collapses to
+    // single AQE partitions — shuffle past it (unigramLogprob's
+    // rationale; |pre| <= |bgc| so one count bounds both).
+    val bgRows = bgc.agg(count(lit(1))).head().getLong(0)
     pd
-      .join(bgc, Seq("bg"))
-      .join(pre, Seq("w1"))
+      .join(Parallelism.broadcastIfCounted(bgc, bgRows), Seq("bg"))
+      .join(Parallelism.broadcastIfCounted(pre, bgRows), Seq("w1"))
       .select(col("doc_id"), col("cnt"),
         fixedPoint9(col("cnt").cast("double") *
           log(col("c").cast("double") / col("cp").cast("double"))).as("ts9"))
@@ -463,18 +485,26 @@ object Quality {
       .groupBy(col(groupCol), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .transform(Parallelism.stage) // two consumers: corpus vocab + the drift join
-    val vocab = gt.groupBy("tok").agg(sum("cnt").as("c"))
+    // Corpus vocabulary materialized once (vocab-bounded): the grand
+    // total and the drift join both consume it. The total itself is
+    // collected as a literal in the pass that learns the exact vocab
+    // size, and the join BROADCASTS the vocab under the cap
+    // ([[Parallelism.broadcastIfCounted]] — the unigramLogprob
+    // rationale: the shuffle form exchanges the corpus-sized gt BY
+    // TOKEN, which a small/skewed vocabulary collapses to single
+    // AQE partitions).
+    val vocab = Parallelism.stage(gt.groupBy("tok").agg(sum("cnt").as("c")))
     val totals = gt.groupBy(groupCol).agg(sum("cnt").as("gtot"))
-    val grand = vocab.agg(sum("c").as("t"))
+    val grandRow = vocab.agg(coalesce(sum("c"), lit(0L)).cast("long"), count(lit(1))).head()
+    val (grandT, vRows) = (grandRow.getLong(0), grandRow.getLong(1))
     // p_g ln(p_g/q) = (cnt/gtot) ln((cnt·t)/(gtot·c)) — all four
     // factors cast to double BEFORE multiplying, so both engines
     // round identically (a HUGEINT product rounded once would not).
     val term = (col("cnt").cast("double") / col("gtot").cast("double")) *
-      log((col("cnt").cast("double") * col("t").cast("double")) /
+      log((col("cnt").cast("double") * lit(grandT).cast("double")) /
         (col("gtot").cast("double") * col("c").cast("double")))
-    gt.join(vocab, Seq("tok"))
+    gt.join(Parallelism.broadcastIfCounted(vocab, vRows), Seq("tok"))
       .join(broadcast(totals), Seq(groupCol))
-      .crossJoin(broadcast(grand))
       .select(col(groupCol), col("cnt"), fixedPoint9(term).as("k9"))
       .groupBy(col(groupCol))
       .agg(
@@ -522,19 +552,30 @@ object Quality {
       .select(col("doc_id"), col("is_seed"),
         explode(TermCounts(col("tk"))).as(Seq("tok", "cnt")))
       .transform(Parallelism.stage) // three consumers: histograms, prior, score join
-    val hist = pd.groupBy("tok").agg(
+    // Class histograms materialized once (vocab-bounded), their
+    // totals collected as LITERALS in the pass that learns the exact
+    // vocab size, and the score join BROADCASTS the histogram when
+    // that count fits ([[Parallelism.broadcastIfCounted]] — the
+    // unigramLogprob rationale). Before: the corpus-sized pd
+    // exchanged BY TOKEN for this join — which a small/skewed
+    // vocabulary collapses to ONE AQE-coalesced task (measured 2.4s
+    // single-task stages inside every NB-scored gate row) — and again
+    // by doc_id for the final sum. Past the cap the former
+    // shuffle-join plan returns unchanged.
+    val hist = Parallelism.stage(pd.groupBy("tok").agg(
       sum(when(col("is_seed"), col("cnt")).otherwise(0L)).as("pos"),
-      sum(when(!col("is_seed"), col("cnt")).otherwise(0L)).as("neg"))
-    val tot = hist.agg(
-      sum("pos").as("tpos"), sum("neg").as("tneg"), count(lit(1)).as("v"))
+      sum(when(!col("is_seed"), col("cnt")).otherwise(0L)).as("neg")))
+    val totRow = hist.agg(
+      coalesce(sum("pos"), lit(0L)).cast("long"),
+      coalesce(sum("neg"), lit(0L)).cast("long"), count(lit(1))).head()
+    val (tpos, tneg, v) = (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
     val pri = pd.select("doc_id", "is_seed").distinct()
       .agg((log(sum(when(col("is_seed"), 1L).otherwise(0L)).cast("double") /
         sum(when(!col("is_seed"), 1L).otherwise(0L)).cast("double"))).as("prior"))
-    val w = log((col("pos") + 1).cast("double") / (col("tpos") + col("v")).cast("double")) -
-      log((col("neg") + 1).cast("double") / (col("tneg") + col("v")).cast("double"))
+    val w = log((col("pos") + 1).cast("double") / lit(tpos + v).cast("double")) -
+      log((col("neg") + 1).cast("double") / lit(tneg + v).cast("double"))
     val raw = col("prior") + fromFixedPoint9(col("s9"))
-    pd.join(hist, Seq("tok")) // token-keyed, co-partitioned
-      .crossJoin(broadcast(tot))
+    pd.join(Parallelism.broadcastIfCounted(hist, v), Seq("tok"))
       .select(col("doc_id"), col("cnt"),
         fixedPoint9(col("cnt").cast("double") * w).as("ts9"))
       .groupBy("doc_id")

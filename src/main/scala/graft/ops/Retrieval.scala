@@ -167,8 +167,19 @@ object Retrieval {
     // zero-exchange posting build keeps the scan's partitioning, so on
     // a physically-small input the whole tokenize would otherwise run
     // in the scan's one or two tasks. Structurally a no-op at scale.
+    // ensureBy(doc_id), not round-robin: same firing guard as ensure
+    // (provably-small scans only), but the spread keeps each
+    // document's postings hash-clustered by intent, and under
+    // `spark.graft.stage.storage=none` (no checkpoint between this
+    // exchange and the score aggregate) the (q_id, doc_id) reduction
+    // reuses it outright. Through the default localCheckpoint AQE
+    // drops partitioning metadata, so the aggregate keeps its own
+    // exchange there — carrying FULLY map-side-combined rows, because
+    // doc-locality makes every (q, d) pair complete within one
+    // partition (the store probes, which have no checkpoint, drop the
+    // exchange entirely — see PostingStore.retrieve).
     val postings = Parallelism.ensureCheckpointed(
-      Parallelism.stage(buildPostings(Parallelism.ensure(corpus))))
+      Parallelism.stage(buildPostings(Parallelism.ensureBy(corpus, col("doc_id")))))
     // The df cap restricts SCORING terms only; corpus statistics
     // (n_docs, avgdl) and surviving terms' df stay those of the full
     // corpus — the cap drops terms, it does not re-weigh the rest.
@@ -240,8 +251,10 @@ object Retrieval {
       queries: DataFrame,
       k: Int = 10,
       maxTermDf: Long = Long.MaxValue): DataFrame = {
+    // ensureBy(doc_id): [[bm25TopK]]'s rationale (doc-clustered
+    // postings fully combine the score partials map-side).
     val postings = Parallelism.ensureCheckpointed(
-      Parallelism.stage(buildPostings(Parallelism.ensure(corpus))))
+      Parallelism.stage(buildPostings(Parallelism.ensureBy(corpus, col("doc_id")))))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = postings.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))

@@ -291,6 +291,20 @@ object XenaOps {
     * the 100-TB answer to the reference's repeated
     * `join_xena.sh` sort|join passes.
     */
+  /** Session-derived bucket count for stores CREATED in this session
+    * (callers may always pass their own): one bucket ≈ one write slot
+    * — [[writeBucketed]]'s own sizing contract ("write parallelism =
+    * bucket count; size buckets to the cluster's write slots") —
+    * clamped to [16, 64] so a small session doesn't pay 64 parquet-
+    * writer initializations per store table (measured ~300 ms of
+    * fixed per-task cost each at gate scale) and a large cluster
+    * keeps the probe-pruning granularity the stores were sized for.
+    * Create-time only: probes and appends read the count from the
+    * store's own sidecar/catalog entry, so layout stays internally
+    * consistent whatever session later opens the store. */
+  def defaultStoreBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    math.min(64, math.max(16, spark.sparkContext.defaultParallelism))
+
   def writeBucketed(
       df: DataFrame, table: String, rowKey: String, buckets: Int,
       path: Option[String] = None): Unit = {

@@ -682,9 +682,15 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession,
       perCell: DataFrame,
       nlist: Int): DataFrame = {
-    val tot = perCell.agg(sum("n_vecs").as("n_total"))
+    // Materialized once (nlist-bounded): the total and the densify
+    // join both consume perCell, and the two broadcast subtrees don't
+    // share plans — without the checkpoint the corpus-sized
+    // assign+error pass above ran TWICE per report (measured: the two
+    // heaviest stages of q116 were the same scan back to back).
+    val pc = perCell.localCheckpoint(false)
+    val tot = pc.agg(sum("n_vecs").as("n_total"))
     s.range(nlist).select(col("id").cast("int").as("cell"))
-      .join(broadcast(perCell), Seq("cell"), "left")
+      .join(broadcast(pc), Seq("cell"), "left")
       .crossJoin(broadcast(tot))
       .select(col("cell"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
