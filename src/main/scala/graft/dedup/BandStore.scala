@@ -42,7 +42,9 @@ object BandStore {
     *
     * Same bucket-count contract as the fingerprint store: size
     * `buckets` >= the cluster's shuffle width or the planner disables
-    * the bucketed scan and reshuffles the store per batch.
+    * the bucketed scan and reshuffles the store per batch. `buckets`
+    * 0 = session-derived ([[XenaOps.defaultBucketedStoreBuckets]] —
+    * that floor built in).
     */
   def createAt(
       spark: SparkSession,
@@ -54,12 +56,14 @@ object BandStore {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Long = Long.MaxValue,
-      buckets: Int = 64): String = {
+      buckets: Int = 0): String = {
+    val nb = if (buckets > 0) buckets
+      else XenaOps.defaultBucketedStoreBuckets(spark)
     val table = tableFor(path)
     val bandRows = Dedup.cappedBandTable(
       reference, idCol, textCol, n, numHashes, bands, maxBucketSize)
       .select(bkey.as("bkey"), col("doc_id"))
-    XenaOps.writeBucketed(bandRows, table, "bkey", buckets, Some(s"$path/bands"))
+    XenaOps.writeBucketed(bandRows, table, "bkey", nb, Some(s"$path/bands"))
     val p = new org.apache.hadoop.fs.Path(s"$path/_band_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
@@ -69,7 +73,7 @@ object BandStore {
     // and every append would silently drop the cap.
     try os.write(
       (s"""{"n": $n, "numHashes": $numHashes, "bands": $bands, """ +
-        s""""buckets": $buckets, "maxBucketSize": $maxBucketSize}""")
+        s""""buckets": $nb, "maxBucketSize": $maxBucketSize}""")
         .getBytes("UTF-8"))
     finally os.close()
     table
@@ -166,13 +170,15 @@ object BandStore {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Long = Long.MaxValue,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit = {
+    val nb = if (buckets > 0) buckets else XenaOps.catalogBuckets(spark, table)
     Dedup.cappedBandTable(newDocs, idCol, textCol, n, numHashes, bands, maxBucketSize)
       .select(bkey.as("bkey"), col("doc_id"))
-      .repartition(buckets, col("bkey"))
+      .repartition(nb, col("bkey"))
       .write.mode("append").format("parquet")
-      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .bucketBy(nb, "bkey").sortBy("bkey")
       .saveAsTable(table)
+  }
 
   /** What [[retuneIfSkewed]] measured and decided — the same facts it
     * logs to `<path>/retune.json`. */

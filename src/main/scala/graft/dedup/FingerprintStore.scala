@@ -48,20 +48,26 @@ object FingerprintStore {
     * configured shuffle width as not worth it, and silently falls
     * back to an unbucketed scan + full store reshuffle (observed:
     * 4 buckets vs 32 shuffle partitions → "Bucketed: false (disabled
-    * by query planner)"; DedupStoreSpec pins the working shape). */
+    * by query planner)"; DedupStoreSpec pins the working shape).
+    * `buckets` 0 = session-derived
+    * ([[XenaOps.defaultBucketedStoreBuckets]] — the shuffle-width
+    * floor built in). */
   def create(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       table: String,
       path: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit = {
+    val nb = if (buckets > 0) buckets
+      else XenaOps.defaultBucketedStoreBuckets(docs.sparkSession)
     XenaOps.writeBucketed(
       Parallelism.ensure(docs)
         .select(col(idCol), storeFp(textCol).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col(idCol)).as("keep_id")),
-      table, "fp", buckets, Some(path))
+      table, "fp", nb, Some(path))
+  }
 
   /** Batch rows that are globally NEW: first occurrence of their
     * fingerprint within the batch (min `idCol` keeps) AND their
@@ -101,9 +107,11 @@ object FingerprintStore {
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): String = {
+      buckets: Int = 0): String = {
+    val nb = if (buckets > 0) buckets
+      else XenaOps.defaultBucketedStoreBuckets(spark)
     val table = tableFor(path)
-    create(docs, idCol, textCol, table, s"$path/fp", buckets)
+    create(docs, idCol, textCol, table, s"$path/fp", nb)
     // schema DDL persisted for the empty-store bootstrap: a store
     // created over ZERO rows (streaming curation starting from
     // nothing) writes no data file, so a later attach has nothing to
@@ -115,7 +123,7 @@ object FingerprintStore {
     val p = new org.apache.hadoop.fs.Path(s"$path/_fp_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
-    try os.write(s"""{"buckets": $buckets, "schema": "$ddl"}""".getBytes("UTF-8"))
+    try os.write(s"""{"buckets": $nb, "schema": "$ddl"}""".getBytes("UTF-8"))
     finally os.close()
     table
   }
@@ -151,18 +159,23 @@ object FingerprintStore {
     * spec, appended). Appended buckets add one file per bucket per
     * batch — fine for the anti-join (hash membership doesn't need the
     * file-sort guarantee); re-[[create]] to compact when batch count
-    * grows large. */
+    * grows large. `buckets` 0 = read the registered table's own
+    * bucket spec from the catalog, so an append can never diverge
+    * from the store's layout (a mismatched explicit count fails
+    * loudly in `saveAsTable`). */
   def append(
       spark: SparkSession,
       table: String,
       accepted: DataFrame,
       idCol: String,
       textCol: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit = {
+    val nb = if (buckets > 0) buckets else XenaOps.catalogBuckets(spark, table)
     Parallelism.ensure(accepted)
       .select(storeFp(textCol).as("fp"), col(idCol).as("keep_id"))
-      .repartition(buckets, col("fp"))
+      .repartition(nb, col("fp"))
       .write.mode("append").format("parquet")
-      .bucketBy(buckets, "fp").sortBy("fp")
+      .bucketBy(nb, "fp").sortBy("fp")
       .saveAsTable(table)
+  }
 }

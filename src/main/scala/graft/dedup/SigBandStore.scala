@@ -88,7 +88,9 @@ object SigBandStore {
     * later session can [[attach]] without knowing them. Returns the
     * table name. Size `buckets` >= the cluster's shuffle width or
     * the planner disables the bucketed scan (same contract as the
-    * other stores). */
+    * other stores); 0 = session-derived
+    * ([[XenaOps.defaultBucketedStoreBuckets]] — that floor built
+    * in). */
   def createAt(
       spark: SparkSession,
       sigs: DataFrame,
@@ -97,17 +99,19 @@ object SigBandStore {
       path: String,
       sigBits: Int = 64,
       bands: Int = 4,
-      buckets: Int = 64): String = {
+      buckets: Int = 0): String = {
     validate(sigBits, bands)
+    val nb = if (buckets > 0) buckets
+      else XenaOps.defaultBucketedStoreBuckets(spark)
     val table = tableFor(path)
     XenaOps.writeBucketed(
       exactRows(sigs, idCol, sigCol, sigBits, bands),
-      table, "bkey", buckets, Some(s"$path/bands"))
+      table, "bkey", nb, Some(s"$path/bands"))
     val p = new org.apache.hadoop.fs.Path(s"$path/_sig_band_store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(
-      s"""{"sigBits": $sigBits, "bands": $bands, "buckets": $buckets}""".getBytes("UTF-8"))
+      s"""{"sigBits": $sigBits, "bands": $bands, "buckets": $nb}""".getBytes("UTF-8"))
     finally os.close()
     table
   }
@@ -164,7 +168,9 @@ object SigBandStore {
 
   /** Append newly-accepted items' band rows (same bucket spec) — the
     * corpus-growth path: sign ONLY the new items, never re-sign the
-    * corpus. Parameters must be the store's persisted ones. */
+    * corpus. Parameters must be the store's persisted ones; `buckets`
+    * 0 = read the registered table's own bucket spec from the
+    * catalog. */
   def append(
       spark: SparkSession,
       table: String,
@@ -173,12 +179,13 @@ object SigBandStore {
       sigCol: String,
       sigBits: Int = 64,
       bands: Int = 4,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 0): Unit = {
     validate(sigBits, bands)
+    val nb = if (buckets > 0) buckets else XenaOps.catalogBuckets(spark, table)
     exactRows(newSigs, idCol, sigCol, sigBits, bands)
-      .repartition(buckets, col("bkey"))
+      .repartition(nb, col("bkey"))
       .write.mode("append").format("parquet")
-      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .bucketBy(nb, "bkey").sortBy("bkey")
       .saveAsTable(table)
   }
 

@@ -125,22 +125,35 @@ object CorpusStats {
       .groupBy("token").agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
 
-    val totals = pairCnt.agg(sum("pair_cnt").as("p_total"))
-      .crossJoin(unigram.agg(sum("c").as("t_total")))
+    // Totals collected as LITERALS in the same pass that learns the
+    // exact table sizes, and the two unigram joins BROADCAST under
+    // [[Parallelism.broadcastIfCounted]] (the unigramLogprob recipe):
+    // the shuffle form exchanges the pair table TWICE (by x, then by
+    // y) against a vocab-bounded side, which a small/skewed vocabulary
+    // collapses to single AQE partitions. Past the cap the former
+    // exchange plan returns unchanged. Values are identical either
+    // way — the literals carry the very sums the broadcast columns
+    // carried, into the same float expression.
+    val ut = unigram.agg(
+      coalesce(sum("c"), lit(0L)).cast("long"), count(lit(1))).head()
+    val (tTotal, uRows) = (ut.getLong(0), ut.getLong(1))
+    val pTotal = pairCnt
+      .agg(coalesce(sum("pair_cnt"), lit(0L)).cast("long")).head().getLong(0)
 
     // The float expression below is transcribed verbatim into the
     // DuckDB oracle — identical operator tree, so the IEEE result is
     // bit-equal and round(…, 6) is a formality for ln()'s 1-ulp play.
     pairCnt
       .filter(col("pair_cnt") >= minPairCount)
-      .join(unigram.withColumnRenamed("token", "x").withColumnRenamed("c", "cx"), Seq("x"))
-      .join(unigram.withColumnRenamed("token", "y").withColumnRenamed("c", "cy"), Seq("y"))
-      .crossJoin(broadcast(totals))
+      .join(Parallelism.broadcastIfCounted(
+        unigram.withColumnRenamed("token", "x").withColumnRenamed("c", "cx"), uRows), Seq("x"))
+      .join(Parallelism.broadcastIfCounted(
+        unigram.withColumnRenamed("token", "y").withColumnRenamed("c", "cy"), uRows), Seq("y"))
       .select(col("x"), col("y"), col("pair_cnt"),
         round(log(
-          (col("pair_cnt").cast("double") / col("p_total").cast("double")) /
-            ((col("cx").cast("double") / col("t_total").cast("double")) *
-              (col("cy").cast("double") / col("t_total").cast("double")))), 6).as("pmi"))
+          (col("pair_cnt").cast("double") / lit(pTotal).cast("double")) /
+            ((col("cx").cast("double") / lit(tTotal).cast("double")) *
+              (col("cy").cast("double") / lit(tTotal).cast("double")))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("x"), col("y"))
       .limit(topK)
   }

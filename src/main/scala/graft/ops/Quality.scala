@@ -296,10 +296,35 @@ object Quality {
 
   def bpeMerges(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
     require(nMerges >= 0, "nMerges must be >= 0")
-    var vocab = docs
+    // ONE corpus-sized pass (the word-type histogram); everything
+    // after is vocabulary-sized. When the exact vocab row count fits
+    // under `spark.graft.bpeDriverVocabMaxRows` (default 2M — tens of
+    // MB of word strings, the broadcastVocabMaxRows bound), the merge
+    // loop runs DRIVER-SIDE over the collected histogram: nMerges
+    // iterations of pure in-memory counting instead of nMerges ×
+    // (argmax job + vocab-rewrite checkpoint job) — a production 50k-
+    // merge train is 100k Spark jobs in the distributed form, 1
+    // collect + driver compute in this one (Sennrich's reference
+    // trainer is exactly this in-memory loop). Past the cap the
+    // distributed loop below runs unchanged; [[bpeMergesDistributed]]
+    // and [[bpeMergesDriver]] are pinned equal in QualityOpsSpec.
+    val vocabDf = docs
       .filter(col("text").isNotNull)
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+    val cap = docs.sparkSession.conf.getOption("spark.graft.bpeDriverVocabMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    val vRows = vocabDf.agg(count(lit(1))).head().getLong(0)
+    if (vRows <= cap) bpeMergesDriver(vocabDf, nMerges)
+    else bpeMergesDistributed(vocabDf, nMerges)
+  }
+
+  /** The distributed merge loop — vocab stays a DataFrame, each
+    * iteration is an argmax job plus a checkpointed vocabulary
+    * rewrite. The over-cap path of [[bpeMerges]] and the reference
+    * the driver loop is parity-pinned against. */
+  private[graft] def bpeMergesDistributed(vocabDf: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    var vocab = vocabDf
       .select(filter(split(col("tok"), ""), s => s =!= "").as("syms"), col("c"))
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
@@ -323,6 +348,85 @@ object Quality {
         vocab = vocab
           .select(applyMerge(col("syms"), x, y).as("syms"), col("c"))
           .localCheckpoint(false)
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The driver-side merge loop over the collected word-type
+    * histogram — same counting (every adjacent occurrence including
+    * overlaps), same argmax order (cnt desc, then x, y in UTF-8
+    * binary order, matching Spark's string sort), same greedy
+    * left-to-right fold as [[applyMerge]]. */
+  private[graft] def bpeMergesDriver(vocabDf: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    // split(tok, "") semantics: one element per code point (Java 8+
+    // zero-width regex never splits a surrogate pair), empties dropped.
+    def codePoints(tok: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](tok.length)
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += tok.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    // Spark's StringType sort = unsigned byte order of the UTF-8
+    // encoding (UTF8String.compareTo); Java String.compareTo differs
+    // on supplementary-vs-BMP characters, so compare encoded bytes.
+    def utf8Less(a: String, b: String): Boolean = {
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      ab.length < bb.length
+    }
+    var vocab: Array[(Array[String], Long)] = vocabDf.collect()
+      .map(r => (codePoints(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, c, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (utf8Less(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Less(k._2, best._1._2)))))
+            best = (k, v)
+        }
+        val ((x, y), cnt) = best
+        merges += BpeMerge(step, x, y, x + y, cnt)
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            // the applyMerge greedy fold: fuse when the accumulator
+            // ENDS with x and the next symbol is y ("aaa" → [aa, a])
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == x && s == y)
+                out(out.length - 1) = x + y
+              else out += s
+            }
+            (out.toArray, c)
+          }
+        }
         step += 1
       }
     }

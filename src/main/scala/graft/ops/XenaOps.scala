@@ -305,6 +305,34 @@ object XenaOps {
   def defaultStoreBuckets(spark: org.apache.spark.sql.SparkSession): Int =
     math.min(64, math.max(16, spark.sparkContext.defaultParallelism))
 
+  /** [[defaultStoreBuckets]] with the BUCKETED-SCAN floor: tables
+    * persisted via `bucketBy` (fingerprint/band/sig stores, the
+    * frozen-norm table) only keep their exchange-free join plan while
+    * the bucket count is >= the session's shuffle width — below it the
+    * planner's DisableUnnecessaryBucketedScan rule judges the scan as
+    * capping join parallelism and silently falls back to an unbucketed
+    * scan + full store reshuffle per batch (observed: 4 buckets vs 32
+    * shuffle partitions → "Bucketed: false (disabled by query
+    * planner)"). So the session-derived count for bucketBy stores is
+    * max(defaultStoreBuckets, shuffle partitions): on this harness 32
+    * (one write wave on 32 cores instead of two at the former fixed
+    * 64), on a cluster whose shuffle width is thousands it scales up
+    * with it — which is also the right probe granularity for a store
+    * that big. Create-time only, like [[defaultStoreBuckets]]. */
+  def defaultBucketedStoreBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(defaultStoreBuckets(spark),
+      spark.sessionState.conf.numShufflePartitions)
+
+  /** The registered table's own bucket count, from the session
+    * catalog — the append-path source of truth: appended files can
+    * never diverge from the store's persisted layout, whatever
+    * session (or bucket default) created it. */
+  def catalogBuckets(spark: org.apache.spark.sql.SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"table $table carries no bucket spec"))
+
   def writeBucketed(
       df: DataFrame, table: String, rowKey: String, buckets: Int,
       path: Option[String] = None): Unit = {

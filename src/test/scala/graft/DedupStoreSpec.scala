@@ -105,7 +105,10 @@ class DedupStoreSpec extends SparkSpecBase {
     // a doc that near-dups an odd batch doc: the link must appear
     // WITHOUT re-signing the original reference
     val (table2, (n2, nh2, b2, bk2, cap2)) = graft.dedup.BandStore.attach(spark, path)
-    assert((n2, nh2, b2, bk2, cap2) == ((2, 64, 16, 64, Long.MaxValue)))
+    // created with the session-derived default bucket count — the
+    // sidecar must carry the RESOLVED value, not the 0 sentinel
+    assert((n2, nh2, b2, bk2, cap2) ==
+      ((2, 64, 16, graft.ops.XenaOps.defaultBucketedStoreBuckets(spark), Long.MaxValue)))
     val oddOne = odd.limit(1).collect()(0)
     val newRef = Seq((oddOne.getLong(0) + 1000000L,
       oddOne.getString(1))).toDF("doc_id", "text")

@@ -254,6 +254,38 @@ class QualitySpec extends SparkSpecBase {
       merges.toString)
   }
 
+  test("bpeMerges driver loop == distributed loop (cap forced to 0) on real docs") {
+    // bpeMerges runs DRIVER-SIDE when the exact vocab count fits under
+    // spark.graft.bpeDriverVocabMaxRows; forcing the cap to 0 forces
+    // the distributed DataFrame loop. Both must produce the identical
+    // merge list — counts, tie-breaks (cnt desc, UTF-8 x, y) and the
+    // greedy fold included.
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val driver = graft.ops.Quality.bpeMerges(docs, nMerges = 5)
+    val key = "spark.graft.bpeDriverVocabMaxRows"
+    spark.conf.set(key, "0")
+    try {
+      val dist = graft.ops.Quality.bpeMerges(docs, nMerges = 5)
+      assert(driver == dist, s"driver=$driver dist=$dist")
+    } finally spark.conf.unset(key)
+  }
+
+  test("bpeMerges driver loop honors UTF-8 tie-break order") {
+    import spark.implicits._
+    // 'ba' and 'ab' each once: (b,a)=1 and (a,b)=1 tie on count; the
+    // argmax must pick (a,b) — x ascending in UTF-8 binary order —
+    // in BOTH loops.
+    val docs = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    val driver = graft.ops.Quality.bpeMerges(docs, nMerges = 1)
+    assert(driver.map(m => (m.left, m.right, m.cnt)) == Seq(("a", "b", 1L)))
+    val key = "spark.graft.bpeDriverVocabMaxRows"
+    spark.conf.set(key, "0")
+    try {
+      val dist = graft.ops.Quality.bpeMerges(docs, nMerges = 1)
+      assert(driver == dist, s"driver=$driver dist=$dist")
+    } finally spark.conf.unset(key)
+  }
+
   test("bpeEncode applies trained merges: hand-computed piece counts") {
     import spark.implicits._
     val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
