@@ -55,11 +55,19 @@ object Curation {
   /** One ledger line: rows leaving a named stage. */
   final case class StageCount(stage: String, rows: Long)
 
-  /** `materialize` wraps each stage boundary — identity for the
-    * one-consumer query path (q79: expression-tree-identical to the
-    * inline composition the oracle transcribes), `localCheckpoint`
-    * for [[withLedger]] where every boundary has two consumers
-    * (count + next stage) and the cluster pass must not run twice. */
+  /** `materialize` wraps each stage boundary. The boundaries are NOT
+    * single-consumer even in the plain [[pipeline]] path: `gated`
+    * feeds both the decontamination scan and the anti-join's left
+    * side, and `clean` feeds both the token-budget staging and the
+    * final rejoin — unmaterialized, the gated subtree (survivor join,
+    * quality/token gates, and the scored pass above them) re-executes
+    * up to 4× inside one query (measured in the q79 profile: the same
+    * checkpoint/save stages repeating across executions). So
+    * [[pipeline]] materializes with [[Parallelism.stage]] (pluggable:
+    * localCheckpoint locally, DISK_ONLY on clusters, none to opt
+    * out), and [[withLedger]] keeps its explicit `localCheckpoint`
+    * (count + next stage as added consumers). Values are unchanged —
+    * a materialization barrier moves no arithmetic. */
   def stages(
       docs: DataFrame,
       bench: DataFrame,
@@ -93,7 +101,7 @@ object Curation {
 
   /** The curated corpus — q79's exact result. */
   def pipeline(docs: DataFrame, bench: DataFrame, cfg: Config = Config()): DataFrame =
-    stages(docs, bench, cfg).budgeted
+    stages(docs, bench, cfg, materialize = Parallelism.stage).budgeted
 
   /** The pipeline's pluggable language source, production default:
     * REPLACE the incoming `lang` column with the Cavnar–Trenkle
